@@ -1,0 +1,773 @@
+"""BatchChunker: adaptive chunked-batch orchestration over Spark DataFrames.
+
+A PySpark-native re-expression (NOT a port) of the reference engine
+GrantStreetGroup/DBIx-BatchChunker (/root/reference/lib/DBIx/BatchChunker.pm).
+The reference splits one huge keyed operation into many small id ranges,
+sizes those ranges adaptively from row-count and runtime feedback, throttles,
+retries, tracks progress, and dispatches each chunk to one of four modes.
+
+Spark mapping (SURVEY.md §1.4 / §3.4):
+
+* chunk ``[start, end]``      → ``df.filter(F.col(id).between(start, end))``
+  (partition pruning + parquet predicate pushdown make this a cheap range
+  scan, not a full pass), or a JDBC pushdown predicate.
+* min/max range scan          → one ``agg(F.min(id), F.max(id))`` job.
+* COUNT probe                 → per-chunk ``count()`` job, or — the
+  Spark-first path — a one-pass **id histogram** (single groupBy job whose
+  per-stride counts are consulted driver-side, amortizing the ~100 ms
+  job-launch cost of per-chunk probes across the whole run).
+* single_rows                 → ``toLocalIterator()`` over the chunk, with
+  chunk-level replay on failure (Spark has no multi-row transactions; the
+  reference already demands idempotent work, BatchChunker.pm:109-112).
+* BigInt ids (t/big-id.t)     → free: Python ints are arbitrary precision,
+  so all cursor math works on 41-digit ids with no special casing.
+
+Dispatch modes (reference BatchChunker.pm:70-178):
+
+================  =========================  ==================================
+reference mode    constructor args            per-chunk behavior
+================  =========================  ==================================
+DBIC bulk         ``df`` + ``coderef``        ``coderef(bc, chunk_df)``
+DBIC single_rows  + ``single_rows=True``      ``coderef(bc, row)`` per Row
+Active DBI        ``dbapi_connector``+``stmt``  execute DML stmt with
+                                              ``(*binds, start, end)``
+Query DBI         + ``coderef``               ``coderef(bc, cursor)``; with
+                                              ``single_rows``: dict per row,
+                                              lowercased keys, in a txn
+DIY               ``coderef`` only            ``coderef(bc, start, end)``
+================  =========================  ==================================
+
+``dbapi_connector`` is any zero-arg callable returning a PEP 249 connection
+(sqlite3, duckdb, a JDBC bridge, ...) — the analog of the reference's
+``dbi_connector``. For cluster-side DML at scale, see
+``sources/jdbc.py`` (per-partition connections inside ``foreachPartition``).
+
+All adaptive control flow lives on the driver; every heavy operation is a
+declarative Spark job that Catalyst optimizes independently.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+import warnings
+from typing import Any, Callable, Dict, Iterator, Optional, Sequence, Tuple
+
+from .loop_state import LoopState, Timing
+from .retry import run_with_retry
+
+try:  # allow pure-driver tests (DBAPI / DIY modes) without a JVM
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+except ImportError:  # pragma: no cover
+    DataFrame = None  # type: ignore[assignment]
+    F = None  # type: ignore[assignment]
+
+__all__ = ["BatchChunker"]
+
+_KNOWN_ATTRS = {
+    # Spark / DataFrame mode
+    "df", "count_df", "range_df", "id_name",
+    # DBAPI mode
+    "dbapi_connector", "stmt", "count_stmt", "min_stmt", "max_stmt",
+    # dispatch
+    "coderef", "single_rows",
+    # loop behavior
+    "chunk_size", "target_time", "sleep", "max_runtime",
+    "min_chunk_percent", "process_past_max",
+    "min_id", "max_id",
+    # probes
+    "probe_mode", "histogram_max_buckets",
+    # retry
+    "retry_opts",
+    # reporting / testability
+    "verbose", "progress_name", "on_message", "on_progress",
+    "time_source", "sleep_func",
+}
+
+
+class BatchChunker:
+    """Adaptive chunked-batch orchestrator (see module docstring).
+
+    Constructor is strict (unknown attributes raise ``TypeError``, mirroring
+    the reference's MooX::StrictConstructor; t/construct.t:118-128) and
+    validates mode requirements up front (BatchChunker.pm:913-929).
+    """
+
+    def __init__(self, **kwargs: Any) -> None:
+        unknown = set(kwargs) - _KNOWN_ATTRS
+        if unknown:
+            raise TypeError(
+                "Found unknown attribute(s) passed to the constructor: "
+                + ", ".join(sorted(unknown))
+            )
+
+        # --- Spark sources -------------------------------------------------
+        self.df: Optional[DataFrame] = kwargs.get("df")
+        self.range_df: Optional[DataFrame] = kwargs.get("range_df")
+        # count_df defaults to df (reference: count_rs defaults to rs,
+        # BatchChunker.pm:854); pass count_df=False to disable probing.
+        cdf = kwargs.get("count_df", None)
+        if cdf is None:
+            cdf = self.df
+        elif cdf is False:
+            cdf = None
+        self.count_df: Optional[DataFrame] = cdf
+        self.id_name: Optional[str] = kwargs.get("id_name")
+
+        # --- DBAPI sources -------------------------------------------------
+        self.dbapi_connector = kwargs.get("dbapi_connector")
+        self.stmt = _normalize_stmt(kwargs.get("stmt"))
+        self.count_stmt = _normalize_stmt(kwargs.get("count_stmt"))
+        self.min_stmt = _normalize_stmt(kwargs.get("min_stmt"))
+        self.max_stmt = _normalize_stmt(kwargs.get("max_stmt"))
+
+        # --- dispatch ------------------------------------------------------
+        self.coderef: Optional[Callable] = kwargs.get("coderef")
+        self.single_rows: bool = bool(kwargs.get("single_rows", False))
+
+        # --- loop knobs (defaults mirror the reference v1.0.x) --------------
+        self.chunk_size: int = int(kwargs.get("chunk_size") or 1)
+        self.target_time: float = float(
+            kwargs["target_time"] if kwargs.get("target_time") is not None else 5
+        )
+        self.sleep: float = float(kwargs.get("sleep", 0.5))
+        self.max_runtime: float = float(kwargs.get("max_runtime", 0))
+        self.min_chunk_percent: float = float(kwargs.get("min_chunk_percent", 0.5))
+        self.process_past_max: bool = bool(kwargs.get("process_past_max", False))
+        self.min_id: Optional[int] = _opt_int(kwargs.get("min_id"))
+        self.max_id: Optional[int] = _opt_int(kwargs.get("max_id"))
+
+        # --- probe strategy -------------------------------------------------
+        # 'count'     → per-chunk count job (reference behavior, A3)
+        # 'histogram' → one-pass per-stride counts consulted driver-side
+        # 'off'       → never probe
+        self.probe_mode: str = kwargs.get("probe_mode", "count")
+        if self.probe_mode not in ("count", "histogram", "off"):
+            raise ValueError(f"probe_mode must be count|histogram|off, got {self.probe_mode!r}")
+        self.histogram_max_buckets: int = int(kwargs.get("histogram_max_buckets", 1 << 20))
+        self._histogram: Optional[Dict[int, int]] = None
+        self._histogram_stride: Optional[int] = None
+
+        # --- retry -----------------------------------------------------------
+        # Reference: BlockRunner defaults max_attempts=10 + always-retry handler
+        # when retry opts are given (BatchChunker.pm:245-248); no opts → one try.
+        retry_opts = kwargs.get("retry_opts") or {}
+        self.max_attempts: int = int(retry_opts.get("max_attempts", 10)) if retry_opts else 1
+        self.retry_handler = retry_opts.get("retry_handler")
+
+        # --- reporting / testability -----------------------------------------
+        self.verbose: bool = bool(kwargs.get("verbose", True))
+        self.progress_name: str = kwargs.get("progress_name", "Processing")
+        self.on_message: Optional[Callable[[str], None]] = kwargs.get("on_message")
+        self.on_progress: Optional[Callable[[int, int], None]] = kwargs.get("on_progress")
+        self.time_source: Callable[[], float] = kwargs.get("time_source", time.monotonic)
+        self.sleep_func: Callable[[float], None] = kwargs.get("sleep_func", time.sleep)
+        self.messages: list[str] = []
+
+        self._ls: Optional[LoopState] = None
+        self._validate()
+
+    # ------------------------------------------------------------------ #
+    # construction & validation                                           #
+    # ------------------------------------------------------------------ #
+
+    def _validate(self) -> None:
+        has_dbapi_stmt = any(
+            s is not None for s in (self.stmt, self.count_stmt, self.min_stmt, self.max_stmt)
+        )
+        if has_dbapi_stmt and self.dbapi_connector is None:
+            raise ValueError("DBAPI processing requires a dbapi_connector attribute!")
+
+        if (self.df is not None or self.range_df is not None) and not self.id_name:
+            raise ValueError(
+                "DataFrame processing requires an id_name attribute "
+                "(Spark has no primary-key metadata to introspect)"
+            )
+
+        # Range calculation requirements (BatchChunker.pm:913-918); DIY mode
+        # (coderef with no sources) is exempt: user sets min_id/max_id manually.
+        can_range = (
+            self.df is not None
+            or self.range_df is not None
+            or (self.min_stmt is not None and self.max_stmt is not None)
+            or (self.dbapi_connector is None and self.df is None and self.coderef is not None)
+        )
+        if not can_range:
+            raise ValueError(
+                "Range calculations require one of these attr sets: "
+                "df|range_df, or dbapi_connector + min_stmt + max_stmt"
+            )
+
+        # Block execution requirements (BatchChunker.pm:920-924)
+        can_execute = (
+            self.stmt is not None
+            or (self.df is not None and self.coderef is not None)
+            or self.coderef is not None
+        )
+        if not can_execute:
+            raise ValueError(
+                "Block execution requires one of these attr sets: "
+                "dbapi_connector + stmt, df + coderef, or coderef"
+            )
+
+        if self.target_time == 0 and self.chunk_size == 1:
+            warnings.warn(
+                "Dynamic chunk resizing is turned off and the chunk_size is still set to "
+                "its default of 1. This is probably not desirable; find an appropriate "
+                "static chunk size for your workload.",
+                stacklevel=3,
+            )
+
+    @classmethod
+    def construct_and_execute(cls, **kwargs: Any) -> "BatchChunker":
+        """One-shot constructor + range calc + execute (BatchChunker.pm:975-983)."""
+        bc = cls(**kwargs)
+        bc.calculate_ranges()
+        bc.execute()
+        return bc
+
+    # ------------------------------------------------------------------ #
+    # range calculation (A1)                                              #
+    # ------------------------------------------------------------------ #
+
+    def calculate_ranges(self) -> bool:
+        """Fill ``min_id``/``max_id`` from the source; False if empty.
+
+        Reference: BatchChunker.pm:1019-1093. On Spark this is one
+        ``agg(min, max)`` job — parquet footer statistics usually make it
+        metadata-only.
+        """
+        mm_df = self.range_df if self.range_df is not None else self.df
+        if mm_df is not None:
+            mn, mx = self._retry(
+                lambda: tuple(
+                    mm_df.agg(
+                        F.min(self.id_name).alias("mn"), F.max(self.id_name).alias("mx")
+                    ).first()
+                )
+            )
+        elif self.min_stmt is not None and self.max_stmt is not None:
+            mn = self._dbapi_scalar(self.min_stmt)
+            mx = self._dbapi_scalar(self.max_stmt)
+        else:
+            raise ValueError("no range source: need df/range_df or min_stmt+max_stmt")
+
+        if mn is None or mx is None:
+            return False
+        self.min_id, self.max_id = int(mn), int(mx)
+        return True
+
+    # ------------------------------------------------------------------ #
+    # the execute loop (A2, A13, A14; BatchChunker.pm:1143-1236)          #
+    # ------------------------------------------------------------------ #
+
+    def execute(self) -> None:
+        if self.min_id is None or self.max_id is None:
+            self._message("No chunks; nothing to process...")
+            return
+        total = self.max_id - self.min_id + 1
+        if total <= 0:
+            self._message("No chunks; nothing to process...")
+            return
+
+        if self.verbose:
+            self._message(
+                f"({math.ceil(total / self.chunk_size):,} total chunks; {total:,} total ids)"
+            )
+
+        ls = LoopState(chunk_size=self.chunk_size, time_source=self.time_source)
+        self._ls = ls
+
+        while (
+            ls.prev_end is None  # first chunk
+            or ls.start is not None  # mid chunk-resize
+            or ls.prev_end < self.max_id  # more to go
+        ):
+            ls.multiplier_range += ls.multiplier_step
+            if ls.start is None:
+                ls.start = (
+                    ls.prev_end + 1
+                    if ls.prev_end is not None
+                    else (self.min_id if self.min_id is not None else 1)
+                )
+            ls.end = min(
+                # ceil: multiplier may be fractional mid-bisection
+                ls.start + math.ceil(ls.multiplier_range * ls.chunk_size) - 1,
+                self.max_id,
+            )
+            ls.chunk_count = None
+
+            if self.max_runtime and self.time_source() - ls.total_timer > self.max_runtime:
+                self._message("Ran past the maximum run time")
+                break
+
+            if not self._process_past_max_checker():
+                continue
+            if not self._process_block():
+                continue
+
+            ls.prev_runtime = self.time_source() - ls.chunk_timer
+
+            if self.sleep:
+                self.sleep_func(self.sleep)
+
+            self._print_chunk_status("processed")
+            self._increment_progress()
+            self._runtime_checker()
+            ls.reset_chunk_state()
+
+        # cursor write-back for resumability (BatchChunker.pm:1228)
+        if ls.prev_end is not None:
+            self.min_id = ls.prev_end
+        self._ls = None
+
+    def chunk_ranges(self) -> Iterator[Tuple[int, int]]:
+        """Static (non-adaptive) ranges covering [min_id, max_id].
+
+        The distributed counterpart of the driver loop: feed these to
+        ``sources.jdbc.read_chunked`` as pushdown predicates (one Spark
+        partition per chunk) when per-chunk driver control isn't needed.
+        """
+        if self.min_id is None or self.max_id is None:
+            return
+        start = self.min_id
+        while start <= self.max_id:
+            end = min(start + self.chunk_size - 1, self.max_id)
+            yield (start, end)
+            start = end + 1
+
+    # ------------------------------------------------------------------ #
+    # process_past_max (A7; BatchChunker.pm:1394-1460)                    #
+    # ------------------------------------------------------------------ #
+
+    def _process_past_max_checker(self) -> bool:
+        ls = self._ls
+        assert ls is not None
+        if not self.process_past_max:
+            return True
+        if ls.end < self.max_id:
+            return True
+
+        has_max_source = (
+            self.range_df is not None or self.df is not None or self.max_stmt is not None
+        )
+        if not has_max_source:
+            # No way to size this: pad one more chunk (BatchChunker.pm:1402-1407)
+            ls.end = self.max_id + ls.chunk_size
+            return True
+
+        if self.verbose:
+            self._message("Reached end; re-checking max ID")
+        mm_df = self.range_df if self.range_df is not None else self.df
+        if mm_df is not None:
+            new_max = self._retry(lambda: mm_df.agg(F.max(self.id_name)).first()[0])
+        else:
+            new_max = self._dbapi_scalar(self.max_stmt)
+        ls.mark_chunk_timer()  # the max query shouldn't impact runtimes
+
+        if new_max is None:
+            if self.verbose:
+                self._message("No max ID found; nothing left to process...")
+            ls.end = self.max_id
+            ls.prev_check = "no max"
+            return False
+        new_max = int(new_max)
+        if new_max > self.max_id:
+            if self.verbose:
+                self._message(f"New max ID set from {self.max_id} to {new_max}")
+            self.max_id = new_max
+        elif new_max == self.max_id:
+            if self.verbose:
+                self._message(f"Found max ID {new_max}; same as end")
+        else:
+            if self.verbose:
+                self._message(f"Found max ID {new_max}; ignoring...")
+
+        ls.end = min(ls.end, self.max_id)
+        return True
+
+    # ------------------------------------------------------------------ #
+    # block processing & dispatch (A3, A8-A11; BatchChunker.pm:1247-1385) #
+    # ------------------------------------------------------------------ #
+
+    def _process_block(self) -> bool:
+        ls = self._ls
+        assert ls is not None
+
+        # COUNT probe (A3)
+        chunk_count: Optional[int] = None
+        if self.probe_mode != "off":
+            if self.count_stmt is not None:
+                chunk_count = self._dbapi_scalar(
+                    self.count_stmt, extra_binds=(ls.start, ls.end)
+                )
+                chunk_count = int(chunk_count or 0)
+            elif self.count_df is not None:
+                chunk_count = self._probe_count(ls.start, ls.end)
+        ls.chunk_count = chunk_count
+
+        if not self._chunk_count_checker():
+            return False
+
+        # Dispatch
+        if self.stmt is not None:
+            self._dispatch_dbapi(ls.start, ls.end)
+        elif self.df is not None and self.coderef is not None:
+            self._dispatch_dataframe(ls.start, ls.end)
+        else:
+            assert self.coderef is not None
+            self.coderef(self, ls.start, ls.end)
+        return True
+
+    def _dispatch_dataframe(self, start: int, end: int) -> None:
+        """DBIC-analog dispatch: chunk DataFrame = base df + BETWEEN filter
+        (reference injects ``-between`` into the ResultSet,
+        BatchChunker.pm:1279-1286, 1352-1374)."""
+        chunk_df = self.df.filter(F.col(self.id_name).between(start, end))
+        if self.single_rows:
+            def work() -> None:
+                self._ls.mark_chunk_timer()  # reset timer on retries
+                for row in chunk_df.toLocalIterator():
+                    self.coderef(self, row)
+
+            self._retry(work)
+        else:
+            def work() -> None:
+                self._ls.mark_chunk_timer()
+                self.coderef(self, chunk_df)
+
+            self._retry(work)
+
+    def _dispatch_dbapi(self, start: int, end: int) -> None:
+        """Active/Query DBAPI dispatch (BatchChunker.pm:1297-1350)."""
+        sql, binds = self.stmt
+        execute_args = (*binds, start, end)
+
+        if self.single_rows and self.coderef is not None:
+            # Transactional per-row work
+            def work(conn: Any) -> None:
+                self._ls.mark_chunk_timer()
+                cur = conn.cursor()
+                cur.execute(sql, execute_args)
+                cols = [d[0].lower() for d in cur.description]
+                for raw in cur:
+                    self.coderef(self, dict(zip(cols, raw)))
+
+            self._dbapi_txn(work)
+        else:
+            def work(conn: Any) -> None:
+                self._ls.mark_chunk_timer()
+                cur = conn.cursor()
+                cur.execute(sql, execute_args)
+                if self.coderef is not None:
+                    self.coderef(self, cur)
+
+            self._dbapi_run(work)
+
+    # ------------------------------------------------------------------ #
+    # COUNT probes: per-chunk job or one-pass histogram                   #
+    # ------------------------------------------------------------------ #
+
+    def _probe_count(self, start: int, end: int) -> int:
+        if self.probe_mode == "histogram":
+            return self._histogram_count(start, end)
+        return int(
+            self._retry(
+                lambda: self.count_df.filter(
+                    F.col(self.id_name).between(start, end)
+                ).count()
+            )
+        )
+
+    def _build_histogram(self) -> None:
+        """One groupBy job: per-stride row counts over the whole key range.
+
+        At 100 TB this replaces O(chunks) count jobs with ONE shuffle whose
+        output (≤ histogram_max_buckets longs) is collected to the driver.
+        Edge buckets of a probed range are prorated, which is fine: the
+        counts only drive resize *heuristics*, never correctness.
+        """
+        assert self.min_id is not None and self.max_id is not None
+        span = self.max_id - self.min_id + 1
+        stride = max(1, self.chunk_size)
+        if span // stride > self.histogram_max_buckets:
+            stride = math.ceil(span / self.histogram_max_buckets)
+        bucket = ((F.col(self.id_name) - F.lit(self.min_id)) / F.lit(stride)).cast("long")
+        rows = (
+            self.count_df.groupBy(bucket.alias("__bucket"))
+            .count()
+            .collect()
+        )
+        self._histogram = {r["__bucket"]: r["count"] for r in rows}
+        self._histogram_stride = stride
+
+    def _histogram_count(self, start: int, end: int) -> int:
+        if self._histogram is None:
+            self._build_histogram()
+        assert self._histogram is not None and self._histogram_stride is not None
+        w = self._histogram_stride
+        lo_b = (start - self.min_id) // w
+        hi_b = (end - self.min_id) // w
+        total = 0.0
+        for b in range(lo_b, hi_b + 1):
+            cnt = self._histogram.get(b, 0)
+            if not cnt:
+                continue
+            b_lo = self.min_id + b * w
+            b_hi = b_lo + w - 1
+            overlap = min(end, b_hi) - max(start, b_lo) + 1
+            total += cnt * (overlap / w)
+        return int(round(total))
+
+    # ------------------------------------------------------------------ #
+    # chunk count checker (A4; BatchChunker.pm:1475-1570)                 #
+    # Decision ladder order matters: skip > single-ID > too-many >        #
+    # slow-COUNT > check-cap > at-max > too-few.                          #
+    # ------------------------------------------------------------------ #
+
+    def _chunk_count_checker(self) -> bool:
+        ls = self._ls
+        assert ls is not None
+
+        if self.min_chunk_percent <= 0 or ls.chunk_count is None:
+            ls.prev_check = "disabled"
+            return True
+
+        chunk_percent = ls.chunk_count / ls.chunk_size
+        count_check_time = self.time_source() - ls.chunk_timer
+        ls.checked_count += 1
+
+        if ls.chunk_count == 0:
+            # Skip the block entirely and accelerate the stepping
+            self._print_chunk_status("skipped")
+            self._increment_progress()
+            step = ls.multiplier_step
+            ls.reset_chunk_state()
+            ls.multiplier_step = step * 2
+            ls.prev_check = "skipped rows"
+            return False
+
+        if ls.end - ls.start <= 0:
+            # Single ID: must process it
+            ls.prev_check = "at a single ID"
+            if ls.chunk_count > 1:
+                self._message(
+                    "WARNING: Processing a single ID with many rows attached because "
+                    "resizing cannot proceed any further."
+                )
+                self._message(
+                    "Consider flipping the relationship so that IDs and row counts are 1:1."
+                )
+            return True
+
+        if chunk_percent > 1 + self.min_chunk_percent:
+            self._print_chunk_status("shrunk")
+            ls.mark_chunk_timer()
+            ls.decrease_multiplier()
+            ls.prev_check = "too many rows"
+            return False
+
+        if self.target_time and count_check_time > self.target_time * 1.05:
+            self._message(
+                f"WARNING: COUNT statement was too slow; took {count_check_time:.2f} sec "
+                f"to return {ls.chunk_count:,} rows."
+            )
+            self._print_chunk_status("shrunk")
+            ls.mark_chunk_timer()
+            ls.decrease_multiplier()
+            ls.prev_check = "COUNT too slow"
+            return False
+
+        # Better too few rows than too many; the checks below are vetoes on
+        # *further resizing*, not on processing.
+        if ls.checked_count > 10:
+            ls.prev_check = "too many checks"
+            return True
+
+        if ls.end >= self.max_id:
+            ls.prev_check = "at max_id"
+            return True
+
+        if chunk_percent < self.min_chunk_percent:
+            self._print_chunk_status("expanded")
+            ls.mark_chunk_timer()
+            ls.increase_multiplier()
+            ls.prev_check = "too few rows"
+            return False
+
+        ls.prev_check = "nothing wrong"
+        return True
+
+    # ------------------------------------------------------------------ #
+    # runtime targeting (A6; BatchChunker.pm:1581-1655)                   #
+    # ------------------------------------------------------------------ #
+
+    def _runtime_checker(self) -> Optional[bool]:
+        if not self.target_time:
+            return None
+        ls = self._ls
+        assert ls is not None
+        if not ls.chunk_size or not ls.prev_runtime:
+            return None
+
+        chunk_count = ls.chunk_count if ls.chunk_count else ls.chunk_size
+        chunk_per = chunk_count / ls.chunk_size
+        # rowtime: how much of the chunk_size actually impacted the runtime
+        ls.push_timing(
+            Timing(
+                runtime=ls.prev_runtime,
+                chunk_count=chunk_count,
+                chunk_per=chunk_per,
+                rowtime=ls.prev_runtime / chunk_per,
+            )
+        )
+        timings = ls.last_timings
+        ttl = len(timings)
+        avg_rowtime = sum(t.rowtime for t in timings) / ttl
+        adjust_factor = self.target_time / avg_rowtime
+
+        new_size: float = ls.chunk_size
+        adjective = None
+        if adjust_factor > 1.05:
+            # Too fast: raise chunk size, only with 5/5 under-target samples,
+            # never more than double
+            if ttl < 5:
+                return None
+            if any(t.runtime >= self.target_time for t in timings):
+                return None
+            new_size *= min(2.0, adjust_factor)
+            adjective = "fast"
+        elif adjust_factor < 0.95:
+            # Too slow: lower chunk size; never less than half unless the
+            # last runtime was way (>3×) over
+            if not ls.prev_runtime > self.target_time:
+                return None
+            if ls.prev_runtime < self.target_time * 3:
+                new_size *= max(0.5, adjust_factor)
+            else:
+                new_size *= adjust_factor
+            if new_size < 1:
+                new_size = 1
+            adjective = "slow"
+        else:
+            return None
+
+        new_size_int = int(new_size)
+        if new_size_int == ls.chunk_size or new_size_int < 1:
+            return None
+
+        if self.verbose:
+            self._message(
+                f"Processing too {adjective}, avg {1 / adjust_factor:.0%} of target time, "
+                f"adjusting chunk size from {ls.chunk_size:,} to {new_size_int:,}"
+            )
+        ls.chunk_size = new_size_int
+        if adjective == "fast":
+            ls.reset_last_timings()  # never snowball too quickly
+        return True
+
+    # ------------------------------------------------------------------ #
+    # DBAPI plumbing (dbi_connector analog)                               #
+    # ------------------------------------------------------------------ #
+
+    _conn: Any = None
+
+    def _get_conn(self) -> Any:
+        if self._conn is None:
+            self._conn = self.dbapi_connector()
+        return self._conn
+
+    def _invalidate_conn(self) -> None:
+        try:
+            if self._conn is not None:
+                self._conn.close()
+        except Exception:
+            pass
+        self._conn = None
+
+    def _dbapi_run(self, fn: Callable[[Any], Any]) -> Any:
+        def attempt() -> Any:
+            return fn(self._get_conn())
+
+        return self._retry(attempt)
+
+    def _dbapi_txn(self, fn: Callable[[Any], Any]) -> Any:
+        def attempt() -> Any:
+            conn = self._get_conn()
+            try:
+                result = fn(conn)
+                conn.commit()
+                return result
+            except BaseException:
+                try:
+                    conn.rollback()
+                except Exception:
+                    self._invalidate_conn()
+                raise
+
+        return self._retry(attempt)
+
+    def _dbapi_scalar(self, stmt: Tuple[str, Sequence[Any]], extra_binds: Tuple = ()) -> Any:
+        sql, binds = stmt
+
+        def work(conn: Any) -> Any:
+            cur = conn.cursor()
+            cur.execute(sql, (*binds, *extra_binds))
+            row = cur.fetchone()
+            return row[0] if row is not None else None
+
+        return self._dbapi_run(work)
+
+    def _retry(self, fn: Callable[[], Any]) -> Any:
+        return run_with_retry(
+            fn,
+            max_attempts=self.max_attempts,
+            retry_handler=self.retry_handler,
+            on_retry=lambda exc, attempt: self._message(
+                f"Retrying after error (attempt {attempt}): {exc}"
+            ),
+        )
+
+    # ------------------------------------------------------------------ #
+    # progress & verbose reporting (A15; BatchChunker.pm:1663-1745)       #
+    # ------------------------------------------------------------------ #
+
+    def _message(self, msg: str) -> None:
+        self.messages.append(msg)
+        if self.on_message is not None:
+            self.on_message(msg)
+
+    def _print_chunk_status(self, action: str) -> None:
+        if not self.verbose:
+            return
+        ls = self._ls
+        runtime = self.time_source() - ls.chunk_timer
+        line = f"IDs {ls.start} to {ls.end} {action}"
+        if ls.chunk_count is not None:
+            pct = ls.chunk_count / ls.chunk_size
+            line += f", {ls.chunk_count:,} rows ({pct:.1%} of chunk size)"
+        line += f" in {runtime:.2f}s"
+        self._message(line)
+
+    def _increment_progress(self) -> None:
+        if self.on_progress is None or self.min_id is None or self.max_id is None:
+            return
+        ls = self._ls
+        done = min(ls.end, self.max_id) - self.min_id + 1
+        self.on_progress(done, self.max_id - self.min_id + 1)
+
+
+def _opt_int(v: Any) -> Optional[int]:
+    return None if v is None else int(v)
+
+
+def _normalize_stmt(stmt: Any) -> Optional[Tuple[str, Sequence[Any]]]:
+    """str → (sql, ()); (sql, *binds) → (sql, binds). Mirrors the reference's
+    ``stmt`` arrayref-with-binds convention (BatchChunker.pm:330-401)."""
+    if stmt is None:
+        return None
+    if isinstance(stmt, str):
+        return (stmt, ())
+    seq = list(stmt)
+    return (seq[0], tuple(seq[1:]))
