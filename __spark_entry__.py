@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query at sf0.001;
+``queries()`` / ``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 with its DuckDB oracle for the per-round correctness gate.
 """
 
 from __future__ import annotations
@@ -13,26 +11,42 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Importing the operator modules populates the registry.
+from dbix_batchchunker_spark.operators import registry
+from dbix_batchchunker_spark.operators import (  # noqa: F401
+    chunked,
+    relational,
+)
+
+try:  # extension modules land incrementally; keep entry importable
+    from dbix_batchchunker_spark.operators import dedup  # noqa: F401
+except ImportError:
+    pass
+try:
+    from dbix_batchchunker_spark.operators import similarity  # noqa: F401
+except ImportError:
+    pass
+try:
+    from dbix_batchchunker_spark.operators import text  # noqa: F401
+except ImportError:
+    pass
+try:
+    from dbix_batchchunker_spark.operators import multimodal  # noqa: F401
+except ImportError:
+    pass
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the chunked-delete query (the reference's core use case)
+    driven by the adaptive BatchChunker loop at sf0.001."""
+    return registry.QUERIES["q20_chunked_delete_survivors"](spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(registry.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(registry.ORACLES)

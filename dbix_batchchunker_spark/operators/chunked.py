@@ -1,0 +1,151 @@
+"""Chunked-batch queries: the reference's core use case ("run one huge keyed
+operation as many small BETWEEN ranges", examples/basic.pl:21-31 and
+BatchChunker.pm:121-130) recast as verifiable queries.
+
+Each query drives a real BatchChunker loop over a keyed table; the final
+result must equal the equivalent one-shot SQL — which is exactly what the
+DuckDB oracle asserts. At scale the per-chunk DataFrames are lazy plans:
+unioning N chunk plans and letting Catalyst/AQE execute them is one job, not
+N collected results (nothing materializes on the driver except the cursor).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..chunker import BatchChunker
+from .registry import dec2, query, t
+
+_OUT = "decimal(24,6)"
+
+def _deprecated_pred():
+    """'Deprecated orders' predicate for the delete-shaped flagship query.
+    (Built lazily: pyspark 4 requires an active session for Column exprs.)"""
+    return (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 50000)
+
+
+@query(
+    "q20_chunked_delete_survivors",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000)
+    """,
+)
+def q20_chunked_delete_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked DELETE (keep survivors): loop over o_orderkey in adaptive
+    chunks; each chunk contributes its surviving rows. Mirrors the
+    'delete deprecated accounts' example (examples/basic.pl:21-31)."""
+    orders = t(spark, sf_dir, "orders")
+    parts: list[DataFrame] = []
+
+    def keep_survivors(bc: BatchChunker, chunk_df: DataFrame) -> None:
+        parts.append(
+            chunk_df.filter(~_deprecated_pred()).select(
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+            )
+        )
+
+    BatchChunker.construct_and_execute(
+        df=orders,
+        id_name="o_orderkey",
+        coderef=keep_survivors,
+        chunk_size=4096,
+        target_time=0,  # static chunks: keep the unioned plan deterministic
+        min_chunk_percent=0,  # no COUNT probes needed for a pure transform
+        sleep=0,
+        verbose=False,
+    )
+    return reduce(DataFrame.unionByName, parts)
+
+
+@query(
+    "q21_chunked_groupby_combine",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(24,6)) AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q21_chunked_groupby_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked aggregation with partial/final combine: each chunk computes a
+    partial group-by (map-side combine pattern); partials union and
+    re-aggregate. Result must equal the one-shot group-by."""
+    orders = t(spark, sf_dir, "orders")
+    partials: list[DataFrame] = []
+
+    def partial_agg(bc: BatchChunker, chunk_df: DataFrame) -> None:
+        partials.append(
+            chunk_df.groupBy("o_orderstatus").agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(dec2("o_totalprice")).alias("sum_price"),
+            )
+        )
+
+    BatchChunker.construct_and_execute(
+        df=orders,
+        id_name="o_orderkey",
+        coderef=partial_agg,
+        chunk_size=8192,
+        target_time=0,
+        min_chunk_percent=0,
+        sleep=0,
+        verbose=False,
+    )
+    combined = reduce(DataFrame.unionByName, partials)
+    return (
+        combined.groupBy("o_orderstatus")
+        .agg(
+            F.sum("cnt").alias("n_orders"),
+            F.sum("sum_price").cast(_OUT).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q22_chunked_update_overlay",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'P' THEN 'PENDING' ELSE o_orderstatus END
+               AS o_orderstatus,
+           o_totalprice
+    FROM orders
+    """,
+)
+def q22_chunked_update_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked UPDATE as keyed overwrite (SURVEY.md §2.B DML mapping): per
+    chunk, compute the updated projection of the rows in range; the union of
+    all chunk outputs is the post-UPDATE table. This is the Spark-idiomatic
+    stand-in for `UPDATE ... WHERE id BETWEEN ? AND ?` (BatchChunker.pm:121-130)."""
+    orders = t(spark, sf_dir, "orders")
+    parts: list[DataFrame] = []
+
+    def update_chunk(bc: BatchChunker, chunk_df: DataFrame) -> None:
+        parts.append(
+            chunk_df.select(
+                "o_orderkey",
+                F.when(F.col("o_orderstatus") == "P", "PENDING")
+                .otherwise(F.col("o_orderstatus"))
+                .alias("o_orderstatus"),
+                "o_totalprice",
+            )
+        )
+
+    BatchChunker.construct_and_execute(
+        df=orders,
+        id_name="o_orderkey",
+        coderef=update_chunk,
+        chunk_size=8192,
+        target_time=0,
+        min_chunk_percent=0,
+        sleep=0,
+        verbose=False,
+    )
+    return reduce(DataFrame.unionByName, parts)
