@@ -1,0 +1,237 @@
+"""Deduplication operators (SURVEY.md §2.C): exact, blocked n-gram Jaccard,
+MinHash-LSH, and SimHash — each designed scale-first:
+
+* exact dedup        → one hash-aggregate (groupBy key), no driver state;
+* jaccard pairs      → blocked pair join (block keys bound the quadratic
+                       blow-up; the unblocked form would be a cross join);
+* MinHash-LSH        → explode→agg signature (one shuffle), band-bucket
+                       self-join (candidates only), exact-Jaccard verify —
+                       the standard shingle→minhash→band→bucket-join pipeline;
+* SimHash            → explode→agg 64 bit-sums, constant-width signature.
+
+Everything is deterministic (xxhash64 seeds, no RNG), pure DataFrame ops.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import query, t
+
+_WS = r"\s+"
+
+# MinHash parameters: 64 hashes = 16 bands × 4 rows. With Jaccard threshold
+# ~0.5 the band-collision probability is 1-(1-0.5^4)^16 ≈ 0.65; at 0.7 it is
+# ≈ 0.99 — standard LSH S-curve tuning.
+MINHASH_HASHES = 64
+LSH_BANDS = 16
+LSH_ROWS = MINHASH_HASHES // LSH_BANDS
+JACCARD_THRESHOLD = 0.5
+
+
+def _tokens():
+    return F.filter(F.split(F.col("text"), _WS), lambda x: x != F.lit(""))
+
+
+def _shingles(n: int = 3) -> Column:
+    """Word n-gram shingles as strings (distinct)."""
+    toks = _tokens()
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# dd01: exact dedup — representative (min doc_id) per identical text          #
+# --------------------------------------------------------------------------- #
+@query(
+    "dd01_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY text
+    """,
+)
+def dd01_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count")
+    ).select("doc_id", "dup_count")
+
+
+# --------------------------------------------------------------------------- #
+# dd02: exact word-set Jaccard pairs within blocks                            #
+# Blocking key (lang, n_chars bucket) bounds the pair space — the exact-      #
+# oracle-checkable counterpart of the MinHash pipeline below.                 #
+# --------------------------------------------------------------------------- #
+@query(
+    "dd02_jaccard_pairs",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+               list_distinct(list_filter(regexp_split_to_array(text, '{_WS}'),
+                             x -> x != '')) AS words
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.words, b.words))
+                 / (len(a.words) + len(b.words)
+                    - len(list_intersect(a.words, b.words))), 6) AS jaccard
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.words, b.words))
+          / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words)))
+          >= 0.6
+    """,
+)
+def dd02_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+        F.array_distinct(_tokens()).alias("words"),
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
+    union = F.size(F.col("a.words")) + F.size(F.col("b.words")) - inter
+    jac = inter / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(jac >= 0.6)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# dd03: MinHash-LSH near-dup pairs (the 100 TB path)                          #
+# shingle → minhash signature (explode + 64 min-aggs, ONE shuffle) → band     #
+# keys → bucket self-join (candidates only) → exact-Jaccard verify.           #
+# Non-SQL-expressible at the LSH stage → no oracle (driver does a rows-only   #
+# check); tests/test_dedup.py checks recall against dd02's exact pairs.       #
+# --------------------------------------------------------------------------- #
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = MINHASH_HASHES, shingle_n: int = 1
+) -> DataFrame:
+    """doc_id → array<long> minhash signature over word n-gram shingles.
+
+    Default shingle_n=1 (word-set granularity) so the LSH candidates
+    approximate the same Jaccard metric the verify stage (and dd02) uses;
+    raise to 3 for order-sensitive near-dup detection on natural prose.
+    """
+    shingled = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(_tokens()) if shingle_n == 1 else _shingles(shingle_n)
+        ).alias("shingle"),
+    )
+    aggs = [
+        F.min(F.xxhash64("shingle", F.lit(h))).alias(f"h{h}") for h in range(n_hashes)
+    ]
+    sig = shingled.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{h}") for h in range(n_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(sig: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> DataFrame:
+    """Band the signatures and self-join on band buckets → candidate pairs."""
+    band_entries = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bucket")
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query("dd03_minhash_lsh")  # no oracle: LSH banding isn't SQL-expressible
+def dd03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    candidates = lsh_candidate_pairs(sig)
+    words = docs.select("doc_id", F.array_distinct(_tokens()).alias("words"))
+    a = words.alias("wa")
+    b = words.alias("wb")
+    inter = F.size(F.array_intersect(F.col("wa.words"), F.col("wb.words")))
+    union = F.size(F.col("wa.words")) + F.size(F.col("wb.words")) - inter
+    jac = inter / union
+    return (
+        candidates.join(a, candidates.doc_a == F.col("wa.doc_id"))
+        .join(b, candidates.doc_b == F.col("wb.doc_id"))
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------- #
+# dd04: SimHash — 64-bit signature from token-frequency bit votes             #
+# --------------------------------------------------------------------------- #
+def simhash(docs: DataFrame) -> DataFrame:
+    """doc_id → 64-bit simhash (signed long bit pattern)."""
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    counted = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("w"))
+    hashed = counted.withColumn("h", F.xxhash64("token"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(
+                -F.col("w")
+            )
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    bits = hashed.groupBy("doc_id").agg(*votes)
+    sim = reduce(
+        Column.bitwiseOR,
+        [
+            F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b))
+            .otherwise(F.lit(0).cast("long"))
+            for b in range(64)
+        ],
+    )
+    return bits.select("doc_id", sim.alias("simhash"))
+
+
+@query("dd04_simhash")  # no oracle: bit-vote aggregation isn't SQL-friendly
+def dd04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return simhash(docs).orderBy("doc_id")

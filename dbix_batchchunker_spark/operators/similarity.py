@@ -1,0 +1,186 @@
+"""Similarity search over embedding columns (SURVEY.md §2.C): brute-force
+cosine top-k as the exact baseline, random-hyperplane LSH bucketing as the
+scale path, and blocked embedding near-dup pairs.
+
+All vector math is JVM-side (`zip_with`/`aggregate`, functions/vectors.py);
+the LSH hyperplanes are derived from a fixed seed so every run — and every
+executor — sees identical planes without shipping state.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+from .registry import query, t
+
+N_QUERY_VECS = 5
+TOP_K = 10
+# 2^ANN_PLANES buckets. Size to the corpus: buckets ≈ corpus/expected-bucket-
+# size; 4 planes → 16 buckets suits the 500-5000-vector testdata. At 100 TB
+# raise planes (and add multi-probe) so buckets stay executor-sized.
+ANN_PLANES = 4
+EMBED_DIM = 64
+
+
+# --------------------------------------------------------------------------- #
+# sim01: brute-force cosine top-k (exact baseline)                            #
+# Query vectors broadcast against the corpus: one pass, no shuffle of the     #
+# corpus side. Ranking key is cosine rounded to 6 dp (rank-10/11 gaps in the  #
+# data are ≥ 4.8e-3, so cross-engine fp noise can't flip ranks).              #
+# --------------------------------------------------------------------------- #
+@query(
+    "sim01_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+    scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
+        FROM q JOIN embeddings e ON e.vec_id != q.vec_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def sim01_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    scored = (
+        t(spark, sf_dir, "embeddings")
+        .crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# sim02: random-hyperplane LSH ANN (the scale path)                           #
+# Sign-bit bucket per vector; search within bucket only. At 100 TB the bucket #
+# join replaces the quadratic cross join; recall vs sim01 is tested in        #
+# tests/test_similarity.py. No oracle (LSH isn't SQL-expressible).            #
+# --------------------------------------------------------------------------- #
+def _hyperplanes(n_planes: int = ANN_PLANES, dim: int = EMBED_DIM) -> list[list[float]]:
+    rng = random.Random(42)  # fixed seed → identical planes everywhere
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]):
+    """Sign-bit bucket id for an array<float> column (pure JVM expr)."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(x) for x in plane]),
+                lambda v, p: v.cast("double") * p,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket.bitwiseOR(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+        )
+    return bucket
+
+
+@query("sim02_ann_lsh")  # no oracle: rows-only check; recall tested in pytest
+def sim02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH: each query probes its own bucket plus every bucket at
+    Hamming distance 1 (flip one sign bit) — the standard recall boost that
+    avoids adding hash tables. Probed fraction ≈ (1+planes)/2^planes."""
+    from pyspark.sql import Window
+
+    planes = _hyperplanes()
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "bucket", lsh_bucket(F.col("embedding"), planes)
+    )
+    probe_buckets = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), i))
+            for i in range(len(planes))
+        ],
+    )
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            F.explode(probe_buckets).alias("qbucket"),
+        )
+    )
+    scored = (
+        emb.join(F.broadcast(q), emb.bucket == F.col("qbucket"))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# sim03: embedding near-dup pairs within label blocks                         #
+# (the embedding-cosine dedup of SURVEY.md §2.C; label is the blocking key)   #
+# --------------------------------------------------------------------------- #
+@query(
+    "sim03_embedding_near_dup",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+    """,
+)
+def sim03_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos >= 0.3)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+    )

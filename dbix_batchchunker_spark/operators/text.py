@@ -1,0 +1,216 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.C):
+token statistics, quality scoring, heuristic language ID, and document
+fingerprinting — all pure JVM-side expressions (no Python UDFs), so they
+whole-stage-codegen and scale linearly with a parquet scan.
+
+Design note: the oracle SQL for each operator is GENERATED from the same
+constants (stopword lists, punctuation class, formula weights) used to build
+the Spark plan, so the two sides can't drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import query, t
+
+# Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
+# Deterministic tie order: first list wins (en > de > es > fr > zh).
+LANG_STOPWORDS = [
+    ("en", ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]),
+    ("de", ["der", "die", "das", "und", "ist", "ein", "nicht", "mit", "auf", "zu"]),
+    ("es", ["el", "la", "de", "que", "y", "en", "un", "es", "no", "por"]),
+    ("fr", ["le", "la", "de", "et", "un", "est", "que", "pour", "dans", "sur"]),
+    ("zh", ["的", "是", "了", "在", "我", "有", "和", "不", "这", "人"]),
+]
+
+_PUNCT_CLASS = r"[.,;:!?]"
+_WS = r"\s+"
+
+
+def _tokens_spark(col: str = "text"):
+    """Non-empty whitespace tokens (identical to the oracle's
+    list_filter(regexp_split_to_array(...)))."""
+    return F.filter(F.split(F.col(col), _WS), lambda x: x != F.lit(""))
+
+
+def _tokens_sql(col: str = "text") -> str:
+    return f"list_filter(regexp_split_to_array({col}, '{_WS}'), x -> x != '')"
+
+
+def _hits_spark(tokens, words: list[str]):
+    return F.size(F.filter(tokens, lambda x: x.isin(*words)))
+
+
+def _hits_sql(tokens_sql: str, words: list[str]) -> str:
+    lst = ", ".join(f"''{w}''" if False else f"'{w}'" for w in words)
+    return f"len(list_filter({tokens_sql}, x -> x IN ({lst})))"
+
+
+# --------------------------------------------------------------------------- #
+# tx01: token & char statistics                                               #
+# --------------------------------------------------------------------------- #
+@query(
+    "tx01_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_tokens_sql()}) AS n_tokens,
+           length(text) AS n_chars_actual,
+           length(regexp_replace(text, '{_WS}', '', 'g')) AS n_token_chars,
+           ROUND(length(regexp_replace(text, '{_WS}', '', 'g'))
+                 / GREATEST(len({_tokens_sql()}), 1), 6) AS avg_token_len
+    FROM documents
+    """,
+)
+def tx01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens_spark()
+    n_token_chars = F.length(F.regexp_replace("text", _WS, ""))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        n_token_chars.alias("n_token_chars"),
+        F.round(n_token_chars / F.greatest(F.size(toks), F.lit(1)), 6).alias(
+            "avg_token_len"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# tx02: quality score (length / punctuation / stopword / digit signals)       #
+# --------------------------------------------------------------------------- #
+_EN_WORDS = LANG_STOPWORDS[0][1]
+_EN_LIST_SQL = ", ".join(f"'{w}'" for w in _EN_WORDS)
+
+@query(
+    "tx02_quality_score",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               {_tokens_sql()} AS toks,
+               length(text) AS n_chars_actual,
+               len(regexp_extract_all(text, '{_PUNCT_CLASS}')) AS n_punct,
+               len(regexp_extract_all(text, '[0-9]')) AS n_digits
+        FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           ROUND(n_punct  / GREATEST(n_chars_actual, 1), 6) AS punct_ratio,
+           ROUND(n_digits / GREATEST(n_chars_actual, 1), 6) AS digit_ratio,
+           ROUND(len(list_filter(toks, x -> x IN ({_EN_LIST_SQL})))
+                 / GREATEST(len(toks), 1), 6) AS stopword_ratio,
+           CAST(len(toks) BETWEEN 5 AND 1000000
+                AND n_punct / GREATEST(n_chars_actual, 1) < 0.2
+                AND n_digits / GREATEST(n_chars_actual, 1) < 0.3 AS BOOLEAN)
+               AS passes_quality
+    FROM s
+    """,
+)
+def tx02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens_spark()
+    n_chars = F.length("text")
+    n_punct = F.size(F.regexp_extract_all("text", F.lit(_PUNCT_CLASS), 0))
+    n_digits = F.size(F.regexp_extract_all("text", F.lit("[0-9]"), 0))
+    n_tokens = F.size(toks)
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    digit_ratio = n_digits / F.greatest(n_chars, F.lit(1))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(
+            _hits_spark(toks, _EN_WORDS) / F.greatest(n_tokens, F.lit(1)), 6
+        ).alias("stopword_ratio"),
+        (
+            n_tokens.between(5, 1000000)
+            & (punct_ratio < 0.2)
+            & (digit_ratio < 0.3)
+        ).alias("passes_quality"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# tx03: heuristic language ID (stopword-hit argmax, deterministic tie order)  #
+# --------------------------------------------------------------------------- #
+def _langid_case_sql() -> str:
+    toks = _tokens_sql()
+    hits = {lang: _hits_sql(toks, words) for lang, words in LANG_STOPWORDS}
+    # argmax ladder in declared order (ties go to the earlier language)
+    branches = []
+    langs = [lang for lang, _ in LANG_STOPWORDS]
+    for i, lang in enumerate(langs):
+        conds = [f"{hits[lang]} >= {hits[other]}" for other in langs[i + 1:]]
+        cond = " AND ".join(conds) if conds else "TRUE"
+        branches.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " END"
+
+
+@query(
+    "tx03_langid",
+    oracle=f"""
+    SELECT doc_id, lang AS tagged_lang,
+           {_langid_case_sql()} AS detected_lang
+    FROM documents
+    """,
+)
+def tx03_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens_spark()
+    hits = {lang: _hits_spark(toks, words) for lang, words in LANG_STOPWORDS}
+    langs = [lang for lang, _ in LANG_STOPWORDS]
+    expr = None
+    for i, lang in enumerate(langs):
+        cond = F.lit(True)
+        for other in langs[i + 1:]:
+            cond = cond & (hits[lang] >= hits[other])
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return docs.select(
+        "doc_id", F.col("lang").alias("tagged_lang"), expr.alias("detected_lang")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# tx04: document fingerprint (md5 of whitespace-normalized lowercase text)    #
+# --------------------------------------------------------------------------- #
+@query(
+    "tx04_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '{_WS}', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def tx04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    normalized = F.trim(F.regexp_replace(F.lower(F.col("text")), _WS, " "))
+    return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------- #
+# tx05: JSON extraction from event props (semi-structured surface)            #
+# --------------------------------------------------------------------------- #
+@query(
+    "tx05_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def tx05_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,142 @@
+"""Semantic tests for the no-oracle extension operators: MinHash-LSH recall
+vs exact Jaccard, SimHash near-dup sensitivity, ANN-LSH recall vs brute
+force, and the multimodal decode pipeline's schema/batching."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from dbix_batchchunker_spark.session import get_spark
+
+    return get_spark(master="local[4]", shuffle_partitions=8)
+
+
+def _doc_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches from "
+    "the warm windowsill and the birds sing in the tall green trees outside"
+)
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    from dbix_batchchunker_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    texts = [
+        BASE,
+        BASE.replace("lazy", "sleepy"),           # near-dup of 0
+        BASE.replace("quick brown", "slow red"),  # near-dup of 0
+        "completely different content about spark sql catalyst optimizer "
+        "partitions shuffles and adaptive query execution at massive scale",
+        "another unrelated document mentioning parquet files bloom filters "
+        "and columnar storage formats with dictionary encoding throughout",
+    ]
+    docs = _doc_df(spark, texts)
+    pairs = lsh_candidate_pairs(minhash_signatures(docs))
+    found = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (0, 1) in found
+    assert (0, 2) in found
+    # unrelated docs must not pair with each other
+    assert (3, 4) not in found
+
+
+def test_minhash_recall_vs_exact_jaccard(spark):
+    """Every exact word-set-Jaccard>=0.6 pair (per dd02's definition) must be
+    recovered by the LSH pipeline at its 0.5 threshold on real data."""
+    from dbix_batchchunker_spark.operators.dedup import (
+        dd02_jaccard_pairs,
+        dd03_minhash_lsh,
+    )
+
+    exact = {(r.doc_a, r.doc_b) for r in dd02_jaccard_pairs(spark, SF_DIR).collect()}
+    lsh = {(r.doc_a, r.doc_b) for r in dd03_minhash_lsh(spark, SF_DIR).collect()}
+    missed = exact - lsh
+    # exact pairs are word-SET jaccard within blocks; LSH is shingle-based —
+    # demand >=80% recall rather than exact containment
+    if exact:
+        recall = 1 - len(missed) / len(exact)
+        assert recall >= 0.8, f"LSH recall {recall:.2f}, missed {sorted(missed)[:5]}"
+
+
+def test_simhash_near_dups_close_in_hamming(spark):
+    from dbix_batchchunker_spark.operators.dedup import simhash
+
+    texts = [BASE, BASE.replace("lazy", "sleepy"),
+             "utterly different words entirely unrelated to anything prior "
+             "about databases indexes transactions and write ahead logging"]
+    sig = {r.doc_id: r.simhash for r in simhash(_doc_df(spark, texts)).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert hamming(sig[0], sig[1]) <= 12
+    assert hamming(sig[0], sig[2]) > 12
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    from dbix_batchchunker_spark.operators.similarity import (
+        sim01_topk_bruteforce,
+        sim02_ann_lsh,
+    )
+
+    exact = sim01_topk_bruteforce(spark, SF_DIR).collect()
+    ann = sim02_ann_lsh(spark, SF_DIR).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ann_sets = {}
+    for r in ann:
+        ann_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # ANN searches one bucket only; require that it returns results for every
+    # query and that what it returns overlaps the true top-k reasonably
+    assert set(ann_sets) == set(exact_sets)
+    total = hits = 0
+    for q, s in exact_sets.items():
+        total += len(s)
+        hits += len(s & ann_sets.get(q, set()))
+    assert hits / total >= 0.2, f"ANN recall {hits / total:.2f}"
+
+
+def test_decode_pipeline_schema_and_determinism(spark):
+    from dbix_batchchunker_spark.operators.multimodal import mm02_decode_pipeline
+
+    rows1 = mm02_decode_pipeline(spark, SF_DIR).collect()
+    rows2 = mm02_decode_pipeline(spark, SF_DIR).collect()
+    assert rows1 == rows2  # deterministic across runs
+    r = rows1[0]
+    assert r.payload_bytes > 0
+    assert 64 <= r.width < 64 + 1920
+    assert 64 <= r.height < 64 + 1080
+    assert len(r.feature) == 4
+    assert all(0.0 <= f <= 1.0 for f in r.feature)
+
+
+def test_exact_dedup_semantics(spark):
+    from dbix_batchchunker_spark.operators import registry
+
+    docs = _doc_df(spark, [BASE, BASE, "unique text here", BASE])
+    docs.createOrReplaceTempView("__dd_test")
+    out = (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count"))
+        .select("doc_id", "dup_count")
+        .collect()
+    )
+    by_id = {r.doc_id: r.dup_count for r in out}
+    assert by_id == {0: 3, 2: 1}
