@@ -11,6 +11,7 @@ N collected results (nothing materializes on the driver except the cursor).
 
 from __future__ import annotations
 
+import math
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -20,6 +21,17 @@ from ..chunker import BatchChunker
 from .registry import dec2, query, t
 
 _OUT = "decimal(24,6)"
+
+
+def _span_chunks(df: DataFrame, id_name: str, target_chunks: int = 16,
+                 floor: int = 4096) -> tuple[int, int, int]:
+    """(chunk_size, min_id, max_id) sized so the loop runs ~target_chunks
+    chunks regardless of scale factor — a fixed chunk_size that suits sf0.01
+    would mean hundreds of union branches (and hundreds of range scans) at
+    sf0.1+, so size to the key span instead."""
+    row = df.agg(F.min(id_name).alias("mn"), F.max(id_name).alias("mx")).first()
+    span = int(row["mx"]) - int(row["mn"]) + 1
+    return max(floor, math.ceil(span / target_chunks)), int(row["mn"]), int(row["mx"])
 
 def _deprecated_pred():
     """'Deprecated orders' predicate for the delete-shaped flagship query.
@@ -49,16 +61,19 @@ def q20_chunked_delete_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    BatchChunker.construct_and_execute(
+    chunk_size, min_id, max_id = _span_chunks(orders, "o_orderkey")
+    BatchChunker(
         df=orders,
         id_name="o_orderkey",
         coderef=keep_survivors,
-        chunk_size=4096,
+        chunk_size=chunk_size,
+        min_id=min_id,
+        max_id=max_id,
         target_time=0,  # static chunks: keep the unioned plan deterministic
         min_chunk_percent=0,  # no COUNT probes needed for a pure transform
         sleep=0,
         verbose=False,
-    )
+    ).execute()
     return reduce(DataFrame.unionByName, parts)
 
 
@@ -88,16 +103,19 @@ def q21_chunked_groupby_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    BatchChunker.construct_and_execute(
+    chunk_size, min_id, max_id = _span_chunks(orders, "o_orderkey")
+    BatchChunker(
         df=orders,
         id_name="o_orderkey",
         coderef=partial_agg,
-        chunk_size=8192,
+        chunk_size=chunk_size,
+        min_id=min_id,
+        max_id=max_id,
         target_time=0,
         min_chunk_percent=0,
         sleep=0,
         verbose=False,
-    )
+    ).execute()
     combined = reduce(DataFrame.unionByName, partials)
     return (
         combined.groupBy("o_orderstatus")
@@ -138,14 +156,17 @@ def q22_chunked_update_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    BatchChunker.construct_and_execute(
+    chunk_size, min_id, max_id = _span_chunks(orders, "o_orderkey")
+    BatchChunker(
         df=orders,
         id_name="o_orderkey",
         coderef=update_chunk,
-        chunk_size=8192,
+        chunk_size=chunk_size,
+        min_id=min_id,
+        max_id=max_id,
         target_time=0,
         min_chunk_percent=0,
         sleep=0,
         verbose=False,
-    )
+    ).execute()
     return reduce(DataFrame.unionByName, parts)

@@ -23,13 +23,15 @@ from .registry import query, t
 
 _WS = r"\s+"
 
-# MinHash parameters: 64 hashes = 16 bands × 4 rows. With Jaccard threshold
-# ~0.5 the band-collision probability is 1-(1-0.5^4)^16 ≈ 0.65; at 0.7 it is
-# ≈ 0.99 — standard LSH S-curve tuning.
+# MinHash parameters: 64 hashes = 8 bands × 8 rows. Band-collision
+# probability: ~0.99 at Jaccard 0.9, ~0.77 at 0.8, ~3% at 0.5 — an operating
+# point for HIGH-similarity dedup, which keeps candidate volume near-linear
+# even on a near-duplicate-dense corpus (this testdata has 7% of ALL pairs
+# above 0.9, so a low threshold would be inherently quadratic).
 MINHASH_HASHES = 64
-LSH_BANDS = 16
+LSH_BANDS = 8
 LSH_ROWS = MINHASH_HASHES // LSH_BANDS
-JACCARD_THRESHOLD = 0.5
+JACCARD_THRESHOLD = 0.9
 
 
 def _tokens():
@@ -154,7 +156,24 @@ def minhash_signatures(
 
 def lsh_candidate_pairs(sig: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> DataFrame:
     """Band the signatures and self-join on band buckets → candidate pairs."""
-    band_entries = sig.select(
+    band_entries = _band_entries(sig, bands, rows)
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _band_entries(sig: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> DataFrame:
+    """doc_id → (band, bucket) rows: one hashed band key per band."""
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -170,23 +189,14 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bucket")
-    a = band_entries.alias("a")
-    b = band_entries.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
 
 
-@query("dd03_minhash_lsh")  # no oracle: LSH banding isn't SQL-expressible
-def dd03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+def near_dup_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """LSH candidates verified with exact word-set Jaccard ≥ threshold.
+
+    Pair emission is inherently O(matches); for cluster-style dedup at scale
+    use :func:`dd03_minhash_dedup`'s representative assignment instead.
+    """
     sig = minhash_signatures(docs)
     candidates = lsh_candidate_pairs(sig)
     words = docs.select("doc_id", F.array_distinct(_tokens()).alias("words"))
@@ -198,9 +208,55 @@ def dd03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         candidates.join(a, candidates.doc_a == F.col("wa.doc_id"))
         .join(b, candidates.doc_b == F.col("wb.doc_id"))
-        .where(jac >= JACCARD_THRESHOLD)
+        .where(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@query("dd03_minhash_dedup")  # no oracle: LSH banding isn't SQL-expressible
+def dd03_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH duplicate-CLUSTER assignment — the 100 TB shape.
+
+    Docs sharing any LSH band bucket form a duplicate component; each doc is
+    assigned the component's min doc_id by iterative min-label propagation
+    over the doc↔bucket bipartite graph (converges in O(log diameter)
+    rounds, 2 shuffles per round). This needs NO pair join at all —
+    O(n·bands) rows per round — versus the O(n²) pair emission a
+    near-duplicate-dense corpus forces on any "all pairs above threshold"
+    formulation. Representatives are transitively closed: every rep_id is
+    itself a cluster root (is_dup = false).
+    """
+    docs = t(spark, sf_dir, "documents")
+    entries = _band_entries(minhash_signatures(docs)).persist()
+    rep = entries.select("doc_id").distinct().select(
+        "doc_id", F.col("doc_id").alias("rep_id")
+    )
+    for _ in range(10):
+        bucket_label = (
+            entries.join(rep, "doc_id")
+            .groupBy("band", "bucket")
+            .agg(F.min("rep_id").alias("bucket_label"))
+        )
+        new_rep = (
+            entries.join(bucket_label, ["band", "bucket"])
+            .groupBy("doc_id")
+            .agg(F.min("bucket_label").alias("rep_id"))
+            # Truncate lineage each round — otherwise round k re-executes
+            # rounds 1..k-1 and the loop goes quadratic in plan depth.
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_rep.join(rep.withColumnRenamed("rep_id", "old_rep"), "doc_id")
+            .filter(F.col("rep_id") < F.col("old_rep"))
+            .count()
+        )
+        rep = new_rep
+        if changed == 0:
+            break
+    entries.unpersist()
+    return rep.select(
+        "doc_id", "rep_id", (F.col("doc_id") != F.col("rep_id")).alias("is_dup")
+    ).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------- #

@@ -14,7 +14,7 @@ import random
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine, dot, norm
 from .registry import query, t
 
 N_QUERY_VECS = 5
@@ -53,18 +53,26 @@ EMBED_DIM = 64
 def sim01_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = t(spark, sf_dir, "embeddings")
+    # Precompute norms once per side: 1 dot per pair instead of 3.
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
     )
     scored = (
-        t(spark, sf_dir, "embeddings")
-        .crossJoin(F.broadcast(q))
+        emb.crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qvec"), F.col("embedding"))
+                / (F.col("qnrm") * F.col("nrm")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -167,10 +175,14 @@ def sim02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim03_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    emb = t(spark, sf_dir, "embeddings").withColumn("nrm", norm(F.col("embedding")))
     a = emb.alias("a")
     b = emb.alias("b")
-    cos = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    cos = F.round(
+        dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
     return (
         a.join(
             b,

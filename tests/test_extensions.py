@@ -57,21 +57,50 @@ def test_minhash_lsh_finds_planted_near_dups(spark):
 
 
 def test_minhash_recall_vs_exact_jaccard(spark):
-    """Every exact word-set-Jaccard>=0.6 pair (per dd02's definition) must be
-    recovered by the LSH pipeline at its 0.5 threshold on real data."""
-    from dbix_batchchunker_spark.operators.dedup import (
-        dd02_jaccard_pairs,
-        dd03_minhash_lsh,
-    )
+    """Pairs with exact word-set Jaccard >= 0.9 must be recovered by the LSH
+    pipeline (8x8 banding has ~0.99 collision probability at 0.9)."""
+    from dbix_batchchunker_spark.operators.dedup import near_dup_pairs
+    from dbix_batchchunker_spark.operators.registry import t as load
 
-    exact = {(r.doc_a, r.doc_b) for r in dd02_jaccard_pairs(spark, SF_DIR).collect()}
-    lsh = {(r.doc_a, r.doc_b) for r in dd03_minhash_lsh(spark, SF_DIR).collect()}
-    missed = exact - lsh
-    # exact pairs are word-SET jaccard within blocks; LSH is shingle-based —
-    # demand >=80% recall rather than exact containment
+    docs = load(spark, SF_DIR, "documents")
+    words = docs.selectExpr(
+        "doc_id",
+        "array_distinct(filter(split(text, '\\\\s+'), x -> x != '')) AS words",
+    )
+    a, b = words.alias("a"), words.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
+    union = F.size(F.col("a.words")) + F.size(F.col("b.words")) - inter
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(inter / union >= 0.9)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .collect()
+    }
+    lsh = {(r.doc_a, r.doc_b) for r in near_dup_pairs(docs, 0.9).collect()}
     if exact:
-        recall = 1 - len(missed) / len(exact)
-        assert recall >= 0.8, f"LSH recall {recall:.2f}, missed {sorted(missed)[:5]}"
+        recall = len(exact & lsh) / len(exact)
+        assert recall >= 0.9, f"LSH recall {recall:.2f}"
+
+
+def test_minhash_dedup_clusters_planted_dups(spark):
+    """Cluster assignment: planted near-dups share a representative."""
+    import os
+    import tempfile
+
+    from dbix_batchchunker_spark.operators.dedup import dd03_minhash_dedup
+
+    texts = [
+        BASE,
+        BASE.replace("lazy", "sleepy"),
+        "completely different content about spark sql catalyst optimizer "
+        "partitions shuffles and adaptive query execution at massive scale",
+    ]
+    d = tempfile.mkdtemp()
+    _doc_df(spark, texts).write.parquet(os.path.join(d, "documents.parquet"))
+    rep = {r.doc_id: r.rep_id for r in dd03_minhash_dedup(spark, d).collect()}
+    assert rep[0] == rep[1] == 0
+    assert rep[2] == 2
 
 
 def test_simhash_near_dups_close_in_hamming(spark):
