@@ -1,0 +1,123 @@
+"""JDBC chunked sources/sinks: the cluster-scale analog of the reference's
+DBI modes (BatchChunker.pm:1297-1350).
+
+* Reads: each chunk range becomes one JDBC pushdown predicate → one Spark
+  partition (`spark.read.jdbc(predicates=[...])`). This is exactly the
+  reference's keyset pagination (`id BETWEEN ? AND ?`,
+  BatchChunker.pm:1188-1199) mapped onto Spark's partitioned-read API —
+  the database sees N independent indexed range scans, Spark sees N
+  partitions it can schedule across executors.
+* Writes/DML: Spark JDBC reads can't push UPDATE/DELETE, so per-chunk DML
+  runs through a DBAPI connection factory on the executors inside
+  ``foreachPartition`` — one connection per partition, batched statements.
+  The work MUST be idempotent: Spark retries tasks
+  (`spark.task.maxFailures`), mirroring the reference's own idempotency
+  requirement (BatchChunker.pm:109-112).
+
+No JDBC database ships in this container; predicate/partition logic is unit
+tested and the network paths are exercised by the DBAPI modes in
+chunker.py (same dispatch semantics through sqlite3).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, Iterator, Optional, Sequence, Tuple
+
+try:
+    from pyspark.sql import DataFrame, SparkSession
+except ImportError:  # pragma: no cover
+    DataFrame = SparkSession = None  # type: ignore[assignment]
+
+
+def chunk_predicates(
+    ranges: Iterable[Tuple[int, int]], id_name: str
+) -> list[str]:
+    """BETWEEN predicates, one per chunk range → one Spark partition each."""
+    return [f"{id_name} BETWEEN {start} AND {end}" for start, end in ranges]
+
+
+def stride_ranges(
+    min_id: int, max_id: int, num_partitions: int
+) -> list[Tuple[int, int]]:
+    """Evenly-strided ranges covering [min_id, max_id], JDBC-reader style."""
+    span = max_id - min_id + 1
+    stride = max(1, -(-span // num_partitions))
+    out = []
+    start = min_id
+    while start <= max_id:
+        end = min(start + stride - 1, max_id)
+        out.append((start, end))
+        start = end + 1
+    return out
+
+
+def read_chunked(
+    spark: "SparkSession",
+    url: str,
+    table: str,
+    id_name: str,
+    ranges: Iterable[Tuple[int, int]],
+    properties: Optional[dict] = None,
+) -> "DataFrame":
+    """Partitioned JDBC read: one partition per chunk range.
+
+    ``ranges`` typically comes from :meth:`BatchChunker.chunk_ranges` (static)
+    or a completed adaptive run. Filters/projections applied on the result
+    push down into each partition's WHERE clause (Catalyst JDBC pushdown).
+    """
+    return spark.read.jdbc(
+        url=url,
+        table=table,
+        predicates=chunk_predicates(ranges, id_name),
+        properties=properties or {},
+    )
+
+
+def execute_dml_per_chunk(
+    df: "DataFrame",
+    connection_factory: Callable[[], Any],
+    sql: str,
+    row_binds: Callable[[Any], Sequence[Any]],
+    batch_size: int = 1000,
+) -> None:
+    """Run DML for every row of ``df`` on the executors, one DBAPI connection
+    per partition, committing per batch. The Spark-native replacement for
+    the reference's Active-DBI per-chunk UPDATE/DELETE.
+
+    ``connection_factory`` must be picklable (top-level function or
+    functools.partial) — it runs on executors.
+    """
+
+    def process_partition(rows: Iterator[Any]) -> None:
+        conn = connection_factory()
+        try:
+            cur = conn.cursor()
+            pending = 0
+            for row in rows:
+                cur.execute(sql, tuple(row_binds(row)))
+                pending += 1
+                if pending >= batch_size:
+                    conn.commit()
+                    pending = 0
+            if pending:
+                conn.commit()
+        finally:
+            conn.close()
+
+    df.foreachPartition(process_partition)
+
+
+def write_chunked(
+    df: "DataFrame",
+    url: str,
+    table: str,
+    mode: str = "append",
+    num_partitions: Optional[int] = None,
+    properties: Optional[dict] = None,
+) -> None:
+    """Bulk JDBC write; ``num_partitions`` caps concurrent DB connections
+    (the write-side analog of the reference's `sleep` throttle — protect the
+    database, not Spark)."""
+    if num_partitions is not None:
+        df = df.coalesce(num_partitions)
+    df.write.jdbc(url=url, table=table, mode=mode, properties=properties or {})

@@ -1,0 +1,94 @@
+"""Structured Streaming analogs of the chunk loop (SURVEY.md §2.A mapping):
+
+* **Incremental keyed processing** — `readStream` + `Trigger.AvailableNow`
+  + checkpoint is the streaming re-expression of the reference's cursor
+  resume and `process_past_max` (BatchChunker.pm:1394-1460, 1228): each
+  micro-batch is a chunk (`maxFilesPerTrigger` ≈ chunk_size), the
+  checkpoint is the persisted `min_id` watermark, and re-running after new
+  data arrives processes ONLY the new rows — exactly the reference's
+  "re-check max id and continue" behavior, with exactly-once bookkeeping
+  handled by the engine instead of driver code.
+* **Watermarked windowed aggregation** and **session windows** for late
+  event data.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_table(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """File-source stream over a parquet path; schema borrowed from a batch
+    read when not supplied (streaming reads require an explicit schema)."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def process_available(
+    stream_df: DataFrame,
+    batch_fn: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+) -> None:
+    """Drain everything the checkpoint hasn't seen, then stop
+    (Trigger.AvailableNow). ``batch_fn(batch_df, batch_id)`` is the chunk
+    coderef; the checkpoint is the durable cursor — calling this again after
+    new files land processes only the new files."""
+    q = (
+        stream_df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: tuple = ("event_type",),
+) -> DataFrame:
+    """Tumbling-window counts with a lateness watermark; works on both batch
+    and streaming DataFrames (same Catalyst operator)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(F.window(F.col(ts_col), window), *group_cols).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+
+
+def sessionized(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    key_col: str = "user_id",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session windows per key (F.session_window) — the custom
+    stateful-operator case the reference has no analog for; batch and
+    streaming share the plan."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(
+        F.session_window(F.col(ts_col), gap).alias("session"), F.col(key_col)
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+    )

@@ -1,0 +1,122 @@
+"""Streaming analogs: availableNow incremental processing with checkpointed
+cursor (= the reference's resume / process_past_max semantics), watermarked
+windows, and session windows."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from dbix_batchchunker_spark.session import get_spark
+
+    return get_spark(master="local[4]", shuffle_partitions=8)
+
+
+def test_incremental_cursor_resume(spark, tmp_path):
+    """First drain processes all rows; after new data lands, a second drain
+    with the SAME checkpoint processes only the new rows — the streaming
+    re-expression of cursor resume (BatchChunker.pm:1228) and
+    process_past_max (BatchChunker.pm:1394-1460)."""
+    from dbix_batchchunker_spark.streaming.incremental import (
+        process_available,
+        stream_table,
+    )
+
+    data_dir = str(tmp_path / "data")
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(0, 100).withColumn("v", F.col("id") * 2).write.parquet(data_dir)
+
+    seen_batches: list[int] = []
+
+    def handle(batch_df, batch_id):
+        seen_batches.append(batch_df.count())
+
+    schema = spark.read.parquet(data_dir).schema
+    process_available(stream_table(spark, data_dir, schema), handle, ckpt)
+    assert sum(seen_batches) == 100
+
+    # table grows (the "past max" case) → only the delta is processed
+    spark.range(100, 130).withColumn("v", F.col("id") * 2).write.mode(
+        "append"
+    ).parquet(data_dir)
+    before = sum(seen_batches)
+    process_available(stream_table(spark, data_dir, schema), handle, ckpt)
+    assert sum(seen_batches) - before == 30
+
+    # nothing new → drain processes nothing
+    before = sum(seen_batches)
+    process_available(stream_table(spark, data_dir, schema), handle, ckpt)
+    assert sum(seen_batches) == before
+
+
+def test_windowed_counts_batch_equivalence(spark):
+    """The windowed aggregation gives identical results on batch input as a
+    plain group-by on the truncated hour (sanity for q11's streaming twin)."""
+    from dbix_batchchunker_spark.operators.registry import t
+    from dbix_batchchunker_spark.streaming.incremental import windowed_counts
+
+    ev = t(spark, "/root/testdata/sf0.001", "events")
+    out = windowed_counts(ev).collect()
+    expected = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    got = {(r["window"]["start"], r["event_type"]): r["n_events"] for r in out}
+    want = {(r["h"], r["event_type"]): r["n"] for r in expected}
+    assert got == want
+
+
+def test_windowed_counts_streaming_with_watermark(spark, tmp_path):
+    """Same aggregation through an actual stream with watermark + complete
+    output into a memory sink."""
+    from dbix_batchchunker_spark.streaming.incremental import (
+        stream_table,
+        windowed_counts,
+    )
+
+    data_dir = str(tmp_path / "events")
+    src = spark.createDataFrame(
+        [(i, f"2024-01-01 0{i % 3}:15:00", i % 2, "click", 1.0, "{}") for i in range(30)],
+        "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    src.write.parquet(data_dir)
+
+    stream = stream_table(spark, data_dir)
+    agg = windowed_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM win_counts").collect()
+    assert sum(r.n_events for r in rows) == 30
+    assert len(rows) == 3  # three distinct hours
+
+
+def test_sessionize_gap_windows(spark):
+    from dbix_batchchunker_spark.streaming.incremental import sessionized
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:10:00"),   # same session (gap < 30m)
+            (1, "2024-01-01 11:30:00"),   # new session
+            (2, "2024-01-01 10:05:00"),
+        ],
+        "user_id long, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).withColumn("value", F.lit(1.0))
+    out = sessionized(ev, gap="30 minutes").collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append(r.n_events)
+    assert sorted(per_user[1]) == [1, 2]
+    assert per_user[2] == [1]
