@@ -67,9 +67,11 @@ __all__ = ["BatchChunker"]
 
 _KNOWN_ATTRS = {
     # Spark / DataFrame mode
-    "df", "count_df", "range_df", "id_name",
+    "df", "df_fn", "count_df", "range_df", "id_name",
     # DBAPI mode
     "dbapi_connector", "stmt", "count_stmt", "min_stmt", "max_stmt",
+    # live max re-query hook (process_past_max on growing sources)
+    "max_fn",
     # dispatch
     "coderef", "single_rows",
     # loop behavior
@@ -104,10 +106,19 @@ class BatchChunker:
 
         # --- Spark sources -------------------------------------------------
         self.df: Optional[DataFrame] = kwargs.get("df")
+        # Live-source factory: a parquet-backed DataFrame pins its file
+        # listing at read time, so a GROWING table is invisible through a
+        # static df. df_fn() is called for every range calc / probe / chunk
+        # dispatch — the analog of the reference's per-chunk DB query against
+        # the live database (its ResultSet re-executes each time).
+        self.df_fn: Optional[Callable[[], DataFrame]] = kwargs.get("df_fn")
+        if self.df is None and self.df_fn is not None:
+            self.df = self.df_fn()
         self.range_df: Optional[DataFrame] = kwargs.get("range_df")
         # count_df defaults to df (reference: count_rs defaults to rs,
         # BatchChunker.pm:854); pass count_df=False to disable probing.
         cdf = kwargs.get("count_df", None)
+        self._count_is_default = cdf is None
         if cdf is None:
             cdf = self.df
         elif cdf is False:
@@ -121,6 +132,12 @@ class BatchChunker:
         self.count_stmt = _normalize_stmt(kwargs.get("count_stmt"))
         self.min_stmt = _normalize_stmt(kwargs.get("min_stmt"))
         self.max_stmt = _normalize_stmt(kwargs.get("max_stmt"))
+        # A parquet-backed DataFrame pins its file listing at read time, so
+        # re-running agg(max) on it CANNOT see rows appended later. For
+        # process_past_max over growing file sources, supply max_fn — a
+        # zero-arg callable doing a FRESH read (the analog of the reference
+        # re-running its MAX statement against the live DB).
+        self.max_fn: Optional[Callable[[], Optional[int]]] = kwargs.get("max_fn")
 
         # --- dispatch ------------------------------------------------------
         self.coderef: Optional[Callable] = kwargs.get("coderef")
@@ -148,6 +165,8 @@ class BatchChunker:
         self.histogram_max_buckets: int = int(kwargs.get("histogram_max_buckets", 1 << 20))
         self._histogram: Optional[Dict[int, int]] = None
         self._histogram_stride: Optional[int] = None
+        self._histogram_base: Optional[int] = None  # min_id at build time;
+        # execute() rewrites min_id for resume, so buckets must not track it
 
         # --- retry -----------------------------------------------------------
         # Reference: BlockRunner defaults max_attempts=10 + always-retry handler
@@ -238,7 +257,7 @@ class BatchChunker:
         ``agg(min, max)`` job — parquet footer statistics usually make it
         metadata-only.
         """
-        mm_df = self.range_df if self.range_df is not None else self.df
+        mm_df = self.range_df if self.range_df is not None else self._current_df()
         if mm_df is not None:
             mn, mx = self._retry(
                 lambda: tuple(
@@ -350,7 +369,10 @@ class BatchChunker:
             return True
 
         has_max_source = (
-            self.range_df is not None or self.df is not None or self.max_stmt is not None
+            self.max_fn is not None
+            or self.range_df is not None
+            or self.df is not None
+            or self.max_stmt is not None
         )
         if not has_max_source:
             # No way to size this: pad one more chunk (BatchChunker.pm:1402-1407)
@@ -359,8 +381,10 @@ class BatchChunker:
 
         if self.verbose:
             self._message("Reached end; re-checking max ID")
-        mm_df = self.range_df if self.range_df is not None else self.df
-        if mm_df is not None:
+        mm_df = self.range_df if self.range_df is not None else self._current_df()
+        if self.max_fn is not None:
+            new_max = self._retry(self.max_fn)
+        elif mm_df is not None:
             new_max = self._retry(lambda: mm_df.agg(F.max(self.id_name)).first()[0])
         else:
             new_max = self._dbapi_scalar(self.max_stmt)
@@ -403,7 +427,7 @@ class BatchChunker:
                     self.count_stmt, extra_binds=(ls.start, ls.end)
                 )
                 chunk_count = int(chunk_count or 0)
-            elif self.count_df is not None:
+            elif self._current_count_df() is not None:
                 chunk_count = self._probe_count(ls.start, ls.end)
         ls.chunk_count = chunk_count
 
@@ -420,11 +444,20 @@ class BatchChunker:
             self.coderef(self, ls.start, ls.end)
         return True
 
+    def _current_df(self) -> Optional[DataFrame]:
+        """The base DataFrame — re-resolved through df_fn for live sources."""
+        return self.df_fn() if self.df_fn is not None else self.df
+
+    def _current_count_df(self) -> Optional[DataFrame]:
+        if self._count_is_default and self.df_fn is not None:
+            return self.df_fn()
+        return self.count_df
+
     def _dispatch_dataframe(self, start: int, end: int) -> None:
         """DBIC-analog dispatch: chunk DataFrame = base df + BETWEEN filter
         (reference injects ``-between`` into the ResultSet,
         BatchChunker.pm:1279-1286, 1352-1374)."""
-        chunk_df = self.df.filter(F.col(self.id_name).between(start, end))
+        chunk_df = self._current_df().filter(F.col(self.id_name).between(start, end))
         if self.single_rows:
             def work() -> None:
                 self._ls.mark_chunk_timer()  # reset timer on retries
@@ -474,9 +507,9 @@ class BatchChunker:
             return self._histogram_count(start, end)
         return int(
             self._retry(
-                lambda: self.count_df.filter(
-                    F.col(self.id_name).between(start, end)
-                ).count()
+                lambda: self._current_count_df()
+                .filter(F.col(self.id_name).between(start, end))
+                .count()
             )
         )
 
@@ -493,7 +526,8 @@ class BatchChunker:
         stride = max(1, self.chunk_size)
         if span // stride > self.histogram_max_buckets:
             stride = math.ceil(span / self.histogram_max_buckets)
-        bucket = ((F.col(self.id_name) - F.lit(self.min_id)) / F.lit(stride)).cast("long")
+        base = self.min_id
+        bucket = ((F.col(self.id_name) - F.lit(base)) / F.lit(stride)).cast("long")
         rows = (
             self.count_df.groupBy(bucket.alias("__bucket"))
             .count()
@@ -501,20 +535,22 @@ class BatchChunker:
         )
         self._histogram = {r["__bucket"]: r["count"] for r in rows}
         self._histogram_stride = stride
+        self._histogram_base = base
 
     def _histogram_count(self, start: int, end: int) -> int:
         if self._histogram is None:
             self._build_histogram()
         assert self._histogram is not None and self._histogram_stride is not None
+        base = self._histogram_base
         w = self._histogram_stride
-        lo_b = (start - self.min_id) // w
-        hi_b = (end - self.min_id) // w
+        lo_b = (start - base) // w
+        hi_b = (end - base) // w
         total = 0.0
         for b in range(lo_b, hi_b + 1):
             cnt = self._histogram.get(b, 0)
             if not cnt:
                 continue
-            b_lo = self.min_id + b * w
+            b_lo = base + b * w
             b_hi = b_lo + w - 1
             overlap = min(end, b_hi) - max(start, b_lo) + 1
             total += cnt * (overlap / w)

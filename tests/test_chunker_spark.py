@@ -1,0 +1,145 @@
+"""BatchChunker over real Spark DataFrames: DataFrame dispatch (A10 analog),
+COUNT probes + resize on gappy keys, histogram probe mode, single_rows,
+process_past_max against a growing parquet directory."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from dbix_batchchunker_spark.session import get_spark
+
+    return get_spark(master="local[4]", shuffle_partitions=8)
+
+
+@pytest.fixture(scope="module")
+def gappy(spark):
+    """Gappy keyed table: ids 0-99 and 500-549 (big hole in the middle)."""
+    return spark.range(0, 100).union(spark.range(500, 550)).withColumn(
+        "val", F.col("id") * 10
+    )
+
+
+def test_dataframe_dispatch_covers_all_rows(spark, gappy):
+    from dbix_batchchunker_spark import BatchChunker
+
+    total = []
+    bc = BatchChunker(
+        df=gappy, id_name="id",
+        coderef=lambda bc, cdf: total.append(cdf.count()),
+        chunk_size=40, target_time=0, sleep=0, min_chunk_percent=0,
+        verbose=False,
+    )
+    assert bc.calculate_ranges()
+    assert (bc.min_id, bc.max_id) == (0, 549)
+    bc.execute()
+    assert sum(total) == 150
+
+
+def test_count_probe_skips_empty_ranges(spark, gappy):
+    from dbix_batchchunker_spark import BatchChunker
+
+    processed = []
+    bc = BatchChunker(
+        df=gappy, id_name="id",
+        coderef=lambda bc, cdf: processed.append((bc._ls.start, bc._ls.end)),
+        chunk_size=50, target_time=0, sleep=0, min_chunk_percent=0.5,
+        verbose=True,
+    )
+    bc.calculate_ranges()
+    bc.execute()
+    # the hole 100-499 must never be processed as its own chunk
+    assert not any(s >= 100 and e <= 499 for s, e in processed)
+    assert any("skipped" in m for m in bc.messages)
+
+
+def test_histogram_probe_mode_single_count_job(spark, gappy):
+    from dbix_batchchunker_spark import BatchChunker
+
+    processed = []
+    bc = BatchChunker(
+        df=gappy, id_name="id", probe_mode="histogram",
+        coderef=lambda bc, cdf: processed.append(cdf.count()),
+        chunk_size=50, target_time=0, sleep=0, min_chunk_percent=0.5,
+        verbose=False,
+    )
+    bc.calculate_ranges()
+    bc.execute()
+    assert sum(processed) == 150
+    assert bc._histogram is not None
+    # histogram counts must agree with reality on aligned buckets
+    assert bc._histogram_count(0, 49) == 50
+    assert bc._histogram_count(100, 449) == 0
+
+
+def test_single_rows_dispatch(spark):
+    from dbix_batchchunker_spark import BatchChunker
+
+    df = spark.range(0, 25).withColumn("val", F.col("id") + 100)
+    rows = []
+    BatchChunker.construct_and_execute(
+        df=df, id_name="id",
+        coderef=lambda bc, row: rows.append((row["id"], row["val"])),
+        single_rows=True,
+        chunk_size=10, target_time=0, sleep=0, min_chunk_percent=0,
+        verbose=False,
+    )
+    assert sorted(r[0] for r in rows) == list(range(25))
+    assert all(v == i + 100 for i, v in rows)
+
+
+def test_process_past_max_sees_new_data(spark, tmp_path):
+    """Grow the backing parquet mid-run: process_past_max must extend max_id
+    and process the late rows (BatchChunker.pm:1394-1460 semantics)."""
+    from dbix_batchchunker_spark import BatchChunker
+
+    path = str(tmp_path / "grow")
+    spark.range(0, 100).write.parquet(path)
+
+    seen = []
+    grew = {"done": False}
+
+    def work(bc, cdf):
+        seen.append(cdf.count())
+        if not grew["done"]:
+            # simulate concurrent writer appending past the initial max
+            spark.range(100, 140).write.mode("append").parquet(path)
+            grew["done"] = True
+
+    bc = BatchChunker(
+        # parquet DataFrames pin their file listing; df_fn re-reads so every
+        # probe/dispatch/max-requery sees the live table
+        df_fn=lambda: spark.read.parquet(path),
+        id_name="id", coderef=work,
+        chunk_size=40, target_time=0, sleep=0, min_chunk_percent=0,
+        process_past_max=True, verbose=True,
+    )
+    bc.calculate_ranges()
+    assert bc.max_id == 99
+    bc.execute()
+    assert bc.max_id == 139
+    assert sum(seen) == 140
+    assert any("New max ID" in m for m in bc.messages)
+
+
+def test_oracle_check_of_chunked_vs_plain(spark):
+    """Chunk-loop union result equals the one-shot filter on real testdata."""
+    from dbix_batchchunker_spark.operators.chunked import (
+        q20_chunked_delete_survivors,
+    )
+    from dbix_batchchunker_spark.operators.registry import t
+
+    got = q20_chunked_delete_survivors(spark, SF_DIR).count()
+    want = (
+        t(spark, SF_DIR, "orders")
+        .filter(~((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 50000)))
+        .count()
+    )
+    assert got == want
