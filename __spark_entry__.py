@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 # Importing the operator modules populates the registry.
 from dbix_batchchunker_spark.operators import registry
 from dbix_batchchunker_spark.operators import (  # noqa: F401
+    advanced,
     chunked,
     relational,
 )

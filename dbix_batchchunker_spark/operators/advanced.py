@@ -1,0 +1,262 @@
+"""Advanced relational operators beyond the reference's assumed surface:
+rollup subtotals, conditional aggregation, scalar-subquery shapes, AS-OF
+joins, semi-joins, scalar function coverage, exact percentiles.
+
+The AS-OF join deserves note (SURVEY.md custom-operator guidance): Spark has
+no asof-join operator, so it's built as a composition of existing DataFrame
+ops — union both sides tagged, one window pass carrying the latest右-side
+row forward per key (`last_value(..., ignorenulls)`), filter to left rows.
+One shuffle on (key), no range cross-join blow-up; at 100 TB this is the
+sort-merge-friendly formulation. The DuckDB oracle uses its native ASOF JOIN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import dec2, query, t
+
+_OUT = "decimal(24,6)"
+
+
+# --------------------------------------------------------------------------- #
+# q12: ROLLUP subtotals                                                        #
+# --------------------------------------------------------------------------- #
+@query(
+    "q12_rollup_revenue",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(24,6)) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q12_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec2("o_totalprice")).cast(_OUT).alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q13: conditional aggregation (TPC-H Q12 shape)                               #
+# --------------------------------------------------------------------------- #
+@query(
+    "q13_conditional_agg",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned_count,
+           SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS kept_count,
+           SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS bulk_count
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def q13_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+                "returned_count"
+            ),
+            F.sum(F.when(F.col("l_returnflag") != "R", 1).otherwise(0)).alias(
+                "kept_count"
+            ),
+            F.sum(F.when(F.col("l_quantity") > 25, 1).otherwise(0)).alias(
+                "bulk_count"
+            ),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q14: scalar-subquery shape (TPC-H Q17): rows under 20% of their group avg   #
+# --------------------------------------------------------------------------- #
+@query(
+    "q14_below_avg_quantity",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(24,6))
+               AS total_price,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN (SELECT l_partkey, AVG(l_quantity) AS avg_qty
+          FROM lineitem GROUP BY l_partkey) p
+      ON l.l_partkey = p.l_partkey
+    WHERE l.l_quantity < 0.5 * p.avg_qty
+    """,
+)
+def q14_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(part_avg, "l_partkey")
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.sum(dec2("l_extendedprice")).cast(_OUT).alias("total_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q15: AS-OF join — latest 'view' event at or before each 'purchase'          #
+# --------------------------------------------------------------------------- #
+@query(
+    "q15_asof_join",
+    oracle="""
+    WITH views AS (
+        SELECT user_id, MAX(event_id) AS view_id, ts
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id, ts
+    ),
+    purchases AS (
+        SELECT event_id AS purchase_id, user_id, ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id, p.ts AS purchase_ts,
+           v.view_id AS last_view_id, v.ts AS last_view_ts
+    FROM purchases p
+    ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+)
+def q15_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    # dedupe the right side to one view per (user, ts) so the as-of match is
+    # well-defined in both engines
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+        .select("user_id", "ts", "view_id", F.lit(0).alias("tag"))
+        .withColumn("purchase_id", F.lit(None).cast("long"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("long").alias("view_id"),
+            F.lit(1).alias("tag"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    # one window pass: views sort before purchases at equal ts (tag asc), and
+    # last_value(ignorenulls) carries the latest view forward per user
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = views.unionByName(purchases).select(
+        "*",
+        F.last("view_id", ignorenulls=True).over(w).alias("last_view_id"),
+        F.last(
+            F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True
+        ).over(w).alias("last_view_ts"),
+    )
+    return merged.filter(F.col("tag") == 1).select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "last_view_id",
+        "last_view_ts",
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q16: EXISTS semi-join                                                        #
+# --------------------------------------------------------------------------- #
+@query(
+    "q16_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    ORDER BY c_custkey
+    """,
+)
+def q16_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    big_orders = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        cust.join(big_orders, cust.c_custkey == big_orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q17: scalar string/date function coverage                                    #
+# --------------------------------------------------------------------------- #
+@query(
+    "q17_scalar_functions",
+    oracle="""
+    SELECT o_orderkey,
+           upper(substr(o_orderpriority, 1, 3)) AS prio_code,
+           concat(o_orderstatus, '-', CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR))
+               AS status_year,
+           EXTRACT(month FROM o_orderdate) AS order_month,
+           length(o_orderpriority) AS prio_len,
+           CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k
+    FROM orders
+    WHERE o_orderkey < 1000
+    """,
+)
+def q17_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 3)).alias("prio_code"),
+        F.concat(
+            F.col("o_orderstatus"),
+            F.lit("-"),
+            F.year("o_orderdate").cast("string"),
+        ).alias("status_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.floor(F.col("o_totalprice") / 1000).alias("price_k"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q18: exact percentiles (median & p90) per group                              #
+# --------------------------------------------------------------------------- #
+@query(
+    "q18_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q18_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
