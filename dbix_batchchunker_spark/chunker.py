@@ -419,9 +419,14 @@ class BatchChunker:
         ls = self._ls
         assert ls is not None
 
-        # COUNT probe (A3)
+        # COUNT probe (A3). Divergence from the reference (which always
+        # probes when a count source exists): a COUNT on an indexed RDBMS is
+        # ~free, but on Spark each probe is a full job launch — so skip it
+        # when nothing consumes the result (resize checker disabled AND no
+        # runtime targeting).
+        probe_useful = self.min_chunk_percent > 0 or self.target_time > 0
         chunk_count: Optional[int] = None
-        if self.probe_mode != "off":
+        if self.probe_mode != "off" and probe_useful:
             if self.count_stmt is not None:
                 chunk_count = self._dbapi_scalar(
                     self.count_stmt, extra_binds=(ls.start, ls.end)
