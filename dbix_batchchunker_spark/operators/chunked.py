@@ -170,3 +170,60 @@ def q22_chunked_update_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
         verbose=False,
     ).execute()
     return reduce(DataFrame.unionByName, parts)
+
+
+@query(
+    "q23_chunked_update_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           CASE WHEN d.o_orderkey IS NOT NULL THEN 'D' ELSE l.l_returnflag END
+               AS l_returnflag
+    FROM lineitem l
+    LEFT JOIN (SELECT o_orderkey FROM orders
+               WHERE o_orderstatus = 'F' AND o_totalprice < 50000) d
+      ON l.l_orderkey = d.o_orderkey
+    """,
+)
+def q23_chunked_update_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked UPDATE ... JOIN — the reference's documented flagship shape
+    (BatchChunker.pm:121-130: UPDATE accounts JOIN deprecated_accounts USING
+    (id) SET ... WHERE id BETWEEN ? AND ?): per chunk, lineitem rows in the
+    key range are joined to the (broadcast) deprecated-orders dim and
+    flagged. The union of chunk outputs is the post-UPDATE table."""
+    li = t(spark, sf_dir, "lineitem")
+    deprecated = (
+        t(spark, sf_dir, "orders")
+        .filter(_deprecated_pred())
+        .select(F.col("o_orderkey").alias("dep_key"))
+    )
+    parts: list[DataFrame] = []
+
+    def update_chunk(bc: BatchChunker, chunk_df: DataFrame) -> None:
+        parts.append(
+            chunk_df.join(
+                F.broadcast(deprecated),
+                chunk_df.l_orderkey == F.col("dep_key"),
+                "left",
+            ).select(
+                "l_orderkey",
+                "l_linenumber",
+                F.when(F.col("dep_key").isNotNull(), "D")
+                .otherwise(F.col("l_returnflag"))
+                .alias("l_returnflag"),
+            )
+        )
+
+    chunk_size, min_id, max_id = _span_chunks(li, "l_orderkey")
+    BatchChunker(
+        df=li,
+        id_name="l_orderkey",
+        coderef=update_chunk,
+        chunk_size=chunk_size,
+        min_id=min_id,
+        max_id=max_id,
+        target_time=0,
+        min_chunk_percent=0,
+        sleep=0,
+        verbose=False,
+    ).execute()
+    return reduce(DataFrame.unionByName, parts)

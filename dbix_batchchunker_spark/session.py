@@ -35,6 +35,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # managed tables (bucketed joins) land outside the repo; static conf
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", f"/tmp/spark-warehouse-{os.getuid()}"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -142,3 +142,40 @@ def test_aggregate_has_mapside_combine(spark):
     plan = formatted_plan(q01_pricing_summary(spark, SF_DIR))
     assert "partial_sum" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Co-bucketed tables join with no Exchange on either side."""
+    from dbix_batchchunker_spark.plans.explain import formatted_plan
+    from dbix_batchchunker_spark.sources.bucketed import (
+        cobucketed_join,
+        write_bucketed,
+    )
+
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for name in ("bkt_left", "bkt_right"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+
+    left = spark.range(0, 10000).withColumn("v", F.col("id") % 7)
+    right = spark.range(0, 10000).withColumn("w", F.col("id") % 3)
+    write_bucketed(left, "bkt_left", "id", 8)
+    write_bucketed(right, "bkt_right", "id", 8)
+
+    # force the sort-merge path (tiny test tables would otherwise broadcast)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = cobucketed_join(spark, "bkt_left", "bkt_right", "id")
+        plan = formatted_plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 10000
+
+        # contrast: the same join on unbucketed frames DOES shuffle
+        plain = left.join(right.withColumnRenamed("w", "w2"), "id")
+        assert "Exchange" in formatted_plan(plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
