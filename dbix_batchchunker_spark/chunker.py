@@ -458,11 +458,26 @@ class BatchChunker:
             return self.df_fn()
         return self.count_df
 
+    @staticmethod
+    def _id_lit(v: int):
+        """Range-bound literal. Cursor math is arbitrary-precision Python int
+        (the reference's 41-digit-id case, t/big-id.t); ids beyond int64 must
+        cross py4j as Decimal — DecimalType(38,0) columns compare fine, which
+        caps *column* ids at 38 digits (documented; cursor math itself is
+        unbounded)."""
+        if -(2**63) <= v < 2**63:
+            return F.lit(v)
+        import decimal
+
+        return F.lit(decimal.Decimal(v))
+
     def _dispatch_dataframe(self, start: int, end: int) -> None:
         """DBIC-analog dispatch: chunk DataFrame = base df + BETWEEN filter
         (reference injects ``-between`` into the ResultSet,
         BatchChunker.pm:1279-1286, 1352-1374)."""
-        chunk_df = self._current_df().filter(F.col(self.id_name).between(start, end))
+        chunk_df = self._current_df().filter(
+            F.col(self.id_name).between(self._id_lit(start), self._id_lit(end))
+        )
         if self.single_rows:
             def work() -> None:
                 self._ls.mark_chunk_timer()  # reset timer on retries
@@ -513,7 +528,11 @@ class BatchChunker:
         return int(
             self._retry(
                 lambda: self._current_count_df()
-                .filter(F.col(self.id_name).between(start, end))
+                .filter(
+                    F.col(self.id_name).between(
+                        self._id_lit(start), self._id_lit(end)
+                    )
+                )
                 .count()
             )
         )

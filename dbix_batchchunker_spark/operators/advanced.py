@@ -4,7 +4,7 @@ joins, semi-joins, scalar function coverage, exact percentiles.
 
 The AS-OF join deserves note (SURVEY.md custom-operator guidance): Spark has
 no asof-join operator, so it's built as a composition of existing DataFrame
-ops — union both sides tagged, one window pass carrying the latest右-side
+ops — union both sides tagged, one window pass carrying the latest right-side
 row forward per key (`last_value(..., ignorenulls)`), filter to left rows.
 One shuffle on (key), no range cross-join blow-up; at 100 TB this is the
 sort-merge-friendly formulation. The DuckDB oracle uses its native ASOF JOIN.
@@ -259,4 +259,22 @@ def q18_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
         )
         .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q19: approximate distinct counting — the 100 TB probe variant               #
+# (HLL sketches differ between engines → no oracle; rows-only + pytest        #
+# sanity against exact counts)                                                #
+# --------------------------------------------------------------------------- #
+@query("q19_approx_distinct")
+def q19_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        )
+        .orderBy("l_returnflag")
     )

@@ -143,3 +143,31 @@ def test_oracle_check_of_chunked_vs_plain(spark):
         .count()
     )
     assert got == want
+
+
+def test_bigid_decimal_column_chunking(spark):
+    """DecimalType(38,0) id column with values beyond int64: cursor math is
+    Python int (unbounded, t/big-id.t parity); range literals cross py4j as
+    Decimal. Column ids cap at 38 digits (DecimalType ceiling) — documented
+    divergence from the reference's 41-digit test."""
+    from decimal import Decimal
+
+    from dbix_batchchunker_spark import BatchChunker
+
+    base = int("9" + "0" * 36)  # 37 digits
+    df = spark.createDataFrame(
+        [(Decimal(base + i), i) for i in range(50)],
+        "big_id decimal(38,0), v long",
+    )
+    seen = []
+    bc = BatchChunker(
+        df=df, id_name="big_id",
+        coderef=lambda bc, cdf: seen.append(cdf.count()),
+        chunk_size=20, target_time=0, sleep=0, min_chunk_percent=0.5,
+        verbose=False,
+    )
+    assert bc.calculate_ranges()
+    assert bc.min_id == base and bc.max_id == base + 49
+    bc.execute()
+    assert sum(seen) == 50
+    assert bc.min_id == base + 49  # cursor write-back still exact

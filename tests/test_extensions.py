@@ -169,3 +169,34 @@ def test_exact_dedup_semantics(spark):
     )
     by_id = {r.doc_id: r.dup_count for r in out}
     assert by_id == {0: 3, 2: 1}
+
+
+def test_salted_join_matches_plain_join(spark):
+    from dbix_batchchunker_spark.functions.skew import salted_join
+
+    # skewed fact: 90% of rows share key 7
+    fact = spark.range(0, 10000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 7 ELSE id % 100 END AS k", "id AS payload"
+    )
+    dim = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS dim_val")
+    got = salted_join(fact, dim, "k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dim_val").alias("s")
+    ).first()
+    want = fact.join(dim, "k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dim_val").alias("s")
+    ).first()
+    assert (got.n, got.s) == (want.n, want.s)
+
+
+def test_approx_distinct_within_rsd(spark):
+    from dbix_batchchunker_spark.operators.advanced import q19_approx_distinct
+    from dbix_batchchunker_spark.operators.registry import t
+
+    approx = {r.l_returnflag: r.approx_orders
+              for r in q19_approx_distinct(spark, SF_DIR).collect()}
+    exact = {r.l_returnflag: r.n
+             for r in t(spark, SF_DIR, "lineitem")
+             .groupBy("l_returnflag")
+             .agg(F.countDistinct("l_orderkey").alias("n")).collect()}
+    for k, v in exact.items():
+        assert abs(approx[k] - v) / v < 0.1
