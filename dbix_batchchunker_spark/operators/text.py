@@ -214,3 +214,53 @@ def tx05_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------- #
+# tx06: end-to-end training-data pipeline — quality filter → fingerprint      #
+# dedup → token stats, composed from the operators above (the shape a 100 TB  #
+# pretraining-data job runs; every stage stays in whole-stage codegen)        #
+# --------------------------------------------------------------------------- #
+@query(
+    "tx06_pipeline_quality_dedup",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {_tokens_sql()} AS toks,
+               length(text) AS n_chars_actual,
+               len(regexp_extract_all(text, '{_PUNCT_CLASS}')) AS n_punct,
+               md5(trim(regexp_replace(lower(text), '{_WS}', ' ', 'g'))) AS fingerprint
+        FROM documents
+    ),
+    quality AS (
+        SELECT * FROM scored
+        WHERE len(toks) >= 5 AND n_punct / GREATEST(n_chars_actual, 1) < 0.2
+    ),
+    deduped AS (
+        SELECT MIN(doc_id) AS doc_id, fingerprint, COUNT(*) AS dup_count
+        FROM quality GROUP BY fingerprint
+    )
+    SELECT d.doc_id, d.fingerprint, d.dup_count, q.lang,
+           len(q.toks) AS n_tokens
+    FROM deduped d JOIN quality q ON d.doc_id = q.doc_id
+    """,
+)
+def tx06_pipeline_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens_spark()
+    normalized = F.trim(F.regexp_replace(F.lower(F.col("text")), _WS, " "))
+    n_punct = F.size(F.regexp_extract_all("text", F.lit(_PUNCT_CLASS), 0))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.md5(normalized).alias("fingerprint"),
+        (n_punct / F.greatest(F.length("text"), F.lit(1))).alias("punct_ratio"),
+    )
+    quality = scored.filter((F.col("n_tokens") >= 5) & (F.col("punct_ratio") < 0.2))
+    deduped = quality.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count")
+    )
+    return deduped.join(quality.select("doc_id", "lang", "n_tokens"), "doc_id").select(
+        "doc_id", "fingerprint", "dup_count", "lang", "n_tokens"
+    )

@@ -92,3 +92,37 @@ def sessionized(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
     )
+
+
+def running_user_totals(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): running
+    per-key event counts and value sums that persist across micro-batches —
+    and, via the checkpoint, across separate drains. This is the
+    SURVEY.md §2.C "custom stateful operator" pattern: arbitrary Python
+    state per key, Arrow-batched, with engine-managed exactly-once state.
+    """
+    import pandas as pd  # noqa: F401 (executor-side)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update_totals(key, pdf_iter, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update_totals,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

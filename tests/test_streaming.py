@@ -120,3 +120,46 @@ def test_sessionize_gap_windows(spark):
         per_user.setdefault(r.user_id, []).append(r.n_events)
     assert sorted(per_user[1]) == [1, 2]
     assert per_user[2] == [1]
+
+
+def test_stateful_running_totals_across_drains(spark, tmp_path):
+    """applyInPandasWithState totals accumulate across micro-batches AND
+    across separate availableNow drains (state restored from checkpoint) —
+    the streaming analog of resumable chunk bookkeeping."""
+    from dbix_batchchunker_spark.streaming.incremental import (
+        running_user_totals,
+        stream_table,
+    )
+
+    data_dir = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ck")
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+        "id AS event_id", "id % 3 AS user_id", "CAST(1.5 AS DOUBLE) AS value"
+    )
+    mk(0, 30).write.parquet(data_dir)
+    schema = spark.read.parquet(data_dir).schema
+
+    latest = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            latest[r.user_id] = (r.n_events, r.total_value)
+
+    def drain():
+        q = (
+            running_user_totals(stream_table(spark, data_dir, schema))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert sum(v[0] for v in latest.values()) == 30
+
+    mk(30, 60).write.mode("append").parquet(data_dir)
+    drain()
+    assert sum(v[0] for v in latest.values()) == 60  # state accumulated
+    assert all(abs(v[1] - v[0] * 1.5) < 1e-9 for v in latest.values())
