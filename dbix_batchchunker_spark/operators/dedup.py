@@ -291,3 +291,31 @@ def simhash(docs: DataFrame) -> DataFrame:
 def dd04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return simhash(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------- #
+# dd05: MLlib MinHashLSH variant (SURVEY.md §2.C's suggested mapping:         #
+# HashingTF → MinHashLSH.approxSimilarityJoin). Our hand-rolled dd03 pipeline  #
+# is the primary (transparent banding, cluster output); this exercises the    #
+# stock MLlib estimator path with a fixed seed for determinism.               #
+# --------------------------------------------------------------------------- #
+@query("dd05_mllib_minhash")  # no oracle: LSH + MLlib internals
+def dd05_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(_tokens()).alias("words")
+    ).where(F.size("words") > 0)
+    tf = HashingTF(inputCol="words", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(docs)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.1, distCol="jaccard_dist")
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1 - F.col("jaccard_dist"), 6).alias("jaccard"),
+        )
+    )
