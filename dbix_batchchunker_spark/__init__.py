@@ -14,10 +14,10 @@ Layout:
     streaming/                   — Structured Streaming analogs
 """
 
-from .chunker import BatchChunker
+from .chunker import BatchChunker, ConcurrentChunker
 from .loop_state import LoopState
 from .retry import RetryExhaustedError, run_with_retry
 
 __version__ = "0.1.0"
 
-__all__ = ["BatchChunker", "LoopState", "run_with_retry", "RetryExhaustedError"]
+__all__ = ["BatchChunker", "ConcurrentChunker", "LoopState", "run_with_retry", "RetryExhaustedError"]

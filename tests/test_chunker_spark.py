@@ -171,3 +171,64 @@ def test_bigid_decimal_column_chunking(spark):
     bc.execute()
     assert sum(seen) == 50
     assert bc.min_id == base + 49  # cursor write-back still exact
+
+
+def test_concurrent_chunker_processes_all_and_overlaps(spark):
+    """ConcurrentChunker covers every chunk exactly once, actually runs
+    chunks concurrently, and sets the cursor to the contiguous prefix."""
+    import threading
+    import time as _time
+
+    from dbix_batchchunker_spark import BatchChunker, ConcurrentChunker
+
+    df = spark.range(0, 1000).withColumn("v", F.col("id"))
+    lock = threading.Lock()
+    active = {"now": 0, "peak": 0}
+    counts = []
+
+    def work(bc, cdf):
+        with lock:
+            active["now"] += 1
+            active["peak"] = max(active["peak"], active["now"])
+        try:
+            counts.append(cdf.count())
+            _time.sleep(0.2)  # hold the slot so overlap is observable
+        finally:
+            with lock:
+                active["now"] -= 1
+
+    bc = BatchChunker(
+        df=df, id_name="id", coderef=work,
+        chunk_size=100, target_time=0, sleep=0, min_chunk_percent=0,
+        min_id=0, max_id=999, verbose=False,
+    )
+    ConcurrentChunker(bc, max_in_flight=4).execute()
+    assert sum(counts) == 1000
+    assert len(counts) == 10
+    assert active["peak"] >= 2  # genuine concurrency
+    assert bc.min_id == 999  # full contiguous prefix → cursor at max
+
+
+def test_concurrent_chunker_cursor_stops_at_gap(spark):
+    """A failing middle chunk leaves the cursor before the failure point,
+    so resume never skips unfinished work."""
+    import pytest as _pytest
+
+    from dbix_batchchunker_spark import BatchChunker, ConcurrentChunker
+
+    df = spark.range(0, 500)
+
+    def work(bc, cdf):
+        first = cdf.agg(F.min("id")).first()[0]
+        if first == 200:
+            raise RuntimeError("chunk 3 fails")
+        cdf.count()
+
+    bc = BatchChunker(
+        df=df, id_name="id", coderef=work,
+        chunk_size=100, target_time=0, sleep=0, min_chunk_percent=0,
+        min_id=0, max_id=499, verbose=False,
+    )
+    with _pytest.raises(RuntimeError):
+        ConcurrentChunker(bc, max_in_flight=1).execute()
+    assert bc.min_id == 199  # chunks 0-1 done; cursor before the failed one
