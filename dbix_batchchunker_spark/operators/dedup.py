@@ -303,9 +303,15 @@ def dd04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd05_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
+    # Bounded sample: MLlib's MinHashLSH amplifies OR-only (each hash table
+    # is a 1-row band), so on a similarity-dense corpus nearly EVERY pair
+    # becomes a candidate — Θ(n²) regardless of threshold (measured: 318 s at
+    # 5k docs vs 10 s for dd03's 8-row banding). dd03 is the scale path;
+    # this query demonstrates the stock-MLlib estimator API on a fixed
+    # 500-doc sample.
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(_tokens()).alias("words")
-    ).where(F.size("words") > 0)
+    ).where((F.size("words") > 0) & (F.col("doc_id") < 500))
     tf = HashingTF(inputCol="words", outputCol="features", numFeatures=1 << 18)
     feats = tf.transform(docs)
     mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
