@@ -96,30 +96,41 @@ def dd01_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dd02_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Salting: there are only ~|langs|×|len buckets| distinct block keys, so
+    # an unsalted self-join computes a whole block's pair space in ONE task.
+    # Adding doc_id%R to the left key and replicating the right side R times
+    # splits each block's pairs across R tasks — identical result set.
+    R = 8
     docs = t(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
         F.array_distinct(_tokens()).alias("words"),
     )
-    a = docs.alias("a")
-    b = docs.alias("b")
+    a = docs.withColumn("salt", (F.col("doc_id") % R).cast("int")).alias("a")
+    b = docs.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(R - 1)))
+    ).alias("b")
     inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
     union = F.size(F.col("a.words")) + F.size(F.col("b.words")) - inter
-    jac = inter / union
-    return (
+    # Project the Jaccard ONCE, then filter — referencing the expression in
+    # both WHERE and SELECT would evaluate the array intersection twice.
+    scored = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .where(jac >= 0.6)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 6).alias("jaccard"),
+            (inter / union).alias("jaccard_raw"),
         )
+    )
+    return scored.where(F.col("jaccard_raw") >= 0.6).select(
+        "doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard")
     )
 
 
