@@ -278,3 +278,28 @@ def q19_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------- #
+# q24: keyset pagination — the engine's own access pattern as a query         #
+# (WHERE key > cursor ORDER BY key LIMIT n beats OFFSET by never scanning     #
+# skipped rows; reference: BatchChunker.pm:1188-1199 keyset math)             #
+# --------------------------------------------------------------------------- #
+@query(
+    "q24_keyset_page",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey > 5000
+    ORDER BY o_orderkey
+    LIMIT 100
+    """,
+)
+def q24_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") > 5000)
+        .orderBy("o_orderkey")
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

@@ -90,3 +90,13 @@ def test_rows_only_queries_run(spark):
     for name in no_oracle:
         df = q[name](spark, SF_DIR)
         assert df.count() >= 0, name
+
+
+def test_registry_contract():
+    """Every oracle belongs to a registered query; names are unique and
+    follow the family prefixes the README documents."""
+    q, o = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) == len(set(q))
+    prefixes = ("q", "dd", "sim", "tx", "mm")
+    assert all(name.startswith(prefixes) for name in q)
