@@ -303,3 +303,121 @@ def q24_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+# --------------------------------------------------------------------------- #
+# q25: shipping-priority top-10 (TPC-H Q3 shape)                              #
+# --------------------------------------------------------------------------- #
+@query(
+    "q25_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+                AS DECIMAL(24,6)) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q25_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import one_minus
+
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    revenue = dec2("l_extendedprice") * one_minus("l_discount")
+    return (
+        F.broadcast(cust)
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).cast(_OUT).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q26: returned-item reporting (TPC-H Q10 shape)                              #
+# --------------------------------------------------------------------------- #
+@query(
+    "q26_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+                AS DECIMAL(24,6)) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q26_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import one_minus
+
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = t(spark, sf_dir, "nation")
+    revenue = dec2("l_extendedprice") * one_minus("l_discount")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast(_OUT).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q27: correlated-aggregate shape — customers spending above the global mean  #
+# --------------------------------------------------------------------------- #
+@query(
+    "q27_above_avg_spenders",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total_spent
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           CAST(total_spent AS DECIMAL(24,6)) AS total_spent
+    FROM spend
+    WHERE total_spent > (SELECT AVG(total_spent) FROM spend)
+    ORDER BY o_custkey
+    """,
+)
+def q27_above_avg_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spend = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(dec2("o_totalprice")).alias("total_spent"))
+    )
+    # scalar subquery via cross-join of a 1-row aggregate (broadcast)
+    avg_spend = spend.agg(F.avg("total_spent").alias("avg_spent"))
+    return (
+        spend.crossJoin(F.broadcast(avg_spend))
+        .where(F.col("total_spent") > F.col("avg_spent"))
+        .select("o_custkey", F.col("total_spent").cast(_OUT).alias("total_spent"))
+        .orderBy("o_custkey")
+    )

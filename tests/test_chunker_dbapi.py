@@ -215,3 +215,60 @@ def test_nonunique_id_single_id_forced(db):
     cds = [r[0] for r in db.execute("SELECT DISTINCT cd FROM track")]
     for cd in cds:
         assert sum(1 for s, e, _ in processed if s <= cd <= e) == 1
+
+
+def test_slow_count_probe_shrinks_chunk(db):
+    """COUNT slower than 1.05x target_time forces a shrink + warning
+    (BatchChunker.pm:1523-1543; t/dbic.t:354-419's slow-COUNT path)."""
+    from tests.helpers import FakeClock
+
+    clock = FakeClock()
+    conn = db
+
+    class SlowCursorConn:
+        """Wraps sqlite conn; every COUNT advances the fake clock past the
+        probe budget once, then becomes fast."""
+
+        def __init__(self):
+            self.slow_remaining = 1
+
+        def cursor(self):
+            real = conn.cursor()
+            wrapper = self
+
+            class Cur:
+                def execute(self, sql, binds=()):
+                    if "COUNT" in sql and wrapper.slow_remaining > 0:
+                        wrapper.slow_remaining -= 1
+                        clock.advance(2.0)  # ≫ 1.05 × target_time
+                    return real.execute(sql, binds)
+
+                def fetchone(self):
+                    return real.fetchone()
+
+                def __getattr__(self, name):
+                    return getattr(real, name)
+
+            return Cur()
+
+        def __getattr__(self, name):
+            return getattr(conn, name)
+
+    slow_conn = SlowCursorConn()
+    calls = []
+    from dbix_batchchunker_spark import BatchChunker
+
+    bc = BatchChunker(
+        dbapi_connector=lambda: slow_conn,
+        coderef=lambda bc, s, e: calls.append((s, e)),
+        count_stmt="SELECT COUNT(*) FROM track WHERE trackid BETWEEN ? AND ?",
+        min_stmt="SELECT MIN(trackid) FROM track",
+        max_stmt="SELECT MAX(trackid) FROM track",
+        chunk_size=20, target_time=0.5, sleep=0, min_chunk_percent=0.25,
+        time_source=clock, sleep_func=clock.sleep,
+    )
+    bc.calculate_ranges()
+    bc.execute()
+    assert any("COUNT statement was too slow" in m for m in bc.messages)
+    assert any("shrunk" in m for m in bc.messages)
+    assert calls  # loop still completed
