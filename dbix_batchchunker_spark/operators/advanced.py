@@ -421,3 +421,78 @@ def q27_above_avg_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", F.col("total_spent").cast(_OUT).alias("total_spent"))
         .orderBy("o_custkey")
     )
+
+
+# --------------------------------------------------------------------------- #
+# q28: CUBE grouping (all subtotal combinations)                              #
+# --------------------------------------------------------------------------- #
+@query(
+    "q28_cube_counts",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def q28_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q29: blocked fuzzy string matching (Levenshtein within brand blocks)        #
+# --------------------------------------------------------------------------- #
+@query(
+    "q29_fuzzy_part_names",
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey, p_brand, p_name,
+               string_split(p_name, ' ')[1] AS name_block
+        FROM part
+    )
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           levenshtein(a.p_name, b.p_name) AS edit_distance
+    FROM p a JOIN p b
+      ON a.p_brand = b.p_brand AND a.name_block = b.name_block
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY part_a, part_b
+    """,
+)
+def q29_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Blocking on (brand, first name token) — the standard fuzzy-dedup
+    # blocking key: brand alone leaves Θ(n²/brands) Levenshtein pairs
+    # (measured 29 s at sf0.1); the first-token block keeps candidate pairs
+    # near-linear while edit-distance<=3 matches almost always share it.
+    part = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_name",
+        F.split(F.col("p_name"), " ")[0].alias("name_block"),
+    )
+    a = part.alias("a")
+    b = part.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.name_block") == F.col("b.name_block"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            dist.alias("edit_distance"),
+        )
+        .where(F.col("edit_distance") <= 3)
+        .orderBy("part_a", "part_b")
+    )
