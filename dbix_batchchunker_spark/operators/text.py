@@ -264,3 +264,67 @@ def tx06_pipeline_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.join(quality.select("doc_id", "lang", "n_tokens"), "doc_id").select(
         "doc_id", "fingerprint", "dup_count", "lang", "n_tokens"
     )
+
+
+# --------------------------------------------------------------------------- #
+# tx07: BPE-ish regex token counting — GPT-2-style pre-tokenization pattern   #
+# (letter runs / digit runs / single punctuation), alongside whitespace       #
+# tokens for comparison. Counting tokens this way approximates subword-BPE    #
+# token counts far better than whitespace splitting on punctuated text.       #
+# --------------------------------------------------------------------------- #
+_BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+@query(
+    "tx07_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS n_bpe_tokens,
+           len({_tokens_sql()}) AS n_ws_tokens,
+           ROUND(len(regexp_extract_all(text, '{_BPE_PATTERN}'))
+                 / GREATEST(len({_tokens_sql()}), 1), 6) AS bpe_per_word
+    FROM documents
+    """,
+)
+def tx07_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0)
+    ws = _tokens_spark()
+    return docs.select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(ws).alias("n_ws_tokens"),
+        F.round(F.size(bpe) / F.greatest(F.size(ws), F.lit(1)), 6).alias(
+            "bpe_per_word"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# tx08: polynomial rolling-hash fingerprint over code points                  #
+# h = fold(codepoints, h*31 + c mod 1e9+7) — pure integer fold, identical in  #
+# Spark (aggregate) and DuckDB (list_reduce with a prepended 0 seed).         #
+# --------------------------------------------------------------------------- #
+_HASH_MOD = 1_000_000_007
+
+@query(
+    "tx08_rolling_hash",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(regexp_extract_all(text, '[\\s\\S]'),
+                                  c -> CAST(unicode(c) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % {_HASH_MOD}
+           ) AS content_hash
+    FROM documents
+    """,
+)
+def tx08_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    codes = F.expr(r"transform(regexp_extract_all(text, '[\\s\\S]', 0), c -> CAST(ascii(c) AS BIGINT))")
+    rolled = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % _HASH_MOD,
+    )
+    return docs.select("doc_id", rolled.alias("content_hash"))
