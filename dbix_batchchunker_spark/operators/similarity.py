@@ -196,3 +196,116 @@ def sim03_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos.alias("cos_sim"),
         )
     )
+
+
+# --------------------------------------------------------------------------- #
+# sim04: IVF (inverted-file) ANN — the other scale path named in SURVEY §2.C  #
+# Coarse quantizer: deterministic seed centroids (hash-sampled) refined by    #
+# one Lloyd step (both pure DataFrame aggs); search probes the nprobe nearest #
+# centroids' posting lists only. No RNG, no state shipped to executors.      #
+# --------------------------------------------------------------------------- #
+IVF_CLUSTERS = 16
+IVF_NPROBE = 2
+
+
+def _ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """vec → nearest centroid id (broadcast centroids, one pass)."""
+    from pyspark.sql import Window
+
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        "centroid_id",
+        (dot(F.col("embedding"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm"))).alias(
+            "sim_to_centroid"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim_to_centroid").desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
+def _ivf_index(emb: DataFrame, k: int = IVF_CLUSTERS) -> tuple[DataFrame, DataFrame]:
+    """(assignments, centroids). Seed centroids = vectors whose xxhash64 is
+    smallest (deterministic pseudo-random sample), one Lloyd refinement."""
+    from pyspark.sql import Window
+
+    seeds = (
+        emb.withColumn("h", F.xxhash64("vec_id"))
+        .orderBy("h")
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy("h")).alias("centroid_id"),
+            F.col("embedding").alias("cvec"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    assigned = _ivf_assign(emb, seeds)
+    # one Lloyd step: new centroid = element-wise mean of members
+    dim = EMBED_DIM
+    refined = (
+        assigned.groupBy("centroid_id")
+        .agg(
+            F.array(
+                *[
+                    F.avg(F.element_at("embedding", i + 1)).alias(f"c{i}")
+                    for i in range(dim)
+                ]
+            ).alias("cvec")
+        )
+        .withColumn("cnrm", norm(F.col("cvec")))
+    )
+    return _ivf_assign(emb, refined), refined
+
+
+@query("sim04_ivf_ann")  # no oracle: IVF index isn't SQL-expressible
+def sim04_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings").withColumn("nrm", norm(F.col("embedding")))
+    assigned, centroids = _ivf_index(emb)
+
+    queries_df = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    # probe the nprobe nearest centroids per query
+    qc = queries_df.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "qvec",
+        "qnrm",
+        "centroid_id",
+        (dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm"))).alias(
+            "csim"
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), "centroid_id")
+    probes = qc.withColumn("rk", F.row_number().over(wq)).filter(
+        F.col("rk") <= IVF_NPROBE
+    ).select("query_id", "qvec", "qnrm", "centroid_id")
+
+    scored = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                dot(F.col("qvec"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

@@ -200,3 +200,22 @@ def test_approx_distinct_within_rsd(spark):
              .agg(F.countDistinct("l_orderkey").alias("n")).collect()}
     for k, v in exact.items():
         assert abs(approx[k] - v) / v < 0.1
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark):
+    from dbix_batchchunker_spark.operators.similarity import (
+        sim01_topk_bruteforce,
+        sim04_ivf_ann,
+    )
+
+    exact = sim01_topk_bruteforce(spark, SF_DIR).collect()
+    ivf = sim04_ivf_ann(spark, SF_DIR).collect()
+    exact_sets, ivf_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in ivf:
+        ivf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(ivf_sets) == set(exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    hits = sum(len(s & ivf_sets.get(k, set())) for k, s in exact_sets.items())
+    assert hits / total >= 0.3, f"IVF recall {hits / total:.2f}"
