@@ -7,7 +7,12 @@ SURVEY.md §2 with its DuckDB oracle for the per-round correctness gate.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# Make the sibling package importable regardless of the caller's cwd.
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
