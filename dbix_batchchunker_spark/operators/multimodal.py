@@ -110,3 +110,103 @@ def mm02_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return decode_binary_column(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------- #
+# resize / frame-sample: the remaining multimodal pipeline stages.            #
+# Media libs aren't in this container, so the pixel work is a deterministic   #
+# stub (NotImplementedError escape hatch for real codecs); the Spark-side     #
+# plumbing — schemas, Arrow batching, per-batch amortization — is real.       #
+# --------------------------------------------------------------------------- #
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("resized", T.BinaryType(), True),
+    ]
+)
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resample (PIL not available).
+    Real impl: Image.open(...).resize((width, height)).tobytes()."""
+    if not payload:
+        raise NotImplementedError("real decoder required for empty payloads")
+    stride = max(1, len(payload) // (width * height) or 1)
+    return payload[::stride][: width * height]
+
+
+def resize_binary_column(
+    df: DataFrame, width: int, height: int, payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched resize over a binary column (mapInPandas)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": width,
+                    "height": height,
+                    "resized": [
+                        _fake_resize(p, width, height) for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, every_nth: int = 4, payload_col: str = "payload"
+) -> DataFrame:
+    """Frame sampling for video-like payloads: one output row per sampled
+    frame (explode shape). Stub treats the payload as fixed-size frame
+    records; real impl would seek keyframes via ffmpeg per batch."""
+    frame_bytes = 64
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            out_ids, out_idx, out_frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                n_frames = max(1, len(payload) // frame_bytes)
+                for i in range(0, n_frames, every_nth):
+                    out_ids.append(int(doc_id))
+                    out_idx.append(i)
+                    out_frames.append(payload[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "frame_idx": out_idx, "frame": out_frames}
+            )
+
+    return df.mapInPandas(batches, schema=FRAMES_SCHEMA)
+
+
+@query("mm03_resize_and_sample")  # no oracle: Pandas-UDF pipeline, rows-only
+def mm03_resize_and_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    resized = resize_binary_column(docs, width=8, height=8)
+    frames = sample_frames(docs, every_nth=4)
+    return (
+        resized.join(
+            frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sampled_frames")),
+            "doc_id",
+        )
+        .select("doc_id", "width", "height", F.octet_length("resized").alias("resized_bytes"), "n_sampled_frames")
+        .orderBy("doc_id")
+    )

@@ -219,3 +219,26 @@ def test_ivf_ann_recall_vs_bruteforce(spark):
     total = sum(len(s) for s in exact_sets.values())
     hits = sum(len(s & ivf_sets.get(k, set())) for k, s in exact_sets.items())
     assert hits / total >= 0.3, f"IVF recall {hits / total:.2f}"
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    from dbix_batchchunker_spark.operators.multimodal import (
+        mm03_resize_and_sample,
+        resize_binary_column,
+        sample_frames,
+    )
+
+    rows = mm03_resize_and_sample(spark, SF_DIR).collect()
+    assert len(rows) == 500
+    assert all(r.width == 8 and r.height == 8 for r in rows)
+    assert all(0 < r.resized_bytes <= 64 for r in rows)
+    assert all(r.n_sampled_frames >= 1 for r in rows)
+
+    # determinism across runs (executors must agree)
+    df = spark.createDataFrame(
+        [(1, b"x" * 640)], "doc_id long, payload binary"
+    )
+    a = sample_frames(df, every_nth=3).collect()
+    b = sample_frames(df, every_nth=3).collect()
+    assert a == b
+    assert [r.frame_idx for r in a] == [0, 3, 6, 9]
