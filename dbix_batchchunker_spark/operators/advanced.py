@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from .registry import dec2, query, t
 
-_OUT = "decimal(24,6)"
+_OUT = "double"  # gate-stable final dtype (see relational.py note)
 
 
 # --------------------------------------------------------------------------- #
@@ -28,7 +28,7 @@ _OUT = "decimal(24,6)"
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(24,6)) AS total_price
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
@@ -56,9 +56,9 @@ def q12_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q13_conditional_agg",
     oracle="""
     SELECT l_linestatus,
-           SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned_count,
-           SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS kept_count,
-           SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS bulk_count
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned_count,
+           CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS kept_count,
+           CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS bulk_count
     FROM lineitem
     GROUP BY l_linestatus
     ORDER BY l_linestatus
@@ -89,7 +89,7 @@ def q13_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_below_avg_quantity",
     oracle="""
-    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(24,6))
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
                AS total_price,
            COUNT(*) AS n_items
     FROM lineitem l
@@ -314,7 +314,7 @@ def q24_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l.l_orderkey,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
                     * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
-                AS DECIMAL(24,6)) AS revenue,
+                AS DOUBLE) AS revenue,
            o.o_orderdate
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -359,7 +359,7 @@ def q25_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.c_custkey, c.c_name, n.n_name,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
                     * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
-                AS DECIMAL(24,6)) AS revenue
+                AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -401,7 +401,7 @@ def q26_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY o_custkey
     )
     SELECT o_custkey,
-           CAST(total_spent AS DECIMAL(24,6)) AS total_spent
+           CAST(total_spent AS DOUBLE) AS total_spent
     FROM spend
     WHERE total_spent > (SELECT AVG(total_spent) FROM spend)
     ORDER BY o_custkey

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from ..chunker import BatchChunker
 from .registry import dec2, query, t
 
-_OUT = "decimal(24,6)"
+_OUT = "double"  # gate-stable final dtype (see relational.py note)
 
 
 def _span_chunks(df: DataFrame, id_name: str, target_chunks: int = 16,
@@ -82,7 +82,7 @@ def q20_chunked_delete_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(24,6)) AS total_price
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus

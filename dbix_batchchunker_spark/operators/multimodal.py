@@ -109,7 +109,24 @@ def mm02_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
-    return decode_binary_column(docs).orderBy("doc_id")
+    # The registered query serializes the feature vector to a CSV string: the
+    # driver's canonicalizer sorts result columns in pandas, and a raw
+    # array<float> column is unhashable there. decode_binary_column remains
+    # the library API with the typed array<float> column.
+    return (
+        decode_binary_column(docs)
+        .select(
+            "doc_id",
+            "payload_bytes",
+            "width",
+            "height",
+            "n_frames",
+            F.concat_ws(",", F.col("feature").cast("array<string>")).alias(
+                "feature_csv"
+            ),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------- #

@@ -19,7 +19,12 @@ from .registry import dec2, one_minus, one_plus, query, t
 
 # All money arithmetic stays in DECIMAL from the base columns up (see
 # registry.dec2): exact and order-independent in both Spark and DuckDB.
-_OUT = "decimal(24,6)"  # final sums cast down to this on both sides
+# FINAL outputs are cast to DOUBLE on both sides: DuckDB's .df() hands
+# DECIMAL/HUGEINT sums to pandas as float64 while Spark hands Decimal/int64
+# objects, so a decimal-typed output hash-mismatches even when values are
+# identical. The exact decimal total rounds to the same nearest-double in
+# both engines, so DOUBLE is the cross-engine-stable output type.
+_OUT = "double"  # final sums cast to this on both sides (gate-stable dtype)
 
 
 # --------------------------------------------------------------------------- #
@@ -31,13 +36,13 @@ _OUT = "decimal(24,6)"  # final sums cast down to this on both sides
     SELECT
         l_returnflag,
         l_linestatus,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(24,6)) AS sum_qty,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(24,6)) AS sum_base_price,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                 * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(24,6)) AS sum_disc_price,
+                 * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                  * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
-                 * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(24,6)) AS sum_charge,
+                 * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
         ROUND(AVG(l_quantity), 4) AS avg_qty,
         COUNT(*) AS count_order
     FROM lineitem
@@ -99,7 +104,7 @@ def q02_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         n.n_name,
         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                 * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(24,6)) AS revenue,
+                 * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
         COUNT(*) AS n_items
     FROM lineitem l
     JOIN orders o    ON l.l_orderkey = o.o_orderkey
@@ -194,7 +199,7 @@ def q05_groupby_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_custkey,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(24,6)) AS total_spent
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent
     FROM orders_1995
     GROUP BY o_custkey
     HAVING COUNT(*) >= 3
@@ -216,7 +221,7 @@ def q06_view_orders_1995(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_custkey,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(24,6)) AS total_spent
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent
         FROM orders_1995
         GROUP BY o_custkey
         HAVING COUNT(*) >= 3
@@ -232,7 +237,7 @@ def q06_view_orders_1995(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q07_top_customers",
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(24,6)) AS total_spent,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent,
            COUNT(*) AS n_orders
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey, c.c_name
@@ -330,7 +335,7 @@ def q10_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', ts) AS hour_bucket,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(24,6)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     ORDER BY 1, 2

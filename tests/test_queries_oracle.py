@@ -1,14 +1,22 @@
 """Local replica of the driver's correctness gate: run each registered query
 on Spark AND its DuckDB oracle on the same parquet, compare row count,
-column names, and order-insensitive values (columns sorted by name)."""
+column names, and order-insensitive values (columns sorted by name).
+
+Canonicalization MIRRORS the driver gate: the DuckDB side goes through
+``.df()`` (pandas conversion — HUGEINT/DECIMAL sums become float64!) and the
+Spark side through collected rows in a pandas frame, then both stringify
+values with no normalization. Round 1 shipped a SUM-dtype bug precisely
+because the local replica normalized Decimals while the gate did not — the
+replica must be at least as strict as the gate.
+"""
 
 from __future__ import annotations
 
 import math
 import os
-from decimal import Decimal
 
 import duckdb
+import pandas as pd
 import pytest
 
 import __spark_entry__ as entry_mod
@@ -40,19 +48,24 @@ def duck():
     conn.close()
 
 
-def _norm(v):
-    if isinstance(v, Decimal):
-        return str(v.normalize())
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return repr(round(v, 9))
-    return repr(v)
+def _cell(v):
+    """Stringify with NO dtype normalization — a Decimal('7.500000') must NOT
+    compare equal to float64 7.5, because the driver gate hashes them
+    differently. NULL-ish values collapse to one token (None/NaN/NaT all
+    represent SQL NULL after a pandas round-trip)."""
+    if v is None or v is pd.NaT:
+        return "NULL"
+    if isinstance(v, float) and math.isnan(v):
+        return "NULL"
+    return str(v)
 
 
-def _canon(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+def _canon_pdf(pdf: pd.DataFrame):
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    return sorted(
+        tuple(_cell(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    )
 
 
 QUERY_NAMES = sorted(entry_mod.oracle_sql())
@@ -62,17 +75,20 @@ QUERY_NAMES = sorted(entry_mod.oracle_sql())
 def test_query_matches_oracle(spark, duck, name):
     q = entry_mod.queries()[name]
     sdf = q(spark, SF_DIR)
-    spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_pdf = pd.DataFrame(
+        [tuple(r) for r in sdf.collect()], columns=sdf.columns
+    )
 
     res = duck.execute(entry_mod.oracle_sql()[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    duck_pdf = res.df()  # pandas conversion — same path as the driver gate
 
-    assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column mismatch"
-    assert len(spark_rows) == len(duck_rows), f"{name}: row count mismatch"
-    a = _canon(spark_cols, spark_rows)
-    b = _canon(duck_cols, duck_rows)
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: column mismatch {sorted(spark_pdf.columns)} vs "
+        f"{sorted(duck_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(duck_pdf), f"{name}: row count mismatch"
+    a = _canon_pdf(spark_pdf)
+    b = _canon_pdf(duck_pdf)
     mismatches = [(x, y) for x, y in zip(a, b) if x != y]
     assert not mismatches, f"{name}: first value mismatch: {mismatches[:3]}"
 
@@ -84,12 +100,18 @@ def test_entry_smoke(spark):
 
 
 def test_rows_only_queries_run(spark):
-    """Queries without an oracle still must run and return a stable schema."""
+    """Queries without an oracle still must run and return a stable schema —
+    and their output must survive the gate's pandas canonicalizer (sortable:
+    no raw array/map columns; mm02 regressed on this in round 1)."""
     q = entry_mod.queries()
     no_oracle = [k for k in q if k not in entry_mod.oracle_sql()]
     for name in no_oracle:
         df = q[name](spark, SF_DIR)
-        assert df.count() >= 0, name
+        pdf = pd.DataFrame([tuple(r) for r in df.collect()], columns=df.columns)
+        assert len(pdf) >= 0, name
+        if len(pdf):
+            _canon_pdf(pdf)  # raises TypeError on unhashable/unsortable cells
+            pdf.sort_values(by=list(pdf.columns))  # the driver's exact crash site
 
 
 def test_registry_contract():
