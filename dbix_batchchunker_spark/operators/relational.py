@@ -323,7 +323,9 @@ def q10_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     open_cust = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     filled_cust = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     big_cust = orders.filter(F.col("o_totalprice") > 400000).select("o_custkey")
-    return open_cust.intersect(filled_cust).exceptAll(big_cust.distinct()).distinct()
+    # subtract() IS set-semantics EXCEPT, matching the oracle directly
+    # (intersect() already dedups its output, so no trailing distinct needed)
+    return open_cust.intersect(filled_cust).subtract(big_cust)
 
 
 # --------------------------------------------------------------------------- #

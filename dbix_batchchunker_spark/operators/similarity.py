@@ -209,9 +209,14 @@ IVF_NPROBE = 2
 
 
 def _ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
-    """vec → nearest centroid id (broadcast centroids, one pass)."""
-    from pyspark.sql import Window
+    """vec → nearest centroid id (broadcast centroids, one pass).
 
+    max_by aggregation instead of a row_number window: partial-aggregatable
+    (map-side combine over the n·k scored rows), so no per-vec_id shuffle
+    sort. Tie-break is (sim desc, centroid_id asc) via a struct ordering key.
+    embedding/nrm are functionally dependent on vec_id (identical on every
+    scored row), so any_value is deterministic here.
+    """
     scored = emb.crossJoin(F.broadcast(centroids)).select(
         "vec_id",
         "embedding",
@@ -221,27 +226,30 @@ def _ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
             "sim_to_centroid"
         ),
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("sim_to_centroid").desc(), F.col("centroid_id")
+    ordkey = F.struct(
+        F.col("sim_to_centroid").alias("s"), (-F.col("centroid_id")).alias("c")
     )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .drop("rk")
+    return scored.groupBy("vec_id").agg(
+        F.max_by("centroid_id", ordkey).alias("centroid_id"),
+        F.any_value("embedding").alias("embedding"),
+        F.any_value("nrm").alias("nrm"),
     )
 
 
 def _ivf_index(emb: DataFrame, k: int = IVF_CLUSTERS) -> tuple[DataFrame, DataFrame]:
     """(assignments, centroids). Seed centroids = vectors whose xxhash64 is
-    smallest (deterministic pseudo-random sample), one Lloyd refinement."""
-    from pyspark.sql import Window
+    smallest (deterministic pseudo-random sample), one Lloyd refinement.
 
+    The hash itself is the centroid id: unique (distinct vec_ids) and
+    deterministic, so no global row_number window is needed to number seeds —
+    that unpartitioned window was the "No Partition Defined" warning source.
+    """
     seeds = (
         emb.withColumn("h", F.xxhash64("vec_id"))
         .orderBy("h")
         .limit(k)
         .select(
-            F.row_number().over(Window.orderBy("h")).alias("centroid_id"),
+            F.col("h").alias("centroid_id"),
             F.col("embedding").alias("cvec"),
             F.col("nrm").alias("cnrm"),
         )
