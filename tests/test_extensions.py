@@ -143,7 +143,11 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
 
 
 def test_decode_pipeline_schema_and_determinism(spark):
-    from dbix_batchchunker_spark.operators.multimodal import mm02_decode_pipeline
+    from dbix_batchchunker_spark.operators.multimodal import (
+        decode_binary_column,
+        mm02_decode_pipeline,
+    )
+    from dbix_batchchunker_spark.operators.registry import t
 
     rows1 = mm02_decode_pipeline(spark, SF_DIR).collect()
     rows2 = mm02_decode_pipeline(spark, SF_DIR).collect()
@@ -152,8 +156,15 @@ def test_decode_pipeline_schema_and_determinism(spark):
     assert r.payload_bytes > 0
     assert 64 <= r.width < 64 + 1920
     assert 64 <= r.height < 64 + 1080
-    assert len(r.feature) == 4
-    assert all(0.0 <= f <= 1.0 for f in r.feature)
+    # registered query serializes the feature vector (gate canonicalizer
+    # can't sort raw array cells); the library API keeps the typed array
+    assert len(r.feature_csv.split(",")) == 4
+    docs = t(spark, SF_DIR, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    lib = decode_binary_column(docs).limit(1).collect()[0]
+    assert len(lib.feature) == 4
+    assert all(0.0 <= f <= 1.0 for f in lib.feature)
 
 
 def test_exact_dedup_semantics(spark):
