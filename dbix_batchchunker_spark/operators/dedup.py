@@ -299,13 +299,17 @@ def dd03_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = entries.select("doc_id").distinct().select(
         "doc_id", F.col("doc_id").alias("rep_id")
     )
+    # Min-label propagation is MONOTONE (labels only decrease), so
+    # convergence ⟺ sum(rep_id) unchanged — one partial-aggregatable scan
+    # per round instead of the join+count the first version used.
+    prev_sum = None
     for _ in range(10):
         bucket_label = (
             entries.join(rep, "doc_id")
             .groupBy("band", "bucket")
             .agg(F.min("rep_id").alias("bucket_label"))
         )
-        new_rep = (
+        rep = (
             entries.join(bucket_label, ["band", "bucket"])
             .groupBy("doc_id")
             .agg(F.min("bucket_label").alias("rep_id"))
@@ -313,14 +317,10 @@ def dd03_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             # rounds 1..k-1 and the loop goes quadratic in plan depth.
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_rep.join(rep.withColumnRenamed("rep_id", "old_rep"), "doc_id")
-            .filter(F.col("rep_id") < F.col("old_rep"))
-            .count()
-        )
-        rep = new_rep
-        if changed == 0:
+        cur_sum = rep.agg(F.sum("rep_id")).first()[0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     entries.unpersist()
     return rep.select(
         "doc_id", "rep_id", (F.col("doc_id") != F.col("rep_id")).alias("is_dup")
@@ -363,33 +363,80 @@ def dd04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------- #
 # dd05: MLlib MinHashLSH variant (SURVEY.md §2.C's suggested mapping:         #
-# HashingTF → MinHashLSH.approxSimilarityJoin). Our hand-rolled dd03 pipeline  #
-# is the primary (transparent banding, cluster output); this exercises the    #
-# stock MLlib estimator path with a fixed seed for determinism.               #
+# HashingTF → MinHashLSH), AND-amplified.                                     #
+#                                                                             #
+# MLlib's own approxSimilarityJoin amplifies OR-only (every hash table is a   #
+# 1-row band), so on a similarity-dense corpus nearly EVERY pair becomes a    #
+# candidate — Θ(n²) regardless of threshold (measured: 318 s at 5k docs vs   #
+# 10 s for 8-row banding). Round 1 shipped this capped to a 500-doc sample;   #
+# now the stock estimator output (64 hash tables, fixed seed) is banded       #
+# 16×4 by the same machinery dd06 uses, restoring AND-amplification: the     #
+# full table runs uncapped and the result equals the exact all-pairs ground   #
+# truth (same oracle as dd06 — two independent signature families, one        #
+# exactness contract).                                                        #
 # --------------------------------------------------------------------------- #
-@query("dd05_mllib_minhash")  # no oracle: LSH + MLlib internals
+@query(
+    "dd05_mllib_minhash",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               list_distinct(list_filter(regexp_split_to_array(text, '{_WS}'),
+                             x -> x != '')) AS words
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.words, b.words))
+                 / (len(a.words) + len(b.words)
+                    - len(list_intersect(a.words, b.words))), 6) AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.words, b.words))
+          / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words)))
+          >= {JACCARD_THRESHOLD}
+    """,
+)
 def dd05_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
+    from pyspark.ml.functions import vector_to_array
 
-    # Bounded sample: MLlib's MinHashLSH amplifies OR-only (each hash table
-    # is a 1-row band), so on a similarity-dense corpus nearly EVERY pair
-    # becomes a candidate — Θ(n²) regardless of threshold (measured: 318 s at
-    # 5k docs vs 10 s for dd03's 8-row banding). dd03 is the scale path;
-    # this query demonstrates the stock-MLlib estimator API on a fixed
-    # 500-doc sample.
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(_tokens()).alias("words")
-    ).where((F.size("words") > 0) & (F.col("doc_id") < 500))
-    tf = HashingTF(inputCol="words", outputCol="features", numFeatures=1 << 18)
-    feats = tf.transform(docs)
-    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
-    model = mh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.1, distCol="jaccard_dist")
-    return (
-        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+    docs = (
+        t(spark, sf_dir, "documents")
         .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round(1 - F.col("jaccard_dist"), 6).alias("jaccard"),
+            "doc_id",
+            F.array_distinct(_tokens()).alias("words_str"),
+            _hashed_words().alias("words"),
         )
+        .where(F.size("words_str") > 0)
+        .persist()
+    )
+    tf = HashingTF(inputCol="words_str", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(docs.select("doc_id", "words_str"))
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=MINHASH_HASHES, seed=42)
+    model = mh.fit(feats)
+    # One vector_to_array per exploded hash row, then reassemble in table
+    # order — 64 per-row vector_to_array calls on the array<vector> column
+    # measured 2× slower than this explode/agg shape.
+    exploded = (
+        model.transform(feats)
+        .select("doc_id", F.posexplode("hashes").alias("pos", "hv"))
+        .select("doc_id", "pos", vector_to_array("hv")[0].cast("long").alias("h"))
+    )
+    sigs = (
+        exploded.groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "h"))), lambda s: s.h
+            ).alias("sig")
+        )
+        .persist()
+    )
+    cand = lsh_candidate_pairs(sigs, bands=PAIR_BANDS, rows=PAIR_ROWS)
+    w = docs.select("doc_id", "words")
+    a, b = w.alias("wa"), w.alias("wb")
+    inter = F.size(F.array_intersect(F.col("wa.words"), F.col("wb.words")))
+    union = F.size(F.col("wa.words")) + F.size(F.col("wb.words")) - inter
+    return (
+        cand.join(a, cand.doc_a == F.col("wa.doc_id"))
+        .join(b, cand.doc_b == F.col("wb.doc_id"))
+        .where(inter / union >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
     )

@@ -205,7 +205,7 @@ def sim03_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # centroids' posting lists only. No RNG, no state shipped to executors.      #
 # --------------------------------------------------------------------------- #
 IVF_CLUSTERS = 16
-IVF_NPROBE = 2
+IVF_NPROBE = 3
 
 
 def _ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -257,12 +257,15 @@ def _ivf_index(emb: DataFrame, k: int = IVF_CLUSTERS) -> tuple[DataFrame, DataFr
     assigned = _ivf_assign(emb, seeds)
     # one Lloyd step: new centroid = element-wise mean of members
     dim = EMBED_DIM
+    # Component means are rounded to 6 dp: float addition order varies across
+    # runs (partial-agg combine order), and un-rounded means make boundary
+    # assignments — and thus the whole index — nondeterministic run-to-run.
     refined = (
         assigned.groupBy("centroid_id")
         .agg(
             F.array(
                 *[
-                    F.avg(F.element_at("embedding", i + 1)).alias(f"c{i}")
+                    F.round(F.avg(F.element_at("embedding", i + 1)), 6).alias(f"c{i}")
                     for i in range(dim)
                 ]
             ).alias("cvec")
