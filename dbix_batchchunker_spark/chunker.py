@@ -799,16 +799,29 @@ class BatchChunker:
             self.on_message(msg)
 
     def _print_chunk_status(self, action: str) -> None:
+        # Reference-uniform status line incl. the ≥1e9 wide-ID compaction
+        # (BatchChunker.pm:1676-1745); formatting lives in progress.py.
         if not self.verbose:
             return
+        from .progress import chunk_status_line
+
         ls = self._ls
-        runtime = self.time_source() - ls.chunk_timer
-        line = f"IDs {ls.start} to {ls.end} {action}"
-        if ls.chunk_count is not None:
-            pct = ls.chunk_count / ls.chunk_size
-            line += f", {ls.chunk_count:,} rows ({pct:.1%} of chunk size)"
-        line += f" in {runtime:.2f}s"
-        self._message(line)
+        runtime = (
+            ls.prev_runtime
+            if action == "processed"
+            else self.time_source() - ls.chunk_timer
+        )
+        self._message(
+            chunk_status_line(
+                ls.start,
+                ls.end,
+                action,
+                ls.chunk_count,
+                ls.chunk_size,
+                runtime=runtime,
+                sleep=self.sleep or 0.0,
+            )
+        )
 
     def _increment_progress(self) -> None:
         if self.on_progress is None or self.min_id is None or self.max_id is None:

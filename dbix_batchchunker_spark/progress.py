@@ -9,9 +9,76 @@ silence), with messages always passed through.
 
 from __future__ import annotations
 
+import re
 import sys
 import time
 from typing import Optional, TextIO
+
+# ---------------------------------------------------------------------------
+# Number formatting for status lines (A15; reference BatchChunker.pm:1686-1745
+# uses CLDR formatters and compacts spacing once IDs exceed 1e9 — wide IDs
+# would otherwise blow out the fixed-width columns).
+# ---------------------------------------------------------------------------
+WIDE_ID = 1_000_000_000
+
+
+def format_int(n: int, sep: str = ",") -> str:
+    """Grouped integer (CLDR 'en' decimal pattern; pass sep for other
+    locales' group separators)."""
+    return f"{n:,}".replace(",", sep)
+
+
+def format_decimal(x: float, digits: int = 2) -> str:
+    """Fixed-fraction decimal (CLDR decimal formatter with min=max fraction
+    digits, reference BatchChunker.pm:1689-1692)."""
+    return f"{x:.{digits}f}"
+
+
+def format_percent(frac: float) -> str:
+    """Integer percent, CLDR percent-formatter default (0.85 → '85%')."""
+    return f"{round(frac * 100):.0f}%"
+
+
+def chunk_status_line(
+    start: int,
+    end: int,
+    action: str,
+    chunk_count: Optional[int],
+    chunk_size: int,
+    runtime: Optional[float] = None,
+    sleep: float = 0.0,
+) -> str:
+    """Reference-uniform chunk status line (BatchChunker.pm:1694-1741).
+
+    IDs below 1e9 render in fixed-width columns with grouped row counts;
+    at/above 1e9 the raw (ungrouped) IDs are printed and runs of spaces are
+    compacted so 41-digit cursors stay on one readable line.
+    """
+    wide = start >= WIDE_ID or end >= WIDE_ID
+    if chunk_count is None:
+        count_display = "?"
+    elif wide:
+        count_display = str(chunk_count)
+    else:
+        count_display = format_int(chunk_count)
+    if wide:
+        msg = f"IDs {start} to {end} {action}, {count_display} rows found"
+    else:
+        msg = f"IDs {start:6d} to {end:6d} {action:>9s}, {count_display:>9s} rows found"
+    if chunk_count:
+        msg += f" ({format_percent(chunk_count / chunk_size):>4s} of chunk size)"
+    if action == "processed" and runtime is not None:
+        if sleep:
+            msg += (
+                f", {format_decimal(runtime):>5s}+{format_decimal(sleep)}"
+                " sec runtime+sleep"
+            )
+        else:
+            msg += f", {format_decimal(runtime):>5s} sec runtime"
+    if wide:
+        msg = re.sub(r"\s+", " ", msg)
+        msg = re.sub(r"\(\s+", "(", msg)
+    return msg
 
 
 class ProgressPrinter:

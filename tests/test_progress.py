@@ -1,0 +1,81 @@
+"""A15 progress/status formatting: CLDR-style grouping, fixed-width status
+lines, and the ≥1e9 wide-ID compaction (reference BatchChunker.pm:1676-1745).
+No Spark needed — pure formatting."""
+
+from __future__ import annotations
+
+import io
+
+from dbix_batchchunker_spark.progress import (
+    ProgressPrinter,
+    chunk_status_line,
+    format_decimal,
+    format_int,
+    format_percent,
+)
+
+
+def test_format_helpers():
+    assert format_int(1234567) == "1,234,567"
+    assert format_int(1234567, sep=".") == "1.234.567"
+    assert format_decimal(7.5) == "7.50"
+    assert format_decimal(0.125, 1) == "0.1"
+    assert format_percent(0.85) == "85%"
+    assert format_percent(1.2345) == "123%"
+
+
+def test_status_line_narrow_ids_fixed_width():
+    line = chunk_status_line(1, 5000, "processed", 4321, 5000, runtime=1.5)
+    assert line == (
+        "IDs      1 to   5000 processed,     4,321 rows found"
+        " ( 86% of chunk size),  1.50 sec runtime"
+    )
+
+
+def test_status_line_sleep_variant():
+    line = chunk_status_line(1, 100, "processed", 100, 100, runtime=2.0, sleep=0.5)
+    assert line.endswith(",  2.00+0.50 sec runtime+sleep")
+    assert "(100% of chunk size)" in line
+
+
+def test_status_line_checked_has_no_runtime():
+    line = chunk_status_line(1, 100, "checked", 7, 100, runtime=9.9)
+    assert "sec runtime" not in line
+    assert "rows found" in line
+
+
+def test_status_line_wide_ids_compacted():
+    # ≥1e9 IDs: raw (ungrouped) ids, single-spaced, no padded parens
+    line = chunk_status_line(
+        10**12, 10**12 + 499, "processed", 500, 500, runtime=0.25
+    )
+    assert line == (
+        "IDs 1000000000000 to 1000000000499 processed, 500 rows found"
+        " (100% of chunk size), 0.25 sec runtime"
+    )
+    assert "  " not in line  # compaction collapsed every space run
+    line9 = chunk_status_line(10**9, 10**9 + 1, "checked", 2, 500)
+    assert "1000000000" in line9 and "  " not in line9
+
+
+def test_status_line_unknown_count():
+    line = chunk_status_line(1, 100, "checked", None, 100)
+    assert "? rows found" in line
+    assert "chunk size" not in line
+
+
+def test_progress_printer_silent_when_not_tty():
+    buf = io.StringIO()  # not a TTY → bar suppressed, messages pass through
+    p = ProgressPrinter(stream=buf)
+    p.on_progress(5, 10)
+    assert buf.getvalue() == ""
+    p.on_message("hello")
+    assert buf.getvalue() == "hello\n"
+
+
+def test_progress_printer_bar_when_forced():
+    buf = io.StringIO()
+    p = ProgressPrinter(stream=buf, force=True)
+    p.on_progress(10, 10)
+    out = buf.getvalue()
+    assert "100.0%" in out and "(10/10)" in out
