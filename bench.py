@@ -32,6 +32,24 @@ def main() -> None:
     # Warm up the JVM/codegen paths outside the timed region.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Round-over-round anchor: the newest BENCH_r*.json next to this script
+    # provides per-query baselines so regressions show per query, not just
+    # in the total.
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior: dict[str, float] = {}
+    prior_files = sorted(
+        (f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f)),
+        key=lambda f: int(re.search(r"\d+", f).group()),
+    )
+    if prior_files:
+        try:
+            with open(os.path.join(here, prior_files[-1])) as fh:
+                obj = json.load(fh)
+            # the driver wraps bench.py's JSON line under "parsed"
+            prior = obj.get("queries") or obj.get("parsed", {}).get("queries") or {}
+        except (OSError, ValueError):
+            prior = {}
+
     timings: dict[str, float] = {}
     queries = entry_mod.queries()
     for name in sorted(queries):
@@ -39,20 +57,27 @@ def main() -> None:
         df = queries[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        delta = (
+            f" ({timings[name] - prior[name]:+.3f}s vs {prior_files[-1]})"
+            if name in prior
+            else ""
+        )
+        print(f"# {name}: {timings[name]:.3f}s{delta}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if prior:
+        out["deltas_vs_prior"] = {
+            n: round(timings[n] - prior[n], 3) for n in timings if n in prior
+        }
+        out["prior_bench"] = prior_files[-1]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -362,6 +362,73 @@ def dd04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# dd07: SimHash near-dup PAIRS via banded Hamming lookup — the dedup use of   #
+# the dd04 signature. 4 bands × 16 bits: by pigeonhole, a pair differing in   #
+# ≤3 bits can disturb at most 3 bands, so it MUST collide on ≥1 exact band —  #
+# recall is exactly 1.0 for the ≤3-Hamming contract (not probabilistic like   #
+# minhash banding). Verify is XOR+popcount on the bucket-join candidates.     #
+# --------------------------------------------------------------------------- #
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 64 // SIMHASH_BANDS
+SIMHASH_MAX_HAMMING = SIMHASH_BANDS - 1  # the bound banding guarantees
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING
+) -> DataFrame:
+    """Pairs within ``max_hamming`` bits of simhash distance.
+
+    Guaranteed-complete only for max_hamming ≤ SIMHASH_BANDS-1; a larger
+    radius would need more/narrower bands (pigeonhole again).
+    """
+    sh = simhash(docs).persist()  # band self-join scans it from both sides
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    entries = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("simhash", b * SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bucket")
+    a, b = entries.alias("a"), entries.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@query("dd07_simhash_pairs")  # no oracle: banded bit-vote pipeline; recall
+def dd07_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # contract (hamming ≤ 3 ⇒ found) is exercised in tests/test_extensions.py
+    docs = t(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------------------------------- #
 # dd05: MLlib MinHashLSH variant (SURVEY.md §2.C's suggested mapping:         #
 # HashingTF → MinHashLSH), AND-amplified.                                     #
 #                                                                             #

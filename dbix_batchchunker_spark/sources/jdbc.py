@@ -30,10 +30,17 @@ except ImportError:  # pragma: no cover
 
 
 def chunk_predicates(
-    ranges: Iterable[Tuple[int, int]], id_name: str
+    ranges: Iterable[Tuple[int, int]], id_name: str, quote: Optional[str] = None
 ) -> list[str]:
-    """BETWEEN predicates, one per chunk range → one Spark partition each."""
-    return [f"{id_name} BETWEEN {start} AND {end}" for start, end in ranges]
+    """BETWEEN predicates, one per chunk range → one Spark partition each.
+
+    ``quote`` wraps the identifier (ANSI ``'"'`` for case-sensitive columns —
+    Spark's JDBC writer quotes column names, so folding databases like Derby
+    store them case-sensitively and the predicate must match; MySQL would
+    take a backtick).
+    """
+    ident = f"{quote}{id_name}{quote}" if quote else id_name
+    return [f"{ident} BETWEEN {start} AND {end}" for start, end in ranges]
 
 
 def stride_ranges(
@@ -58,17 +65,20 @@ def read_chunked(
     id_name: str,
     ranges: Iterable[Tuple[int, int]],
     properties: Optional[dict] = None,
+    quote: Optional[str] = None,
 ) -> "DataFrame":
     """Partitioned JDBC read: one partition per chunk range.
 
     ``ranges`` typically comes from :meth:`BatchChunker.chunk_ranges` (static)
     or a completed adaptive run. Filters/projections applied on the result
     push down into each partition's WHERE clause (Catalyst JDBC pushdown).
+    Exercised end-to-end against embedded Derby in
+    tests/test_sources_and_plans.py.
     """
     return spark.read.jdbc(
         url=url,
         table=table,
-        predicates=chunk_predicates(ranges, id_name),
+        predicates=chunk_predicates(ranges, id_name, quote=quote),
         properties=properties or {},
     )
 

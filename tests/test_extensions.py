@@ -118,6 +118,39 @@ def test_simhash_near_dups_close_in_hamming(spark):
     assert hamming(sig[0], sig[2]) > 12
 
 
+def test_simhash_banded_pairs_exact_for_hamming_bound(spark):
+    """dd07 contract: 4×16-bit banding finds EVERY pair within Hamming ≤ 3
+    (pigeonhole guarantee) and nothing beyond the bound — checked against a
+    driver-side brute force over the real corpus signatures."""
+    import itertools
+
+    from dbix_batchchunker_spark.operators.dedup import (
+        SIMHASH_MAX_HAMMING,
+        simhash,
+        simhash_near_pairs,
+    )
+    from dbix_batchchunker_spark.operators.registry import t as load
+
+    docs = load(spark, SF_DIR, "documents")
+    got = {(r.doc_a, r.doc_b): r.hamming for r in simhash_near_pairs(docs).collect()}
+    sig = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+
+    expected = {}
+    for a, b in itertools.combinations(sorted(sig), 2):
+        hd = bin((sig[a] ^ sig[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+        if hd <= SIMHASH_MAX_HAMMING:
+            expected[(a, b)] = hd
+    assert got == expected
+    assert expected, "corpus should contain at least one simhash near-dup"
+
+    # identical texts hash identically → hamming 0 pairs always found
+    planted = _doc_df(spark, [BASE, BASE, "something else entirely about "
+                              "query planners and cost models"])
+    ppairs = {(r.doc_a, r.doc_b): r.hamming
+              for r in simhash_near_pairs(planted).collect()}
+    assert ppairs.get((0, 1)) == 0
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark):
     from dbix_batchchunker_spark.operators.similarity import (
         sim01_topk_bruteforce,

@@ -72,6 +72,70 @@ def test_dml_per_chunk_executes_on_partitions(spark, tmp_path):
     assert n == 100
 
 
+def test_adaptive_chunk_ranges_drive_jdbc_partitions(spark, tmp_path):
+    """End-to-end JDBC contract (embedded Derby ships in Spark's jars):
+    the ranges an ADAPTIVE chunker run actually executed become the
+    read-side predicates — partition count == chunk count, and every
+    partition holds exactly its chunk's id range."""
+    import sqlite3
+
+    from dbix_batchchunker_spark import BatchChunker
+    from dbix_batchchunker_spark.sources.jdbc import read_chunked, write_chunked
+    from pyspark.sql import functions as F
+
+    # Skewed source: dense ids 0-999, sparse 1000-4999 (every 8th) → the
+    # count probe resizes chunks, so executed ranges are non-uniform.
+    ids = list(range(1000)) + list(range(1000, 5000, 8))
+    src = str(tmp_path / "src.db")
+    conn = sqlite3.connect(src)
+    conn.execute("CREATE TABLE src (id INTEGER PRIMARY KEY)")
+    conn.executemany("INSERT INTO src VALUES (?)", [(i,) for i in ids])
+    conn.commit()
+    conn.close()
+
+    executed = []
+    bc = BatchChunker(
+        dbapi_connector=lambda: sqlite3.connect(src),
+        coderef=lambda bc, start, end: executed.append((start, end)),
+        count_stmt="SELECT COUNT(*) FROM src WHERE id BETWEEN ? AND ?",
+        min_stmt="SELECT MIN(id) FROM src",
+        max_stmt="SELECT MAX(id) FROM src",
+        chunk_size=500,
+        target_time=0,
+        sleep=0,
+    )
+    bc.calculate_ranges()
+    bc.execute()
+    assert len(executed) > 2
+    assert len({e - s for s, e in executed}) > 1, "resizing never engaged"
+
+    url = f"jdbc:derby:{tmp_path}/derby/db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    write_chunked(df, url, "src_jdbc", mode="overwrite",
+                  num_partitions=2, properties=props)
+
+    rc = read_chunked(spark, url, "src_jdbc", "id", executed,
+                      properties=props, quote='"')
+    assert rc.rdd.getNumPartitions() == len(executed)
+    per = {
+        r.pid: (r.lo, r.hi, r.n)
+        for r in rc.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.min("id").alias("lo"), F.max("id").alias("hi"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = 0
+    for pid, (start, end) in enumerate(executed):
+        if pid not in per:
+            continue  # chunk range held no rows
+        lo, hi, n = per[pid]
+        assert start <= lo <= hi <= end, (pid, (start, end), (lo, hi))
+        total += n
+    assert total == len(ids)
+
+
 # ---------------------------- parquet keyed overwrite -----------------------
 
 
