@@ -860,6 +860,14 @@ class ConcurrentChunker:
     count-feedback racy by construction); cursor semantics preserved as the
     CONTIGUOUS completed prefix, so resume-after-interrupt never skips an
     unfinished chunk. Work must be idempotent, same as the serial loop.
+
+    Supported dispatch modes: DataFrame+coderef and DIY coderef — both hand
+    work to Spark (or user code) that is safe to call from multiple threads.
+    DBAPI stmt mode is REJECTED at construction: the chunker holds a single
+    shared connection, and DBAPI connections are not thread-safe across
+    ``max_in_flight`` workers. Run stmt-mode loops serially, or use
+    :func:`sources.jdbc.execute_dml_per_chunk`, which opens one connection
+    per Spark partition on the executors instead.
     """
 
     def __init__(
@@ -867,6 +875,17 @@ class ConcurrentChunker:
         bc: BatchChunker,
         max_in_flight: int = 4,
     ) -> None:
+        if bc.stmt is not None:
+            raise ValueError(
+                "ConcurrentChunker does not support DBAPI stmt mode: the "
+                "chunker's single DBAPI connection is not thread-safe across "
+                "workers. Use the serial loop, or executor-side DML via "
+                "sources.jdbc.execute_dml_per_chunk."
+            )
+        if bc.coderef is None:
+            raise ValueError(
+                "ConcurrentChunker requires a coderef (DataFrame or DIY mode)."
+            )
         self.bc = bc
         self.max_in_flight = max_in_flight
 

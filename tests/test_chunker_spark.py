@@ -232,3 +232,29 @@ def test_concurrent_chunker_cursor_stops_at_gap(spark):
     with _pytest.raises(RuntimeError):
         ConcurrentChunker(bc, max_in_flight=1).execute()
     assert bc.min_id == 199  # chunks 0-1 done; cursor before the failed one
+
+
+def test_concurrent_chunker_rejects_stmt_mode():
+    """The chunker's single DBAPI connection is not thread-safe, so
+    constructing a ConcurrentChunker over a stmt-mode BatchChunker must fail
+    loudly at construction, not with a TypeError mid-run."""
+    import sqlite3
+
+    import pytest as _pytest
+
+    from dbix_batchchunker_spark import BatchChunker, ConcurrentChunker
+
+    bc = BatchChunker(
+        dbapi_connector=lambda: sqlite3.connect(":memory:"),
+        stmt="UPDATE t SET v = 1 WHERE id BETWEEN ? AND ?",
+        min_stmt="SELECT 1", max_stmt="SELECT 100",
+        min_id=1, max_id=100, chunk_size=10, target_time=0, sleep=0,
+    )
+    with _pytest.raises(ValueError, match="stmt mode"):
+        ConcurrentChunker(bc)
+
+    bc2 = BatchChunker(min_id=1, max_id=10, chunk_size=5,
+                       coderef=lambda bc, s, e: None, target_time=0, sleep=0)
+    bc2.coderef = None
+    with _pytest.raises(ValueError, match="coderef"):
+        ConcurrentChunker(bc2)
