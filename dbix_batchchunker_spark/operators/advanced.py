@@ -496,3 +496,75 @@ def q29_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("edit_distance") <= 3)
         .orderBy("part_a", "part_b")
     )
+
+
+# --------------------------------------------------------------------------- #
+# q30: gap-based sessionization (batch form) — the classic event-pipeline     #
+# operator: a new session starts when a user's inter-event gap exceeds 30     #
+# minutes. One window pass (lag → marker → running sum) then a grouped        #
+# aggregate; the STREAMING form of the same semantics is                      #
+# streaming/incremental.py (F.session_window / applyInPandasWithState).      #
+# Timestamps compare as unix MICROS on both sides: DuckDB's epoch() returns  #
+# fractional seconds and Spark's unix_timestamp truncates them, so seconds-  #
+# based gaps would disagree at boundaries.                                    #
+# --------------------------------------------------------------------------- #
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@query(
+    "q30_sessionize",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, event_id, us,
+               CASE WHEN us - LAG(us) OVER w > {SESSION_GAP_US}
+                         OR LAG(us) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, us,
+               CAST(SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM marked
+    )
+    SELECT user_id, session_id,
+           MIN(us) AS session_start_us,
+           MAX(us) AS session_end_us,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def q30_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    numbered = marked.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        numbered.groupBy("user_id", "session_id")
+        .agg(
+            F.min("us").alias("session_start_us"),
+            F.max("us").alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )

@@ -59,6 +59,18 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # all arithmetic then stays in decimal (exact, order-independent). Casting a
 # double PRODUCT to decimal is NOT cross-engine deterministic (Java shortest-
 # repr vs full binary expansion round differently) — never do that.
+def widen(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Spread a narrow scan across the cluster for CPU-bound per-row work
+    (shingling, hashing, decoding). Small files arrive as 1-2 input
+    partitions, serializing the expensive stage; repartitioning costs one
+    tiny shuffle locally and is a NO-OP at scale (a 100 TB table already
+    scans wider than defaultParallelism, so the condition never fires)."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def dec2(name: str):
     from pyspark.sql import functions as F
 

@@ -328,3 +328,99 @@ def tx08_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, c: (acc * 31 + c) % _HASH_MOD,
     )
     return docs.select("doc_id", rolled.alias("content_hash"))
+
+
+# --------------------------------------------------------------------------- #
+# tx09: deterministic train/val/test split — hash-based assignment that is    #
+# reproducible across engines, runs, and cluster sizes (the property random  #
+# splits lack). md5 of the id string is the split key: identical lowercase   #
+# hex in Spark and DuckDB, so the lexicographic threshold compare agrees     #
+# byte-for-byte. First hex byte < 0x10 → val (1/16), < 0x20 → test (1/16),   #
+# else train.                                                                 #
+# --------------------------------------------------------------------------- #
+@query(
+    "tx09_det_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '10' THEN 'val'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20' THEN 'test'
+                ELSE 'train' END AS split
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def tx09_det_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return docs.select(
+        "doc_id",
+        F.when(key < "10", "val").when(key < "20", "test").otherwise("train").alias(
+            "split"
+        ),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------- #
+# tx10: benchmark decontamination — flag training docs sharing any word       #
+# 5-gram with a held-out "benchmark" set (here: doc_id < 10). The standard   #
+# n-gram-overlap contamination check, as a shingle explode + broadcast        #
+# semi-join: candidates never pair docs, so the cost is O(total shingles),    #
+# not O(docs²). At 100 TB the benchmark shingle set stays broadcast-sized    #
+# (benchmarks are small by definition).                                      #
+# --------------------------------------------------------------------------- #
+_DECON_N = 5
+_DECON_BENCH = 10  # doc_id < this = the "benchmark" set
+
+
+@query(
+    "tx10_decontaminate",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_tokens_sql()} AS w FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(0, greatest(len(w) - {_DECON_N}, 0) + 1),
+                   i -> array_to_string(w[i + 1 : i + {_DECON_N}], ' ')
+               ))) AS gram
+        FROM d
+    )
+    SELECT DISTINCT doc_id
+    FROM g
+    WHERE doc_id >= {_DECON_BENCH}
+      AND gram IN (SELECT gram FROM g WHERE doc_id < {_DECON_BENCH})
+    ORDER BY doc_id
+    """,
+)
+def tx10_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tokens are materialized as a column BEFORE shingling: expressions
+    # inside a transform() lambda get no common-subexpression elimination, so
+    # referencing the split() directly would re-split the whole text for
+    # every element_at — measured 16.8s → 1.4s at sf0.1 for this change.
+    from .registry import widen
+
+    docs = t(spark, sf_dir, "documents")
+    n = _DECON_N
+    with_toks = widen(docs, spark).select("doc_id", _tokens_spark().alias("toks"))
+    toks = F.col("toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    shingles = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+    grams = with_toks.select("doc_id", F.explode(shingles).alias("gram"))
+    bench = (
+        grams.where(F.col("doc_id") < _DECON_BENCH).select("gram").distinct()
+    )
+    return (
+        grams.where(F.col("doc_id") >= _DECON_BENCH)
+        .join(F.broadcast(bench), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+    )
