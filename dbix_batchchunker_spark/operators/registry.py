@@ -59,16 +59,13 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # all arithmetic then stays in decimal (exact, order-independent). Casting a
 # double PRODUCT to decimal is NOT cross-engine deterministic (Java shortest-
 # repr vs full binary expansion round differently) — never do that.
-def widen(df: DataFrame, spark: SparkSession) -> DataFrame:
-    """Spread a narrow scan across the cluster for CPU-bound per-row work
-    (shingling, hashing, decoding). Small files arrive as 1-2 input
-    partitions, serializing the expensive stage; repartitioning costs one
-    tiny shuffle locally and is a NO-OP at scale (a 100 TB table already
-    scans wider than defaultParallelism, so the condition never fires)."""
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+# NOTE (measured, do not revive): a `widen()` helper that repartition()ed
+# narrow single-file scans to defaultParallelism before CPU-heavy stages made
+# the dedup family ~1.7× SLOWER in aggregate (39s → 67s at sf0.1): the fixed
+# -width Exchange lands before column pruning, carries full rows, and opts
+# the subtree out of AQE coalescing. Spark's own scan parallelism + AQE is
+# the right default; fix narrow-input hotspots at the source (file layout /
+# maxPartitionBytes), not with a blanket reshuffle.
 
 
 def dec2(name: str):

@@ -398,11 +398,9 @@ def tx10_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inside a transform() lambda get no common-subexpression elimination, so
     # referencing the split() directly would re-split the whole text for
     # every element_at — measured 16.8s → 1.4s at sf0.1 for this change.
-    from .registry import widen
-
     docs = t(spark, sf_dir, "documents")
     n = _DECON_N
-    with_toks = widen(docs, spark).select("doc_id", _tokens_spark().alias("toks"))
+    with_toks = docs.select("doc_id", _tokens_spark().alias("toks"))
     toks = F.col("toks")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     shingles = F.array_distinct(
