@@ -331,15 +331,18 @@ def dd03_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dd04: SimHash — 64-bit signature from token-frequency bit votes             #
 # --------------------------------------------------------------------------- #
 def simhash(docs: DataFrame) -> DataFrame:
-    """doc_id → 64-bit simhash (signed long bit pattern)."""
+    """doc_id → 64-bit simhash (signed long bit pattern).
+
+    Term-frequency weighting comes FREE from summing ±1 per token
+    OCCURRENCE: sum over occurrences of ±1 ≡ sum over distinct tokens of
+    ±tf. That removes the (doc_id, token) pre-count aggregation the first
+    version used — one shuffle instead of two, same bits (verified equal
+    at sf0.001/sf0.01)."""
     tok = docs.select("doc_id", F.explode(_tokens()).alias("token"))
-    counted = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("w"))
-    hashed = counted.withColumn("h", F.xxhash64("token"))
+    hashed = tok.withColumn("h", F.xxhash64("token"))
     votes = [
         F.sum(
-            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(
-                -F.col("w")
-            )
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{b}")
         for b in range(64)
     ]

@@ -208,6 +208,23 @@ def test_aggregate_has_mapside_combine(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_sessionize_reuses_window_partitioning(spark):
+    """q30's grouped aggregate must reuse the window's user_id hash
+    partitioning — the ONLY hash exchange in the plan is the window's (the
+    second exchange is the final orderBy's range partitioning). A plan that
+    re-shuffles between Window and HashAggregate doubles the shuffle volume
+    of the whole operator."""
+    from dbix_batchchunker_spark.operators.advanced import q30_sessionize
+    from dbix_batchchunker_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(q30_sessionize(spark, SF_DIR))
+    hash_exchanges = [
+        ln for ln in plan.splitlines() if ln.strip().startswith("Arguments: hashpartitioning")
+    ]
+    assert len(hash_exchanges) == 1, plan
+    assert "Window" in plan and "HashAggregate" in plan
+
+
 def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     """Co-bucketed tables join with no Exchange on either side."""
     from dbix_batchchunker_spark.plans.explain import formatted_plan
