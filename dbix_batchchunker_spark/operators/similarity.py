@@ -320,3 +320,58 @@ def sim04_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+# --------------------------------------------------------------------------- #
+# sim05: MLlib BucketedRandomProjectionLSH ANN — the stock-estimator mapping  #
+# SURVEY §2.C names for similarity search (as dd05 is for dedup). Euclidean   #
+# metric (that is what BRP-LSH hashes); fixed seed for determinism; the       #
+# candidate set comes from approxSimilarityJoin of the query vectors against  #
+# the corpus within a distance threshold, then exact ranking of candidates.   #
+# Rows-only in the gate (LSH internals aren't SQL); recall vs the exact       #
+# euclidean top-k is asserted in tests/test_extensions.py.                    #
+# --------------------------------------------------------------------------- #
+def _euclid(a, b):
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+@query("sim05_mllib_brp_ann")  # no oracle: MLlib LSH internals, rows-only
+def sim05_mllib_brp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    brp = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=2.0, numHashTables=4, seed=42,
+    )
+    model = brp.fit(emb)
+    queries_df = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    pairs = model.approxSimilarityJoin(
+        queries_df, emb, threshold=12.0, distCol="dist"
+    )
+    scored = (
+        pairs.where(F.col("datasetA.vec_id") != F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("query_id"),
+            F.col("datasetB.vec_id").alias("neighbor_id"),
+            F.round(F.col("dist"), 6).alias("euclid_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("euclid_dist").asc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "euclid_dist")
+    )

@@ -265,6 +265,50 @@ def test_ivf_ann_recall_vs_bruteforce(spark):
     assert hits / total >= 0.3, f"IVF recall {hits / total:.2f}"
 
 
+def test_mllib_brp_ann_recall_vs_exact_euclidean(spark):
+    """sim05 (stock BucketedRandomProjectionLSH) must recover most of the
+    exact euclidean top-k (fixed seed → deterministic recall)."""
+    from dbix_batchchunker_spark.operators.similarity import (
+        N_QUERY_VECS,
+        TOP_K,
+        sim05_mllib_brp_ann,
+    )
+    from dbix_batchchunker_spark.operators.registry import t as load
+    from pyspark.sql import Window
+
+    emb = load(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("qvec"),
+            F.col("embedding"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), d2.alias("dd"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dd").asc(), "neighbor_id")
+    exact_rows = (
+        scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= TOP_K).collect()
+    )
+    exact = {}
+    for r in exact_rows:
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ann = {}
+    for r in sim05_mllib_brp_ann(spark, SF_DIR).collect():
+        ann.setdefault(r.query_id, set()).add(r.neighbor_id)
+    total = sum(len(s) for s in exact.values())
+    hits = sum(len(s & ann.get(k, set())) for k, s in exact.items())
+    assert hits / total >= 0.8, f"BRP-LSH recall {hits / total:.2f}"
+
+
 def test_multimodal_resize_and_frame_sample(spark):
     from dbix_batchchunker_spark.operators.multimodal import (
         mm03_resize_and_sample,
