@@ -422,3 +422,42 @@ def tx10_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------- #
+# tx11: deterministic per-group sampling — keep the k docs with smallest      #
+# md5(id) per language. The hash order is a uniform permutation that both    #
+# engines (and any cluster size) agree on, so eval subsets are reproducible  #
+# — rerunning on different hardware samples the SAME docs, unlike rand().    #
+# --------------------------------------------------------------------------- #
+_SAMPLE_K = 5
+
+
+@query(
+    "tx11_group_sample",
+    oracle=f"""
+    SELECT lang, doc_id
+    FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    )
+    WHERE rn <= {_SAMPLE_K}
+    ORDER BY lang, doc_id
+    """,
+)
+def tx11_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _SAMPLE_K)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
