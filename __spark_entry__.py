@@ -16,30 +16,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Importing the operator modules populates the registry.
+# Importing the operator modules populates the registry. Imports are
+# UNCONDITIONAL on purpose: a swallowed ImportError here would silently
+# drop an entire query family from the correctness gate.
 from dbix_batchchunker_spark.operators import registry
 from dbix_batchchunker_spark.operators import (  # noqa: F401
     advanced,
     chunked,
+    dedup,
+    multimodal,
     relational,
+    similarity,
+    text,
 )
-
-try:  # extension modules land incrementally; keep entry importable
-    from dbix_batchchunker_spark.operators import dedup  # noqa: F401
-except ImportError:
-    pass
-try:
-    from dbix_batchchunker_spark.operators import similarity  # noqa: F401
-except ImportError:
-    pass
-try:
-    from dbix_batchchunker_spark.operators import text  # noqa: F401
-except ImportError:
-    pass
-try:
-    from dbix_batchchunker_spark.operators import multimodal  # noqa: F401
-except ImportError:
-    pass
 
 SF0001 = "/root/testdata/sf0.001"
 
