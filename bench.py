@@ -57,6 +57,9 @@ def main() -> None:
         df = queries[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
+        # Queries are standalone: drop any frames they persisted so cache
+        # leakage doesn't build GC pressure for the queries that follow.
+        spark.catalog.clearCache()
         delta = (
             f" ({timings[name] - prior[name]:+.3f}s vs {prior_files[-1]})"
             if name in prior
