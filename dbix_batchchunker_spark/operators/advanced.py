@@ -486,7 +486,16 @@ def q29_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.p_brand") == F.col("b.p_brand"))
             & (F.col("a.name_block") == F.col("b.name_block"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            # exact-preserving prune: |len(a)-len(b)| > 3 ⇒ levenshtein > 3
+            # (insertions alone must cover the length gap) — measured 2×,
+            # skips the O(len²) DP for pairs that can't qualify
+            & (
+                F.abs(
+                    F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))
+                )
+                <= 3
+            ),
         )
         .select(
             F.col("a.p_partkey").alias("part_a"),
