@@ -40,7 +40,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(registry.QUERIES)
+    """All registered queries, ORACLE-GATED ENTRIES FIRST.
+
+    The driver's correctness gate adjudicates a prefix of this dict (50
+    entries in round 2), so ordering is load-bearing: every query with a
+    DuckDB oracle must precede the rows-only demos, or oracle-gated queries
+    silently receive no CORRECTNESS row (round-2 failure mode: tx06-tx11).
+    Within each group, registration (import) order is preserved.
+    """
+    gated = {n: fn for n, fn in registry.QUERIES.items() if n in registry.ORACLES}
+    rows_only = {
+        n: fn for n, fn in registry.QUERIES.items() if n not in registry.ORACLES
+    }
+    return {**gated, **rows_only}
 
 
 def oracle_sql() -> dict[str, str]:

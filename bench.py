@@ -41,27 +41,40 @@ def main() -> None:
         (f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f)),
         key=lambda f: int(re.search(r"\d+", f).group()),
     )
-    if prior_files:
+    prior_name = None
+    # Newest parseable file wins. The driver wraps bench.py's JSON line under
+    # "parsed", and a truncated artifact can leave "parsed": null — guard
+    # every level and fall back to older files; baselines are best-effort.
+    for fname in reversed(prior_files):
         try:
-            with open(os.path.join(here, prior_files[-1])) as fh:
+            with open(os.path.join(here, fname)) as fh:
                 obj = json.load(fh)
-            # the driver wraps bench.py's JSON line under "parsed"
-            prior = obj.get("queries") or obj.get("parsed", {}).get("queries") or {}
-        except (OSError, ValueError):
-            prior = {}
+            cand = obj.get("queries") or (obj.get("parsed") or {}).get("queries")
+            if isinstance(cand, dict) and cand:
+                prior, prior_name = cand, fname
+                break
+        except Exception:
+            continue
 
+    # Run-to-run noise at sf0.1 is ±10% (GC/scheduling), which swamps real
+    # per-query deltas; min-of-N (default 2) makes round-over-round deltas
+    # attributable. Override with SPARK_GRAFT_BENCH_RUNS=1 for a quick pass.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     queries = entry_mod.queries()
     for name in sorted(queries):
-        t0 = time.monotonic()
-        df = queries[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
-        # Queries are standalone: drop any frames they persisted so cache
-        # leakage doesn't build GC pressure for the queries that follow.
-        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.monotonic()
+            df = queries[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.monotonic() - t0)
+            # Queries are standalone: drop any frames they persisted so cache
+            # leakage doesn't build GC pressure for the queries that follow.
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
         delta = (
-            f" ({timings[name] - prior[name]:+.3f}s vs {prior_files[-1]})"
+            f" ({timings[name] - prior[name]:+.3f}s vs {prior_name})"
             if name in prior
             else ""
         )
@@ -74,12 +87,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "timing": f"min_of_{runs}",
     }
     if prior:
         out["deltas_vs_prior"] = {
             n: round(timings[n] - prior[n], 3) for n in timings if n in prior
         }
-        out["prior_bench"] = prior_files[-1]
+        out["prior_bench"] = prior_name
     print(json.dumps(out))
 
 

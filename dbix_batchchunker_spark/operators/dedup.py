@@ -183,7 +183,11 @@ def minhash_signatures(
 
 def lsh_candidate_pairs(sig: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> DataFrame:
     """Band the signatures and self-join on band buckets → candidate pairs."""
-    band_entries = _band_entries(sig, bands, rows)
+    return _candidates_from_entries(_band_entries(sig, bands, rows))
+
+
+def _candidates_from_entries(band_entries: DataFrame) -> DataFrame:
+    """Self-join (band, bucket) entry rows → distinct candidate pairs."""
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     return (
@@ -482,24 +486,29 @@ def dd05_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = tf.transform(docs.select("doc_id", "words_str"))
     mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=MINHASH_HASHES, seed=42)
     model = mh.fit(feats)
-    # One vector_to_array per exploded hash row, then reassemble in table
-    # order — 64 per-row vector_to_array calls on the array<vector> column
-    # measured 2× slower than this explode/agg shape.
-    exploded = (
+    # One vector_to_array per exploded hash row — 64 per-row vector_to_array
+    # calls on the array<vector> column measured 2× slower than this shape.
+    # Band DIRECTLY from the exploded rows (band = pos div rows-per-band) with
+    # a single (doc_id, band) aggregate: reassembling full 64-long signatures
+    # first (sort_array(collect_list(...)) per doc, then a 16-struct explode
+    # with 64 element_at calls) cost ~2× this plan at sf0.1. The bucket is a
+    # hash of the pos-ordered in-band hash tuple, so the 16×4 AND-banding
+    # contract is unchanged — same-band equality ⇔ same bucket.
+    entries = (
         model.transform(feats)
         .select("doc_id", F.posexplode("hashes").alias("pos", "hv"))
-        .select("doc_id", "pos", vector_to_array("hv")[0].cast("long").alias("h"))
-    )
-    sigs = (
-        exploded.groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "h"))), lambda s: s.h
-            ).alias("sig")
+        .select(
+            "doc_id",
+            (F.col("pos") / PAIR_ROWS).cast("int").alias("band"),
+            F.struct("pos", vector_to_array("hv")[0].cast("long").alias("h")).alias(
+                "ph"
+            ),
         )
-        .persist()
+        .groupBy("doc_id", "band")
+        .agg(F.xxhash64(F.sort_array(F.collect_list("ph"))).alias("bucket"))
+        .persist()  # scanned from both sides of the band self-join
     )
-    cand = lsh_candidate_pairs(sigs, bands=PAIR_BANDS, rows=PAIR_ROWS)
+    cand = _candidates_from_entries(entries)
     w = docs.select("doc_id", "words")
     a, b = w.alias("wa"), w.alias("wb")
     inter = F.size(F.array_intersect(F.col("wa.words"), F.col("wb.words")))

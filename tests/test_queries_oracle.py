@@ -122,3 +122,19 @@ def test_registry_contract():
     assert len(q) == len(set(q))
     prefixes = ("q", "dd", "sim", "tx", "mm")
     assert all(name.startswith(prefixes) for name in q)
+
+
+def test_oracle_gated_queries_enumerate_first():
+    """The driver's correctness gate adjudicates only a PREFIX of queries()
+    (50 entries in round 2). Every oracle-gated query must therefore sort
+    before every rows-only one, or gated queries silently lose their
+    CORRECTNESS row (round-2 failure: tx06-tx11 got no adjudication)."""
+    q, o = entry_mod.queries(), entry_mod.oracle_sql()
+    names = list(q)
+    first_rows_only = next(
+        (i for i, n in enumerate(names) if n not in o), len(names)
+    )
+    trailing_gated = [n for n in names[first_rows_only:] if n in o]
+    assert not trailing_gated, (
+        f"oracle-gated queries registered after rows-only ones: {trailing_gated}"
+    )
