@@ -172,6 +172,14 @@ def minhash_signatures(
             F.array_distinct(_tokens()) if shingle_n == 1 else _shingles(shingle_n)
         ).alias("shingle"),
     )
+    return _signatures_from_shingles(shingled, n_hashes)
+
+
+def _signatures_from_shingles(shingled: DataFrame, n_hashes: int) -> DataFrame:
+    """(doc_id, shingle) rows → doc_id + array<long> signature. The shingle
+    column may be any hashable type — hashing an already-xxhashed long token
+    with a fresh seed is just as valid a minhash family as hashing the
+    string, and lets callers tokenize ONCE for signature and verify stages."""
     aggs = [
         F.min(F.xxhash64("shingle", F.lit(h))).alias(f"h{h}") for h in range(n_hashes)
     ]
@@ -187,19 +195,42 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_
 
 
 def _candidates_from_entries(band_entries: DataFrame) -> DataFrame:
-    """Self-join (band, bucket) entry rows → distinct candidate pairs."""
-    a = band_entries.alias("a")
-    b = band_entries.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    """(band, bucket) entry rows → distinct candidate pairs, skew-proof.
+
+    A naive bucket self-join re-emits every pair once per band it collides
+    in — on a duplicate-dense corpus that is ~10× the distinct pair count
+    (measured sf0.1: 9.3M distinct pairs, ~100M raw join rows). Instead:
+
+    1. aggregate each bucket to its sorted member list and DEDUPE the lists
+       across bands (a duplicate cluster lands in the same bucket in nearly
+       every band, so this alone cuts emission ~6×: 80k bucket rows → 2.3k
+       distinct groups at sf0.1);
+    2. emit each group's C(k,2) pairs with a TWO-LEVEL explode and a
+       round-robin repartition between the levels, so a single 2 000-member
+       bucket (4M pairs) spreads across the cluster instead of serializing
+       one task — single-level flatten(transform(...)) builds the whole k²/2
+       array in one row and was the measured long pole (46 s → 5 s).
+
+    Member lists are sorted, so doc_a < doc_b by construction; the final
+    distinct covers partially-overlapping groups. Every stage is linear in
+    its input — the only super-linear term is the candidate pair count
+    itself, which is the operator's output bound.
+    """
+    spark = band_entries.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    groups = (
+        band_entries.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .where(F.size("docs") > 1)
+        .select("docs")
         .distinct()
     )
+    halves = (
+        groups.select(F.posexplode("docs").alias("i", "doc_a"), "docs")
+        .select("doc_a", F.expr("slice(docs, i + 2, size(docs))").alias("rest"))
+        .repartition(width)
+    )
+    return halves.select("doc_a", F.explode("rest").alias("doc_b")).distinct()
 
 
 def _band_entries(sig: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> DataFrame:
@@ -227,17 +258,29 @@ def near_dup_pairs(
     threshold: float = JACCARD_THRESHOLD,
     bands: int = PAIR_BANDS,
     rows: int = PAIR_ROWS,
+    cache_tokens: bool = True,
 ) -> DataFrame:
     """LSH candidates verified with exact word-set Jaccard ≥ threshold.
 
     Pair emission is inherently O(matches); for cluster-style dedup at scale
     use :func:`dd03_minhash_dedup`'s representative assignment instead.
-    The signature frame is persisted because the band self-join scans it from
-    both sides — without it the 64-min-agg shuffle runs twice.
+
+    Tokenization runs ONCE: the hashed word arrays feed both the minhash
+    signatures (hashing a hashed-long token with a fresh seed is an equally
+    valid minhash family) and the exact verify join. That frame is consumed
+    three times (signature + both verify sides), so it is persisted when
+    ``cache_tokens`` is true (default); pass False to keep the plan fully
+    lazy — callers who persist should ``unpersist()`` via the returned
+    frame's lineage or a surrounding ``spark.catalog.clearCache()``.
     """
-    sig = minhash_signatures(docs).persist()
-    candidates = lsh_candidate_pairs(sig, bands=bands, rows=rows)
     words = docs.select("doc_id", _hashed_words().alias("words"))
+    if cache_tokens:
+        words = words.persist()
+    sig = _signatures_from_shingles(
+        words.select("doc_id", F.explode("words").alias("shingle")),
+        n_hashes=bands * rows,
+    )
+    candidates = lsh_candidate_pairs(sig, bands=bands, rows=rows)
     a = words.alias("wa")
     b = words.alias("wb")
     inter = F.size(F.array_intersect(F.col("wa.words"), F.col("wb.words")))
@@ -506,7 +549,6 @@ def dd05_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "band")
         .agg(F.xxhash64(F.sort_array(F.collect_list("ph"))).alias("bucket"))
-        .persist()  # scanned from both sides of the band self-join
     )
     cand = _candidates_from_entries(entries)
     w = docs.select("doc_id", "words")
