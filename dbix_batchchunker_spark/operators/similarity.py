@@ -375,3 +375,80 @@ def sim05_mllib_brp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", "euclid_dist")
     )
+
+
+# --------------------------------------------------------------------------- #
+# sim06: IVF-bucketed embedding near-dup — the scale-safe sibling of sim03.   #
+# sim03's label-block self-join is Θ(block²) with data-determined (and at     #
+# 100 TB unbounded) block sizes; here the quadratic moves inside IVF cells    #
+# whose size is CONTROLLED by the cluster count (k scales with n, so cells    #
+# stay executor-sized). Sign-LSH is NOT used: measured (SCALING.md), random   #
+# hyperplanes cannot prune a 0.3-cosine threshold. Multi-probe assignment     #
+# (each vector joins its nprobe nearest cells) recovers pairs that straddle   #
+# a cell boundary; recall vs the exact sim03 listing is asserted in pytest.   #
+# Candidate emission reuses the dedup module's skew-proof bucket-group path.  #
+# --------------------------------------------------------------------------- #
+SIM06_THRESHOLD = 0.3
+# 0.3 cosine is a LOW bar — such pairs can straddle distant cells, so recall
+# needs a wide probe (measured: nprobe 3→0.85, 4→0.94, 5→0.97, 6→1.0 at both
+# sf0.001 and sf0.01). At stricter thresholds (or larger k at scale) shrink
+# nprobe/k; the knob trades candidate volume against recall explicitly.
+SIM06_NPROBE = 6
+
+
+def ivf_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = SIM06_THRESHOLD,
+    clusters: int = IVF_CLUSTERS,
+    nprobe: int = SIM06_NPROBE,
+) -> DataFrame:
+    """Same-label pairs with cosine ≥ threshold, candidates from shared IVF
+    cells (multi-probe) instead of a label-block self-join. Output schema and
+    semantics match :func:`sim03_embedding_near_dup` up to IVF recall."""
+    from pyspark.sql import Window
+
+    from .dedup import _candidates_from_entries
+
+    _, centroids = _ivf_index(emb, clusters)
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "centroid_id",
+        (dot(F.col("embedding"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm"))).alias(
+            "csim"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "centroid_id")
+    entries = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= nprobe)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.lit(0).alias("band"),
+            F.col("centroid_id").alias("bucket"),
+        )
+    )
+    cand = _candidates_from_entries(entries)
+    side = emb.select("vec_id", "label", "embedding", "nrm")
+    a, b = side.alias("a"), side.alias("b")
+    cos = F.round(
+        dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    return (
+        cand.join(a, cand.doc_a == F.col("a.vec_id"))
+        .join(b, cand.doc_b == F.col("b.vec_id"))
+        .where((F.col("a.label") == F.col("b.label")) & (cos >= threshold))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+    )
+
+
+@query("sim06_ivf_near_dup")  # no oracle: IVF index isn't SQL-expressible;
+def sim06_ivf_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sim03 is the exact, oracle-gated counterpart this approximates.
+    emb = t(spark, sf_dir, "embeddings").withColumn("nrm", norm(F.col("embedding")))
+    return ivf_near_dup_pairs(emb)

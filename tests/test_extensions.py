@@ -330,3 +330,23 @@ def test_multimodal_resize_and_frame_sample(spark):
     b = sample_frames(df, every_nth=3).collect()
     assert a == b
     assert [r.frame_idx for r in a] == [0, 3, 6, 9]
+
+
+def test_ivf_near_dup_recall_vs_exact(spark):
+    """sim06 contract: the IVF-bucketed candidates must recover (nearly) all
+    of sim03's exact same-label cos>=0.3 pairs, with zero false positives
+    (the verify stage is exact, so sim06 ⊆ sim03 by construction)."""
+    from dbix_batchchunker_spark.operators.similarity import (
+        sim03_embedding_near_dup,
+        sim06_ivf_near_dup,
+    )
+
+    exact = {(r.vec_a, r.vec_b) for r in
+             sim03_embedding_near_dup(spark, SF_DIR).collect()}
+    approx = {(r.vec_a, r.vec_b) for r in
+              sim06_ivf_near_dup(spark, SF_DIR).collect()}
+    assert approx <= exact, "sim06 emitted a pair sim03 did not"
+    assert exact, "corpus should contain same-label pairs at cos>=0.3"
+    recall = len(exact & approx) / len(exact)
+    # measured 1.0 at sf0.001 and sf0.01 with nprobe=6; floor leaves margin
+    assert recall >= 0.95, f"IVF near-dup recall {recall:.3f}"
