@@ -75,7 +75,11 @@ def chunk_status_line(
             )
         else:
             msg += f", {format_decimal(runtime):>5s} sec runtime"
-    if wide:
+    # Reference parity (BatchChunker.pm:1663-1745): the unpadded format kicks
+    # in when IDs are NOT < 1e9, but whitespace compaction only when they are
+    # STRICTLY > 1e9 — an ID of exactly 1_000_000_000 renders unpadded yet
+    # uncompacted.
+    if start > WIDE_ID or end > WIDE_ID:
         msg = re.sub(r"\s+", " ", msg)
         msg = re.sub(r"\(\s+", "(", msg)
     return msg
