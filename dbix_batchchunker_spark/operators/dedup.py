@@ -129,6 +129,11 @@ def dd02_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("b")
     inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
     union = F.size(F.col("a.words")) + F.size(F.col("b.words")) - inter
+    # Size-ratio prune, exact-preserving: J = |A∩B|/|A∪B| ≤ min(|A|,|B|) /
+    # max(|A|,|B|), so J ≥ 0.6 forces the smaller word set to hold ≥ 0.6 of
+    # the larger. Two int comparisons per block pair skip the O(|A|+|B|)
+    # array intersection for size-mismatched pairs before it is built.
+    sa, sb = F.size(F.col("a.words")), F.size(F.col("b.words"))
     # Project the Jaccard ONCE, then filter — referencing the expression in
     # both WHERE and SELECT would evaluate the array intersection twice.
     scored = (
@@ -137,7 +142,8 @@ def dd02_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.len_bucket") == F.col("b.len_bucket"))
             & (F.col("a.salt") == F.col("b.salt"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.least(sa, sb) * F.lit(10) >= F.greatest(sa, sb) * F.lit(6)),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
