@@ -55,8 +55,19 @@ def _tokens():
 
 
 def _shingles(n: int = 3) -> Column:
-    """Word n-gram shingles as strings (distinct)."""
-    toks = _tokens()
+    """Word n-gram shingles as strings (distinct), straight off the text
+    column. ONLY for one-shot use: the token expression is re-evaluated
+    inside the transform lambda (Spark does no CSE in higher-order-function
+    lambdas), so hot paths must materialize a token column first and use
+    :func:`_shingles_of`."""
+    return _shingles_of(_tokens(), n)
+
+
+def _shingles_of(toks: Column, n: int) -> Column:
+    """Word n-gram shingles from an (ideally already-materialized) token
+    array column. Pass a plain column reference — passing an expression
+    re-evaluates it per element_at call (measured 20 s vs 0.9 s for the
+    sf0.1 corpus build)."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.array_distinct(
         F.transform(
@@ -112,28 +123,48 @@ def dd01_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dd02_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Salting: there are only ~|langs|×|len buckets| distinct block keys, so
-    # an unsalted self-join computes a whole block's pair space in ONE task.
-    # Adding doc_id%R to the left key and replicating the right side R times
-    # splits each block's pairs across R tasks — identical result set.
-    R = 8
-    docs = t(spark, sf_dir, "documents").select(
+    feats = t(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
-        _hashed_words().alias("words"),
+        _hashed_words().alias("feats"),
+    )
+    return _blocked_jaccard_pairs(feats, threshold=0.6)
+
+
+def _blocked_jaccard_pairs(feats_df: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard ≥ threshold over a set-valued `feats` column, pairs
+    blocked on (lang, 100-char length bucket) — the oracle-checkable
+    counterpart of the LSH pipelines, shared by dd02 (word sets) and dd08
+    (3-gram shingle sets). `feats_df`: (doc_id, lang, len_bucket, feats).
+
+    Salting: there are only ~|langs|×|len buckets| distinct block keys, so
+    an unsalted self-join computes a whole block's pair space in ONE task.
+    Adding doc_id%R to the left key and replicating the right side R times
+    splits each block's pairs across R tasks — identical result set.
+    """
+    R = 8
+    docs = (
+        feats_df
+        # Empty feature sets can't reach any positive threshold, and a pair
+        # of them would make the Jaccard 0/0 (an error under ANSI mode).
+        .where(F.size("feats") > 0)
     )
     a = docs.withColumn("salt", (F.col("doc_id") % R).cast("int")).alias("a")
     b = docs.withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.lit(R - 1)))
     ).alias("b")
-    inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
-    union = F.size(F.col("a.words")) + F.size(F.col("b.words")) - inter
+    inter = F.size(F.array_intersect(F.col("a.feats"), F.col("b.feats")))
+    union = F.size(F.col("a.feats")) + F.size(F.col("b.feats")) - inter
     # Size-ratio prune, exact-preserving: J = |A∩B|/|A∪B| ≤ min(|A|,|B|) /
-    # max(|A|,|B|), so J ≥ 0.6 forces the smaller word set to hold ≥ 0.6 of
-    # the larger. Two int comparisons per block pair skip the O(|A|+|B|)
+    # max(|A|,|B|), so J ≥ t forces the smaller set to hold ≥ t of the
+    # larger. Two int comparisons per block pair skip the O(|A|+|B|)
     # array intersection for size-mismatched pairs before it is built.
-    sa, sb = F.size(F.col("a.words")), F.size(F.col("b.words"))
+    # (threshold scaled to per-mille ints to keep the predicate integral.)
+    sa, sb = F.size(F.col("a.feats")), F.size(F.col("b.feats"))
+    prune = F.least(sa, sb) * F.lit(1000) >= F.greatest(sa, sb) * F.lit(
+        int(threshold * 1000)
+    )
     # Project the Jaccard ONCE, then filter — referencing the expression in
     # both WHERE and SELECT would evaluate the array intersection twice.
     scored = (
@@ -143,7 +174,7 @@ def dd02_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.len_bucket") == F.col("b.len_bucket"))
             & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.least(sa, sb) * F.lit(10) >= F.greatest(sa, sb) * F.lit(6)),
+            & prune,
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -151,9 +182,105 @@ def dd02_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (inter / union).alias("jaccard_raw"),
         )
     )
-    return scored.where(F.col("jaccard_raw") >= 0.6).select(
+    return scored.where(F.col("jaccard_raw") >= threshold).select(
         "doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard")
     )
+
+
+# --------------------------------------------------------------------------- #
+# dd08: n-gram (3-gram shingle) Jaccard pairs — order-SENSITIVE near-dup      #
+# detection (word-set Jaccard (dd02) is invariant to word order; shingles     #
+# catch reorderings and phrase-level edits). Broder mod-p shingle sampling    #
+# keeps 1/4 of the shingles (those whose md5 starts with 0-3): Jaccard over   #
+# a hash-sampled subset is the standard sketch of full-shingle Jaccard        #
+# ("On the resemblance and containment of documents", Broder 1997), and the  #
+# sampling predicate — md5 lowercase hex — evaluates identically in Spark    #
+# and DuckDB, so the sampled metric itself is oracle-exact. Full shingle     #
+# arrays measured 6× the intersection cost for the same pair decisions at    #
+# the 0.5 threshold.                                                          #
+# --------------------------------------------------------------------------- #
+_SHINGLE_KEEP = ("0", "1", "2", "3")  # md5 first nibble → keep 4/16 = 1/4
+
+
+@query(
+    "dd08_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+               list_filter(regexp_split_to_array(text, '{_WS}'), x -> x != '') AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, lang, len_bucket,
+               list_filter(
+                   list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                 i -> array_to_string(toks[i:i+2], ' '))),
+                   sh -> substr(md5(sh), 1, 1) IN {_SHINGLE_KEEP!r}) AS shingles
+        FROM d
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.shingles, b.shingles))
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+    FROM s a JOIN s b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+      AND len(list_intersect(a.shingles, b.shingles))
+          / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+          >= 0.5
+    """,
+)
+def dd08_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sampled shingles are intersected as xxhash64 longs (same equality-up-
+    # to-collisions argument as _hashed_words; verified against the string-
+    # set oracle). Trailing windows shorter than n collapse identically on
+    # both sides (concat_ws skips nulls / array_to_string on a short slice).
+    # The select chain materializes toks → shingles → sampled hashes so each
+    # higher-order function consumes a COLUMN, not an expression (no CSE
+    # inside HOF lambdas: inlining re-splits the text per window position —
+    # measured 20 s vs 0.9 s for this corpus build at sf0.1).
+    # The shingle+md5 build is the expensive stage here (unlike dd02's word
+    # build) and the corpus arrives as ONE small parquet split, so without a
+    # spread it runs on one core — and it feeds BOTH sides of the block
+    # self-join, so it is persisted to run once. (The blanket-repartition
+    # negative result in registry.py doesn't apply: this Exchange ships 5k
+    # slim rows to parallelize a measured 10 s single-core projection.)
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    feats = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+            "text",
+        )
+        .repartition(width)
+        .select(
+            "doc_id",
+            "lang",
+            "len_bucket",
+            _tokens().alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "len_bucket",
+            _shingles_of(F.col("toks"), 3).alias("shingles"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "len_bucket",
+            F.transform(
+                F.filter(
+                    F.col("shingles"),
+                    lambda s: F.substring(F.md5(s), 1, 1).isin(*_SHINGLE_KEEP),
+                ),
+                lambda x: F.xxhash64(x),
+            ).alias("feats"),
+        )
+        .persist()
+    )
+    return _blocked_jaccard_pairs(feats, threshold=0.5)
 
 
 # --------------------------------------------------------------------------- #
