@@ -54,6 +54,22 @@ def _tokens():
     return F.filter(F.split(F.col("text"), _WS), lambda x: x != F.lit(""))
 
 
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Slim-project then round-robin repartition to shuffle-partition width.
+
+    The documents corpus arrives as ONE parquet split at test scale, so any
+    CPU-heavy projection chained onto the scan runs on a single core. A
+    repartition of the few slim input columns (cheap Exchange) spreads the
+    expensive downstream compute across the cluster. Project-then-spread is
+    NOT the measured-bad blanket repartition in registry.py — that one
+    exchanged full rows before pruning; this one ships only what the
+    downstream expression needs. At real scale (many splits) the Exchange
+    is still near-free relative to the compute it parallelizes.
+    """
+    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.select(*cols).repartition(width)
+
+
 def _shingles(n: int = 3) -> Column:
     """Word n-gram shingles as strings (distinct), straight off the text
     column. ONLY for one-shot use: the token expression is re-evaluated
@@ -406,7 +422,9 @@ def near_dup_pairs(
     lazy — callers who persist should ``unpersist()`` via the returned
     frame's lineage or a surrounding ``spark.catalog.clearCache()``.
     """
-    words = docs.select("doc_id", _hashed_words().alias("words"))
+    words = _spread(docs, "doc_id", "text").select(
+        "doc_id", _hashed_words().alias("words")
+    )
     if cache_tokens:
         words = words.persist()
     sig = _signatures_from_shingles(
@@ -474,7 +492,7 @@ def dd03_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation. Representatives are transitively closed: every rep_id is
     itself a cluster root (is_dup = false).
     """
-    docs = t(spark, sf_dir, "documents")
+    docs = _spread(t(spark, sf_dir, "documents"), "doc_id", "text")
     entries = _band_entries(minhash_signatures(docs)).persist()
     rep = entries.select("doc_id").distinct().select(
         "doc_id", F.col("doc_id").alias("rep_id")
@@ -522,7 +540,9 @@ def simhash(docs: DataFrame) -> DataFrame:
     ±tf. That removes the (doc_id, token) pre-count aggregation the first
     version used — one shuffle instead of two, same bits (verified equal
     at sf0.001/sf0.01)."""
-    tok = docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    tok = _spread(docs, "doc_id", "text").select(
+        "doc_id", F.explode(_tokens()).alias("token")
+    )
     hashed = tok.withColumn("h", F.xxhash64("token"))
     votes = [
         F.sum(
@@ -652,12 +672,16 @@ def dd05_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
     from pyspark.ml.functions import vector_to_array
 
+    # Spread the single-split scan before the tokenize (single-core
+    # otherwise), build the word set ONCE, and hash it from the materialized
+    # column (no CSE inside HOF lambdas — _hashed_words would re-split).
     docs = (
-        t(spark, sf_dir, "documents")
+        _spread(t(spark, sf_dir, "documents"), "doc_id", "text")
+        .select("doc_id", F.array_distinct(_tokens()).alias("words_str"))
         .select(
             "doc_id",
-            F.array_distinct(_tokens()).alias("words_str"),
-            _hashed_words().alias("words"),
+            "words_str",
+            F.transform(F.col("words_str"), lambda x: F.xxhash64(x)).alias("words"),
         )
         .where(F.size("words_str") > 0)
         .persist()
