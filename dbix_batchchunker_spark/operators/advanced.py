@@ -577,3 +577,44 @@ def q30_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+# --------------------------------------------------------------------------- #
+# q31: running revenue per customer — cumulative window frame                  #
+# (ROWS UNBOUNDED PRECEDING .. CURRENT ROW), the SQL surface none of the      #
+# other window queries exercise. The frame order is TOTAL (orderdate,         #
+# orderkey), so the running sum is deterministic; the sum itself stays in     #
+# exact DECIMAL and only the FINAL value is cast to DOUBLE (cross-engine      #
+# dtype rule, registry.py). One shuffle on o_custkey; per-customer partitions #
+# are small and skew-free, so the plan holds at 100 TB.                       #
+# --------------------------------------------------------------------------- #
+@query(
+    "q31_running_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS order_seq
+    FROM orders
+    ORDER BY o_custkey, order_seq
+    """,
+)
+def q31_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    order_w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum(dec2("o_totalprice")).over(frame).cast(_OUT).alias("running_total"),
+            F.row_number().over(order_w).alias("order_seq"),
+        )
+        .orderBy("o_custkey", "order_seq")
+    )

@@ -433,6 +433,72 @@ def tx10_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SAMPLE_K = 5
 
 
+# --------------------------------------------------------------------------- #
+# tx12: n-gram repetition signals — the Gopher-style "fraction of duplicated   #
+# word bigrams" quality heuristic (high repetition = boilerplate / spam).     #
+# Computed ENTIRELY per-row with array higher-order functions: no explode,    #
+# no shuffle, pure whole-stage-codegen map over the scan — the shape that     #
+# scales to 100 TB linearly. Docs are short (hundreds of tokens), so the      #
+# O(distinct × total) per-row top-count scan is bounded and JVM-side.         #
+# --------------------------------------------------------------------------- #
+@query(
+    "tx12_repetition",
+    oracle=f"""
+    WITH tk AS (
+        SELECT doc_id, {_tokens_sql()} AS w FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(w), 1)),
+                              i -> w[i] || ' ' || w[i + 1]) AS grams
+        FROM tk
+    )
+    SELECT doc_id,
+           len(grams) AS n_bigrams,
+           len(list_distinct(grams)) AS n_distinct,
+           COALESCE(list_max(list_transform(
+               list_distinct(grams),
+               g -> len(list_filter(grams, x -> x = g)))), 0) AS top_count,
+           ROUND((len(grams) - len(list_distinct(grams)))
+                 / greatest(len(grams), 1), 6) AS dup_frac
+    FROM bg
+    """,
+)
+def tx12_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    # Chained selects: each higher-order function consumes a MATERIALIZED
+    # column (Catalyst does no common-subexpression elimination inside HOF
+    # lambdas, and CollapseProject will not re-inline multi-referenced
+    # aliases — measured 20s-class regressions when inlined).
+    with_toks = docs.select("doc_id", _tokens_spark().alias("w"))
+    toks = F.col("w")
+    # zip_with over two offset slices (not sequence+element_at: sequence(1, 0)
+    # DESCENDS and ANSI element_at throws out-of-bounds). n tokens yield
+    # n-1 bigrams, 0 for empty/single-token docs — matching the oracle's
+    # range(1, greatest(len(w), 1)) exactly.
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    with_grams = with_toks.select("doc_id", grams.alias("grams"))
+    g = F.col("grams")
+    distinct = F.array_distinct(g)
+    top = F.array_max(
+        F.transform(distinct, lambda d: F.size(F.filter(g, lambda x: x == d)))
+    )
+    return with_grams.select(
+        "doc_id",
+        F.size(g).alias("n_bigrams"),
+        F.size(distinct).alias("n_distinct"),
+        F.coalesce(top, F.lit(0)).alias("top_count"),
+        F.round(
+            (F.size(g) - F.size(distinct)) / F.greatest(F.size(g), F.lit(1)), 6
+        ).alias("dup_frac"),
+    )
+
+
 @query(
     "tx11_group_sample",
     oracle=f"""
