@@ -350,3 +350,59 @@ def test_ivf_near_dup_recall_vs_exact(spark):
     recall = len(exact & approx) / len(exact)
     # measured 1.0 at sf0.001 and sf0.01 with nprobe=6; floor leaves margin
     assert recall >= 0.95, f"IVF near-dup recall {recall:.3f}"
+
+
+def test_repetition_signals_on_constructed_docs(spark):
+    """tx12's bigram repetition math on hand-computable inputs, including the
+    empty/single-token edge cases the zip_with slices must survive."""
+    from dbix_batchchunker_spark.operators.registry import QUERIES
+    import __spark_entry__  # noqa: F401 (populates the registry)
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a b", "en", "s", 11),      # grams: ab ba ab ba ab
+            (1, "x y z w", "en", "s", 7),           # all distinct
+            (2, "solo", "en", "s", 4),              # 1 token -> 0 bigrams
+            (3, "", "en", "s", 0),                  # empty -> 0 bigrams
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        out = {
+            r.doc_id: r
+            for r in QUERIES["tx12_repetition"](spark, d).collect()
+        }
+    assert (out[0].n_bigrams, out[0].n_distinct, out[0].top_count) == (5, 2, 3)
+    assert out[0].dup_frac == round(3 / 5, 6)
+    assert (out[1].n_bigrams, out[1].n_distinct, out[1].dup_frac) == (3, 3, 0.0)
+    assert (out[2].n_bigrams, out[2].top_count, out[2].dup_frac) == (0, 0, 0.0)
+    assert (out[3].n_bigrams, out[3].top_count, out[3].dup_frac) == (0, 0, 0.0)
+
+
+def test_running_revenue_is_prefix_sum(spark):
+    """q31's cumulative frame must equal the per-customer prefix sums of
+    order totals in (date, orderkey) order."""
+    from collections import defaultdict
+
+    from dbix_batchchunker_spark.operators.registry import QUERIES, t
+    import __spark_entry__  # noqa: F401
+
+    rows = QUERIES["q31_running_revenue"](spark, SF_DIR).collect()
+    base = t(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    expect = defaultdict(list)
+    for r in sorted(base, key=lambda r: (r.o_custkey, r.o_orderdate, r.o_orderkey)):
+        prev = expect[r.o_custkey][-1][1] if expect[r.o_custkey] else 0.0
+        expect[r.o_custkey].append((r.o_orderkey, round(prev + r.o_totalprice, 2)))
+    got = defaultdict(list)
+    for r in rows:
+        got[r.o_custkey].append((r.o_orderkey, r.running_total))
+        assert r.order_seq == len(got[r.o_custkey])
+    for ck, seq in expect.items():
+        assert [k for k, _ in got[ck]] == [k for k, _ in seq]
+        for (gk, gv), (ek, ev) in zip(got[ck], seq):
+            assert abs(gv - ev) < 1e-6, (ck, gk, gv, ev)
