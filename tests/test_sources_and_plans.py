@@ -260,3 +260,14 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         assert "Exchange" in formatted_plan(plain)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_repetition_signals_plan_is_shuffle_free(spark):
+    """tx12 computes per-doc bigram repetition with array HOFs precisely so
+    the plan is a pure map over the scan — no Exchange may appear, or the
+    operator stops scaling linearly."""
+    from dbix_batchchunker_spark.operators.text import tx12_repetition
+    from dbix_batchchunker_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(tx12_repetition(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
