@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""End-to-end LLM training-data pipeline composed from the engine's
+operators — the workflow a user of this engine runs over a raw document
+corpus before tokenization:
+
+  1. quality filter        (tx02: length / punctuation / digit heuristics)
+  2. near-dup removal      (dd03: MinHash-LSH cluster dedup, keep each
+                            cluster's representative — NO pair emission)
+  3. decontamination       (tx10: drop docs sharing a word 5-gram with the
+                            held-out benchmark set)
+  4. deterministic split   (tx09: md5-hash train/val/test — reproducible
+                            across engines, runs, and cluster sizes)
+  5. write                 parquet partitioned by split (each split prunes
+                            to its own directory for downstream readers)
+
+Every stage is a DataFrame → DataFrame transform, so the whole pipeline is
+ONE lazy plan per split until the write; nothing materializes on the
+driver. The same composition runs unchanged on a 1000-executor cluster —
+stage shapes are analyzed in SCALING.md.
+
+Run: python examples/training_pipeline.py [sf_dir] [out_dir]
+"""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from dbix_batchchunker_spark.session import get_spark
+from dbix_batchchunker_spark.operators.registry import QUERIES, t
+import __spark_entry__  # noqa: F401  (populates the query registry)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp() + "/corpus"
+    spark = get_spark(app_name="training_pipeline_example")
+
+    docs = t(spark, sf_dir, "documents")
+    n_raw = docs.count()
+
+    # 1. quality gate — keep docs passing the heuristic filters
+    quality = QUERIES["tx02_quality_score"](spark, sf_dir).where("passes_quality")
+
+    # 2. near-dup clusters — keep only cluster representatives (rep of its
+    #    own cluster ⇒ is_dup = false); Θ(n) output, no pair join anywhere
+    reps = QUERIES["dd03_minhash_dedup"](spark, sf_dir).where(~F.col("is_dup"))
+
+    # 3. decontamination — tx10 returns the CONTAMINATED doc_ids (share a
+    #    word 5-gram with the benchmark docs); anti-join them away
+    contaminated = QUERIES["tx10_decontaminate"](spark, sf_dir)
+
+    # 4. deterministic split assignment
+    split = QUERIES["tx09_det_split"](spark, sf_dir)
+
+    clean = (
+        docs.join(quality.select("doc_id"), "doc_id", "left_semi")
+        .join(reps.select("doc_id"), "doc_id", "left_semi")
+        .join(contaminated, "doc_id", "left_anti")
+        .join(split, "doc_id")
+    )
+
+    # 5. one partitioned write; downstream readers of split=train prune the
+    #    other directories at the source
+    clean.write.mode("overwrite").partitionBy("split").parquet(out_dir)
+
+    kept = spark.read.parquet(out_dir)
+    per_split = {r["split"]: r["n"] for r in
+                 kept.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n_kept = sum(per_split.values())
+    print(f"raw={n_raw} kept={n_kept} " +
+          " ".join(f"{s}={per_split.get(s, 0)}" for s in ("train", "val", "test")))
+    assert 0 < n_kept <= n_raw
+    assert set(per_split) <= {"train", "val", "test"}
+
+
+if __name__ == "__main__":
+    main()
