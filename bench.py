@@ -76,7 +76,11 @@ def main() -> None:
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
     timings: dict[str, float] = {}
     queries = entry_mod.queries()
-    for name in sorted(queries):
+    # Iteration aid: SPARK_GRAFT_BENCH_ONLY=<regex> times just the matching
+    # queries (full-suite totals are only comparable without it).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    names = [n for n in sorted(queries) if not only or re.search(only, n)]
+    for name in names:
         try:
             queries[name](spark, warm_dir).write.format("noop").mode(
                 "overwrite"
