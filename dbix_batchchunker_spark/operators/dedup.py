@@ -538,6 +538,59 @@ def dd03_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def components_from_edges(
+    ids: DataFrame, edges: DataFrame, max_rounds: int = 10
+) -> DataFrame:
+    """Connected components over an explicit edge list by min-label
+    propagation: ``ids`` has one ``id`` column (every vertex, including
+    isolated ones), ``edges`` has ``src``/``dst`` (undirected; either
+    orientation). Returns ``id, rep_id`` where ``rep_id`` is the component's
+    minimum id.
+
+    This is the generic sibling of :func:`dd03_minhash_dedup`'s doc↔bucket
+    propagation for when the edges are already materialized (e.g. verified
+    near-dup pairs). Each round is two shuffles over O(edges) rows; labels
+    are MONOTONE non-increasing, so the convergence sum-scan runs every
+    second round (same argument as dd03). Plain neighbor-min propagation
+    needs O(component diameter) rounds — near-dup components are
+    shallow/dense, so the 10-round cap is generous; a 100 TB graph with
+    long chains would want large-star/small-star contraction (O(log n)
+    rounds) instead, which this helper's contract allows swapping in.
+    """
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .persist()
+    )
+    rep = ids.select("id", F.col("id").alias("rep_id"))
+    prev_sum = None
+    for rnd in range(max_rounds):
+        nbr_min = (
+            sym.join(rep, sym.dst == rep.id)
+            .groupBy("src")
+            .agg(F.min("rep_id").alias("nbr_min"))
+        )
+        rep = (
+            rep.join(nbr_min, rep.id == nbr_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("rep_id"), F.coalesce("nbr_min", "rep_id")
+                ).alias("rep_id"),
+            )
+            # Truncate lineage each round (see dd03): otherwise round k
+            # re-executes rounds 1..k-1 and plan depth goes quadratic.
+            .localCheckpoint(eager=True)
+        )
+        if rnd % 2 == 1 or rnd == max_rounds - 1:
+            cur_sum = rep.agg(F.sum("rep_id")).first()[0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+    sym.unpersist()
+    return rep
+
+
 # --------------------------------------------------------------------------- #
 # dd04: SimHash — 64-bit signature from token-frequency bit votes             #
 # --------------------------------------------------------------------------- #

@@ -452,3 +452,48 @@ def sim06_ivf_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sim03 is the exact, oracle-gated counterpart this approximates.
     emb = t(spark, sf_dir, "embeddings").withColumn("nrm", norm(F.col("embedding")))
     return ivf_near_dup_pairs(emb)
+
+
+# --------------------------------------------------------------------------- #
+# sim07: embedding-level dedup — cosine near-dup pairs (sim06's IVF           #
+# candidates, exact verify) closed into duplicate CLUSTERS, one surviving     #
+# representative per cluster. Completes the dedup story for the embedding     #
+# modality the way dd03 does for text: pair listings (sim03/sim06) answer     #
+# "what matches", this answers "what do I keep" — the operator a training-    #
+# data pipeline actually runs. End-to-end linear + O(matching pairs).         #
+# --------------------------------------------------------------------------- #
+def embedding_dedup(
+    emb: DataFrame,
+    threshold: float = SIM06_THRESHOLD,
+    clusters: int = IVF_CLUSTERS,
+    nprobe: int = SIM06_NPROBE,
+) -> DataFrame:
+    """vec_id → duplicate-cluster representative (component min vec_id) with
+    ``is_dup`` marking the rows a keep-one-representative filter drops.
+
+    Edges are :func:`ivf_near_dup_pairs`' exact-verified pairs (so cluster
+    membership is exact up to IVF candidate recall — measured 1.0 at both
+    gate scales); components close transitively via
+    :func:`~.dedup.components_from_edges` min-label propagation, no pair
+    matrix or driver-side graph anywhere.
+    """
+    from .dedup import components_from_edges
+
+    pairs = ivf_near_dup_pairs(emb, threshold, clusters, nprobe)
+    rep = components_from_edges(
+        emb.select(F.col("vec_id").alias("id")),
+        pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")),
+    )
+    return rep.select(
+        F.col("id").alias("vec_id"),
+        "rep_id",
+        (F.col("id") != F.col("rep_id")).alias("is_dup"),
+    ).orderBy("vec_id")
+
+
+@query("sim07_embedding_dedup")  # no oracle: IVF candidates + iterative
+def sim07_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # propagation aren't SQL-expressible; cluster-vs-exact agreement is
+    # asserted in tests/test_extensions.py against sim03's oracle-gated pairs.
+    emb = t(spark, sf_dir, "embeddings").withColumn("nrm", norm(F.col("embedding")))
+    return embedding_dedup(emb)

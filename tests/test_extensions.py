@@ -352,6 +352,41 @@ def test_ivf_near_dup_recall_vs_exact(spark):
     assert recall >= 0.95, f"IVF near-dup recall {recall:.3f}"
 
 
+def test_embedding_dedup_clusters_match_exact_components(spark):
+    """sim07 contract: representative assignment equals exact union-find over
+    sim03's exact same-label cos>=0.3 pair listing (IVF recall is 1.0 at the
+    gate scales, so the graphs — and hence the components — are identical)."""
+    from dbix_batchchunker_spark.operators.similarity import (
+        sim03_embedding_near_dup,
+        sim07_embedding_dedup,
+    )
+
+    exact_pairs = [
+        (r.vec_a, r.vec_b) for r in sim03_embedding_near_dup(spark, SF_DIR).collect()
+    ]
+    assert exact_pairs, "corpus should contain same-label pairs at cos>=0.3"
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in exact_pairs:
+        parent[find(a)] = find(b)
+    roots: dict = {}
+    for v in list(parent):
+        roots.setdefault(find(v), []).append(v)
+    expected = {v: min(vs) for vs in roots.values() for v in vs}
+
+    got = {r.vec_id: r.rep_id for r in sim07_embedding_dedup(spark, SF_DIR).collect()}
+    for vec_id, rep in got.items():
+        assert rep == expected.get(vec_id, vec_id), (vec_id, rep)
+    # every rep is a root (transitively closed) and singletons survive
+    assert all(got[r] == r for r in set(got.values()))
+
+
 def test_repetition_signals_on_constructed_docs(spark):
     """tx12's bigram repetition math on hand-computable inputs, including the
     empty/single-token edge cases the zip_with slices must survive."""
