@@ -27,6 +27,7 @@ from dbix_batchchunker_spark.operators import (  # noqa: F401
     multimodal,
     relational,
     similarity,
+    stream,
     text,
 )
 

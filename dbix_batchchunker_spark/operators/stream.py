@@ -1,0 +1,88 @@
+"""Registered Structured Streaming query — the streaming analog of the
+chunk loop as a first-class ``queries()`` entry, not just library code.
+
+The reference's whole loop is "process what's new, remember where you
+stopped" (BatchChunker.pm:1228 cursor write-back; :1394-1460
+process_past_max). Structured Streaming is Spark's native form of that
+contract: the checkpoint is the durable cursor, ``Trigger.AvailableNow``
+is "drain to current max and stop", and a watermark bounds the state the
+engine must keep for late rows. ``streaming/incremental.py`` holds the
+library surface (file streams, foreachBatch chunk dispatch, session
+windows, applyInPandasWithState running totals) with cross-drain resume
+tests in tests/test_streaming.py; this module registers one end-to-end
+query so the driver inventory exercises the path.
+
+Rows-only on purpose: a DuckDB oracle cannot run a streaming drain. The
+semantic contract — the drained result equals the equivalent BATCH
+windowed aggregation over the same input (same Catalyst operator either
+way) — is asserted in tests/test_streaming.py instead.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.incremental import windowed_counts
+from .registry import query
+
+
+def hourly_rollup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain ``events`` through a watermarked tumbling-window aggregation
+    and return the final windows as a batch DataFrame.
+
+    Complete output mode + memory sink: with ``availableNow`` the run is a
+    bounded drain, and complete mode emits every window at the end — append
+    mode would hold back windows the final watermark hasn't passed, i.e.
+    silently drop the tail of a bounded input. The memory sink is the
+    demo/return-value path only (driver-sized: #windows × #event_types
+    rows); a deployment points ``writeStream`` at parquet/Kafka instead.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    # TIMESTAMP(NANOS) parquet: same int64-nanos read + µs truncation as the
+    # batch reader (registry.t), applied to the stream.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        # testdata tables are single parquet FILES; the file-stream source
+        # needs a directory-rooted GLOB (a bare file path makes it treat the
+        # file itself as basePath and die with "'basePath' must be a
+        # directory") — the glob anchors basePath at sf_dir instead.
+        .parquet(os.path.join(sf_dir, "events.*"))
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = windowed_counts(stream, ts_col="ts", window="1 hour", watermark="2 hours")
+    sink = f"st01_sink_{uuid.uuid4().hex}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="st01_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            F.round("total_value", 6).alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query("st01_stream_hourly_rollup")  # no oracle: a streaming drain isn't
+def st01_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DuckDB-runnable; batch equivalence is pinned in tests/test_streaming.py.
+    return hourly_rollup_streamed(spark, sf_dir)

@@ -163,3 +163,29 @@ def test_stateful_running_totals_across_drains(spark, tmp_path):
     drain()
     assert sum(v[0] for v in latest.values()) == 60  # state accumulated
     assert all(abs(v[1] - v[0] * 1.5) < 1e-9 for v in latest.values())
+
+
+def test_st01_registered_stream_matches_batch_rollup(spark):
+    """The registered streaming query's drained result must equal the batch
+    windowed aggregation over the same events input — same Catalyst window
+    operator, so any divergence means the drain lost or duplicated state."""
+    from dbix_batchchunker_spark.operators.registry import t
+    from dbix_batchchunker_spark.operators.stream import st01_stream_hourly_rollup
+    from dbix_batchchunker_spark.streaming.incremental import windowed_counts
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    streamed = st01_stream_hourly_rollup(spark, sf_dir).collect()
+    batch = (
+        windowed_counts(t(spark, sf_dir, "events"), ts_col="ts", window="1 hour")
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            F.round("total_value", 6).alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+        .collect()
+    )
+    assert streamed == batch
+    assert len(streamed) > 0
