@@ -549,13 +549,14 @@ def components_from_edges(
 
     This is the generic sibling of :func:`dd03_minhash_dedup`'s doc↔bucket
     propagation for when the edges are already materialized (e.g. verified
-    near-dup pairs). Each round is two shuffles over O(edges) rows; labels
-    are MONOTONE non-increasing, so the convergence sum-scan runs every
-    second round (same argument as dd03). Plain neighbor-min propagation
-    needs O(component diameter) rounds — near-dup components are
-    shallow/dense, so the 10-round cap is generous; a 100 TB graph with
-    long chains would want large-star/small-star contraction (O(log n)
-    rounds) instead, which this helper's contract allows swapping in.
+    near-dup pairs). Each round combines neighbor-min (one hop along edges)
+    with POINTER JUMPING (``rep(v) ← rep(rep(v))``, an n-row self-join that
+    halves label-chain depth), so convergence is O(log diameter) rounds —
+    a path graph of length 2^max_rounds still resolves, not just the
+    shallow/dense components near-dup dedup produces. Labels are MONOTONE
+    non-increasing (every candidate label names a vertex of the same
+    component), so the convergence sum-scan runs every second round (same
+    argument as dd03).
     """
     sym = (
         edges.select("src", "dst")
@@ -570,12 +571,20 @@ def components_from_edges(
             .groupBy("src")
             .agg(F.min("rep_id").alias("nbr_min"))
         )
+        # The jump lookup uses the PREVIOUS round's mapping (rep2 may be one
+        # round stale) — still a same-component vertex id, so taking the
+        # least of {self, neighbor min, rep-of-rep} preserves the invariant
+        # while compressing chains exponentially.
+        jump = rep.select(F.col("id").alias("rid"), F.col("rep_id").alias("rep2"))
         rep = (
             rep.join(nbr_min, rep.id == nbr_min.src, "left")
+            .join(jump, F.col("rep_id") == jump.rid, "left")
             .select(
                 "id",
                 F.least(
-                    F.col("rep_id"), F.coalesce("nbr_min", "rep_id")
+                    F.col("rep_id"),
+                    F.coalesce("nbr_min", "rep_id"),
+                    F.coalesce("rep2", "rep_id"),
                 ).alias("rep_id"),
             )
             # Truncate lineage each round (see dd03): otherwise round k

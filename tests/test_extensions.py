@@ -352,6 +352,41 @@ def test_ivf_near_dup_recall_vs_exact(spark):
     assert recall >= 0.95, f"IVF near-dup recall {recall:.3f}"
 
 
+def test_components_from_edges_random_graphs(spark):
+    """components_from_edges equals union-find on random graphs — exercises
+    chains, isolated vertices, duplicate/reversed edges, and self-loops."""
+    import random
+
+    from dbix_batchchunker_spark.operators.dedup import components_from_edges
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        n = 80
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(25)]
+        # a 61-vertex path: diameter >> max_rounds, so this fails unless
+        # pointer jumping gives O(log diameter) convergence
+        edges += [(i, i + 1) for i in range(19, 79)]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        comp: dict = {}
+        for v in range(n):
+            comp.setdefault(find(v), []).append(v)
+        expected = {v: min(vs) for vs in comp.values() for v in vs}
+
+        ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        edf = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.id: r.rep_id for r in components_from_edges(ids, edf).collect()}
+        assert got == expected, f"seed {seed}"
+
+
 def test_embedding_dedup_clusters_match_exact_components(spark):
     """sim07 contract: representative assignment equals exact union-find over
     sim03's exact same-label cos>=0.3 pair listing (IVF recall is 1.0 at the
