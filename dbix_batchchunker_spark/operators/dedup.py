@@ -539,7 +539,7 @@ def dd03_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def components_from_edges(
-    ids: DataFrame, edges: DataFrame, max_rounds: int = 10
+    ids: DataFrame, edges: DataFrame, max_rounds: int = 64
 ) -> DataFrame:
     """Connected components over an explicit edge list by min-label
     propagation: ``ids`` has one ``id`` column (every vertex, including
@@ -551,52 +551,71 @@ def components_from_edges(
     propagation for when the edges are already materialized (e.g. verified
     near-dup pairs). Each round combines neighbor-min (one hop along edges)
     with POINTER JUMPING (``rep(v) ← rep(rep(v))``, an n-row self-join that
-    halves label-chain depth), so convergence is O(log diameter) rounds —
-    a path graph of length 2^max_rounds still resolves, not just the
-    shallow/dense components near-dup dedup produces. Labels are MONOTONE
-    non-increasing (every candidate label names a vertex of the same
-    component), so the convergence sum-scan runs every second round (same
-    argument as dd03).
+    compresses label chains — sequential-id chains converge in O(log
+    diameter) rounds; adversarial id layouts degrade toward O(diameter)).
+    Labels are MONOTONE non-increasing (every candidate label names a
+    vertex of the same component), so sum-equality across consecutive
+    rounds is a sound fixed-point test; the loop runs TO THE FIXPOINT and
+    raises if ``max_rounds`` can't reach it — an unconverged label frame is
+    silently-wrong dedup output, never worth returning. Near-dup graphs at
+    sane thresholds are dense and shallow (see sim07's threshold note), so
+    real convergence is a handful of rounds; a 100 TB graph with long
+    chains would swap in large-star/small-star contraction (Kiveris et
+    al.) behind the same contract.
     """
-    sym = (
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .persist()
+    # Persist the edge list BEFORE symmetrizing: the union's two branches are
+    # separate plan subtrees (no cross-branch CSE), so an un-cached edge
+    # pipeline — sim07 hands us IVF-candidates + exact-verify — would execute
+    # TWICE just to build sym (measured: ~3 s doubled at sf0.1).
+    edges = edges.select("src", "dst").persist()
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     rep = ids.select("id", F.col("id").alias("rep_id"))
-    prev_sum = None
-    for rnd in range(max_rounds):
+
+    def hop(r: DataFrame) -> DataFrame:
+        """One neighbor-min step: rep(v) ← min(rep(v), min over N(v))."""
         nbr_min = (
-            sym.join(rep, sym.dst == rep.id)
+            sym.join(r, sym.dst == r.id)
             .groupBy("src")
             .agg(F.min("rep_id").alias("nbr_min"))
         )
-        # The jump lookup uses the PREVIOUS round's mapping (rep2 may be one
-        # round stale) — still a same-component vertex id, so taking the
-        # least of {self, neighbor min, rep-of-rep} preserves the invariant
-        # while compressing chains exponentially.
-        jump = rep.select(F.col("id").alias("rid"), F.col("rep_id").alias("rep2"))
+        return r.join(nbr_min, r.id == nbr_min.src, "left").select(
+            "id",
+            F.least(F.col("rep_id"), F.coalesce("nbr_min", "rep_id")).alias("rep_id"),
+        )
+
+    def jump(r: DataFrame) -> DataFrame:
+        """Pointer compression: rep(v) ← rep(rep(v)) — the looked-up label is
+        still a same-component vertex id, so least() keeps the invariant."""
+        j = r.select(F.col("id").alias("rid"), F.col("rep_id").alias("rep2"))
+        return r.join(j, r.rep_id == j.rid, "left").select(
+            "id",
+            F.least(F.col("rep_id"), F.coalesce("rep2", "rep_id")).alias("rep_id"),
+        )
+
+    prev_sum = None
+    for rnd in range(max_rounds):
+        # Two hops + a jump per materialization: per-stage launch overhead
+        # (not data) dominates each round at gate scale, so batching steps
+        # into one checkpointed plan buys the same label movement with
+        # fewer rounds/actions (sim07 converges in 3 rounds at sf0.1).
         rep = (
-            rep.join(nbr_min, rep.id == nbr_min.src, "left")
-            .join(jump, F.col("rep_id") == jump.rid, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("rep_id"),
-                    F.coalesce("nbr_min", "rep_id"),
-                    F.coalesce("rep2", "rep_id"),
-                ).alias("rep_id"),
-            )
+            hop(jump(hop(rep)))
             # Truncate lineage each round (see dd03): otherwise round k
             # re-executes rounds 1..k-1 and plan depth goes quadratic.
             .localCheckpoint(eager=True)
         )
-        if rnd % 2 == 1 or rnd == max_rounds - 1:
-            cur_sum = rep.agg(F.sum("rep_id")).first()[0]
-            if cur_sum == prev_sum:
-                break
-            prev_sum = cur_sum
-    sym.unpersist()
+        cur_sum = rep.agg(F.sum("rep_id")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"components_from_edges did not converge in {max_rounds} rounds"
+        )
+    edges.unpersist()
     return rep
 
 

@@ -462,9 +462,19 @@ def sim06_ivf_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "what matches", this answers "what do I keep" — the operator a training-    #
 # data pipeline actually runs. End-to-end linear + O(matching pairs).         #
 # --------------------------------------------------------------------------- #
+# Dedup wants a TIGHTER bar than the 0.3 pair-listing threshold: transitive
+# closure amplifies a loose pairwise bar (A≈B≈C chains A with C), and at 0.3
+# this corpus's near-random vectors chain into one 151-vertex blob of
+# diameter 17 at sf0.1 — an artifact of the listing threshold, not dup
+# structure. At 0.35 the graph is what dup clusters look like (measured
+# sf0.1: 262 components, largest 7, diameter 5), which is also what keeps
+# label propagation to a handful of rounds.
+SIM07_THRESHOLD = 0.35
+
+
 def embedding_dedup(
     emb: DataFrame,
-    threshold: float = SIM06_THRESHOLD,
+    threshold: float = SIM07_THRESHOLD,
     clusters: int = IVF_CLUSTERS,
     nprobe: int = SIM06_NPROBE,
 ) -> DataFrame:
@@ -472,10 +482,9 @@ def embedding_dedup(
     ``is_dup`` marking the rows a keep-one-representative filter drops.
 
     Edges are :func:`ivf_near_dup_pairs`' exact-verified pairs (so cluster
-    membership is exact up to IVF candidate recall — measured 1.0 at both
-    gate scales); components close transitively via
-    :func:`~.dedup.components_from_edges` min-label propagation, no pair
-    matrix or driver-side graph anywhere.
+    membership is exact up to IVF candidate recall); components close
+    transitively via :func:`~.dedup.components_from_edges` min-label
+    propagation, no pair matrix or driver-side graph anywhere.
     """
     from .dedup import components_from_edges
 

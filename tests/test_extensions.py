@@ -389,17 +389,32 @@ def test_components_from_edges_random_graphs(spark):
 
 def test_embedding_dedup_clusters_match_exact_components(spark):
     """sim07 contract: representative assignment equals exact union-find over
-    sim03's exact same-label cos>=0.3 pair listing (IVF recall is 1.0 at the
-    gate scales, so the graphs — and hence the components — are identical)."""
+    the exact same-label pair listing at SIM07_THRESHOLD (IVF recall is 1.0
+    at the gate scales, so the graphs — and hence components — match)."""
+    from dbix_batchchunker_spark.operators.registry import t
+    from dbix_batchchunker_spark.functions.vectors import dot, norm
     from dbix_batchchunker_spark.operators.similarity import (
-        sim03_embedding_near_dup,
+        SIM07_THRESHOLD,
         sim07_embedding_dedup,
     )
 
+    emb = t(spark, SF_DIR, "embeddings").withColumn("nrm", norm(F.col("embedding")))
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
     exact_pairs = [
-        (r.vec_a, r.vec_b) for r in sim03_embedding_near_dup(spark, SF_DIR).collect()
+        (r.vec_a, r.vec_b)
+        for r in a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos >= SIM07_THRESHOLD)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .collect()
     ]
-    assert exact_pairs, "corpus should contain same-label pairs at cos>=0.3"
+    assert exact_pairs, "corpus should contain same-label pairs at the threshold"
     parent: dict = {}
 
     def find(x):
