@@ -89,7 +89,12 @@ def main() -> None:
             pass  # warm-up is best-effort; the timed run surfaces real errors
         spark.catalog.clearCache()
         best = float("inf")
-        for _ in range(runs):
+        # Transient container stalls hit CONSECUTIVE runs (an r3 full-suite
+        # run timed dd05 at 13 s in both runs vs 5.3 s reproducible), so
+        # min-of-2 alone can't defend the expensive queries — give anything
+        # the prior baseline says is slow one extra timed run.
+        q_runs = runs + 1 if runs > 1 and prior.get(name, 0.0) > 3.0 else runs
+        for _ in range(q_runs):
             t0 = time.monotonic()
             df = queries[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -112,7 +117,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "timing": f"min_of_{runs}",
+        "timing": f"min_of_{runs}_plus_one_when_prior_gt_3s",
         "warmup": f"each query once at {warm_dir} before timing",
     }
     if prior:
