@@ -54,7 +54,7 @@ def _tokens():
     return F.filter(F.split(F.col("text"), _WS), lambda x: x != F.lit(""))
 
 
-def _spread(df: DataFrame, *cols: str) -> DataFrame:
+def _spread(df: DataFrame, *cols: str | Column) -> DataFrame:
     """Slim-project then round-robin repartition to shuffle-partition width.
 
     The documents corpus arrives as ONE parquet split at test scale, so any
@@ -256,20 +256,18 @@ def dd08_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured 20 s vs 0.9 s for this corpus build at sf0.1).
     # The shingle+md5 build is the expensive stage here (unlike dd02's word
     # build) and the corpus arrives as ONE small parquet split, so without a
-    # spread it runs on one core — and it feeds BOTH sides of the block
+    # _spread it runs on one core — and it feeds BOTH sides of the block
     # self-join, so it is persisted to run once. (The blanket-repartition
     # negative result in registry.py doesn't apply: this Exchange ships 5k
     # slim rows to parallelize a measured 10 s single-core projection.)
-    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     feats = (
-        t(spark, sf_dir, "documents")
-        .select(
+        _spread(
+            t(spark, sf_dir, "documents"),
             "doc_id",
             "lang",
             (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
             "text",
         )
-        .repartition(width)
         .select(
             "doc_id",
             "lang",
@@ -513,7 +511,8 @@ def dd03_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # neither changed anything, so the check stays sound and half the
     # convergence actions disappear (worst case: one extra cheap round).
     prev_sum = None
-    for rnd in range(10):
+    max_rounds = 16
+    for rnd in range(max_rounds):
         bucket_label = (
             entries.join(rep, "doc_id")
             .groupBy("band", "bucket")
@@ -527,11 +526,18 @@ def dd03_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             # rounds 1..k-1 and the loop goes quadratic in plan depth.
             .localCheckpoint(eager=True)
         )
-        if rnd % 2 == 1 or rnd == 9:
+        if rnd % 2 == 1 or rnd == max_rounds - 1:
             cur_sum = rep.agg(F.sum("rep_id")).first()[0]
             if cur_sum == prev_sum:
                 break
             prev_sum = cur_sum
+    else:
+        # Same stance as components_from_edges: unconverged labels are
+        # silently-wrong dedup output, never worth returning.
+        entries.unpersist()
+        raise RuntimeError(
+            f"dd03 label propagation did not converge in {max_rounds} rounds"
+        )
     entries.unpersist()
     return rep.select(
         "doc_id", "rep_id", (F.col("doc_id") != F.col("rep_id")).alias("is_dup")
@@ -595,27 +601,29 @@ def components_from_edges(
         )
 
     prev_sum = None
-    for rnd in range(max_rounds):
-        # Two hops + a jump per materialization: per-stage launch overhead
-        # (not data) dominates each round at gate scale, so batching steps
-        # into one checkpointed plan buys the same label movement with
-        # fewer rounds/actions (sim07 converges in 3 rounds at sf0.1).
-        rep = (
-            hop(jump(hop(rep)))
-            # Truncate lineage each round (see dd03): otherwise round k
-            # re-executes rounds 1..k-1 and plan depth goes quadratic.
-            .localCheckpoint(eager=True)
-        )
-        cur_sum = rep.agg(F.sum("rep_id")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    else:
+    try:
+        for rnd in range(max_rounds):
+            # Two hops + a jump per materialization: per-stage launch
+            # overhead (not data) dominates each round at gate scale, so
+            # batching steps into one checkpointed plan buys the same label
+            # movement with fewer rounds/actions (sim07 converges in 3
+            # rounds at sf0.1).
+            rep = (
+                hop(jump(hop(rep)))
+                # Truncate lineage each round (see dd03): otherwise round k
+                # re-executes rounds 1..k-1 and plan depth goes quadratic.
+                .localCheckpoint(eager=True)
+            )
+            cur_sum = rep.agg(F.sum("rep_id")).first()[0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        else:
+            raise RuntimeError(
+                f"components_from_edges did not converge in {max_rounds} rounds"
+            )
+    finally:
         edges.unpersist()
-        raise RuntimeError(
-            f"components_from_edges did not converge in {max_rounds} rounds"
-        )
-    edges.unpersist()
     return rep
 
 

@@ -35,22 +35,28 @@ def query(name: str, oracle: Optional[str] = None):
     return deco
 
 
-def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table (column-pruned/filter-pushed by Catalyst).
-
-    ``events.ts`` is a TIMESTAMP(NANOS) parquet column, which Spark rejects
-    outright; read it as int64 nanos and truncate to microseconds — exactly
-    what DuckDB does when it surfaces the column as TIMESTAMP (µs), so both
-    engines see identical values.
-    """
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """THE events timestamp rule, shared by every read path (batch ``t()``
+    and the streaming source): ``events.ts`` is TIMESTAMP(NANOS) parquet,
+    which Spark rejects outright; with ``nanosAsLong`` set it arrives as
+    int64 nanos, truncated here to microseconds — exactly what DuckDB does
+    when it surfaces the column as TIMESTAMP (µs), so both engines (and
+    both read paths) see identical values."""
     from pyspark.sql import functions as F
 
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table (column-pruned/filter-pushed by Catalyst).
+    ``events`` goes through :func:`normalize_event_ts` (nanos → µs)."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return normalize_event_ts(
+            spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -21,6 +21,7 @@ way) — is asserted in tests/test_streaming.py instead.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -28,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..streaming.incremental import windowed_counts
-from .registry import query
+from .registry import normalize_event_ts, query
 
 
 def hourly_rollup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -43,8 +44,9 @@ def hourly_rollup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows); a deployment points ``writeStream`` at parquet/Kafka instead.
     """
     path = os.path.join(sf_dir, "events.parquet")
-    # TIMESTAMP(NANOS) parquet: same int64-nanos read + µs truncation as the
-    # batch reader (registry.t), applied to the stream.
+    # TIMESTAMP(NANOS) parquet: same nanosAsLong read + µs truncation as the
+    # batch reader — one shared rule (registry.normalize_event_ts), so the
+    # batch plan st01 is pinned equal to cannot drift from this one.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     stream = (
@@ -56,30 +58,40 @@ def hourly_rollup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # directory") — the glob anchors basePath at sf_dir instead.
         .parquet(os.path.join(sf_dir, "events.*"))
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)
     agg = windowed_counts(stream, ts_col="ts", window="1 hour", watermark="2 hours")
     sink = f"st01_sink_{uuid.uuid4().hex}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="st01_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return (
-        spark.table(sink)
-        .select(
-            F.col("window.start").alias("window_start"),
-            F.col("window.end").alias("window_end"),
-            "event_type",
-            "n_events",
-            F.round("total_value", 6).alias("total_value"),
+    ckpt = tempfile.mkdtemp(prefix="st01_ckpt_")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        .orderBy("window_start", "event_type")
-    )
+        q.awaitTermination()
+        result = (
+            spark.table(sink)
+            .select(
+                F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                "event_type",
+                "n_events",
+                F.round("total_value", 6).alias("total_value"),
+            )
+            .orderBy("window_start", "event_type")
+        )
+        # The memory sink pins its rows on the driver for the session's
+        # lifetime and the checkpoint dir is per-call garbage — copy the
+        # (window × event_type)-bounded result out, then drop both so
+        # repeated calls (bench runs st01 three times) don't accumulate.
+        out = spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        spark.catalog.dropTempView(sink)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out
 
 
 @query("st01_stream_hourly_rollup")  # no oracle: a streaming drain isn't

@@ -51,8 +51,10 @@ def chunk_status_line(
     """Reference-uniform chunk status line (BatchChunker.pm:1694-1741).
 
     IDs below 1e9 render in fixed-width columns with grouped row counts;
-    at/above 1e9 the raw (ungrouped) IDs are printed and runs of spaces are
-    compacted so 41-digit cursors stay on one readable line.
+    at/above 1e9 the raw (ungrouped) IDs are printed, and STRICTLY above
+    1e9 runs of spaces are additionally compacted so 41-digit cursors stay
+    on one readable line (exactly 1e9 is unpadded but uncompacted — see the
+    parity note at the compaction site below).
     """
     wide = start >= WIDE_ID or end >= WIDE_ID
     if chunk_count is None:

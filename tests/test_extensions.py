@@ -400,8 +400,13 @@ def test_embedding_dedup_clusters_match_exact_components(spark):
 
     emb = t(spark, SF_DIR, "embeddings").withColumn("nrm", norm(F.col("embedding")))
     a, b = emb.alias("a"), emb.alias("b")
-    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.nrm") * F.col("b.nrm")
+    # round to 6 dp exactly like ivf_near_dup_pairs' verify stage, so both
+    # graphs threshold the same predicate (a raw-cosine pair in
+    # [threshold - 5e-7, threshold) would otherwise differ)
+    cos = F.round(
+        dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
     )
     exact_pairs = [
         (r.vec_a, r.vec_b)
