@@ -527,3 +527,53 @@ def tx11_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")
     )
+
+
+# --------------------------------------------------------------------------- #
+# tx13: PII redaction — the C4/Dolma-style scrub step a training-data         #
+# pipeline runs before anything else ships. Pure JVM regexp_replace chains    #
+# (whole-stage codegen, zero shuffle — the same scales-with-the-scan shape    #
+# as tx12). Patterns apply SEQUENTIALLY, each counting on the text the        #
+# previous stage produced, and each stage is a separate select so every      #
+# regexp consumes a MATERIALIZED column (no CSE inside nested expressions    #
+# — the tx12/_shingles lesson).                                              #
+# --------------------------------------------------------------------------- #
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    # digit lookarounds instead of \b: a leading "+" sits between two
+    # non-word chars, so \b never fires there (Java regex; no oracle parity
+    # needed — DuckDB's RE2 has no lookbehind)
+    ("phone", r"(?<![\d.])(?:\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}(?![\d.])"),
+    ("ipv4", r"(?<![\d.])(?:\d{1,3}\.){3}\d{1,3}(?![\d.])"),
+)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace each PII match with a ``<TYPE>`` placeholder; returns the
+    input plus ``clean_text`` and one ``n_<type>`` count per pattern."""
+    out = docs.withColumn("clean_text", F.col(text_col))
+    for name, pat in PII_PATTERNS:
+        out = out.select(
+            "*",
+            F.size(
+                F.regexp_extract_all("clean_text", F.lit(pat), F.lit(0))
+            ).alias(f"n_{name}"),
+        ).withColumn(
+            "clean_text",
+            F.regexp_replace("clean_text", pat, f"<{name.upper()}>"),
+        )
+    return out
+
+
+@query("tx13_pii_redact")  # no oracle: DuckDB regexp dialect differs (no \b
+def tx13_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # word-boundary parity guarantees); planted-PII semantics are pinned in
+    # tests/test_extensions.py instead.
+    docs = t(spark, sf_dir, "documents")
+    return redact_pii(docs).select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        F.length("clean_text").alias("clean_len"),
+    ).orderBy("doc_id")

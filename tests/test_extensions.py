@@ -496,3 +496,31 @@ def test_running_revenue_is_prefix_sum(spark):
         assert [k for k, _ in got[ck]] == [k for k, _ in seq]
         for (gk, gv), (ek, ev) in zip(got[ck], seq):
             assert abs(gv - ev) < 1e-6, (ck, gk, gv, ev)
+
+
+def test_pii_redaction_planted(spark):
+    """tx13 semantics on hand-constructed docs: every planted PII string is
+    replaced by its typed placeholder, counts are per-type, clean text keeps
+    everything else byte-identical, and PII-free text passes through."""
+    from dbix_batchchunker_spark.operators.text import redact_pii, tx13_pii_redact
+
+    docs = _doc_df(
+        spark,
+        [
+            "contact alice@example.com or bob.smith+x@mail.co.uk today",
+            "call 555-867-5309 or +1 (212) 555-0199 from 192.168.1.1",
+            "no personal data here just words",
+        ],
+    )
+    rows = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert rows[0].n_email == 2 and rows[0].n_phone == 0 and rows[0].n_ipv4 == 0
+    assert rows[0].clean_text == "contact <EMAIL> or <EMAIL> today"
+    assert rows[1].n_email == 0 and rows[1].n_phone == 2 and rows[1].n_ipv4 == 1
+    assert rows[1].clean_text == "call <PHONE> or <PHONE> from <IPV4>"
+    assert rows[2].clean_text == docs.collect()[2].text
+    assert rows[2].n_email == rows[2].n_phone == rows[2].n_ipv4 == 0
+
+    # registered query runs over the corpus and is deterministic
+    a = tx13_pii_redact(spark, SF_DIR).collect()
+    b = tx13_pii_redact(spark, SF_DIR).collect()
+    assert a == b and len(a) > 0
