@@ -3,15 +3,22 @@
 operators — the workflow a user of this engine runs over a raw document
 corpus before tokenization:
 
-  1. quality filter        (tx02: length / punctuation / digit heuristics)
-  2. near-dup removal      (dd03: MinHash-LSH cluster dedup, keep each
+  1. PII redaction         (tx13: email/phone/IPv4 → typed placeholders,
+                            pure JVM regexp chain)
+  2. quality filter        (tx02: length / punctuation / digit heuristics)
+  3. near-dup removal      (dd03: MinHash-LSH cluster dedup, keep each
                             cluster's representative — NO pair emission)
-  3. decontamination       (tx10: drop docs sharing a word 5-gram with the
+  4. decontamination       (tx10: drop docs sharing a word 5-gram with the
                             held-out benchmark set)
-  4. deterministic split   (tx09: md5-hash train/val/test — reproducible
+  5. deterministic split   (tx09: md5-hash train/val/test — reproducible
                             across engines, runs, and cluster sizes)
-  5. write                 parquet partitioned by split (each split prunes
+  6. write                 parquet partitioned by split (each split prunes
                             to its own directory for downstream readers)
+
+The embedding modality gets the same treatment via sim07
+(`embedding_dedup`): IVF-candidate near-dup clusters over the embeddings
+table, keep one representative per cluster — compose it exactly like
+step 3 when the corpus carries precomputed embeddings.
 
 Every stage is a DataFrame → DataFrame transform, so the whole pipeline is
 ONE lazy plan per split until the write; nothing materializes on the
@@ -42,18 +49,23 @@ def main() -> None:
     docs = t(spark, sf_dir, "documents")
     n_raw = docs.count()
 
-    # 1. quality gate — keep docs passing the heuristic filters
+    # 1. PII scrub — replaces matches in-place; counts ride along for audit
+    from dbix_batchchunker_spark.operators.text import redact_pii
+
+    docs = redact_pii(docs).drop("text").withColumnRenamed("clean_text", "text")
+
+    # 2. quality gate — keep docs passing the heuristic filters
     quality = QUERIES["tx02_quality_score"](spark, sf_dir).where("passes_quality")
 
-    # 2. near-dup clusters — keep only cluster representatives (rep of its
+    # 3. near-dup clusters — keep only cluster representatives (rep of its
     #    own cluster ⇒ is_dup = false); Θ(n) output, no pair join anywhere
     reps = QUERIES["dd03_minhash_dedup"](spark, sf_dir).where(~F.col("is_dup"))
 
-    # 3. decontamination — tx10 returns the CONTAMINATED doc_ids (share a
+    # 4. decontamination — tx10 returns the CONTAMINATED doc_ids (share a
     #    word 5-gram with the benchmark docs); anti-join them away
     contaminated = QUERIES["tx10_decontaminate"](spark, sf_dir)
 
-    # 4. deterministic split assignment
+    # 5. deterministic split assignment
     split = QUERIES["tx09_det_split"](spark, sf_dir)
 
     clean = (
@@ -63,7 +75,7 @@ def main() -> None:
         .join(split, "doc_id")
     )
 
-    # 5. one partitioned write; downstream readers of split=train prune the
+    # 6. one partitioned write; downstream readers of split=train prune the
     #    other directories at the source
     clean.write.mode("overwrite").partitionBy("split").parquet(out_dir)
 
