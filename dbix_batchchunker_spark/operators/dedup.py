@@ -565,9 +565,9 @@ def components_from_edges(
     raises if ``max_rounds`` can't reach it — an unconverged label frame is
     silently-wrong dedup output, never worth returning. Near-dup graphs at
     sane thresholds are dense and shallow (see sim07's threshold note), so
-    real convergence is a handful of rounds; a 100 TB graph with long
-    chains would swap in large-star/small-star contraction (Kiveris et
-    al.) behind the same contract.
+    real convergence is a handful of rounds; for graphs with unknown or
+    unbounded diameter use :func:`components_star` (same contract,
+    large-star/small-star contraction, id-layout-independent rounds).
     """
     # Persist the edge list BEFORE symmetrizing: the union's two branches are
     # separate plan subtrees (no cross-branch CSE), so an un-cached edge
@@ -625,6 +625,87 @@ def components_from_edges(
     finally:
         edges.unpersist()
     return rep
+
+
+def components_star(
+    ids: DataFrame, edges: DataFrame, max_rounds: int = 48
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star edge
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14 — published algorithm, public knowledge). Same
+    ``(ids, edges) → (id, rep_id)`` contract as
+    :func:`components_from_edges`.
+
+    This is the long-chain-safe sibling: label propagation moves the
+    component minimum O(1) hops per round on adversarial id layouts, while
+    star contraction rewires whole neighborhoods toward local minima each
+    round — O(log² n) rounds guaranteed, O(log n) observed, independent of
+    id layout (a 300-vertex shuffled-id path resolves in ~7 iterations —
+    pytest). Each iteration is two groupBy+join passes over O(edges) rows;
+    every intermediate edge (child, parent) keeps parent < child, and at
+    the fixed point the edge set IS the star forest: child → component
+    minimum.
+
+    Use :func:`components_from_edges` for shallow near-dup graphs (fewer
+    fixed costs per round); use this when component diameter is unknown or
+    unbounded.
+    """
+    # normalize: drop self-loops, orient (child, parent) with parent < child
+    E = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("child"),
+            F.least("src", "dst").alias("parent"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for rnd in range(max_rounds):
+        # LARGE-STAR: for each u, connect every strictly-greater neighbor to
+        # m(u) = min(N(u) ∪ {u}). Keeps (child > parent) orientation since
+        # m(u) <= u < w.
+        sym = E.select(
+            F.col("child").alias("u"), F.col("parent").alias("w")
+        ).union(E.select(F.col("parent").alias("u"), F.col("child").alias("w")))
+        m_l = sym.groupBy("u").agg(F.min("w").alias("mn"))
+        m_l = m_l.select("u", F.least("mn", "u").alias("m"))
+        large = (
+            sym.where(F.col("w") > F.col("u"))
+            .join(m_l, "u")
+            .select(F.col("w").alias("child"), F.col("m").alias("parent"))
+            .distinct()
+        )
+        # SMALL-STAR: for each node, re-point all its parents (and itself)
+        # at its minimum parent.
+        m_s = large.groupBy("child").agg(F.min("parent").alias("m"))
+        small = (
+            large.join(m_s, "child")
+            .where(F.col("parent") != F.col("m"))
+            .select(F.col("parent").alias("child"), F.col("m").alias("parent"))
+            .union(m_s.select(F.col("child"), F.col("m").alias("parent")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        E = small
+        # fixed point ⟺ the edge multiset is unchanged across one full
+        # large+small iteration (order-independent checksum + count).
+        # Decimal accumulator: summing 64-bit hashes overflows long under
+        # ANSI mode (on by default in Spark 4).
+        sig = tuple(
+            E.agg(
+                F.sum(F.xxhash64("child", "parent").cast("decimal(38,0)")),
+                F.count(F.lit(1)),
+            ).first()
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"components_star did not converge in {max_rounds} rounds")
+    return ids.join(E, ids.id == E.child, "left").select(
+        "id", F.coalesce("parent", "id").alias("rep_id")
+    )
 
 
 # --------------------------------------------------------------------------- #

@@ -524,3 +524,43 @@ def test_pii_redaction_planted(spark):
     a = tx13_pii_redact(spark, SF_DIR).collect()
     b = tx13_pii_redact(spark, SF_DIR).collect()
     assert a == b and len(a) > 0
+
+
+def test_components_star_long_chains_and_random_graphs(spark):
+    """components_star (large-star/small-star contraction) equals union-find,
+    including a 300-vertex path with SHUFFLED ids — the adversarial shape
+    where plain min-label propagation needs O(diameter) rounds."""
+    import random
+
+    from dbix_batchchunker_spark.operators.dedup import components_star
+
+    cases = []
+    rng = random.Random(5)
+    perm = list(range(300))
+    rng.shuffle(perm)
+    cases.append((300, [(perm[i], perm[i + 1]) for i in range(299)]))
+    for seed in (11, 42):
+        r = random.Random(seed)
+        n = 60
+        cases.append((n, [(r.randrange(n), r.randrange(n)) for _ in range(50)]))
+
+    for n, edge_list in cases:
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            parent[find(a)] = find(b)
+        comp: dict = {}
+        for v in range(n):
+            comp.setdefault(find(v), []).append(v)
+        expected = {v: min(vs) for vs in comp.values() for v in vs}
+
+        ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        edf = spark.createDataFrame(edge_list, "src long, dst long")
+        got = {r.id: r.rep_id for r in components_star(ids, edf).collect()}
+        assert got == expected, f"case n={n}"
