@@ -577,3 +577,34 @@ def tx13_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ipv4",
         F.length("clean_text").alias("clean_len"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------- #
+# tx14: corpus vocabulary — global token frequencies, the input every        #
+# tokenizer-training (BPE/unigram) run starts from. One explode + one        #
+# hash-partitioned count aggregate (map-side partial combine collapses      #
+# per-partition duplicates before the shuffle), then a TakeOrdered top-k    #
+# — no global sort materializes. Scales as one pass over the scan.          #
+# --------------------------------------------------------------------------- #
+_VOCAB_K = 1000
+
+
+def vocab_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """token → (n_occurrences, n_docs), exact, over the whole corpus."""
+    tok = docs.select("doc_id", F.explode(_tokens_spark(text_col)).alias("token"))
+    return tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+
+
+@query("tx14_vocab")  # no oracle: top-k tie-breaking aside, the interesting
+def tx14_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # contract (exact counts, deterministic order) is pinned on planted docs
+    # in tests/test_extensions.py.
+    docs = t(spark, sf_dir, "documents")
+    return (
+        vocab_counts(docs)
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(_VOCAB_K)
+    )

@@ -564,3 +564,29 @@ def test_components_star_long_chains_and_random_graphs(spark):
         edf = spark.createDataFrame(edge_list, "src long, dst long")
         got = {r.id: r.rep_id for r in components_star(ids, edf).collect()}
         assert got == expected, f"case n={n}"
+
+
+def test_vocab_counts_planted(spark):
+    """tx14 exact counts on hand-countable docs: occurrences vs doc
+    frequency differ, order is (count desc, token asc), determinism holds."""
+    from dbix_batchchunker_spark.operators.text import tx14_vocab, vocab_counts
+
+    docs = _doc_df(
+        spark,
+        [
+            "apple apple banana",
+            "apple cherry",
+            "banana banana banana cherry",
+        ],
+    )
+    rows = {r.token: (r.n_occurrences, r.n_docs) for r in vocab_counts(docs).collect()}
+    assert rows == {
+        "apple": (3, 2),
+        "banana": (4, 2),
+        "cherry": (2, 2),
+    }
+    a = tx14_vocab(spark, SF_DIR).collect()
+    b = tx14_vocab(spark, SF_DIR).collect()
+    assert a == b and len(a) > 0
+    counts = [r.n_occurrences for r in a]
+    assert counts == sorted(counts, reverse=True)
