@@ -83,13 +83,21 @@ def _shingles_of(toks: Column, n: int) -> Column:
     """Word n-gram shingles from an (ideally already-materialized) token
     array column. Pass a plain column reference — passing an expression
     re-evaluates it per element_at call (measured 20 s vs 0.9 s for the
-    sf0.1 corpus build)."""
+    sf0.1 corpus build).
+
+    Docs with fewer than n tokens still emit ONE (short) window — sequence()
+    bottoms out at [0] — whose out-of-range reads must be try_element_at:
+    plain element_at throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT under Spark 4's
+    default ANSI mode. concat_ws skips the resulting nulls, so the short doc
+    collapses to the same short shingle DuckDB's array_to_string(toks[i:i+n])
+    slice produces (dd08's oracle relies on that equivalence)."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.array_distinct(
         F.transform(
             idx,
             lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+                " ",
+                *[F.try_element_at(toks, (i + j + 1).cast("int")) for j in range(n)],
             ),
         )
     )

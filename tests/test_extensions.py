@@ -103,6 +103,48 @@ def test_minhash_dedup_clusters_planted_dups(spark):
     assert rep[2] == 2
 
 
+def test_shingles_short_docs_survive_ansi(spark):
+    """Docs with fewer than n tokens (or no tokens) must not throw under
+    Spark 4's default ANSI mode — the window expression bottoms out at one
+    short window built with try_element_at, collapsing to the same short
+    shingle DuckDB's toks[i:i+n] slice yields (r3 ADVICE: plain element_at
+    raised INVALID_ARRAY_INDEX_IN_ELEMENT_AT on a 2-token doc)."""
+    import os
+    import tempfile
+
+    from dbix_batchchunker_spark.operators.dedup import (
+        _shingles_of,
+        _tokens,
+        dd08_ngram_jaccard_pairs,
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "a"), (2, ""), (3, "a b c d e")],
+        "doc_id long, text string",
+    )
+    sh = {
+        r.doc_id: r.sh
+        for r in df.select("doc_id", _tokens().alias("toks"))
+        .select("doc_id", _shingles_of(F.col("toks"), 3).alias("sh"))
+        .collect()
+    }
+    assert sh[0] == ["a b"]          # short window, concat_ws skips nulls
+    assert sh[1] == ["a"]
+    assert sh[2] == [""]             # empty doc → one empty-string window
+    assert sh[3] == ["a b c", "b c d", "c d e"]
+
+    # the full dd08 pipeline and the shingled minhash path both run clean
+    d = tempfile.mkdtemp()
+    _doc_df(
+        spark, ["a b", "a", "", "x y z w v u t", "x y z w v u t"]
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    pairs = {(r.doc_a, r.doc_b) for r in dd08_ngram_jaccard_pairs(spark, d).collect()}
+    assert (3, 4) in pairs
+    assert minhash_signatures(docs, shingle_n=3).count() == 5
+
+
 def test_simhash_near_dups_close_in_hamming(spark):
     from dbix_batchchunker_spark.operators.dedup import simhash
 
