@@ -50,10 +50,12 @@ def main() -> None:
         key=lambda f: int(re.search(r"\d+", f).group()),
     )
     prior_name = None
-    # Newest parseable file wins. The driver wraps bench.py's JSON line under
-    # "parsed", and a truncated artifact can leave "parsed": null — guard
-    # every level and fall back to older files; baselines are best-effort.
-    for fname in reversed(prior_files):
+    # Newest parseable source wins. BENCH_DETAIL.json (written by the last
+    # full run of this script — the compact BENCH_r{N}.json final line no
+    # longer carries per-query timings) is the freshest; then BENCH_r*.json,
+    # whose "parsed" may be null for truncated artifacts — guard every level
+    # and fall back to older files; baselines are best-effort.
+    for fname in ["BENCH_DETAIL.json"] + list(reversed(prior_files)):
         try:
             with open(os.path.join(here, fname)) as fh:
                 obj = json.load(fh)
@@ -111,7 +113,13 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s{delta}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    out = {
+    # The driver records only THE FINAL stdout line (plus a bounded tail), so
+    # that line must stay compact: three rounds of BENCH_r{N}.json came back
+    # "parsed": null because the per-query dict + deltas (~4 KB at 64
+    # queries) outgrew the tail capture. Full detail goes to an EARLIER
+    # stdout line and to BENCH_DETAIL.json committed in the repo; the final
+    # line carries the summary only and must never grow with query count.
+    detail = {
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
@@ -121,11 +129,26 @@ def main() -> None:
         "warmup": f"each query once at {warm_dir} before timing",
     }
     if prior:
-        out["deltas_vs_prior"] = {
+        detail["deltas_vs_prior"] = {
             n: round(timings[n] - prior[n], 3) for n in timings if n in prior
         }
-        out["prior_bench"] = prior_name
-    print(json.dumps(out))
+        detail["prior_bench"] = prior_name
+    if not only:  # a filtered run is not a full-suite artifact
+        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    print(json.dumps(detail))
+    summary = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "timing": detail["timing"],
+        "warmup": detail["warmup"],
+        "detail": "BENCH_DETAIL.json",
+    }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
