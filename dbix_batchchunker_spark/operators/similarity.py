@@ -435,16 +435,24 @@ def ivf_near_dup_pairs(
         / (F.col("a.nrm") * F.col("b.nrm")),
         6,
     )
-    return (
+    # Scored-then-filter, mirroring dd02: project the cosine ONCE and filter
+    # the aliased column instead of repeating the expression in WHERE and
+    # SELECT. (Catalyst still pushes the threshold predicate into the join
+    # condition by re-inlining the alias — verified in the optimized plan,
+    # dd02 shows the same — so the join-side evaluation is unavoidable; this
+    # shape avoids the additional DSL-level duplication and keeps the
+    # equality filter on label ahead of any scoring in the written plan.)
+    scored = (
         cand.join(a, cand.doc_a == F.col("a.vec_id"))
         .join(b, cand.doc_b == F.col("b.vec_id"))
-        .where((F.col("a.label") == F.col("b.label")) & (cos >= threshold))
+        .where(F.col("a.label") == F.col("b.label"))
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             cos.alias("cos_sim"),
         )
     )
+    return scored.where(F.col("cos_sim") >= threshold)
 
 
 @query("sim06_ivf_near_dup")  # no oracle: IVF index isn't SQL-expressible;
