@@ -156,7 +156,58 @@ def dd02_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _blocked_jaccard_pairs(feats, threshold=0.6)
 
 
-def _blocked_jaccard_pairs(feats_df: DataFrame, threshold: float) -> DataFrame:
+# The blocked-exact operators (dd02/dd08/sim03) are Θ(block²) with
+# DATA-DETERMINED block sizes — the deliberate oracle-checkable counterparts
+# of the LSH/IVF scale paths. At 100× a hot block would otherwise run the
+# quadratic join silently for hours; instead they probe block cardinalities
+# up front and abort with a pointer to the registered scale-safe sibling.
+# 10k² ≈ 50M in-block pairs is the most a single "exact counterpart" block
+# should ever cost; the gate corpora sit orders of magnitude below it.
+MAX_BLOCK_SIZE = 10_000
+
+
+def _require_bounded_blocks(
+    df: DataFrame,
+    keys: list[str],
+    max_block_size: int | None,
+    op: str,
+    alternative: str,
+) -> None:
+    """Fail fast when any block exceeds ``max_block_size`` members.
+
+    One cheap probe job before the quadratic join is launched: the count
+    needs only the key columns, so Catalyst prunes any expensive feature
+    expressions out of the probe's scan (and for persisted inputs the probe
+    is what triggers materialization the join would pay anyway). ``None``
+    disables the guard. This mirrors the engine's convergence stance —
+    never run silently past a known scale cliff; raise with guidance.
+    """
+    if max_block_size is None:
+        return
+    over = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > max_block_size)
+        .orderBy(F.col("n").desc())
+        .limit(1)
+        .collect()
+    )
+    if over:
+        row = over[0]
+        key_desc = ", ".join(f"{k}={row[k]!r}" for k in keys)
+        raise ValueError(
+            f"{op}: block ({key_desc}) has {row['n']} members, exceeding "
+            f"max_block_size={max_block_size}; the blocked-exact quadratic "
+            f"path is the oracle-scale counterpart only — at this size use "
+            f"{alternative} instead, or raise max_block_size explicitly."
+        )
+
+
+def _blocked_jaccard_pairs(
+    feats_df: DataFrame,
+    threshold: float,
+    max_block_size: int | None = MAX_BLOCK_SIZE,
+) -> DataFrame:
     """Exact Jaccard ≥ threshold over a set-valued `feats` column, pairs
     blocked on (lang, 100-char length bucket) — the oracle-checkable
     counterpart of the LSH pipelines, shared by dd02 (word sets) and dd08
@@ -167,6 +218,14 @@ def _blocked_jaccard_pairs(feats_df: DataFrame, threshold: float) -> DataFrame:
     Adding doc_id%R to the left key and replicating the right side R times
     splits each block's pairs across R tasks — identical result set.
     """
+    _require_bounded_blocks(
+        feats_df,
+        ["lang", "len_bucket"],
+        max_block_size,
+        op="blocked_jaccard_pairs",
+        alternative="the banded-LSH pair path (dd06_lsh_jaccard_pairs / "
+        "near_dup_pairs) or cluster dedup (dd03_minhash_dedup)",
+    )
     R = 8
     docs = (
         feats_df

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine, dot, norm
+from .dedup import MAX_BLOCK_SIZE, _require_bounded_blocks
 from .registry import query, t
 
 N_QUERY_VECS = 5
@@ -176,6 +177,26 @@ def sim02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim03_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").withColumn("nrm", norm(F.col("embedding")))
+    return label_blocked_near_dup_pairs(emb)
+
+
+def label_blocked_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    max_block_size: int | None = MAX_BLOCK_SIZE,
+) -> DataFrame:
+    """Exact cosine ≥ threshold pairs within label blocks — sim03's body,
+    the oracle-checkable Θ(block²) counterpart of :func:`ivf_near_dup_pairs`
+    (sim06). Label blocks are data-determined and unbounded at scale, so the
+    same fail-fast block-size probe as the dedup module's blocked-exact path
+    guards the self-join (``None`` disables)."""
+    _require_bounded_blocks(
+        emb,
+        ["label"],
+        max_block_size,
+        op="label_blocked_near_dup_pairs",
+        alternative="ivf_near_dup_pairs (sim06) or embedding_dedup (sim07)",
+    )
     a = emb.alias("a")
     b = emb.alias("b")
     cos = F.round(
@@ -189,7 +210,7 @@ def sim03_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.label") == F.col("b.label"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .where(cos >= 0.3)
+        .where(cos >= threshold)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
