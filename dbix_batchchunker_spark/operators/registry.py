@@ -37,16 +37,43 @@ def query(name: str, oracle: Optional[str] = None):
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
     """THE events timestamp rule, shared by every read path (batch ``t()``
-    and the streaming source): ``events.ts`` is TIMESTAMP(NANOS) parquet,
-    which Spark rejects outright; with ``nanosAsLong`` set it arrives as
-    int64 nanos, truncated here to microseconds — exactly what DuckDB does
-    when it surfaces the column as TIMESTAMP (µs), so both engines (and
-    both read paths) see identical values."""
+    and the streaming source). The testdata generator has shipped
+    ``events.ts`` in two physical forms, both naive (no UTC adjustment):
+
+    * TIMESTAMP(NANOS) parquet — Spark rejects it outright; with
+      ``nanosAsLong`` set it arrives as int64 nanos, truncated here to
+      microseconds via ``timestamp_micros`` (raw-micros → instant, no
+      timezone involved, so downstream ``unix_micros`` is session-tz-proof);
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet — Spark surfaces it
+      as TIMESTAMP_NTZ, which already matches DuckDB's naive TIMESTAMP (µs)
+      wall-clock for wall-clock; left untouched.
+
+    Epoch arithmetic on the resulting column must go through
+    :func:`epoch_us`, never a bare ``unix_micros`` (which rejects NTZ and,
+    after an NTZ→TIMESTAMP cast, silently shifts by the session timezone)."""
     from pyspark.sql import functions as F
 
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def epoch_us(df: DataFrame, col: str = "ts"):
+    """Microseconds since epoch of a naive timestamp column, identical to
+    DuckDB's ``epoch_us(ts)`` REGARDLESS of the Spark session timezone (the
+    driver's gate session sets its own): TIMESTAMP_NTZ goes through pure
+    NTZ date arithmetic (``timestampdiff`` against an NTZ epoch literal —
+    no timezone in the expression at all); TIMESTAMP (only produced by the
+    legacy nanos path, where the instant IS the naive value) through
+    ``unix_micros``. An NTZ→TIMESTAMP cast + ``unix_micros`` would be off
+    by the session-tz offset — measured +5 h under America/New_York."""
+    from pyspark.sql import functions as F
+
+    if dict(df.dtypes).get(col) == "timestamp_ntz":
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+        )
+    return F.unix_micros(F.col(col))
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
