@@ -77,6 +77,7 @@ def main() -> None:
     # measure the plan, then drop anything it cached.
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     queries = entry_mod.queries()
     # Iteration aid: SPARK_GRAFT_BENCH_ONLY=<regex> times just the matching
     # queries (full-suite totals are only comparable without it).
@@ -96,14 +97,24 @@ def main() -> None:
         # min-of-2 alone can't defend the expensive queries — give anything
         # the prior baseline says is slow one extra timed run.
         q_runs = runs + 1 if runs > 1 and prior.get(name, 0.0) > 3.0 else runs
-        for _ in range(q_runs):
-            t0 = time.monotonic()
-            df = queries[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.monotonic() - t0)
-            # Queries are standalone: drop any frames they persisted so cache
-            # leakage doesn't build GC pressure for the queries that follow.
+        try:
+            for _ in range(q_runs):
+                t0 = time.monotonic()
+                df = queries[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.monotonic() - t0)
+                # Queries are standalone: drop any frames they persisted so
+                # cache leakage doesn't build GC pressure for the queries
+                # that follow.
+                spark.catalog.clearCache()
+        except Exception as exc:  # noqa: BLE001
+            # One broken query must not sink the whole artifact (BENCH_r05
+            # died with rc=1 at q30 and recorded zero timings). Record the
+            # failure, keep timing the rest.
+            errors[name] = f"{type(exc).__name__}: {exc}".splitlines()[0][:200]
+            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
             spark.catalog.clearCache()
+            continue
         timings[name] = round(best, 3)
         delta = (
             f" ({timings[name] - prior[name]:+.3f}s vs {prior_name})"
@@ -128,6 +139,8 @@ def main() -> None:
         "timing": f"min_of_{runs}_plus_one_when_prior_gt_3s",
         "warmup": f"each query once at {warm_dir} before timing",
     }
+    if errors:
+        detail["errors"] = errors
     if prior:
         detail["deltas_vs_prior"] = {
             n: round(timings[n] - prior[n], 3) for n in timings if n in prior
@@ -144,6 +157,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
+        "n_errors": len(errors),
         "timing": detail["timing"],
         "warmup": detail["warmup"],
         "detail": "BENCH_DETAIL.json",

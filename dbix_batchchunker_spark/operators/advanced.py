@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .registry import dec2, query, t
+from .registry import dec2, epoch_us, query, t
 
 _OUT = "double"  # gate-stable final dtype (see relational.py note)
 
@@ -552,9 +552,8 @@ SESSION_GAP_US = 30 * 60 * 1_000_000
     """,
 )
 def q30_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("us")
-    )
+    events = t(spark, sf_dir, "events")
+    ev = events.select("user_id", "event_id", epoch_us(events).alias("us"))
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     marked = ev.withColumn(
         "new_sess",
