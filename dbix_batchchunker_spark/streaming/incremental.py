@@ -54,6 +54,29 @@ def process_available(
     q.awaitTermination()
 
 
+def as_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Make ``ts_col`` a watermark-capable TIMESTAMP regardless of the
+    parquet physical form. The testdata generator has shipped events.ts as
+    both TIMESTAMP(NANOS) (→ TIMESTAMP after registry.normalize_event_ts)
+    and TIMESTAMP(MICROS, isAdjustedToUTC=false) (→ TIMESTAMP_NTZ, which
+    Spark's event-time machinery rejects: EVENT_TIME_IS_NOT_ON_TIMESTAMP_
+    TYPE). NTZ wall-clock converts to the instant it would denote IN UTC —
+    pure NTZ date arithmetic, so the result is identical under any session
+    timezone (a bare CAST would shift by the session offset and move
+    fractional-offset window boundaries)."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(
+            ts_col,
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND, "
+                    f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+                )
+            ),
+        )
+    return df
+
+
 def windowed_counts(
     events: DataFrame,
     ts_col: str = "ts",
@@ -63,7 +86,7 @@ def windowed_counts(
 ) -> DataFrame:
     """Tumbling-window counts with a lateness watermark; works on both batch
     and streaming DataFrames (same Catalyst operator)."""
-    df = events
+    df = as_event_time(events, ts_col)
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     return df.groupBy(F.window(F.col(ts_col), window), *group_cols).agg(
@@ -82,7 +105,7 @@ def sessionized(
     """Gap-based session windows per key (F.session_window) — the custom
     stateful-operator case the reference has no analog for; batch and
     streaming share the plan."""
-    df = events
+    df = as_event_time(events, ts_col)
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     return df.groupBy(
