@@ -598,10 +598,30 @@ def vocab_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-@query("tx14_vocab")  # no oracle: top-k tie-breaking aside, the interesting
+@query(
+    "tx14_vocab",
+    # Fully deterministic and SQL-expressible (exact counts; the ORDER BY
+    # (n_occurrences DESC, token) is a total order, so the top-k cut is
+    # unambiguous) — oracle-gated since round 6. Registered 51st, past the
+    # driver gate's 50-slot prefix, so the binding adjudication is the local
+    # replica (tests/test_queries_oracle.py enumerates every oracle).
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_tokens_sql("text")}) AS token
+        FROM documents
+    )
+    SELECT token,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM tok
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT {_VOCAB_K}
+    """,
+)
 def tx14_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # contract (exact counts, deterministic order) is pinned on planted docs
-    # in tests/test_extensions.py.
+    # Exact counts + deterministic order also pinned on planted docs in
+    # tests/test_extensions.py.
     docs = t(spark, sf_dir, "documents")
     return (
         vocab_counts(docs)
