@@ -120,7 +120,7 @@ def test_registry_contract():
     q, o = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) == len(set(q))
-    prefixes = ("q", "dd", "sim", "tx", "mm", "st")
+    prefixes = ("q", "dd", "sim", "tx", "mm", "st", "sp")
     assert all(name.startswith(prefixes) for name in q)
 
 
