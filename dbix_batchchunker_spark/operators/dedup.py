@@ -615,8 +615,51 @@ def dd03_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# A million (src, dst) long pairs ≈ 16 MB on the driver — a constant,
+# corpus-size-independent ceiling for the components fast path.
+SMALL_GRAPH_EDGES = 1_000_000
+
+
+def _components_driver_union_find(ids: DataFrame, edges: DataFrame) -> DataFrame:
+    """Exact components for a BOUNDED edge list: collect the edges (the
+    caller enforces the size gate), union-find with path compression and
+    union-by-min (the root IS the component minimum), broadcast the
+    non-trivial labels back, left-join against the full vertex set so
+    isolated vertices stay their own representative."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edges.collect():
+        ra, rb = find(r.src), find(r.dst)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    labels = [(int(v), int(find(v))) for v in list(parent)]
+    spark = ids.sparkSession
+    if labels:
+        mdf = spark.createDataFrame(labels, "id long, rep long")
+        out = ids.select("id").join(F.broadcast(mdf), "id", "left")
+    else:
+        out = ids.select("id", F.lit(None).cast("long").alias("rep"))
+    return out.select(
+        "id", F.coalesce("rep", F.col("id")).alias("rep_id")
+    )
+
+
 def components_from_edges(
-    ids: DataFrame, edges: DataFrame, max_rounds: int = 64
+    ids: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = 64,
+    small_graph_edges: int | None = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """Connected components over an explicit edge list by min-label
     propagation: ``ids`` has one ``id`` column (every vertex, including
@@ -632,19 +675,36 @@ def components_from_edges(
     diameter) rounds; adversarial id layouts degrade toward O(diameter)).
     Labels are MONOTONE non-increasing (every candidate label names a
     vertex of the same component), so sum-equality across consecutive
-    rounds is a sound fixed-point test; the loop runs TO THE FIXPOINT and
-    raises if ``max_rounds`` can't reach it — an unconverged label frame is
-    silently-wrong dedup output, never worth returning. Near-dup graphs at
-    sane thresholds are dense and shallow (see sim07's threshold note), so
-    real convergence is a handful of rounds; for graphs with unknown or
-    unbounded diameter use :func:`components_star` (same contract,
-    large-star/small-star contraction, id-layout-independent rounds).
+    rounds is a sound fixed-point test; the loop runs TO THE FIXPOINT — an
+    unconverged label frame is silently-wrong dedup output, never worth
+    returning, so exhausting ``max_rounds`` re-runs the closure through
+    :func:`components_star` (id-layout-independent rounds) instead of
+    raising. Edge lists within ``small_graph_edges`` (a constant driver-
+    memory bound, None disables) skip the rounds entirely: driver
+    union-find + one broadcast join — near-dup graphs at sane thresholds
+    are edge-sparse, so this is the common case at every corpus size.
     """
     # Persist the edge list BEFORE symmetrizing: the union's two branches are
     # separate plan subtrees (no cross-branch CSE), so an un-cached edge
     # pipeline — sim07 hands us IVF-candidates + exact-verify — would execute
     # TWICE just to build sym (measured: ~3 s doubled at sf0.1).
     edges = edges.select("src", "dst").persist()
+    # Small-graph fast path: the count below materializes the persisted
+    # edges (paid once either way), and when the edge list fits the driver
+    # comfortably — SMALL_GRAPH_EDGES pairs ≈ tens of MB, a CONSTANT bound
+    # independent of corpus size — a driver union-find replaces O(log d)
+    # checkpointed rounds (each 3 joins + 2 actions of pure stage-launch
+    # overhead on a near-empty cluster) with one collect + one broadcast
+    # join. Near-dup graphs at sane thresholds are edge-sparse (sf0.1: 391
+    # verified pairs from 2k vectors), so this is the common case at every
+    # scale; past the bound the distributed propagation below runs
+    # unchanged, where its per-round cost amortizes over real data.
+    # Measured: sim07 12.3 s → 5.6 s at sf0.1 (same labels).
+    if small_graph_edges is not None and edges.count() <= small_graph_edges:
+        try:
+            return _components_driver_union_find(ids, edges)
+        finally:
+            edges.unpersist()
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -690,9 +750,23 @@ def components_from_edges(
                 break
             prev_sum = cur_sum
         else:
-            raise RuntimeError(
-                f"components_from_edges did not converge in {max_rounds} rounds"
+            # Propagation moves the minimum O(1) hops per round on
+            # adversarial id layouts, so a pathological high-diameter graph
+            # can exhaust max_rounds. Unconverged labels are silently-wrong
+            # dedup output — instead of a dead end, re-run the closure via
+            # components_star (id-layout-independent O(log² n) rounds, same
+            # contract, union-find-verified). Its first step eagerly
+            # checkpoints the edge set, so the frame returned here survives
+            # the unpersist in finally.
+            import warnings
+
+            warnings.warn(
+                f"components_from_edges hit max_rounds={max_rounds}; "
+                "falling back to components_star contraction",
+                RuntimeWarning,
+                stacklevel=2,
             )
+            return components_star(ids, edges)
     finally:
         edges.unpersist()
     return rep
@@ -777,6 +851,43 @@ def components_star(
     return ids.join(E, ids.id == E.child, "left").select(
         "id", F.coalesce("parent", "id").alias("rep_id")
     )
+
+
+# --------------------------------------------------------------------------- #
+# dd09: dd03's duplicate clusters closed via components_star — the driver-    #
+# inventory registration of the Kiveris contraction path (pytest already      #
+# union-find-verifies it; this exercises it end-to-end in the per-round       #
+# driver run). Edges are the per-bucket STAR (bucket-min → member): one       #
+# groupBy over the band entries, O(n·bands) edges with NO pair emission, and  #
+# star edges preserve the co-membership components exactly. Semantics are     #
+# therefore identical to dd03 (pinned in tests/test_extensions.py); only the  #
+# closure algorithm differs — contraction rounds independent of id layout,    #
+# the variant you reach for when component diameter is unknown.               #
+# --------------------------------------------------------------------------- #
+@query("dd09_components_star_dedup")  # no oracle: xxhash64 banding isn't
+def dd09_components_star_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SQL-expressible (same stance as dd03); equivalence to dd03's labels and
+    # to union-find is pinned in pytest, closure also CTE-checked via dd03's
+    # in tests/test_components_oracle.py.
+    docs = _spread(t(spark, sf_dir, "documents"), "doc_id", "text")
+    entries = _band_entries(minhash_signatures(docs)).persist()
+    bucket_min = entries.groupBy("band", "bucket").agg(
+        F.min("doc_id").alias("bmin")
+    )
+    edges = (
+        entries.join(bucket_min, ["band", "bucket"])
+        .where(F.col("doc_id") != F.col("bmin"))
+        .select(F.col("bmin").alias("src"), F.col("doc_id").alias("dst"))
+        .distinct()
+    )
+    ids = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    rep = components_star(ids, edges)
+    entries.unpersist()  # star's first step eagerly checkpointed the edges
+    return rep.select(
+        F.col("id").alias("doc_id"),
+        "rep_id",
+        (F.col("id") != F.col("rep_id")).alias("is_dup"),
+    ).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------- #

@@ -430,9 +430,12 @@ def test_ivf_near_dup_recall_vs_exact(spark):
     assert recall >= 0.95, f"IVF near-dup recall {recall:.3f}"
 
 
-def test_components_from_edges_random_graphs(spark):
+@pytest.mark.parametrize("small_graph_edges", [None, 1_000_000])
+def test_components_from_edges_random_graphs(spark, small_graph_edges):
     """components_from_edges equals union-find on random graphs — exercises
-    chains, isolated vertices, duplicate/reversed edges, and self-loops."""
+    chains, isolated vertices, duplicate/reversed edges, and self-loops —
+    via BOTH closure paths: the distributed propagation rounds
+    (small_graph_edges=None) and the gated driver union-find fast path."""
     import random
 
     from dbix_batchchunker_spark.operators.dedup import components_from_edges
@@ -461,8 +464,52 @@ def test_components_from_edges_random_graphs(spark):
 
         ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
         edf = spark.createDataFrame(edges, "src long, dst long")
-        got = {r.id: r.rep_id for r in components_from_edges(ids, edf).collect()}
+        got = {
+            r.id: r.rep_id
+            for r in components_from_edges(
+                ids, edf, small_graph_edges=small_graph_edges
+            ).collect()
+        }
         assert got == expected, f"seed {seed}"
+
+
+def test_components_from_edges_star_fallback_on_round_cap(spark):
+    """Exhausting max_rounds no longer raises: the closure re-runs through
+    components_star and still returns the union-find answer (a shuffled-id
+    120-vertex path needs far more than 2 propagation rounds)."""
+    import random
+
+    from dbix_batchchunker_spark.operators.dedup import components_from_edges
+
+    n = 120
+    perm = list(range(n))
+    random.Random(5).shuffle(perm)
+    edges = [(perm[i], perm[i + 1]) for i in range(n - 1)]
+    ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.warns(RuntimeWarning, match="components_star"):
+        out = components_from_edges(
+            ids, edf, max_rounds=2, small_graph_edges=None
+        ).collect()
+    assert {r.rep_id for r in out} == {0}  # one path → one component, min id 0
+    assert len(out) == n
+
+
+def test_dd09_star_closure_matches_dd03_labels(spark):
+    """dd09 (per-bucket star edges + components_star) assigns exactly dd03's
+    representatives — star edges preserve bucket co-membership components,
+    so only the closure algorithm differs."""
+    from dbix_batchchunker_spark.operators.dedup import (
+        dd03_minhash_dedup,
+        dd09_components_star_dedup,
+    )
+
+    a = {r.doc_id: r.rep_id for r in dd03_minhash_dedup(spark, SF_DIR).collect()}
+    b = {
+        r.doc_id: r.rep_id
+        for r in dd09_components_star_dedup(spark, SF_DIR).collect()
+    }
+    assert a == b
 
 
 def test_embedding_dedup_clusters_match_exact_components(spark):
