@@ -629,72 +629,3 @@ def tx14_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_VOCAB_K)
     )
 
-
-# --------------------------------------------------------------------------- #
-# tx15: benchmark decontamination — flag corpus docs sharing any word n-gram  #
-# with an eval/benchmark set, the filter every serious pretraining corpus    #
-# runs before training (leaked eval items inflate benchmark scores). The     #
-# eval set here is the deterministic doc_id % 13 == 0 slice standing in for  #
-# an external benchmark table; the operator shape is what matters: explode   #
-# the SMALL side's n-grams, broadcast-join them against the corpus side's    #
-# exploded n-grams, aggregate per corpus doc. At 100 TB the corpus side      #
-# streams through one scan + one map-side-combinable groupBy(doc_id); the    #
-# benchmark side (thousands of eval items) broadcasts — no corpus shuffle   #
-# besides the final per-doc count.                                           #
-# --------------------------------------------------------------------------- #
-TX15_NGRAM = 6
-TX15_EVAL_MOD = 13
-
-
-@query(
-    "tx15_decontaminate",
-    oracle=f"""
-    WITH d AS (
-        SELECT doc_id,
-               list_filter(regexp_split_to_array(text, '{_WS}'), x -> x != '') AS toks
-        FROM documents
-    ), s AS (
-        SELECT doc_id,
-               list_distinct(list_transform(
-                   range(1, greatest(len(toks) - {TX15_NGRAM - 1}, 1) + 1),
-                   i -> array_to_string(toks[i:i+{TX15_NGRAM - 1}], ' '))) AS shingles
-        FROM d
-    ), ev AS (
-        SELECT doc_id, unnest(shingles) AS sh FROM s
-        WHERE doc_id % {TX15_EVAL_MOD} = 0
-    ), tr AS (
-        SELECT doc_id, unnest(shingles) AS sh FROM s
-        WHERE doc_id % {TX15_EVAL_MOD} != 0
-    )
-    SELECT tr.doc_id,
-           COUNT(DISTINCT ev.doc_id) AS n_eval_docs,
-           COUNT(DISTINCT tr.sh) AS n_shared_ngrams
-    FROM tr JOIN ev ON tr.sh = ev.sh
-    GROUP BY tr.doc_id
-    ORDER BY tr.doc_id
-    """,
-)
-def tx15_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import _shingles_of, _spread
-
-    docs = _spread(t(spark, sf_dir, "documents"), "doc_id", "text")
-    toks = docs.select(
-        "doc_id", _tokens_spark().alias("toks")
-    )
-    sh = toks.select(
-        "doc_id", F.explode(_shingles_of(F.col("toks"), TX15_NGRAM)).alias("sh")
-    )
-    ev = (
-        sh.where(F.col("doc_id") % TX15_EVAL_MOD == 0)
-        .select(F.col("doc_id").alias("eval_id"), "sh")
-    )
-    tr = sh.where(F.col("doc_id") % TX15_EVAL_MOD != 0)
-    return (
-        tr.join(F.broadcast(ev), "sh")
-        .groupBy("doc_id")
-        .agg(
-            F.count_distinct("eval_id").alias("n_eval_docs"),
-            F.count_distinct("sh").alias("n_shared_ngrams"),
-        )
-        .orderBy("doc_id")
-    )
