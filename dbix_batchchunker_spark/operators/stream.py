@@ -98,3 +98,56 @@ def hourly_rollup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def st01_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB-runnable; batch equivalence is pinned in tests/test_streaming.py.
     return hourly_rollup_streamed(spark, sf_dir)
+
+
+def user_totals_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain ``events`` through the applyInPandasWithState running-totals
+    operator (streaming/incremental.py) and return each user's final
+    totals — the registered end-to-end of SURVEY.md §2.C's "custom stateful
+    operator" pattern: arbitrary per-key Python state, Arrow-batched,
+    exactly-once via the checkpoint.
+
+    The foreachBatch sink keeps the LAST emission per user (update mode
+    re-emits a key's totals each micro-batch it appears in); the driver-side
+    dict is bounded by #users — the same cardinality st01's window sink
+    holds — not by #events. A deployment would point foreachBatch at an
+    upsert-capable store (JDBC MERGE, Delta) instead.
+    """
+    from ..streaming.incremental import running_user_totals, stream_table
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(os.path.join(sf_dir, "events.*"))
+    stream = normalize_event_ts(stream)
+
+    latest: dict = {}
+
+    def sink(batch_df, _batch_id):
+        for r in batch_df.collect():
+            latest[r.user_id] = (r.n_events, r.total_value)
+
+    ckpt = tempfile.mkdtemp(prefix="st02_ckpt_")
+    try:
+        q = (
+            running_user_totals(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    rows = [(u, n, v) for u, (n, v) in sorted(latest.items())]
+    return spark.createDataFrame(
+        rows, "user_id long, n_events long, total_value double"
+    ).orderBy("user_id")
+
+
+@query("st02_stream_user_totals")  # no oracle: custom stateful streaming
+def st02_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # drain isn't DuckDB-runnable; equality with the batch groupBy aggregate
+    # is pinned in tests/test_streaming.py.
+    return user_totals_streamed(spark, sf_dir)

@@ -189,3 +189,29 @@ def test_st01_registered_stream_matches_batch_rollup(spark):
     )
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_st02_registered_stream_matches_batch_totals(spark):
+    """The registered stateful drain (applyInPandasWithState running totals)
+    must equal the batch per-user aggregate: counts exactly, value sums to
+    float tolerance (the state accumulates per micro-batch, so float
+    association order differs from the batch partial-agg tree)."""
+    from dbix_batchchunker_spark.operators.registry import t
+    from dbix_batchchunker_spark.operators.stream import st02_stream_user_totals
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    streamed = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in st02_stream_user_totals(spark, sf_dir).collect()
+    }
+    batch = {
+        r.user_id: (r.n, r.tv)
+        for r in t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert set(streamed) == set(batch) and len(streamed) > 0
+    for u, (n, tv) in batch.items():
+        assert streamed[u][0] == n, u
+        assert abs(streamed[u][1] - tv) < 1e-6 * max(1.0, abs(tv)), u
