@@ -29,12 +29,13 @@ from dbix_batchchunker_spark.operators import (  # noqa: F401
     similarity,
     stream,
     text,
-    # sampling is deliberately LAST (not alphabetical): import order is
-    # registry order, and the driver gate adjudicates a 50-slot prefix of
-    # queries() — new oracle-gated families must append after the 50
-    # long-standing gated queries, never displace them. Their binding
+    # sampling/rangejoin are deliberately LAST (not alphabetical): import
+    # order is registry order, and the driver gate adjudicates a 50-slot
+    # prefix of queries() — new oracle-gated families must append after the
+    # 50 long-standing gated queries, never displace them. Their binding
     # adjudication is the local replica (tests/test_queries_oracle.py).
     sampling,
+    rangejoin,
 )
 
 SF0001 = "/root/testdata/sf0.001"

@@ -271,3 +271,16 @@ def test_repetition_signals_plan_is_shuffle_free(spark):
 
     plan = formatted_plan(tx12_repetition(spark, SF_DIR))
     assert "Exchange" not in plan, plan
+
+
+def test_banded_range_join_is_equi_not_nested_loop(spark):
+    """q32's whole point is the rewrite: a pure range predicate would plan
+    as BroadcastNestedLoopJoin (O(n·m) comparisons); the banded form must
+    plan as an EQUI hash join on the bucket id with the |Δts| residual as
+    the join filter."""
+    from dbix_batchchunker_spark.operators.rangejoin import q32_banded_range_join
+    from dbix_batchchunker_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(q32_banded_range_join(spark, SF_DIR))
+    assert "NestedLoop" not in plan, plan
+    assert "HashJoin" in plan, plan
