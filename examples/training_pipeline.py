@@ -10,9 +10,13 @@ corpus before tokenization:
                             cluster's representative — NO pair emission)
   4. decontamination       (tx10: drop docs sharing a word 5-gram with the
                             held-out benchmark set)
-  5. deterministic split   (tx09: md5-hash train/val/test — reproducible
+  5. mixture sampling      (sp01: per-language hash keep-rates — the
+                            corpus-composition knob; deterministic, so
+                            re-weighting one language leaves the others
+                            byte-identical)
+  6. deterministic split   (tx09: md5-hash train/val/test — reproducible
                             across engines, runs, and cluster sizes)
-  6. write                 parquet partitioned by split (each split prunes
+  7. write                 parquet partitioned by split (each split prunes
                             to its own directory for downstream readers)
 
 The embedding modality gets the same treatment via sim07
@@ -65,17 +69,21 @@ def main() -> None:
     #    word 5-gram with the benchmark docs); anti-join them away
     contaminated = QUERIES["tx10_decontaminate"](spark, sf_dir)
 
-    # 5. deterministic split assignment
+    # 5. mixture — per-language keep-rates reweight the corpus composition
+    mixture = QUERIES["sp01_mixture_sample"](spark, sf_dir)
+
+    # 6. deterministic split assignment
     split = QUERIES["tx09_det_split"](spark, sf_dir)
 
     clean = (
         docs.join(quality.select("doc_id"), "doc_id", "left_semi")
         .join(reps.select("doc_id"), "doc_id", "left_semi")
         .join(contaminated, "doc_id", "left_anti")
+        .join(mixture.select("doc_id"), "doc_id", "left_semi")
         .join(split, "doc_id")
     )
 
-    # 6. one partitioned write; downstream readers of split=train prune the
+    # 7. one partitioned write; downstream readers of split=train prune the
     #    other directories at the source
     clean.write.mode("overwrite").partitionBy("split").parquet(out_dir)
 
