@@ -284,3 +284,40 @@ def test_banded_range_join_is_equi_not_nested_loop(spark):
     plan = formatted_plan(q32_banded_range_join(spark, SF_DIR))
     assert "NestedLoop" not in plan, plan
     assert "HashJoin" in plan, plan
+
+
+def test_formats_roundtrip_preserves_values(spark, tmp_path):
+    """orders round-trips through csv/json/orc with explicit schemas: same
+    rows, same dtypes (timestamps included — csv/json serialize them as
+    strings and the explicit schema restores them)."""
+    from dbix_batchchunker_spark.sources.formats import read_any, write_any
+
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    expected = sorted(map(tuple, orders.collect()))
+    for fmt in ("orc", "csv", "json"):
+        path = str(tmp_path / f"orders_{fmt}")
+        write_any(orders, path, fmt)
+        back = read_any(spark, path, fmt, schema=orders.schema)
+        assert back.schema == orders.schema, fmt
+        assert sorted(map(tuple, back.collect())) == expected, fmt
+
+
+def test_formats_text_requires_schema_and_convert_lands_columnar(spark, tmp_path):
+    from dbix_batchchunker_spark.sources.formats import (
+        convert,
+        infer_schema_sample,
+        read_any,
+        write_any,
+    )
+
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    src = str(tmp_path / "orders_csv")
+    write_any(orders, src, "csv")
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_any(spark, src, "csv")
+    schema = infer_schema_sample(spark, src, "csv", sample_files=1)
+    assert set(f.name for f in schema.fields) == set(orders.columns)
+    dst = str(tmp_path / "orders_parquet")
+    back = convert(spark, src, "csv", dst, schema=orders.schema)
+    assert back.count() == orders.count()
+    assert back.schema == orders.schema
