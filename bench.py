@@ -18,6 +18,86 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _chunker_baseline(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from dbix_batchchunker_spark import BatchChunker
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_totalprice"
+    )
+    out: dict = {}
+
+    n_chunks = [0]
+    bc = BatchChunker(
+        df=orders,
+        id_name="o_orderkey",
+        coderef=lambda bc, cdf: n_chunks.__setitem__(0, n_chunks[0] + 1),
+        chunk_size=10_000,
+        target_time=0,
+        sleep=0,
+    )
+    bc.calculate_ranges()
+    t0 = time.monotonic()
+    bc.execute()
+    dt = time.monotonic() - t0
+    out["noop_chunks"] = n_chunks[0]
+    out["noop_chunks_per_s"] = round(n_chunks[0] / dt, 2)
+
+    rows = [0]
+    bc = BatchChunker(
+        df=orders,
+        id_name="o_orderkey",
+        coderef=lambda bc, cdf: rows.__setitem__(
+            0, rows[0] + cdf.filter(F.col("o_totalprice") > 0).count()
+        ),
+        chunk_size=10_000,
+        target_time=0,
+        sleep=0,
+    )
+    bc.calculate_ranges()
+    t0 = time.monotonic()
+    bc.execute()
+    dt = time.monotonic() - t0
+    out["filter_count_rows"] = rows[0]
+    out["filter_count_rows_per_s"] = round(rows[0] / dt)
+
+    # Convergence: target_time=0.5 s against a fixed 0.05 s per-chunk delay;
+    # count chunk-size adjustments and where the last one happened.
+    sizes: list = []
+
+    def delayed(bc, cdf):
+        time.sleep(0.05)
+        # runtime targeting adjusts the LOOP STATE's chunk_size (the
+        # constructor attr is the initial value), mirroring the reference
+        sizes.append(bc._ls.chunk_size)
+
+    conv_dir = sf_dir.replace("sf0.1", "sf0.01")
+    sm = spark.read.parquet(os.path.join(conv_dir, "orders.parquet")).select(
+        "o_orderkey"
+    )
+    bc = BatchChunker(
+        df=sm,
+        id_name="o_orderkey",
+        coderef=delayed,
+        chunk_size=500,
+        target_time=0.5,
+        sleep=0,
+    )
+    bc.calculate_ranges()
+    bc.execute()
+    adjustments = sum(1 for a, b in zip(sizes, sizes[1:]) if a != b)
+    last_change = max(
+        (i + 1 for i, (a, b) in enumerate(zip(sizes, sizes[1:])) if a != b),
+        default=0,
+    )
+    out["convergence_chunks"] = len(sizes)
+    out["convergence_adjustments"] = adjustments
+    out["convergence_last_change_chunk"] = last_change
+    out["convergence_final_chunk_size"] = sizes[-1] if sizes else None
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -123,6 +203,20 @@ def main() -> None:
         )
         print(f"# {name}: {timings[name]:.3f}s{delta}", file=sys.stderr)
 
+    # Chunker-loop operational baseline (BASELINE.md "to publish from our
+    # own runs"): chunks/s of the adaptive loop under a no-op callable,
+    # rows/s through a filter+count chunk pipeline (both sf0.1 orders), and
+    # convergence — how many chunk-size adjustments the runtime-targeting
+    # feedback needs to go quiet under a fixed per-chunk delay (sf0.01 so
+    # the probe stays seconds, not minutes). Single-shot: these are
+    # throughput anchors, not regression-grade timings.
+    chunker_stats: dict = {}
+    if not only:
+        try:
+            chunker_stats = _chunker_baseline(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001
+            chunker_stats = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+
     total = round(sum(timings.values()), 3)
     # The driver records only THE FINAL stdout line (plus a bounded tail), so
     # that line must stay compact: three rounds of BENCH_r{N}.json came back
@@ -141,6 +235,8 @@ def main() -> None:
     }
     if errors:
         detail["errors"] = errors
+    if chunker_stats:
+        detail["chunker"] = chunker_stats
     if prior:
         detail["deltas_vs_prior"] = {
             n: round(timings[n] - prior[n], 3) for n in timings if n in prior
