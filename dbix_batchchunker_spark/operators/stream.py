@@ -151,3 +151,54 @@ def st02_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drain isn't DuckDB-runnable; equality with the batch groupBy aggregate
     # is pinned in tests/test_streaming.py.
     return user_totals_streamed(spark, sf_dir)
+
+
+def stream_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: union the events stream WITH ITSELF
+    (every row arrives twice) and drain through ``dropDuplicates`` on the
+    key — the engine's dedup state must emit each event exactly once for
+    the result to equal the batch distinct. This is the streaming form of
+    dd01's exact dedup: at-least-once upstream delivery (replayed files,
+    Kafka redeliveries) collapsed to exactly-once downstream.
+
+    No watermark on purpose: the drain is bounded, so unbounded dedup
+    state is the corpus's key set — the memory sink likewise holds the
+    deduped table on the driver for the return value only. A deployment
+    bounds state with ``withWatermark`` + ``dropDuplicatesWithinWatermark``
+    and points writeStream at parquet/Kafka.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    glob = os.path.join(sf_dir, "events.*")
+    one = normalize_event_ts(spark.readStream.schema(schema).parquet(glob))
+    two = normalize_event_ts(spark.readStream.schema(schema).parquet(glob))
+    doubled = one.union(two)
+    deduped = doubled.dropDuplicates(["event_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+    sink = f"st03_sink_{uuid.uuid4().hex}"
+    ckpt = tempfile.mkdtemp(prefix="st03_ckpt_")
+    try:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        result = spark.table(sink).orderBy("event_id")
+        out = spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        spark.catalog.dropTempView(sink)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+@query("st03_stream_dedup")  # no oracle: stateful streaming dedup isn't
+def st03_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DuckDB-runnable; exact equality with the batch distinct over the same
+    # (doubled) input is pinned in tests/test_streaming.py.
+    return stream_dedup_drain(spark, sf_dir)

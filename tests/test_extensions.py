@@ -715,3 +715,36 @@ def test_vocab_counts_planted(spark):
     assert a == b and len(a) > 0
     counts = [r.n_occurrences for r in a]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_banded_range_join_matches_bruteforce_random(spark):
+    """Property: banded_range_join emits exactly the brute-force pair set —
+    random timestamps stress bucket boundaries (pairs exactly W apart,
+    same-bucket pairs, adjacent-bucket pairs, far-apart non-pairs)."""
+    import random
+
+    from dbix_batchchunker_spark.operators.rangejoin import banded_range_join
+
+    for seed in (3, 17):
+        rng = random.Random(seed)
+        n, w = 120, 1000
+        us = [rng.randrange(0, 20_000) for _ in range(n)]
+        # plant exact-boundary cases: |d| == w (inclusive) and w+1 (excluded)
+        us += [50_000, 50_000 + w, 50_000 + w + 1]
+        rows = [(i, u) for i, u in enumerate(us)]
+        expected = sorted(
+            (a, b)
+            for a, ua in rows
+            for b, ub in rows
+            if a != b and abs(ua - ub) <= w
+        )
+        df = spark.createDataFrame(rows, "id long, us long")
+        a = df.select(F.col("id").alias("a_id"), F.col("us").alias("a_us"))
+        b = df.select(F.col("id").alias("b_id"), F.col("us").alias("b_us"))
+        got = sorted(
+            (r.a_id, r.b_id)
+            for r in banded_range_join(a, b, "a_us", "b_us", w)
+            .where(F.col("a_id") != F.col("b_id"))
+            .collect()
+        )
+        assert got == expected, f"seed {seed}"

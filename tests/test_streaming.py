@@ -215,3 +215,23 @@ def test_st02_registered_stream_matches_batch_totals(spark):
     for u, (n, tv) in batch.items():
         assert streamed[u][0] == n, u
         assert abs(streamed[u][1] - tv) < 1e-6 * max(1.0, abs(tv)), u
+
+
+def test_st03_stream_dedup_equals_batch_distinct(spark):
+    """Doubling the stream and draining through dropDuplicates must yield
+    each event exactly once — equal to the batch per-event_id distinct."""
+    from dbix_batchchunker_spark.operators.registry import t
+    from dbix_batchchunker_spark.operators.stream import st03_stream_dedup
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    streamed = st03_stream_dedup(spark, sf_dir).collect()
+    ids = [r.event_id for r in streamed]
+    assert len(ids) == len(set(ids))  # exactly once
+    batch = (
+        t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type")
+        .distinct()
+        .orderBy("event_id")
+        .collect()
+    )
+    assert streamed == batch
