@@ -321,3 +321,30 @@ def test_formats_text_requires_schema_and_convert_lands_columnar(spark, tmp_path
     back = convert(spark, src, "csv", dst, schema=orders.schema)
     assert back.count() == orders.count()
     assert back.schema == orders.schema
+
+
+def test_mixture_sample_is_stateless_filter(spark):
+    """sp01 must plan as scan → filter → project with NO hash exchange —
+    the only Exchange is the final orderBy's range partitioning. A shuffle
+    here would mean the sampler stopped being a stateless one-pass op."""
+    from dbix_batchchunker_spark.operators.sampling import sp01_mixture_sample
+    from dbix_batchchunker_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(sp01_mixture_sample(spark, SF_DIR))
+    hash_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if ln.strip().startswith("Arguments: hashpartitioning")
+    ]
+    assert not hash_exchanges, plan
+    assert "Filter" in plan
+
+
+def test_vocab_topk_avoids_global_sort(spark):
+    """tx14's top-k must run as TakeOrderedAndProject (per-partition heaps +
+    merge), never a global Sort of the whole vocabulary."""
+    from dbix_batchchunker_spark.operators.text import tx14_vocab
+    from dbix_batchchunker_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(tx14_vocab(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
