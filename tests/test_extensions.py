@@ -748,3 +748,23 @@ def test_banded_range_join_matches_bruteforce_random(spark):
             .collect()
         )
         assert got == expected, f"seed {seed}"
+
+
+def test_hash_sampling_membership_invariant_under_partitioning(spark):
+    """The property the md5-derived samplers exist for: membership is a pure
+    function of the data — identical under any partitioning/row order
+    (Spark's sample()/sampleBy() are per-partition-seeded and do NOT have
+    this property)."""
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    h4 = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4)
+    keep = h4 < "8000"
+    base = {r.doc_id for r in docs.where(keep).select("doc_id").collect()}
+    for variant in (
+        docs.repartition(7),
+        docs.repartition(3, "lang"),
+        docs.orderBy(F.col("n_chars").desc()),
+        docs.coalesce(1),
+    ):
+        got = {r.doc_id for r in variant.where(keep).select("doc_id").collect()}
+        assert got == base
+    assert 0 < len(base) < docs.count()
