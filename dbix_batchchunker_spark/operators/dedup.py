@@ -593,7 +593,14 @@ def dd03_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if star.count() <= SMALL_GRAPH_EDGES:
         ids = entries.select(F.col("doc_id").alias("id")).distinct()
-        rep = _components_driver_union_find(ids, star)
+        rep = (
+            _components_driver_union_find(ids, star)
+            # Eager checkpoint BEFORE the unpersists below: the label frame's
+            # lineage runs through `ids` → entries → the whole signature
+            # pipeline, and a lazy return would recompute all of it at the
+            # caller's first action once the cache is gone.
+            .localCheckpoint(eager=True)
+        )
         star.unpersist()
         entries.unpersist()
         return rep.select(
@@ -666,8 +673,12 @@ def _components_driver_union_find(ids: DataFrame, edges: DataFrame) -> DataFrame
             parent[x], x = root, parent[x]
         return root
 
-    for r in edges.collect():
-        ra, rb = find(r.src), find(r.dst)
+    # toPandas, not collect(): Arrow lands two int64 columns (~16 B/edge —
+    # the budget SMALL_GRAPH_EDGES is calibrated to), where 1M Row objects
+    # would cost 10-30× that in driver heap.
+    epdf = edges.toPandas()
+    for a, b in zip(epdf["src"].to_numpy(), epdf["dst"].to_numpy()):
+        ra, rb = find(int(a)), find(int(b))
         if ra != rb:
             if rb < ra:
                 ra, rb = rb, ra
@@ -910,7 +921,15 @@ def dd09_components_star_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("bmin").alias("src"), F.col("doc_id").alias("dst"))
         .distinct()
     )
-    ids = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    # SAME vertex domain as dd03 (entries-derived, not the documents table):
+    # a token-less doc produces no shingles, hence no band entries, and is
+    # absent from BOTH queries' output — the label-equality pin in pytest
+    # depends on the domains matching exactly.
+    ids = (
+        entries.select(F.col("doc_id").alias("id"))
+        .distinct()
+        .localCheckpoint(eager=True)  # survives the unpersist below
+    )
     rep = components_star(ids, edges)
     entries.unpersist()  # star's first step eagerly checkpointed the edges
     return rep.select(

@@ -38,6 +38,14 @@ def banded_range_join(
     """All (left, right) pairs with |left_us - right_us| <= window_us, as an
     equi-join on time buckets. Returns the joined frame with both input
     schemas (caller selects/aggregates)."""
+    taken = set(left.columns) | set(right.columns)
+    if taken & {"__probe", "__bucket"}:
+        # withColumn would silently OVERWRITE a caller column of the same
+        # name and the trailing drop would then delete the caller's data.
+        raise ValueError(
+            "banded_range_join reserves the internal column names "
+            "'__probe'/'__bucket'; rename them on the inputs first"
+        )
     lb = left.withColumn(
         "__probe",
         F.explode(

@@ -512,8 +512,11 @@ def embedding_dedup(
 
     Edges are :func:`ivf_near_dup_pairs`' exact-verified pairs (so cluster
     membership is exact up to IVF candidate recall); components close
-    transitively via :func:`~.dedup.components_from_edges` min-label
-    propagation, no pair matrix or driver-side graph anywhere.
+    transitively via :func:`~.dedup.components_from_edges`. The closure is
+    TIERED: at or below the constant 1M-edge ceiling (the common case —
+    verified near-dup edges are sparse at any corpus size) the edge list is
+    union-found on the driver with one broadcast join back; above it, the
+    distributed min-label propagation runs — never a pair matrix.
     """
     from .dedup import components_from_edges
 

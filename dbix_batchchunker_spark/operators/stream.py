@@ -118,8 +118,10 @@ def user_totals_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(schema).parquet(os.path.join(sf_dir, "events.*"))
-    stream = normalize_event_ts(stream)
+    # glob-anchored path: see the basePath note in hourly_rollup_streamed
+    stream = normalize_event_ts(
+        stream_table(spark, os.path.join(sf_dir, "events.*"), schema=schema)
+    )
 
     latest: dict = {}
 

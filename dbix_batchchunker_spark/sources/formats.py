@@ -71,6 +71,11 @@ def infer_schema_sample(
         files = sorted(
             n for n in names if not n.rsplit("/", 1)[-1].startswith(("_", "."))
         )[:sample_files]
+        if not files:
+            raise ValueError(
+                f"no data files found under {path!r} (only marker/hidden "
+                "files) — nothing to infer a schema from"
+            )
     else:
         files = [path]
     if fmt == "csv":
@@ -112,4 +117,8 @@ def convert(
     (lazy re-read of the destination)."""
     df = read_any(spark, src_path, src_fmt, schema=schema, **options)
     write_any(df, dst_path, dst_fmt, partition_by=partition_by)
-    return spark.read.format(dst_fmt).load(dst_path)
+    # Re-read through read_any so a text DESTINATION format gets the same
+    # schema/header discipline as any other read (a bare load() would
+    # re-infer — the exact full pass this module exists to prevent — and
+    # treat a csv header row as data).
+    return read_any(spark, dst_path, dst_fmt, schema=df.schema)

@@ -65,15 +65,15 @@ def as_event_time(df: DataFrame, ts_col: str) -> DataFrame:
     timezone (a bare CAST would shift by the session offset and move
     fractional-offset window boundaries)."""
     if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
-        df = df.withColumn(
-            ts_col,
-            F.timestamp_micros(
-                F.expr(
-                    "timestampdiff(MICROSECOND, "
-                    f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
-                )
-            ),
-        )
+        # One shared NTZ→epoch rule for the whole engine: epoch_us
+        # (operators/registry.py) is the session-tz-proof conversion every
+        # batch consumer uses; wrapping it in timestamp_micros yields the
+        # as-if-UTC instant. Keeping a second copy of the timestampdiff
+        # expression here is how the two sides drift next time the testdata
+        # changes physical form.
+        from ..operators.registry import epoch_us
+
+        df = df.withColumn(ts_col, F.timestamp_micros(epoch_us(df, ts_col)))
     return df
 
 

@@ -768,3 +768,26 @@ def test_hash_sampling_membership_invariant_under_partitioning(spark):
         got = {r.doc_id for r in variant.where(keep).select("doc_id").collect()}
         assert got == base
     assert 0 < len(base) < docs.count()
+
+
+def test_dd03_dd09_agree_on_tokenless_docs(spark):
+    """A whitespace-only doc produces no shingles, hence no band entries —
+    BOTH cluster queries must omit it (same entries-derived vertex domain)
+    and still agree label-for-label."""
+    import os
+    import tempfile
+
+    from dbix_batchchunker_spark.operators.dedup import (
+        dd03_minhash_dedup,
+        dd09_components_star_dedup,
+    )
+
+    d = tempfile.mkdtemp()
+    _doc_df(
+        spark, [BASE, BASE.replace("lazy", "sleepy"), "   ", "unique words here"]
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    a = {r.doc_id: r.rep_id for r in dd03_minhash_dedup(spark, d).collect()}
+    b = {r.doc_id: r.rep_id for r in dd09_components_star_dedup(spark, d).collect()}
+    assert a == b
+    assert 2 not in a  # the token-less doc is outside both domains
+    assert a[0] == a[1] == 0
