@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .registry import dec2, one_minus, one_plus, query, t
+from .registry import dec2, epoch_us, one_minus, one_plus, query, t
 
 # All money arithmetic stays in DECIMAL from the base columns up (see
 # registry.dec2): exact and order-independent in both Spark and DuckDB.
@@ -345,9 +345,21 @@ def q10_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q11_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
+    # Hour truncation in the EPOCH-µS domain, not date_trunc: Spark's
+    # date_trunc promotes TIMESTAMP_NTZ through the SESSION timezone, so a
+    # non-UTC gate session would shift every hour label (the only
+    # tz-sensitive query found by a full replica sweep under
+    # America/New_York). Floor the µs to the hour and rebuild an NTZ value —
+    # wall-clock arithmetic only, identical under any session timezone and
+    # for both physical ts forms (epoch_us handles each).
+    ev = ev.withColumn("__us", epoch_us(ev))
+    hour_bucket = F.expr(
+        "timestampadd(MICROSECOND, CAST(__us div 3600000000 AS BIGINT) "
+        "* 3600000000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
     return (
         ev.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour_bucket"),
+            hour_bucket.alias("hour_bucket"),
             F.col("event_type"),
         )
         .agg(
