@@ -31,9 +31,10 @@ from dbix_batchchunker_spark.operators import (  # noqa: F401
     text,
     # sampling/rangejoin are deliberately LAST (not alphabetical): import
     # order is registry order, and the driver gate adjudicates a 50-slot
-    # prefix of queries() — new oracle-gated families must append after the
-    # 50 long-standing gated queries, never displace them. Their binding
-    # adjudication is the local replica (tests/test_queries_oracle.py).
+    # prefix of queries(). Since round 7 the prefix is rebalanced via
+    # DEMOTED_FROM_PREFIX below, so these two families DO sit inside the
+    # adjudicated 50; the demoted trio's binding adjudication is the local
+    # replica (tests/test_queries_oracle.py).
     sampling,
     rangejoin,
 )
@@ -47,20 +48,48 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["q20_chunked_delete_survivors"](spark, SF0001)
 
 
+#: Oracle-gated queries deliberately ordered AFTER the 50-slot adjudicated
+#: prefix (round-6 verdict "Next round #1"): the registry holds more
+#: oracle-backed queries than the driver gate has slots, so the least
+#: load-bearing ones yield their slot to tx14/sp01/q32. Their coverage is
+#: held by siblings — q13/q14's conditional-agg + scalar-subquery shapes by
+#: q27_above_avg_spenders, q24's keyset pagination by the chunked family
+#: (A2 keyset windowing drives q20-q23) — and all three stay oracle-pinned
+#: by the local gate replica (tests/test_queries_oracle.py parametrizes over
+#: every oracle). If the driver cap ever rises past 50 they are the first
+#: queries to be re-adjudicated, so they sit immediately after the prefix,
+#: still ahead of every rows-only demo.
+DEMOTED_FROM_PREFIX = (
+    "q13_conditional_agg",
+    "q14_below_avg_quantity",
+    "q24_keyset_page",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All registered queries, ORACLE-GATED ENTRIES FIRST.
 
     The driver's correctness gate adjudicates a prefix of this dict (50
-    entries in round 2), so ordering is load-bearing: every query with a
+    entries since round 2), so ordering is load-bearing: every query with a
     DuckDB oracle must precede the rows-only demos, or oracle-gated queries
     silently receive no CORRECTNESS row (round-2 failure mode: tx06-tx11).
-    Within each group, registration (import) order is preserved.
+    Within each group, registration (import) order is preserved, except the
+    DEMOTED_FROM_PREFIX queries which move to the back of the gated block.
     """
-    gated = {n: fn for n, fn in registry.QUERIES.items() if n in registry.ORACLES}
+    gated = {
+        n: fn
+        for n, fn in registry.QUERIES.items()
+        if n in registry.ORACLES and n not in DEMOTED_FROM_PREFIX
+    }
+    demoted = {
+        n: registry.QUERIES[n]
+        for n in DEMOTED_FROM_PREFIX
+        if n in registry.QUERIES
+    }
     rows_only = {
         n: fn for n, fn in registry.QUERIES.items() if n not in registry.ORACLES
     }
-    return {**gated, **rows_only}
+    return {**gated, **demoted, **rows_only}
 
 
 def oracle_sql() -> dict[str, str]:

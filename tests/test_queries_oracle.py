@@ -138,3 +138,23 @@ def test_oracle_gated_queries_enumerate_first():
     assert not trailing_gated, (
         f"oracle-gated queries registered after rows-only ones: {trailing_gated}"
     )
+
+
+def test_adjudicated_prefix_is_the_load_bearing_fifty():
+    """The driver gate adjudicates exactly the first 50 queries(). Round 6
+    shipped 53 oracle-gated queries, so tx14/sp01/q32 silently received no
+    driver CORRECTNESS row (round-6 verdict, 'What's wrong' #1). The prefix
+    is rebalanced by demoting three sibling-covered queries; this test pins
+    both halves of that contract."""
+    q, o = entry_mod.queries(), entry_mod.oracle_sql()
+    prefix = list(q)[:50]
+    # Every prefix slot must be oracle-gated — a rows-only query in the
+    # prefix wastes an adjudication slot.
+    assert all(n in o for n in prefix)
+    # The three queries displaced in round 6 must now be adjudicated.
+    for name in ("tx14_vocab", "sp01_mixture_sample", "q32_banded_range_join"):
+        assert name in prefix, f"{name} lost its driver CORRECTNESS slot"
+    # The demoted trio stays oracle-pinned (this file parametrizes over all
+    # oracles) and sits immediately after the prefix, before rows-only.
+    for name in entry_mod.DEMOTED_FROM_PREFIX:
+        assert name in o and name not in prefix
