@@ -10,6 +10,7 @@ the noop sink, so results are consumed without driver-side materialization.
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
 import sys
@@ -194,6 +195,10 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}".splitlines()[0][:200]
             print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
             spark.catalog.clearCache()
+            # A repeat-run failure must not discard a timing the first run
+            # already banked — report both the number and the error.
+            if math.isfinite(best):
+                timings[name] = round(best, 3)
             continue
         timings[name] = round(best, 3)
         delta = (

@@ -553,7 +553,8 @@ class BatchChunker:
         base = self.min_id
         bucket = ((F.col(self.id_name) - F.lit(base)) / F.lit(stride)).cast("long")
         rows = (
-            self.count_df.groupBy(bucket.alias("__bucket"))
+            self._current_count_df()
+            .groupBy(bucket.alias("__bucket"))
             .count()
             .collect()
         )

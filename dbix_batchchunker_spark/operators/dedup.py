@@ -740,7 +740,9 @@ def components_from_edges(
     # verified pairs from 2k vectors), so this is the common case at every
     # scale; past the bound the distributed propagation below runs
     # unchanged, where its per-round cost amortizes over real data.
-    # Measured: sim07 12.3 s → 5.6 s at sf0.1 (same labels).
+    # Measured when this fast path landed: sim07 12.3 s → 3.2 s at sf0.1
+    # (same labels); the round-6 closing bench then recorded 2.76 s —
+    # BENCH_DETAIL.json is the binding record for current numbers.
     if small_graph_edges is not None and edges.count() <= small_graph_edges:
         try:
             return _components_driver_union_find(ids, edges)

@@ -46,6 +46,20 @@ def banded_range_join(
             "banded_range_join reserves the internal column names "
             "'__probe'/'__bucket'; rename them on the inputs first"
         )
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        # After the join every shared name exists twice; the joined frame we
+        # return (both schemas, caller selects) would make any bare
+        # F.col(name) — ours in the residual filter, or the caller's
+        # downstream — ambiguous at analysis time. The residual below is
+        # resolved via lb[...]/rb[...] so WE would survive, but the output
+        # contract wouldn't; fail fast instead of handing back a frame the
+        # caller can't select from.
+        raise ValueError(
+            "banded_range_join requires disjoint column names between left "
+            f"and right (shared: {sorted(overlap)}); rename one side first "
+            "(e.g. right.withColumnRenamed)"
+        )
     lb = left.withColumn(
         "__probe",
         F.explode(
@@ -61,7 +75,7 @@ def banded_range_join(
         "__bucket", F.floor(F.col(right_us) / window_us).cast("long")
     )
     joined = lb.join(rb, lb["__probe"] == rb["__bucket"]).where(
-        F.abs(F.col(left_us) - F.col(right_us)) <= window_us
+        F.abs(lb[left_us] - rb[right_us]) <= window_us
     )
     return joined.drop("__probe", "__bucket")
 

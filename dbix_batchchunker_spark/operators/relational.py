@@ -353,9 +353,15 @@ def q11_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wall-clock arithmetic only, identical under any session timezone and
     # for both physical ts forms (epoch_us handles each).
     ev = ev.withColumn("__us", epoch_us(ev))
+    # Floor (not truncate-toward-zero) division: `div` would round a
+    # pre-1970 negative-epoch µs UP to the next hour, diverging from
+    # date_trunc. The double-mod form floors for any sign without leaving
+    # the int64 domain (floor(__us/3.6e9) via DOUBLE loses µs precision
+    # past 2**53).
     hour_bucket = F.expr(
-        "timestampadd(MICROSECOND, CAST(__us div 3600000000 AS BIGINT) "
-        "* 3600000000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        "timestampadd(MICROSECOND, "
+        "__us - ((__us % 3600000000) + 3600000000) % 3600000000, "
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
     )
     return (
         ev.groupBy(

@@ -750,6 +750,53 @@ def test_banded_range_join_matches_bruteforce_random(spark):
         assert got == expected, f"seed {seed}"
 
 
+def test_banded_range_join_rejects_overlapping_columns(spark):
+    """Shared column names between the two sides would make the residual
+    |Δts| filter — and every downstream bare-name select on the returned
+    frame — ambiguous at analysis time (ADVICE round 6). The helper must
+    fail fast with an actionable message, not hand back a booby-trapped
+    frame."""
+    from dbix_batchchunker_spark.operators.rangejoin import banded_range_join
+
+    df = spark.createDataFrame([(1, 100)], "id long, us long")
+    with pytest.raises(ValueError, match="disjoint column names"):
+        banded_range_join(df, df, "us", "us", 1000)
+    # same timestamp name but otherwise-disjoint schemas is still rejected
+    a = df.select(F.col("id").alias("a_id"), "us")
+    b = df.select(F.col("id").alias("b_id"), "us")
+    with pytest.raises(ValueError, match="shared: \\['us'\\]"):
+        banded_range_join(a, b, "us", "us", 1000)
+
+
+def test_hourly_bucket_floors_pre1970_timestamps(spark):
+    """q11's hour bucket is epoch-µs floor division; `div` truncates toward
+    zero, which would round a NEGATIVE (pre-1970) µs value UP to the next
+    hour, diverging from date_trunc (ADVICE round 6). Pin the double-mod
+    floor form on both sides of the epoch."""
+    df = spark.createDataFrame(
+        [(-1,), (-3_600_000_000,), (-3_600_000_001,), (1,), (3_599_999_999,)],
+        "__us long",
+    )
+    got = {
+        r["__us"]: str(r.bucket)
+        for r in df.select(
+            "__us",
+            F.expr(
+                "timestampadd(MICROSECOND, "
+                "__us - ((__us % 3600000000) + 3600000000) % 3600000000, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ).alias("bucket"),
+        ).collect()
+    }
+    assert got == {
+        -1: "1969-12-31 23:00:00",
+        -3_600_000_000: "1969-12-31 23:00:00",
+        -3_600_000_001: "1969-12-31 22:00:00",
+        1: "1970-01-01 00:00:00",
+        3_599_999_999: "1970-01-01 00:00:00",
+    }
+
+
 def test_hash_sampling_membership_invariant_under_partitioning(spark):
     """The property the md5-derived samplers exist for: membership is a pure
     function of the data — identical under any partitioning/row order
