@@ -235,3 +235,83 @@ def test_st03_stream_dedup_equals_batch_distinct(spark):
         .collect()
     )
     assert streamed == batch
+
+
+def test_sqlite_upsert_sink_foreachbatch(spark, tmp_path):
+    """The deployment-grade sink shape for update-mode stateful streams:
+    foreachBatch upserting into a keyed store. Drain the running-totals
+    operator into sqlite via streaming/sinks.py and check (a) the table
+    holds exactly the batch aggregate — re-emissions collapsed by the
+    primary key — and (b) replaying a batch is idempotent."""
+    import sqlite3
+
+    from dbix_batchchunker_spark.operators.registry import (
+        normalize_event_ts,
+        t,
+    )
+    from dbix_batchchunker_spark.streaming.incremental import (
+        running_user_totals,
+        stream_table,
+    )
+    from dbix_batchchunker_spark.streaming.sinks import sqlite_upsert_sink
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream = normalize_event_ts(
+        stream_table(spark, os.path.join(sf_dir, "events.*"), schema=schema)
+    )
+
+    db = str(tmp_path / "totals.db")
+    sink = sqlite_upsert_sink(
+        db, "user_totals", ["user_id"], ["n_events", "total_value"]
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    conn = sqlite3.connect(db)
+    stored = {
+        u: (n, tv)
+        for u, n, tv in conn.execute(
+            "SELECT user_id, n_events, total_value FROM user_totals"
+        )
+    }
+    conn.close()
+
+    batch = {
+        r.user_id: (r.n, r.tv)
+        for r in t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert set(stored) == set(batch) and len(stored) > 0
+    for u, (n, tv) in batch.items():
+        assert stored[u][0] == n, u
+        assert abs(stored[u][1] - tv) < 1e-6 * max(1.0, abs(tv)), u
+
+    # idempotent replay: re-applying the final totals frame changes nothing
+    final_df = spark.createDataFrame(
+        [(u, n, tv) for u, (n, tv) in stored.items()],
+        "user_id long, n_events long, total_value double",
+    )
+    sink(final_df, 999)
+    conn = sqlite3.connect(db)
+    (count,) = conn.execute("SELECT COUNT(*) FROM user_totals").fetchone()
+    conn.close()
+    assert count == len(stored)
+
+
+def test_sqlite_upsert_sink_rejects_unsafe_identifiers():
+    from dbix_batchchunker_spark.streaming.sinks import sqlite_upsert_sink
+
+    with pytest.raises(ValueError, match="unsafe SQL identifier"):
+        sqlite_upsert_sink("x.db", "users; DROP", ["id"], ["v"])
