@@ -12,7 +12,7 @@ batching, partitioning) is what's engineered and tested here.
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Callable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -154,10 +154,35 @@ def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
     return payload[::stride][: width * height]
 
 
+#: Codec contract for the resize seam: ``codec(payload, width, height) ->
+#: bytes``. The callable is shipped to executors inside the mapInPandas
+#: closure, so it must be picklable — a module-level function (or a
+#: functools.partial over one), not a bound method on an open resource.
+#: Real deployments plug PIL in without touching the operator::
+#:
+#:     def pil_resize(payload, width, height):
+#:         import io
+#:         from PIL import Image
+#:         return Image.open(io.BytesIO(payload)).resize(
+#:             (width, height)).tobytes()
+#:
+#:     resize_binary_column(df, 64, 64, codec=pil_resize)
+ResizeCodec = Callable[[bytes, int, int], bytes]
+
+
 def resize_binary_column(
-    df: DataFrame, width: int, height: int, payload_col: str = "payload"
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    codec: ResizeCodec = _fake_resize,
 ) -> DataFrame:
-    """Arrow-batched resize over a binary column (mapInPandas)."""
+    """Arrow-batched resize over a binary column (mapInPandas).
+
+    ``codec`` is the pluggable pixel stage (see :data:`ResizeCodec`); the
+    default is the deterministic stub because media libs aren't in this
+    container. Everything around it — schema, Arrow batching, per-batch
+    amortization — is the real pipeline."""
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
@@ -169,7 +194,7 @@ def resize_binary_column(
                     "width": width,
                     "height": height,
                     "resized": [
-                        _fake_resize(p, width, height) for p in pdf[payload_col]
+                        codec(p, width, height) for p in pdf[payload_col]
                     ],
                 }
             )
@@ -230,6 +255,7 @@ def resize_and_sample_stats(
     every_nth: int = 4,
     payload_col: str = "payload",
     frame_bytes: int = 64,
+    codec: ResizeCodec = _fake_resize,
 ) -> DataFrame:
     """Resize + frame-sample statistics in ONE Arrow pass.
 
@@ -251,7 +277,7 @@ def resize_and_sample_stats(
                     "width": width,
                     "height": height,
                     "resized_bytes": [
-                        len(_fake_resize(p, width, height)) for p in payloads
+                        len(codec(p, width, height)) for p in payloads
                     ],
                     "n_sampled_frames": [
                         len(range(0, max(1, len(p) // frame_bytes), every_nth))

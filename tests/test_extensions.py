@@ -410,6 +410,39 @@ def test_multimodal_resize_and_frame_sample(spark):
     assert [r.frame_idx for r in a] == [0, 3, 6, 9]
 
 
+def test_multimodal_pluggable_codec_end_to_end(spark):
+    """The codec seam (round-6 verdict #7): a custom pixel stage injected
+    into resize_binary_column / resize_and_sample_stats must run on the
+    executors in place of the stub, with no operator changes. A real
+    deployment drops PIL in exactly this way. (Defined nested so
+    cloudpickle ships it BY VALUE — a test module isn't importable on
+    workers; a deployment's codec lives in an installed package and
+    pickles by reference, per the ResizeCodec docstring.)"""
+    from dbix_batchchunker_spark.operators.multimodal import (
+        resize_and_sample_stats,
+        resize_binary_column,
+    )
+
+    def _tag_codec(payload: bytes, width: int, height: int) -> bytes:
+        return b"%dx%d:" % (width, height) + payload[:4]
+
+    df = spark.createDataFrame(
+        [(1, b"abcdefgh"), (2, b"zz")], "doc_id long, payload binary"
+    ).repartition(2)
+
+    got = {
+        r.doc_id: bytes(r.resized)
+        for r in resize_binary_column(df, 3, 2, codec=_tag_codec).collect()
+    }
+    assert got == {1: b"3x2:abcd", 2: b"3x2:zz"}
+
+    stats = {
+        r.doc_id: r.resized_bytes
+        for r in resize_and_sample_stats(df, 3, 2, codec=_tag_codec).collect()
+    }
+    assert stats == {1: len(b"3x2:abcd"), 2: len(b"3x2:zz")}
+
+
 def test_ivf_near_dup_recall_vs_exact(spark):
     """sim06 contract: the IVF-bucketed candidates must recover (nearly) all
     of sim03's exact same-label cos>=0.3 pairs, with zero false positives
