@@ -97,6 +97,7 @@ class BatchChunker:
     """
 
     def __init__(self, **kwargs: Any) -> None:
+        kwargs = _migrate_legacy_args(kwargs)
         unknown = set(kwargs) - _KNOWN_ATTRS
         if unknown:
             raise TypeError(
@@ -834,6 +835,79 @@ class BatchChunker:
 
 def _opt_int(v: Any) -> Optional[int]:
     return None if v is None else int(v)
+
+
+# --------------------------------------------------------------------------- #
+# legacy *_sth argument migration (A16; BatchChunker.pm:862-910,              #
+# t/dbh-legacy.t:33-244)                                                      #
+# --------------------------------------------------------------------------- #
+_LEGACY_TO_NEW = {
+    "sth": "stmt",
+    "min_sth": "min_stmt",
+    "max_sth": "max_stmt",
+    "count_sth": "count_stmt",
+}
+
+
+def _legacy_statement_parts(name: str, value: Any) -> Tuple[Any, str]:
+    """(connection, sql) out of a legacy prepared-statement-shaped value.
+
+    The reference reads ``$sth->{Statement}`` and ``$sth->{Database}`` off a
+    live DBI statement handle. PEP 249 has no portable prepared-statement
+    object, so the accepted shapes are the two things Python code actually
+    holds: a ``(connection, sql)`` pair, or any object exposing
+    ``.connection`` and ``.statement`` attributes (several driver wrappers
+    do). A bare cursor is rejected with a pointer to the pair form —
+    sqlite3 cursors know their connection but not their SQL text.
+    """
+    if isinstance(value, (tuple, list)) and len(value) == 2:
+        conn, sql = value
+        if isinstance(sql, str):
+            return conn, sql
+    conn = getattr(value, "connection", None)
+    sql = getattr(value, "statement", None)
+    if conn is not None and isinstance(sql, str):
+        return conn, sql
+    raise TypeError(
+        f"legacy {name} must be a (connection, sql) pair or an object with "
+        ".connection and .statement attributes; a bare cursor does not "
+        "carry its SQL text — pass (cursor.connection, sql) instead"
+    )
+
+
+def _migrate_legacy_args(kwargs: Dict[str, Any]) -> Dict[str, Any]:
+    """Warn-and-migrate the deprecated ``*_sth`` constructor args.
+
+    Mirrors BatchChunker.pm:862-910: each legacy handle's SQL text becomes
+    the matching ``*_stmt`` (unless the caller already passed the modern
+    attr, which wins), and when no ``dbapi_connector`` was given one is
+    fabricated around the FIRST legacy handle's live connection. The
+    fabricated connector hands back that same connection forever — it
+    cannot truly reconnect (the reference has the identical caveat: it
+    cannot re-acquire the password), which is exactly why the warning tells
+    the caller to switch to ``dbapi_connector`` + ``stmt``/``*_stmt``.
+    """
+    present = [k for k in _LEGACY_TO_NEW if kwargs.get(k) is not None]
+    if not present:
+        return kwargs
+    warnings.warn(
+        "The sth/*_sth options are considered legacy usage in BatchChunker. "
+        "The fabricated connector reuses the handle's live connection and "
+        "cannot reconnect after a failure; please use dbapi_connector and "
+        "stmt/*_stmt instead for reconnection support.",
+        DeprecationWarning,
+        stacklevel=4,
+    )
+    kwargs = dict(kwargs)
+    if kwargs.get("dbapi_connector") is None:
+        conn, _sql = _legacy_statement_parts(present[0], kwargs[present[0]])
+        kwargs["dbapi_connector"] = lambda: conn
+    for old in present:
+        _conn, sql = _legacy_statement_parts(old, kwargs.pop(old))
+        new = _LEGACY_TO_NEW[old]
+        if kwargs.get(new) is None:  # modern attr wins (reference: ||=)
+            kwargs[new] = sql
+    return kwargs
 
 
 def _normalize_stmt(stmt: Any) -> Optional[Tuple[str, Sequence[Any]]]:
