@@ -58,6 +58,75 @@ def stride_ranges(
     return out
 
 
+def primary_key_columns(
+    spark: "SparkSession",
+    url: str,
+    table: str,
+    properties: Optional[dict] = None,
+) -> list[str]:
+    """Primary-key column names of a JDBC table, in KEY_SEQ order.
+
+    The reference auto-resolves ``id_name`` from the ORM's PK metadata
+    (BatchChunker.pm:509-513: ``(primary_columns)[0]``); Spark DataFrames
+    carry no key metadata, but JDBC databases do — one driver-side
+    ``DatabaseMetaData.getPrimaryKeys`` call through the session's JVM.
+    Unquoted identifiers are CASE-FOLDED by the database (Derby/Oracle fold
+    up, Postgres folds down) while Spark's JDBC writer quotes names into
+    exact case, so the lookup tries the given spelling, then upper, then
+    lower.
+    """
+    jvm = spark._jvm  # noqa: SLF001 — the documented py4j JVM bridge
+    props = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        props.setProperty(k, v)
+    driver = (properties or {}).get("driver")
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    try:
+        meta = conn.getMetaData()
+        for candidate in dict.fromkeys((table, table.upper(), table.lower())):
+            rs = meta.getPrimaryKeys(None, None, candidate)
+            cols = []
+            while rs.next():
+                cols.append(
+                    (rs.getInt("KEY_SEQ"), rs.getString("COLUMN_NAME"))
+                )
+            rs.close()
+            if cols:
+                return [name for _seq, name in sorted(cols)]
+        return []
+    finally:
+        conn.close()
+
+
+def chunker_from_jdbc(
+    spark: "SparkSession",
+    url: str,
+    table: str,
+    properties: Optional[dict] = None,
+    id_name: Optional[str] = None,
+    **chunker_kwargs: Any,
+):
+    """Construct a :class:`BatchChunker` over a JDBC table, resolving
+    ``id_name`` from primary-key metadata when omitted — the JDBC-mode
+    analog of the reference's id auto-introspection (BatchChunker.pm:
+    509-513 takes the FIRST primary-key column; same here, composite keys
+    chunk on their leading column exactly as the reference does).
+    """
+    if id_name is None:
+        pk = primary_key_columns(spark, url, table, properties)
+        if not pk:
+            raise ValueError(
+                f"table {table!r} has no primary key; pass id_name explicitly"
+            )
+        id_name = pk[0]
+    from ..chunker import BatchChunker
+
+    df = spark.read.jdbc(url=url, table=table, properties=properties or {})
+    return BatchChunker(df=df, id_name=id_name, **chunker_kwargs)
+
+
 def read_chunked(
     spark: "SparkSession",
     url: str,
