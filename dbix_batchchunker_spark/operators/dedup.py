@@ -285,10 +285,11 @@ def _blocked_jaccard_pairs(
 _SHINGLE_KEEP = ("0", "1", "2", "3")  # md5 first nibble → keep 4/16 = 1/4
 
 
-@query(
-    "dd08_ngram_jaccard_pairs",
-    oracle=f"""
-    WITH d AS (
+# dd08's oracle, split so dd10 can reuse the identical edge derivation: the
+# shingle-feature CTEs and the blocked Jaccard pair-join are shared text —
+# byte-identical SQL, so the two oracles cannot drift apart.
+_NGRAM_FEATURE_CTES = f"""
+    d AS (
         SELECT doc_id, lang, n_chars // 100 AS len_bucket,
                list_filter(regexp_split_to_array(text, '{_WS}'), x -> x != '') AS toks
         FROM documents
@@ -299,7 +300,9 @@ _SHINGLE_KEEP = ("0", "1", "2", "3")  # md5 first nibble → keep 4/16 = 1/4
                                  i -> array_to_string(toks[i:i+2], ' '))),
                    sh -> substr(md5(sh), 1, 1) IN {_SHINGLE_KEEP!r}) AS shingles
         FROM d
-    )
+    )"""
+
+_NGRAM_PAIR_SELECT = """
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            ROUND(len(list_intersect(a.shingles, b.shingles))
                  / (len(a.shingles) + len(b.shingles)
@@ -309,7 +312,14 @@ _SHINGLE_KEEP = ("0", "1", "2", "3")  # md5 first nibble → keep 4/16 = 1/4
     WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
       AND len(list_intersect(a.shingles, b.shingles))
           / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
-          >= 0.5
+          >= 0.5"""
+
+
+@query(
+    "dd08_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_NGRAM_FEATURE_CTES}
+    {_NGRAM_PAIR_SELECT}
     """,
 )
 def dd08_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1133,4 +1143,60 @@ def dd05_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b, cand.doc_b == F.col("wb.doc_id"))
         .where(inter / union >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------- #
+# dd10: transitive-closure dedup with a DRIVER-RUNNABLE oracle.               #
+# --------------------------------------------------------------------------- #
+@query(
+    "dd10_jaccard_components",
+    oracle=f"""
+    WITH RECURSIVE {_NGRAM_FEATURE_CTES},
+    pairs AS ({_NGRAM_PAIR_SELECT}
+    ),
+    adj AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(id, peer) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.id, a.dst FROM reach r JOIN adj a ON a.src = r.peer
+    )
+    SELECT id AS doc_id, MIN(peer) AS rep_id
+    FROM reach GROUP BY id ORDER BY doc_id
+    """,
+)
+def dd10_jaccard_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: dd08's n-gram Jaccard pairs closed into connected
+    components by :func:`components_from_edges`.
+
+    This is the oracle-adjudicable form of the transitive-closure dedup
+    machinery (round-6 verdict #8): dd03/dd09/sim07's closures are checked
+    by a recursive-CTE oracle only in pytest because their xxhash64/IVF
+    candidate generation isn't SQL-expressible — here the edge set IS
+    SQL-expressible (it shares dd08's oracle text verbatim), so DuckDB
+    independently derives the full closure and the driver gate can
+    hash-compare every (doc, component-min) label the iterative
+    propagation/union-find path produces. Reference parity: the dedup
+    posture of SURVEY.md §2.C with the reference's own
+    every-operator-oracle-checked bar (BatchChunker t/ suite idiom).
+
+    Scale shape: edges are verified near-dup pairs — sparse at any corpus
+    size — so the closure inherits components_from_edges' tiering (driver
+    union-find under the constant 1M-edge Arrow gate, checkpointed
+    label propagation past it). Nothing here is quadratic beyond dd08's
+    own guarded block join.
+    """
+    pairs = dd08_ngram_jaccard_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    ids = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    return (
+        components_from_edges(ids, edges)
+        .select(F.col("id").alias("doc_id"), "rep_id")
+        .orderBy("doc_id")
     )
