@@ -84,7 +84,7 @@ _KNOWN_ATTRS = {
     "retry_opts",
     # reporting / testability
     "verbose", "progress_name", "on_message", "on_progress",
-    "time_source", "sleep_func",
+    "time_source", "sleep_func", "locale",
 }
 
 
@@ -178,6 +178,10 @@ class BatchChunker:
 
         # --- reporting / testability -----------------------------------------
         self.verbose: bool = bool(kwargs.get("verbose", True))
+        # Status-line number formatting (reference `cldr` attr,
+        # BatchChunker.pm:452-465: a CLDR::Number, default locale 'en').
+        # A locale code from progress.CLDR_LOCALES or a NumberLocale.
+        self.locale = kwargs.get("locale", "en")
         self.progress_name: str = kwargs.get("progress_name", "Processing")
         self.on_message: Optional[Callable[[str], None]] = kwargs.get("on_message")
         self.on_progress: Optional[Callable[[int, int], None]] = kwargs.get("on_progress")
@@ -292,8 +296,11 @@ class BatchChunker:
             return
 
         if self.verbose:
+            from .progress import format_int
+
             self._message(
-                f"({math.ceil(total / self.chunk_size):,} total chunks; {total:,} total ids)"
+                f"({format_int(math.ceil(total / self.chunk_size), locale=self.locale)}"
+                f" total chunks; {format_int(total, locale=self.locale)} total ids)"
             )
 
         ls = LoopState(chunk_size=self.chunk_size, time_source=self.time_source)
@@ -822,6 +829,7 @@ class BatchChunker:
                 ls.chunk_size,
                 runtime=runtime,
                 sleep=self.sleep or 0.0,
+                locale=self.locale,
             )
         )
 

@@ -16,27 +16,75 @@ from typing import Optional, TextIO
 
 # ---------------------------------------------------------------------------
 # Number formatting for status lines (A15; reference BatchChunker.pm:1686-1745
-# uses CLDR formatters and compacts spacing once IDs exceed 1e9 — wide IDs
-# would otherwise blow out the fixed-width columns).
+# uses CLDR::Number formatters — default locale 'en', caller-replaceable
+# (BatchChunker.pm:452-465) — and compacts spacing once IDs exceed 1e9, since
+# wide IDs would otherwise blow out the fixed-width columns).
 # ---------------------------------------------------------------------------
 WIDE_ID = 1_000_000_000
 
 
-def format_int(n: int, sep: str = ",") -> str:
-    """Grouped integer (CLDR 'en' decimal pattern; pass sep for other
-    locales' group separators)."""
-    return f"{n:,}".replace(",", sep)
+class NumberLocale:
+    """CLDR decimal/percent symbols for one locale — the slice of
+    CLDR::Number the status lines actually consume (group separator,
+    decimal separator, gap between a number and the percent sign). Data
+    from the public Unicode CLDR charts; register more locales by adding
+    to :data:`CLDR_LOCALES` or passing an instance directly."""
+
+    __slots__ = ("group", "decimal", "percent_gap")
+
+    def __init__(self, group: str, decimal: str, percent_gap: str = "") -> None:
+        self.group = group
+        self.decimal = decimal
+        self.percent_gap = percent_gap
 
 
-def format_decimal(x: float, digits: int = 2) -> str:
+CLDR_LOCALES = {
+    # Percent gaps are U+00A0 no-break space and the French group separator
+    # is U+202F narrow no-break space, per the published CLDR symbol charts.
+    "en": NumberLocale(",", "."),
+    "de": NumberLocale(".", ",", " "),
+    "fr": NumberLocale(" ", ",", " "),
+    "es": NumberLocale(".", ",", " "),
+    "it": NumberLocale(".", ","),
+    "ja": NumberLocale(",", "."),
+}
+
+
+def _locale(locale: "str | NumberLocale") -> NumberLocale:
+    if isinstance(locale, NumberLocale):
+        return locale
+    try:
+        return CLDR_LOCALES[locale]
+    except KeyError:
+        raise ValueError(
+            f"unknown locale {locale!r}; known: {sorted(CLDR_LOCALES)} — "
+            "pass a NumberLocale for anything else"
+        ) from None
+
+
+def format_int(
+    n: int, sep: Optional[str] = None, locale: "str | NumberLocale" = "en"
+) -> str:
+    """Grouped integer per the locale's CLDR decimal pattern. ``sep``
+    (pre-locale API) overrides the locale's group separator."""
+    group = sep if sep is not None else _locale(locale).group
+    return f"{n:,}".replace(",", group)
+
+
+def format_decimal(
+    x: float, digits: int = 2, locale: "str | NumberLocale" = "en"
+) -> str:
     """Fixed-fraction decimal (CLDR decimal formatter with min=max fraction
     digits, reference BatchChunker.pm:1689-1692)."""
-    return f"{x:.{digits}f}"
+    loc = _locale(locale)
+    return f"{x:.{digits}f}".replace(".", loc.decimal)
 
 
-def format_percent(frac: float) -> str:
-    """Integer percent, CLDR percent-formatter default (0.85 → '85%')."""
-    return f"{round(frac * 100):.0f}%"
+def format_percent(frac: float, locale: "str | NumberLocale" = "en") -> str:
+    """Integer percent, CLDR percent-formatter default (0.85 → '85%';
+    locales like de/fr put a no-break space before the sign)."""
+    loc = _locale(locale)
+    return f"{round(frac * 100):.0f}{loc.percent_gap}%"
 
 
 def chunk_status_line(
@@ -47,6 +95,7 @@ def chunk_status_line(
     chunk_size: int,
     runtime: Optional[float] = None,
     sleep: float = 0.0,
+    locale: "str | NumberLocale" = "en",
 ) -> str:
     """Reference-uniform chunk status line (BatchChunker.pm:1694-1741).
 
@@ -62,21 +111,22 @@ def chunk_status_line(
     elif wide:
         count_display = str(chunk_count)
     else:
-        count_display = format_int(chunk_count)
+        count_display = format_int(chunk_count, locale=locale)
     if wide:
         msg = f"IDs {start} to {end} {action}, {count_display} rows found"
     else:
         msg = f"IDs {start:6d} to {end:6d} {action:>9s}, {count_display:>9s} rows found"
     if chunk_count:
-        msg += f" ({format_percent(chunk_count / chunk_size):>4s} of chunk size)"
+        msg += f" ({format_percent(chunk_count / chunk_size, locale=locale):>4s} of chunk size)"
     if action == "processed" and runtime is not None:
         if sleep:
             msg += (
-                f", {format_decimal(runtime):>5s}+{format_decimal(sleep)}"
+                f", {format_decimal(runtime, locale=locale):>5s}"
+                f"+{format_decimal(sleep, locale=locale)}"
                 " sec runtime+sleep"
             )
         else:
-            msg += f", {format_decimal(runtime):>5s} sec runtime"
+            msg += f", {format_decimal(runtime, locale=locale):>5s} sec runtime"
     # Reference parity (BatchChunker.pm:1663-1745): the unpadded format kicks
     # in when IDs are NOT < 1e9, but whitespace compaction only when they are
     # STRICTLY > 1e9 — an ID of exactly 1_000_000_000 renders unpadded yet

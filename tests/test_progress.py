@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import io
 
+import pytest
+
 from dbix_batchchunker_spark.progress import (
     ProgressPrinter,
     chunk_status_line,
@@ -79,3 +81,53 @@ def test_progress_printer_bar_when_forced():
     p.on_progress(10, 10)
     out = buf.getvalue()
     assert "100.0%" in out and "(10/10)" in out
+
+
+def test_cldr_locale_formatting():
+    """The reference's `cldr` attribute is a caller-replaceable CLDR::Number
+    (BatchChunker.pm:452-465); the analog is a locale knob over a CLDR
+    symbol subset. Symbols per the published CLDR charts: de groups with
+    '.', decimals with ',' and gaps the percent sign with U+00A0; fr groups
+    with U+202F narrow no-break space."""
+    from dbix_batchchunker_spark.progress import (
+        NumberLocale,
+        chunk_status_line,
+        format_decimal,
+        format_int,
+        format_percent,
+    )
+
+    assert format_int(1_234_567) == "1,234,567"
+    assert format_int(1_234_567, locale="de") == "1.234.567"
+    assert format_int(1_234_567, locale="fr") == "1 234 567"
+    assert format_int(1_234_567, sep="_") == "1_234_567"  # pre-locale API
+    assert format_decimal(1.5, locale="de") == "1,50"
+    assert format_percent(0.85, locale="de") == "85 %"
+    assert format_percent(0.85, locale="ja") == "85%"
+
+    line = chunk_status_line(0, 499, "processed", 1500, 500,
+                             runtime=1.25, locale="de")
+    assert "1.500 rows found" in line
+    assert "300 % of chunk size" in line
+    assert "1,25 sec runtime" in line
+
+    # custom locale object passes straight through
+    custom = NumberLocale("'", ".", "")
+    assert format_int(1_234_567, locale=custom) == "1'234'567"
+
+    with pytest.raises(ValueError, match="unknown locale"):
+        format_int(1, locale="tlh")
+
+
+def test_chunker_locale_attr_reaches_status_lines():
+    from dbix_batchchunker_spark import BatchChunker
+
+    bc = BatchChunker(
+        coderef=lambda bc, s, e: None, min_id=0, max_id=2999,
+        chunk_size=1500, target_time=0, sleep=0, verbose=True,
+        locale="de", probe_mode="off",
+    )
+    bc.execute()
+    # de decimal comma in runtimes, de grouping dot in the totals header
+    assert any("0,00 sec runtime" in m for m in bc.messages), bc.messages
+    assert any("3.000 total ids" in m for m in bc.messages), bc.messages
