@@ -629,3 +629,98 @@ def tx14_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_VOCAB_K)
     )
 
+
+
+# --------------------------------------------------------------------------- #
+# tx15: cross-document duplicated-window statistics.                          #
+#                                                                             #
+# The training-data signal behind substring-level dedup (Lee et al.,          #
+# "Deduplicating Training Data Makes Language Models Better", ACL'22 —        #
+# published work): a k-token window occurring in MORE THAN ONE document is    #
+# memorization fuel, and the per-document fraction of such windows is the     #
+# filter/repair signal a corpus build thresholds on. The reference engine     #
+# has no text analysis at all (SURVEY.md §2.C posture: pipeline operators     #
+# the reference's users would run AROUND their chunked batches).              #
+#                                                                             #
+# Scale shape: explode is linear (one row per distinct window per doc, an     #
+# 8-byte xxhash64 — not the window text — crosses the shuffle); the shared-   #
+# window set comes from ONE hash aggregate on the window key (windows are     #
+# pre-distinct per doc, so COUNT(*) counts documents); the join back is a     #
+# plain equi-join on the same key, so AQE plans it off the same shuffle.      #
+# No driver materialization, no quadratic term, no Python.                    #
+# --------------------------------------------------------------------------- #
+_WINDOW_K = 8
+
+
+@query(
+    "tx15_dup_windows",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_tokens_sql()} AS toks FROM documents
+    ), w AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(toks) - {_WINDOW_K - 1}, 1) + 1),
+                   i -> array_to_string(toks[i:i+{_WINDOW_K - 1}], ' '))) AS wins
+        FROM d
+    ), e AS (
+        SELECT doc_id, unnest(wins) AS win FROM w
+    ), shared AS (
+        SELECT win FROM e GROUP BY win HAVING COUNT(*) >= 2
+    )
+    SELECT e.doc_id,
+           COUNT(*) AS n_windows,
+           COUNT(*) FILTER (WHERE e.win IN (SELECT win FROM shared))
+               AS n_shared_windows,
+           ROUND(COUNT(*) FILTER (WHERE e.win IN (SELECT win FROM shared))
+                 / COUNT(*), 6) AS shared_ratio
+    FROM e GROUP BY e.doc_id ORDER BY e.doc_id
+    """,
+)
+def tx15_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_window_stats(t(spark, sf_dir, "documents"))
+
+
+def dup_window_stats(docs: DataFrame, k: int = _WINDOW_K) -> DataFrame:
+    """Per-document duplicated-window stats over k-token windows.
+
+    Windows are materialized column-by-column (toks → wins) so the
+    higher-order functions consume columns, not re-evaluated expressions
+    (no CSE inside HOF lambdas — same measured pitfall as dd08), and cross
+    the shuffle as xxhash64 longs; the DuckDB oracle carries the window
+    STRINGS, so agreement also re-verifies the hash-equality argument at
+    the whole-query level (collision probability ~n²/2⁶⁴). Short docs
+    (< k tokens) emit their single truncated window on both sides —
+    the dd08 slice-equivalence contract.
+    """
+    from .dedup import _shingles_of, _spread
+
+    wins = (
+        _spread(docs, "doc_id", "text")
+        .select("doc_id", _tokens_spark().alias("toks"))
+        .select("doc_id", _shingles_of(F.col("toks"), k).alias("wins"))
+        .select(
+            "doc_id",
+            F.explode(F.transform(F.col("wins"), lambda w: F.xxhash64(w))).alias(
+                "win"
+            ),
+        )
+    )
+    shared = (
+        wins.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("win", F.lit(1).alias("is_shared"))
+    )
+    return (
+        wins.join(shared, "win", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count("is_shared").alias("n_shared_windows"),
+            F.round(F.count("is_shared") / F.count(F.lit(1)), 6).alias(
+                "shared_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -871,3 +871,36 @@ def test_dd03_dd09_agree_on_tokenless_docs(spark):
     assert a == b
     assert 2 not in a  # the token-less doc is outside both domains
     assert a[0] == a[1] == 0
+
+
+def test_dup_window_stats_planted_semantics(spark):
+    """tx15 contract on constructed docs: two docs sharing their full text
+    have every window shared; a doc with entirely distinct tokens has none;
+    a doc shorter than k tokens still scores via its single truncated
+    window."""
+    from dbix_batchchunker_spark.operators.text import dup_window_stats
+
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = _doc_df(spark, [a, a, "q1 q2 q3 q4 q5 q6 q7 q8 q9", "tiny doc"])
+    got = {
+        r.doc_id: (r.n_windows, r.n_shared_windows, r.shared_ratio)
+        for r in dup_window_stats(docs, k=8).collect()
+    }
+    # 10 tokens, k=8 → 3 windows; duplicate pair shares all of them
+    assert got[0] == (3, 3, 1.0)
+    assert got[1] == (3, 3, 1.0)
+    # 9 distinct tokens → 2 windows, none shared
+    assert got[2] == (2, 0, 0.0)
+    # 2 tokens < k → one truncated window, unshared
+    assert got[3] == (1, 0, 0.0)
+
+    # overlapping but non-identical docs: shift by one token → the shared
+    # window count is exactly the windows common to both token streams
+    b = "w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"
+    got2 = {
+        r.doc_id: (r.n_windows, r.n_shared_windows)
+        for r in dup_window_stats(_doc_df(spark, [a, b]), k=8).collect()
+    }
+    # a's windows: [w1..w8],[w2..w9],[w3..w10]; b's: [w2..w9],[w3..w10],[w4..w11]
+    assert got2[0] == (3, 2)
+    assert got2[1] == (3, 2)
