@@ -69,7 +69,11 @@ DEMOTED_FROM_PREFIX = (
 #: behind the demoted trio (which, having once held driver slots, reclaim
 #: first if the cap rises) but ahead of every rows-only demo. Adjudication:
 #: the local gate replica, like the trio.
-POST_PREFIX = ("dd10_jaccard_components", "tx15_dup_windows")
+POST_PREFIX = (
+    "dd10_jaccard_components",
+    "tx15_dup_windows",
+    "q33_interval_overlap_join",
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

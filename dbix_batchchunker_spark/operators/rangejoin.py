@@ -112,3 +112,135 @@ def q32_banded_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_neighbors"))
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------- #
+# Interval-overlap join: the two-sided sibling of the banded range join.      #
+# --------------------------------------------------------------------------- #
+OVERLAP_BUCKET_US = 600_000_000  # 10 min
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_us: int,
+) -> DataFrame:
+    """All (left, right) pairs whose [start, end] intervals overlap
+    (``l.start <= r.end AND r.start <= l.end``), as an equi-join on time
+    buckets.
+
+    Catalyst plans a bare two-sided inequality join as
+    BroadcastNestedLoopJoin, same as the one-sided case above (DuckDB again
+    ships IEJoin for it — exactly 2 inequality conditions). The banding
+    re-expression generalizes: each interval explodes into EVERY bucket it
+    covers (``sequence(floor(start/W), floor(end/W))`` — row expansion is
+    length/W + 1, linear in total covered time, so W should be chosen near
+    the typical interval length), the join is an equi-join on bucket id
+    with the overlap condition as residual, and each true pair is counted
+    ONCE by keeping only the bucket containing the overlap's start
+    (``max(l.start, r.start)`` lies inside both intervals, so exactly one
+    joined bucket satisfies it). Skew note: same as banded_range_join —
+    a hot bucket is a hot equi-key; salt or let AQE split it.
+    """
+    taken = set(left.columns) | set(right.columns)
+    if taken & {"__lbk", "__rbk"}:
+        raise ValueError(
+            "interval_overlap_join reserves the internal column names "
+            "'__lbk'/'__rbk'; rename them on the inputs first"
+        )
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        # Same output contract as banded_range_join: duplicate names make
+        # the returned frame unselectable by bare name downstream.
+        raise ValueError(
+            "interval_overlap_join requires disjoint column names between "
+            f"left and right (shared: {sorted(overlap)}); rename one side "
+            "first (e.g. right.withColumnRenamed)"
+        )
+    lb = left.withColumn(
+        "__lbk",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(left_start) / bucket_us),
+                F.floor(F.col(left_end) / bucket_us),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__rbk",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_start) / bucket_us),
+                F.floor(F.col(right_end) / bucket_us),
+            )
+        ),
+    )
+    joined = (
+        lb.join(rb, lb["__lbk"] == rb["__rbk"])
+        .where(
+            (lb[left_start] <= rb[right_end])
+            & (rb[right_start] <= lb[left_end])
+        )
+        # count each overlapping pair exactly once: only in the bucket
+        # where the overlap region starts
+        .where(
+            lb["__lbk"]
+            == F.floor(F.greatest(lb[left_start], rb[right_start]) / bucket_us)
+        )
+    )
+    return joined.drop("__lbk", "__rbk")
+
+
+@query(
+    "q33_interval_overlap_join",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, epoch_us(ts) AS s_us,
+               epoch_us(ts) + CAST(round(value * 1e6) AS BIGINT) AS e_us
+        FROM events
+    )
+    SELECT a.event_id, COUNT(*) AS n_overlaps
+    FROM e a JOIN e b
+      ON a.s_us <= b.e_us AND b.s_us <= a.e_us
+     AND a.event_id != b.event_id
+    GROUP BY a.event_id
+    ORDER BY a.event_id
+    """,
+)
+def q33_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping activity spans: each event occupies [ts, ts + value
+    seconds]; count the other events whose span overlaps — the
+    concurrency/contention primitive (who was active at the same time).
+    As with q32, the oracle runs the literal inequality theta-join
+    (DuckDB IEJoin) while Spark runs the bucketed re-expression, so the
+    gate adjudicates the rewrite itself. round() on both sides pins the
+    one float→int step to the same value (DuckDB CAST rounds where Spark's
+    would truncate)."""
+    events = t(spark, sf_dir, "events")
+    s = epoch_us(events)
+    e = events.select(
+        "event_id",
+        s.alias("s_us"),
+        (s + F.round(F.col("value") * 1e6).cast("long")).alias("e_us"),
+    )
+    a = e.select(
+        F.col("event_id").alias("a_id"),
+        F.col("s_us").alias("a_s"),
+        F.col("e_us").alias("a_e"),
+    )
+    b = e.select(
+        F.col("event_id").alias("b_id"),
+        F.col("s_us").alias("b_s"),
+        F.col("e_us").alias("b_e"),
+    )
+    return (
+        interval_overlap_join(a, b, "a_s", "a_e", "b_s", "b_e", OVERLAP_BUCKET_US)
+        .where(F.col("a_id") != F.col("b_id"))
+        .groupBy(F.col("a_id").alias("event_id"))
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+        .orderBy("event_id")
+    )

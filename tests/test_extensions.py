@@ -904,3 +904,53 @@ def test_dup_window_stats_planted_semantics(spark):
     # a's windows: [w1..w8],[w2..w9],[w3..w10]; b's: [w2..w9],[w3..w10],[w4..w11]
     assert got2[0] == (3, 2)
     assert got2[1] == (3, 2)
+
+
+def test_interval_overlap_join_matches_bruteforce_random(spark):
+    """Property: interval_overlap_join emits exactly the brute-force overlap
+    pair set — random intervals stress bucket boundaries (touching
+    endpoints inclusive, multi-bucket spans, nested intervals, disjoint)."""
+    import random
+
+    from dbix_batchchunker_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        w = 1000
+        rows = []
+        for i in range(100):
+            s = rng.randrange(0, 15_000)
+            rows.append((i, s, s + rng.randrange(0, 3 * w)))  # up to 3 buckets
+        # planted edges: touching endpoints (inclusive) and off-by-one miss
+        rows += [(100, 50_000, 50_100), (101, 50_100, 50_200),
+                 (102, 50_201, 50_300)]
+        expected = sorted(
+            (a, b)
+            for a, sa, ea in rows
+            for b, sb, eb in rows
+            if a != b and sa <= eb and sb <= ea
+        )
+        df = spark.createDataFrame(rows, "id long, s long, e long")
+        a = df.select(F.col("id").alias("a_id"), F.col("s").alias("a_s"),
+                      F.col("e").alias("a_e"))
+        b = df.select(F.col("id").alias("b_id"), F.col("s").alias("b_s"),
+                      F.col("e").alias("b_e"))
+        got = sorted(
+            (r.a_id, r.b_id)
+            for r in interval_overlap_join(a, b, "a_s", "a_e", "b_s", "b_e", w)
+            .where(F.col("a_id") != F.col("b_id"))
+            .collect()
+        )
+        assert got == expected, f"seed {seed}"
+
+
+def test_interval_overlap_join_rejects_overlapping_columns(spark):
+    from dbix_batchchunker_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    df = spark.createDataFrame([(1, 0, 10)], "id long, s long, e long")
+    with pytest.raises(ValueError, match="disjoint column names"):
+        interval_overlap_join(df, df, "s", "e", "s", "e", 1000)

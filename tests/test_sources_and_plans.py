@@ -136,6 +136,20 @@ def test_adaptive_chunk_ranges_drive_jdbc_partitions(spark, tmp_path):
     assert total == len(ids)
 
 
+def test_interval_overlap_join_is_equi_not_nested_loop(spark):
+    """q33's two-sided inequality join must plan as a hash equi-join on the
+    bucket key — a literal overlap theta-join would be
+    BroadcastNestedLoopJoin, O(n·m) at any scale."""
+    from dbix_batchchunker_spark.operators.rangejoin import (
+        q33_interval_overlap_join,
+    )
+    from dbix_batchchunker_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(q33_interval_overlap_join(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_jdbc_id_auto_introspection(spark, tmp_path):
     """Constructing a chunker against a JDBC table with NO id_name must
     resolve it from primary-key metadata (reference BatchChunker.pm:509-513
