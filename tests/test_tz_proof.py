@@ -33,6 +33,7 @@ TS_QUERIES = [
     "q24_keyset_page",
     "q30_sessionize",
     "q32_banded_range_join",
+    "q33_interval_overlap_join",
 ]
 
 
