@@ -179,7 +179,22 @@ def main() -> None:
         # the prior baseline says is slow one extra timed run.
         q_runs = runs + 1 if runs > 1 and prior.get(name, 0.0) > 3.0 else runs
         try:
-            for _ in range(q_runs):
+            for attempt in range(q_runs + 1):
+                if attempt == q_runs:
+                    # Stall rescue: a transient container stall can hit BOTH
+                    # timed runs of a FAST query (r7: q21 1.3 s → 6.2 s and
+                    # tx15 1.35 s → 2.48 s with min-of-2; both reproducible
+                    # at their priors min-of-3), which the slow-prior rule
+                    # above can't catch. If the best so far regresses the
+                    # prior by >1.5× AND >0.3 s absolute, spend ONE extra
+                    # run before accepting it into the published record.
+                    if not (
+                        runs > 1
+                        and name in prior
+                        and prior[name] > 0
+                        and best > max(1.5 * prior[name], prior[name] + 0.3)
+                    ):
+                        break
                 t0 = time.monotonic()
                 df = queries[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
@@ -235,7 +250,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "timing": f"min_of_{runs}_plus_one_when_prior_gt_3s",
+        "timing": (
+            f"min_of_{runs}_plus_one_when_prior_gt_3s"
+            "_plus_stall_rescue_at_1p5x_prior"
+        ),
         "warmup": f"each query once at {warm_dir} before timing",
     }
     if errors:
