@@ -32,9 +32,11 @@ from dbix_batchchunker_spark.operators import (  # noqa: F401
     # sampling/rangejoin are deliberately LAST (not alphabetical): import
     # order is registry order, and the driver gate adjudicates a 50-slot
     # prefix of queries(). Since round 7 the prefix is rebalanced via
-    # DEMOTED_FROM_PREFIX below, so these two families DO sit inside the
-    # adjudicated 50; the demoted trio's binding adjudication is the local
-    # replica (tests/test_queries_oracle.py).
+    # DEMOTED_FROM_PREFIX below, which put sp01 and q32 inside the
+    # adjudicated 50 — but NOT every later query in these modules: any NEW
+    # oracle-gated query (whatever its module) must be added to POST_PREFIX
+    # below or it lands mid-registry and silently pushes the 50th prefix
+    # query out of adjudication (q33 did exactly that before being listed).
     sampling,
     rangejoin,
 )

@@ -181,7 +181,13 @@ class BatchChunker:
         # Status-line number formatting (reference `cldr` attr,
         # BatchChunker.pm:452-465: a CLDR::Number, default locale 'en').
         # A locale code from progress.CLDR_LOCALES or a NumberLocale.
+        # Validated HERE (strict-constructor posture): an unknown locale
+        # must not surface mid-run at the first status line, after chunks
+        # have already committed work.
         self.locale = kwargs.get("locale", "en")
+        from .progress import _locale as _check_locale
+
+        _check_locale(self.locale)
         self.progress_name: str = kwargs.get("progress_name", "Processing")
         self.on_message: Optional[Callable[[str], None]] = kwargs.get("on_message")
         self.on_progress: Optional[Callable[[int, int], None]] = kwargs.get("on_progress")
@@ -904,7 +910,11 @@ def _migrate_legacy_args(kwargs: Dict[str, Any]) -> Dict[str, Any]:
         "cannot reconnect after a failure; please use dbapi_connector and "
         "stmt/*_stmt instead for reconnection support.",
         DeprecationWarning,
-        stacklevel=4,
+        # warn → _migrate_legacy_args → __init__ → caller: 3 attributes the
+        # warning to the direct BatchChunker(...) call site (the
+        # construct_and_execute wrapper shows its own forwarding line, which
+        # is still inside user-actionable code).
+        stacklevel=3,
     )
     kwargs = dict(kwargs)
     if kwargs.get("dbapi_connector") is None:

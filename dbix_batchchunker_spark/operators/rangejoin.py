@@ -28,6 +28,32 @@ from .registry import epoch_us, query, t
 RANGE_WINDOW_US = 60_000_000  # ±60 s
 
 
+def _require_disjoint(
+    left: DataFrame, right: DataFrame, reserved: set, op: str
+) -> None:
+    """Shared input contract of both banding joins: the internal bucket
+    names must be free (withColumn would silently overwrite a caller
+    column and the trailing drop would delete caller data), and the two
+    sides must not share ANY column name — after the join every shared
+    name exists twice, making any bare F.col(name) (ours in the residual,
+    or the caller's downstream on the returned both-schemas frame)
+    ambiguous at analysis time. Fail fast with an actionable message."""
+    taken = set(left.columns) | set(right.columns)
+    if taken & reserved:
+        names = "/".join(f"'{r}'" for r in sorted(reserved))
+        raise ValueError(
+            f"{op} reserves the internal column names {names}; "
+            "rename them on the inputs first"
+        )
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            f"{op} requires disjoint column names between left and right "
+            f"(shared: {sorted(overlap)}); rename one side first "
+            "(e.g. right.withColumnRenamed)"
+        )
+
+
 def banded_range_join(
     left: DataFrame,
     right: DataFrame,
@@ -38,28 +64,7 @@ def banded_range_join(
     """All (left, right) pairs with |left_us - right_us| <= window_us, as an
     equi-join on time buckets. Returns the joined frame with both input
     schemas (caller selects/aggregates)."""
-    taken = set(left.columns) | set(right.columns)
-    if taken & {"__probe", "__bucket"}:
-        # withColumn would silently OVERWRITE a caller column of the same
-        # name and the trailing drop would then delete the caller's data.
-        raise ValueError(
-            "banded_range_join reserves the internal column names "
-            "'__probe'/'__bucket'; rename them on the inputs first"
-        )
-    overlap = set(left.columns) & set(right.columns)
-    if overlap:
-        # After the join every shared name exists twice; the joined frame we
-        # return (both schemas, caller selects) would make any bare
-        # F.col(name) — ours in the residual filter, or the caller's
-        # downstream — ambiguous at analysis time. The residual below is
-        # resolved via lb[...]/rb[...] so WE would survive, but the output
-        # contract wouldn't; fail fast instead of handing back a frame the
-        # caller can't select from.
-        raise ValueError(
-            "banded_range_join requires disjoint column names between left "
-            f"and right (shared: {sorted(overlap)}); rename one side first "
-            "(e.g. right.withColumnRenamed)"
-        )
+    _require_disjoint(left, right, {"__probe", "__bucket"}, "banded_range_join")
     lb = left.withColumn(
         "__probe",
         F.explode(
@@ -146,21 +151,7 @@ def interval_overlap_join(
     joined bucket satisfies it). Skew note: same as banded_range_join —
     a hot bucket is a hot equi-key; salt or let AQE split it.
     """
-    taken = set(left.columns) | set(right.columns)
-    if taken & {"__lbk", "__rbk"}:
-        raise ValueError(
-            "interval_overlap_join reserves the internal column names "
-            "'__lbk'/'__rbk'; rename them on the inputs first"
-        )
-    overlap = set(left.columns) & set(right.columns)
-    if overlap:
-        # Same output contract as banded_range_join: duplicate names make
-        # the returned frame unselectable by bare name downstream.
-        raise ValueError(
-            "interval_overlap_join requires disjoint column names between "
-            f"left and right (shared: {sorted(overlap)}); rename one side "
-            "first (e.g. right.withColumnRenamed)"
-        )
+    _require_disjoint(left, right, {"__lbk", "__rbk"}, "interval_overlap_join")
     lb = left.withColumn(
         "__lbk",
         F.explode(

@@ -73,8 +73,14 @@ def primary_key_columns(
     Unquoted identifiers are CASE-FOLDED by the database (Derby/Oracle fold
     up, Postgres folds down) while Spark's JDBC writer quotes names into
     exact case, so the lookup tries the given spelling, then upper, then
-    lower.
+    lower. A ``schema.table`` name is split and the schema passed to the
+    metadata call; for an UNQUALIFIED name that matches same-named tables
+    in several schemas, the lookup raises (chunking on the wrong schema's
+    key column would be silent data corruption) rather than guessing.
     """
+    schema = None
+    if "." in table:
+        schema, table = table.rsplit(".", 1)
     jvm = spark._jvm  # noqa: SLF001 — the documented py4j JVM bridge
     props = jvm.java.util.Properties()
     for k, v in (properties or {}).items():
@@ -85,16 +91,31 @@ def primary_key_columns(
     conn = jvm.java.sql.DriverManager.getConnection(url, props)
     try:
         meta = conn.getMetaData()
-        for candidate in dict.fromkeys((table, table.upper(), table.lower())):
-            rs = meta.getPrimaryKeys(None, None, candidate)
-            cols = []
-            while rs.next():
-                cols.append(
-                    (rs.getInt("KEY_SEQ"), rs.getString("COLUMN_NAME"))
-                )
-            rs.close()
-            if cols:
-                return [name for _seq, name in sorted(cols)]
+        for cand_schema in dict.fromkeys(
+            (schema,)
+            if schema is None
+            else (schema, schema.upper(), schema.lower())
+        ):
+            for candidate in dict.fromkeys(
+                (table, table.upper(), table.lower())
+            ):
+                rs = meta.getPrimaryKeys(None, cand_schema, candidate)
+                by_table: dict = {}
+                while rs.next():
+                    key = (rs.getString("TABLE_SCHEM"), rs.getString("TABLE_NAME"))
+                    by_table.setdefault(key, []).append(
+                        (rs.getInt("KEY_SEQ"), rs.getString("COLUMN_NAME"))
+                    )
+                rs.close()
+                if len(by_table) > 1:
+                    raise ValueError(
+                        f"table name {candidate!r} is ambiguous across schemas "
+                        f"{sorted(s for s, _t in by_table)}; qualify it as "
+                        "'schema.table'"
+                    )
+                if by_table:
+                    (cols,) = by_table.values()
+                    return [name for _seq, name in sorted(cols)]
         return []
     finally:
         conn.close()

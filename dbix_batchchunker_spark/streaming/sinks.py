@@ -37,23 +37,37 @@ def sqlite_upsert_sink(
 
     The target table is created on first batch if absent (keys become the
     PRIMARY KEY, so SQLite enforces the upsert invariant). Identifiers are
-    interpolated after a strict allowlist check — they come from code, not
-    data, but a sink helper should still refuse a quoting surprise.
+    allowlist-checked AND double-quoted — the check rejects injection-shaped
+    names outright, the quoting keeps legitimate-but-keyword names
+    (``order``, ``group``) from breaking the generated SQL. Empty
+    ``value_cols`` is the presence-sink shape (seen-keys dedup): the
+    conflict action degrades to DO NOTHING.
     """
+    if not key_cols:
+        raise ValueError("key_cols must name at least one column")
     cols = [*key_cols, *value_cols]
     for ident in (table, *cols):
         if not ident.isidentifier():
             raise ValueError(f"unsafe SQL identifier: {ident!r}")
+
+    def q(ident: str) -> str:
+        return f'"{ident}"'
+
     ddl = (
-        f"CREATE TABLE IF NOT EXISTS {table} ("
-        + ", ".join(f"{c}" for c in cols)
-        + f", PRIMARY KEY ({', '.join(key_cols)}))"
+        f"CREATE TABLE IF NOT EXISTS {q(table)} ("
+        + ", ".join(q(c) for c in cols)
+        + f", PRIMARY KEY ({', '.join(q(c) for c in key_cols)}))"
     )
-    assignments = ", ".join(f"{c}=excluded.{c}" for c in value_cols)
+    action = (
+        "DO UPDATE SET "
+        + ", ".join(f"{q(c)}=excluded.{q(c)}" for c in value_cols)
+        if value_cols
+        else "DO NOTHING"
+    )
     upsert = (
-        f"INSERT INTO {table} ({', '.join(cols)}) "
+        f"INSERT INTO {q(table)} ({', '.join(q(c) for c in cols)}) "
         f"VALUES ({', '.join('?' for _ in cols)}) "
-        f"ON CONFLICT ({', '.join(key_cols)}) DO UPDATE SET {assignments}"
+        f"ON CONFLICT ({', '.join(q(c) for c in key_cols)}) {action}"
     )
 
     def sink(batch_df, _batch_id: int) -> None:

@@ -131,3 +131,15 @@ def test_chunker_locale_attr_reaches_status_lines():
     # de decimal comma in runtimes, de grouping dot in the totals header
     assert any("0,00 sec runtime" in m for m in bc.messages), bc.messages
     assert any("3.000 total ids" in m for m in bc.messages), bc.messages
+
+
+def test_unknown_locale_rejected_at_construction():
+    """Strict-constructor posture: a bad locale must fail at BatchChunker()
+    time, not mid-run at the first status line after chunks committed."""
+    from dbix_batchchunker_spark import BatchChunker
+
+    with pytest.raises(ValueError, match="unknown locale"):
+        BatchChunker(
+            coderef=lambda bc, s, e: None, min_id=0, max_id=9,
+            chunk_size=10, target_time=0, sleep=0, locale="en-US",
+        )

@@ -203,6 +203,22 @@ def test_jdbc_id_auto_introspection(spark, tmp_path):
             chunk_size=10, target_time=0, sleep=0,
         )
 
+    # same-named tables in two schemas: unqualified lookup must refuse to
+    # guess (wrong-schema id_name would chunk on a non-key column);
+    # schema-qualified lookup resolves each
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.execute("CREATE SCHEMA s1")
+    st.execute("CREATE SCHEMA s2")
+    st.execute("CREATE TABLE s1.dup_t (ida INT PRIMARY KEY, v INT)")
+    st.execute("CREATE TABLE s2.dup_t (idb INT PRIMARY KEY, v INT)")
+    st.close()
+    conn.close()
+    with pytest.raises(ValueError, match="ambiguous across schemas"):
+        primary_key_columns(spark, url, "dup_t", props)
+    assert primary_key_columns(spark, url, "s1.dup_t", props) == ["IDA"]
+    assert primary_key_columns(spark, url, "s2.dup_t", props) == ["IDB"]
+
 
 # ---------------------------- parquet keyed overwrite -----------------------
 

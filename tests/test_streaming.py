@@ -315,3 +315,35 @@ def test_sqlite_upsert_sink_rejects_unsafe_identifiers():
 
     with pytest.raises(ValueError, match="unsafe SQL identifier"):
         sqlite_upsert_sink("x.db", "users; DROP", ["id"], ["v"])
+
+
+def test_sqlite_upsert_sink_keywords_and_presence_shape(spark, tmp_path):
+    """Identifier handling (round-7 review): SQL-keyword names are legal
+    identifiers and must be quoted, not break the generated SQL; empty
+    value_cols is the presence-sink (seen-keys) shape and degrades the
+    conflict action to DO NOTHING."""
+    import sqlite3
+
+    from dbix_batchchunker_spark.streaming.sinks import sqlite_upsert_sink
+
+    db = str(tmp_path / "kw.db")
+    sink = sqlite_upsert_sink(db, "order", ["group"], ["select"])
+    df = spark.createDataFrame([(1, 10), (2, 20)], "group long, select long")
+    sink(df, 0)
+    sink(spark.createDataFrame([(1, 99)], "group long, select long"), 1)
+    conn = sqlite3.connect(db)
+    rows = dict(conn.execute('SELECT "group", "select" FROM "order"'))
+    conn.close()
+    assert rows == {1: 99, 2: 20}  # upserted, keywords quoted throughout
+
+    seen = sqlite_upsert_sink(db, "seen_keys", ["event_id"], [])
+    ev = spark.createDataFrame([(7,), (8,)], "event_id long")
+    seen(ev, 0)
+    seen(ev, 1)  # replay: DO NOTHING keeps exactly-once presence
+    conn = sqlite3.connect(db)
+    (n,) = conn.execute("SELECT COUNT(*) FROM seen_keys").fetchone()
+    conn.close()
+    assert n == 2
+
+    with pytest.raises(ValueError, match="at least one column"):
+        sqlite_upsert_sink(db, "t", [], ["v"])
