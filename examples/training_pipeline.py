@@ -8,15 +8,19 @@ corpus before tokenization:
   2. quality filter        (tx02: length / punctuation / digit heuristics)
   3. near-dup removal      (dd03: MinHash-LSH cluster dedup, keep each
                             cluster's representative — NO pair emission)
-  4. decontamination       (tx10: drop docs sharing a word 5-gram with the
+  4. substring-dup filter  (tx15: drop docs whose k-token windows are
+                            mostly shared with OTHER docs — the
+                            memorization signal document-level dedup
+                            misses when documents only partially overlap)
+  5. decontamination       (tx10: drop docs sharing a word 5-gram with the
                             held-out benchmark set)
-  5. mixture sampling      (sp01: per-language hash keep-rates — the
+  6. mixture sampling      (sp01: per-language hash keep-rates — the
                             corpus-composition knob; deterministic, so
                             re-weighting one language leaves the others
                             byte-identical)
-  6. deterministic split   (tx09: md5-hash train/val/test — reproducible
+  7. deterministic split   (tx09: md5-hash train/val/test — reproducible
                             across engines, runs, and cluster sizes)
-  7. write                 parquet partitioned by split (each split prunes
+  8. write                 parquet partitioned by split (each split prunes
                             to its own directory for downstream readers)
 
 The embedding modality gets the same treatment via sim07
@@ -65,25 +69,33 @@ def main() -> None:
     #    own cluster ⇒ is_dup = false); Θ(n) output, no pair join anywhere
     reps = QUERIES["dd03_minhash_dedup"](spark, sf_dir).where(~F.col("is_dup"))
 
-    # 4. decontamination — tx10 returns the CONTAMINATED doc_ids (share a
+    # 4. substring-dup filter — tx15's per-doc shared-window fraction; a
+    #    doc that is >50% windows-shared with others is partial-duplicate
+    #    content dd03's document-level clusters can't see
+    window_ok = QUERIES["tx15_dup_windows"](spark, sf_dir).where(
+        F.col("shared_ratio") <= 0.5
+    )
+
+    # 5. decontamination — tx10 returns the CONTAMINATED doc_ids (share a
     #    word 5-gram with the benchmark docs); anti-join them away
     contaminated = QUERIES["tx10_decontaminate"](spark, sf_dir)
 
-    # 5. mixture — per-language keep-rates reweight the corpus composition
+    # 6. mixture — per-language keep-rates reweight the corpus composition
     mixture = QUERIES["sp01_mixture_sample"](spark, sf_dir)
 
-    # 6. deterministic split assignment
+    # 7. deterministic split assignment
     split = QUERIES["tx09_det_split"](spark, sf_dir)
 
     clean = (
         docs.join(quality.select("doc_id"), "doc_id", "left_semi")
         .join(reps.select("doc_id"), "doc_id", "left_semi")
+        .join(window_ok.select("doc_id"), "doc_id", "left_semi")
         .join(contaminated, "doc_id", "left_anti")
         .join(mixture.select("doc_id"), "doc_id", "left_semi")
         .join(split, "doc_id")
     )
 
-    # 7. one partitioned write; downstream readers of split=train prune the
+    # 8. one partitioned write; downstream readers of split=train prune the
     #    other directories at the source
     clean.write.mode("overwrite").partitionBy("split").parquet(out_dir)
 
