@@ -75,6 +75,7 @@ POST_PREFIX = (
     "dd10_jaccard_components",
     "tx15_dup_windows",
     "q33_interval_overlap_join",
+    "sp02_weighted_sample",
 )
 
 

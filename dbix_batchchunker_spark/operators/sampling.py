@@ -67,3 +67,62 @@ def sp01_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------- #
+# sp02: per-row WEIGHTED deterministic sampling.                              #
+# --------------------------------------------------------------------------- #
+def weighted_hash_sample(
+    df: DataFrame, weight, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep each row with probability ``weight`` (a Column in [0, 1]),
+    deterministically: the row's md5-derived uniform draw is compared to
+    its own weight. Same contract as sp01 — membership is a pure function
+    of the data (reproducible across runs/engines/partitionings), and each
+    row's draw is independent, so reweighting one stratum leaves every
+    other row's membership untouched. Shuffle-free, whole-stage codegen.
+
+    The uniform is the first 16 bits of md5(id) scaled to [0, 1) — 1/65536
+    probability resolution, identical in DuckDB via
+    ``('0x' || substr(md5(id), 1, 4))::INT / 65536.0``.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.col(id_col).cast("string").cast("binary")), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        / 65536.0
+    )
+    return df.where(u < weight)
+
+
+#: sp02's weight: documents kept proportionally to length (capped at
+#: LENGTH_CAP chars ⇒ probability 1). Sampling documents ∝ size approximates
+#: a uniform sample over TOKENS — the quantity a pretraining mixture
+#: actually budgets — where uniform-over-documents oversamples short docs'
+#: tokens. The weight is any [0,1] expression; this one is the registered
+#: token-budget shape.
+SP02_LENGTH_CAP = 400
+
+
+@query(
+    "sp02_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT / 65536.0
+          < least(n_chars / {SP02_LENGTH_CAP}.0, 1.0)
+    ORDER BY doc_id
+    """,
+)
+def sp02_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    weight = F.least(F.col("n_chars") / SP02_LENGTH_CAP, F.lit(1.0))
+    return (
+        weighted_hash_sample(docs, weight)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )

@@ -954,3 +954,26 @@ def test_interval_overlap_join_rejects_overlapping_columns(spark):
     df = spark.createDataFrame([(1, 0, 10)], "id long, s long, e long")
     with pytest.raises(ValueError, match="disjoint column names"):
         interval_overlap_join(df, df, "s", "e", "s", "e", 1000)
+
+
+def test_weighted_hash_sample_semantics(spark):
+    """sp02 contract: weight 0 keeps nothing, weight 1 keeps everything,
+    membership is partition-invariant, and the keep-rate tracks the weight
+    (length-proportional docs sampled ∝ n_chars)."""
+    from dbix_batchchunker_spark.operators.sampling import weighted_hash_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en", "src", 100 + i) for i in range(2000)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert weighted_hash_sample(docs, F.lit(0.0)).count() == 0
+    assert weighted_hash_sample(docs, F.lit(1.0)).count() == 2000
+
+    kept = weighted_hash_sample(docs, F.lit(0.25))
+    ids = {r.doc_id for r in kept.collect()}
+    assert abs(len(ids) / 2000 - 0.25) < 0.05  # ~binomial, 2000 draws
+    # partitioning must not change membership (the property Spark's own
+    # sample() lacks)
+    ids2 = {r.doc_id for r in weighted_hash_sample(
+        docs.repartition(17), F.lit(0.25)).collect()}
+    assert ids == ids2

@@ -423,6 +423,17 @@ def test_mixture_sample_is_stateless_filter(spark):
     assert not hash_exchanges, plan
     assert "Filter" in plan
 
+    # sp02 (weighted) must keep the identical stateless shape
+    from dbix_batchchunker_spark.operators.sampling import sp02_weighted_sample
+
+    plan2 = formatted_plan(sp02_weighted_sample(spark, SF_DIR))
+    assert not [
+        ln
+        for ln in plan2.splitlines()
+        if ln.strip().startswith("Arguments: hashpartitioning")
+    ], plan2
+    assert "Filter" in plan2
+
 
 def test_vocab_topk_avoids_global_sort(spark):
     """tx14's top-k must run as TakeOrderedAndProject (per-partition heaps +
