@@ -136,6 +136,18 @@ def test_adaptive_chunk_ranges_drive_jdbc_partitions(spark, tmp_path):
     assert total == len(ids)
 
 
+def test_tx15_shared_window_agg_is_partial(spark):
+    """tx15's shared-window detection must carry map-side partial counts —
+    the shuffle ships per-window partials, not one row per (doc, window)
+    occurrence, or the operator's dominant shuffle doubles at scale."""
+    from dbix_batchchunker_spark.operators.text import tx15_dup_windows
+    from dbix_batchchunker_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(tx15_dup_windows(spark, SF_DIR))
+    assert "partial_count" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_interval_overlap_join_is_equi_not_nested_loop(spark):
     """q33's two-sided inequality join must plan as a hash equi-join on the
     bucket key — a literal overlap theta-join would be
