@@ -73,23 +73,35 @@ def sp01_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sp02: per-row WEIGHTED deterministic sampling.                              #
 # --------------------------------------------------------------------------- #
 def weighted_hash_sample(
-    df: DataFrame, weight, id_col: str = "doc_id"
+    df: DataFrame, weight, id_col: str = "doc_id", salt: str = "w"
 ) -> DataFrame:
     """Keep each row with probability ``weight`` (a Column in [0, 1]),
     deterministically: the row's md5-derived uniform draw is compared to
-    its own weight. Same contract as sp01 — membership is a pure function
-    of the data (reproducible across runs/engines/partitionings), and each
-    row's draw is independent, so reweighting one stratum leaves every
-    other row's membership untouched. Shuffle-free, whole-stage codegen.
+    its own weight. Same determinism contract as sp01 — membership is a
+    pure function of the data (reproducible across runs/engines/
+    partitionings), and each row's draw is independent, so reweighting one
+    stratum leaves every other row's membership untouched. Shuffle-free,
+    whole-stage codegen.
 
-    The uniform is the first 16 bits of md5(id) scaled to [0, 1) — 1/65536
-    probability resolution, identical in DuckDB via
-    ``('0x' || substr(md5(id), 1, 4))::INT / 65536.0``.
+    The uniform is the first 16 bits of ``md5(id || ':' || salt)`` scaled
+    to [0, 1) — 1/65536 probability resolution, identical in DuckDB via
+    ``('0x' || substr(md5(id || ':w'), 1, 4))::INT / 65536.0``. The SALT
+    decorrelates this sampler from sp01/tx09/tx11 (round-7 review: all
+    selectors share md5(doc_id), so unsalted composition keeps
+    ``min(r, w)`` of the corpus instead of ``r·w`` — with w ≤ r a strict
+    subset of the mixture sample, not an independent thinning). Chaining
+    two weighted samples likewise needs two different salts.
     """
     u = (
         F.conv(
             F.substring(
-                F.md5(F.col(id_col).cast("string").cast("binary")), 1, 4
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"), F.lit(":" + salt)
+                    ).cast("binary")
+                ),
+                1,
+                4,
             ),
             16,
             10,
@@ -113,7 +125,8 @@ SP02_LENGTH_CAP = 400
     oracle=f"""
     SELECT doc_id, lang, n_chars
     FROM documents
-    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT / 65536.0
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':w'), 1, 4))::INT
+          / 65536.0
           < least(n_chars / {SP02_LENGTH_CAP}.0, 1.0)
     ORDER BY doc_id
     """,

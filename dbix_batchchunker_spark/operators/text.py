@@ -342,8 +342,8 @@ def tx08_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tx09_det_split",
     oracle="""
     SELECT doc_id,
-           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '10' THEN 'val'
-                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20' THEN 'test'
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < '10' THEN 'val'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < '20' THEN 'test'
                 ELSE 'train' END AS split
     FROM documents
     ORDER BY doc_id
@@ -351,7 +351,14 @@ def tx08_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tx09_det_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    # ':split'-SALTED hash (round-7 review): every deterministic selector in
+    # the package derives from md5(doc_id), so an UNSALTED split is fully
+    # correlated with the samplers — sp01's zh keep-set (prefix < '2000')
+    # lands entirely inside val/test (prefix < '10'/'20') and zh gets ZERO
+    # train docs. Distinct salts make the family's draws independent.
+    key = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 2
+    )
     return docs.select(
         "doc_id",
         F.when(key < "10", "val").when(key < "20", "test").otherwise("train").alias(
@@ -507,7 +514,8 @@ def tx12_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT lang, doc_id,
                ROW_NUMBER() OVER (
                    PARTITION BY lang
-                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':group-sample'),
+                            doc_id) AS rn
         FROM documents
     )
     WHERE rn <= {_SAMPLE_K}
@@ -518,8 +526,12 @@ def tx11_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = t(spark, sf_dir, "documents")
+    # salted like tx09 (see there): an unsalted hash ORDER would pick
+    # exactly the docs the samplers keep (k-smallest = sp01's keep-set),
+    # biasing any eval subset drawn alongside a sampled corpus
     w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":group-sample"))),
+        F.col("doc_id"),
     )
     return (
         docs.withColumn("rn", F.row_number().over(w))

@@ -69,12 +69,17 @@ def main() -> None:
     #    own cluster ⇒ is_dup = false); Θ(n) output, no pair join anywhere
     reps = QUERIES["dd03_minhash_dedup"](spark, sf_dir).where(~F.col("is_dup"))
 
-    # 4. substring-dup filter — tx15's per-doc shared-window fraction; a
-    #    doc that is >50% windows-shared with others is partial-duplicate
-    #    content dd03's document-level clusters can't see
-    window_ok = QUERIES["tx15_dup_windows"](spark, sf_dir).where(
-        F.col("shared_ratio") <= 0.5
-    )
+    # 4. substring-dup filter — per-doc shared-window fraction; a doc that
+    #    is >50% windows-shared with OTHERS is partial-duplicate content
+    #    dd03's document-level clusters can't see. Computed on the dd03
+    #    SURVIVORS, not the raw corpus: against raw docs, a kept
+    #    representative still sees all its removed near-dup copies'
+    #    windows, scores shared_ratio ≈ 1, and duplicated content would
+    #    vanish from the training set entirely instead of being kept once.
+    from dbix_batchchunker_spark.operators.text import dup_window_stats
+
+    survivors = docs.join(reps.select("doc_id"), "doc_id", "left_semi")
+    window_ok = dup_window_stats(survivors).where(F.col("shared_ratio") <= 0.5)
 
     # 5. decontamination — tx10 returns the CONTAMINATED doc_ids (share a
     #    word 5-gram with the benchmark docs); anti-join them away

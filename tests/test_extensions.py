@@ -977,3 +977,48 @@ def test_weighted_hash_sample_semantics(spark):
     ids2 = {r.doc_id for r in weighted_hash_sample(
         docs.repartition(17), F.lit(0.25)).collect()}
     assert ids == ids2
+
+    # PER-ROW weight column (the capability sp02 adds over sp01): a weight
+    # that varies by row must produce per-stratum keep-rates tracking each
+    # stratum's own weight — half the rows at w=0.1, half at w=0.9
+    varying = weighted_hash_sample(
+        docs, F.when(F.col("doc_id") % 2 == 0, 0.1).otherwise(0.9)
+    )
+    per = {
+        r.k: r.n
+        for r in varying.groupBy((F.col("doc_id") % 2).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert abs(per.get(0, 0) / 1000 - 0.1) < 0.04
+    assert abs(per.get(1, 0) / 1000 - 0.9) < 0.04
+
+    # distinct salts give independent draws: composing two 0.5-samples
+    # keeps ~25%, not 50% (unsalted hashes would fully correlate)
+    s1 = weighted_hash_sample(docs, F.lit(0.5), salt="a")
+    both = weighted_hash_sample(s1, F.lit(0.5), salt="b")
+    assert abs(both.count() / 2000 - 0.25) < 0.05
+
+
+def test_split_independent_of_mixture_sampling():
+    """The round-7 composition bug, pinned: tx09's split salt makes split
+    assignment independent of sp01's mixture membership. Unsalted, every
+    sp01-kept zh doc (md5 prefix < '2000') had split-hash prefix < '20' ⇒
+    val/test only — ZERO zh training docs. With the ':split' salt the kept
+    set must land ~1/16 val, ~1/16 test, ~7/8 train. Pure-driver replica
+    of both operators' exact hash formulas (no Spark needed)."""
+    import hashlib
+
+    def h(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    kept = [i for i in range(40_000) if h(str(i))[:4] < "2000"]  # sp01 zh
+    assert len(kept) > 4000
+    splits = {"train": 0, "val": 0, "test": 0}
+    for i in kept:
+        p = h(f"{i}:split")[:2]
+        splits["val" if p < "10" else "test" if p < "20" else "train"] += 1
+    n = len(kept)
+    assert splits["train"] / n > 0.8  # unsalted: exactly 0
+    assert abs(splits["val"] / n - 1 / 16) < 0.02
+    assert abs(splits["test"] / n - 1 / 16) < 0.02
