@@ -3,7 +3,12 @@
 every row, this chooses WHICH rows a corpus build keeps, per group).
 
 The deterministic-selection siblings live in text.py: tx09 (hash split),
-tx10 (decontamination), tx11 (per-group k-smallest sample). What none of
+tx10 (decontamination), tx11 (per-group k-smallest sample). Every member
+of the family hashes a DISTINCT salt (sp01 unsalted as the base; tx09
+':split', tx11 ':group-sample', sp02 ':w') so their draws compose
+independently — with a shared hash, the split of a subsampled language
+would be wildly skewed (see tx09's in-code note) and chained samplers
+would keep min(r, w) instead of r·w. What none of
 them express is a per-group KEEP-RATE — "100% of en, 50% of de/fr, 25% of
 es, 12.5% of zh" — the way data mixtures are actually specified. Like its
 siblings, membership derives from ``md5(doc_id)`` rather than an RNG: the
