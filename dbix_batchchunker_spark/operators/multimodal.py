@@ -170,6 +170,25 @@ def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
 ResizeCodec = Callable[[bytes, int, int], bytes]
 
 
+def pil_codec(payload: bytes, width: int, height: int) -> bytes:
+    """The documented real codec, ready to inject where PIL is installed:
+    ``resize_binary_column(df, w, h, codec=pil_codec)``. Module-level so it
+    pickles by reference into the executor closure. Raises a pointed
+    ImportError in containers without PIL (like this one — exercised by a
+    skip-gated test either way)."""
+    try:
+        import io
+
+        from PIL import Image  # noqa: PLC0415 — executor-side import
+    except ImportError as exc:  # pragma: no cover - depends on environment
+        raise ImportError(
+            "pil_codec requires Pillow on every executor "
+            "(pip install Pillow); in containers without it, use the "
+            "default deterministic stub or inject your own ResizeCodec"
+        ) from exc
+    return Image.open(io.BytesIO(payload)).resize((width, height)).tobytes()
+
+
 def resize_binary_column(
     df: DataFrame,
     width: int,

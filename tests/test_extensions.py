@@ -921,7 +921,9 @@ def test_interval_overlap_join_matches_bruteforce_random(spark):
         w = 1000
         rows = []
         for i in range(100):
-            s = rng.randrange(0, 15_000)
+            # NEGATIVE domain included: floor-division bucketing must stay
+            # sign-correct for pre-epoch intervals
+            s = rng.randrange(-8_000, 15_000)
             rows.append((i, s, s + rng.randrange(0, 3 * w)))  # up to 3 buckets
         # planted edges: touching endpoints (inclusive) and off-by-one miss
         rows += [(100, 50_000, 50_100), (101, 50_100, 50_200),
@@ -1022,3 +1024,35 @@ def test_split_independent_of_mixture_sampling():
     assert splits["train"] / n > 0.8  # unsalted: exactly 0
     assert abs(splits["val"] / n - 1 / 16) < 0.02
     assert abs(splits["test"] / n - 1 / 16) < 0.02
+
+
+def test_pil_codec_gated_on_availability(spark):
+    """pil_codec is the ready-made real codec: where Pillow exists it
+    round-trips pixels through the same seam the stub uses; where it
+    doesn't (this container), it must raise the pointed ImportError, not a
+    bare ModuleNotFoundError from inside an executor task."""
+    from dbix_batchchunker_spark.operators.multimodal import (
+        pil_codec,
+        resize_binary_column,
+    )
+
+    try:
+        import PIL  # noqa: F401
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    if not have_pil:
+        with pytest.raises(ImportError, match="requires Pillow"):
+            pil_codec(b"\x89PNG", 4, 4)
+        return
+
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 8), (255, 0, 0)).save(buf, format="PNG")
+    df = spark.createDataFrame([(1, buf.getvalue())], "doc_id long, payload binary")
+    rows = resize_binary_column(df, 4, 4, codec=pil_codec).collect()
+    assert len(bytes(rows[0].resized)) == 4 * 4 * 3
