@@ -29,14 +29,9 @@ from dbix_batchchunker_spark.operators import (  # noqa: F401
     similarity,
     stream,
     text,
-    # sampling/rangejoin are deliberately LAST (not alphabetical): import
-    # order is registry order, and the driver gate adjudicates a 50-slot
-    # prefix of queries(). Since round 7 the prefix is rebalanced via
-    # DEMOTED_FROM_PREFIX below, which put sp01 and q32 inside the
-    # adjudicated 50 — but NOT every later query in these modules: any NEW
-    # oracle-gated query (whatever its module) must be added to POST_PREFIX
-    # below or it lands mid-registry and silently pushes the 50th prefix
-    # query out of adjudication (q33 did exactly that before being listed).
+    # Import order no longer affects the adjudicated prefix — that is
+    # pinned by name in ADJUDICATED_PREFIX below. sampling/rangejoin stay
+    # last for historical diff stability only.
     sampling,
     rangejoin,
 )
@@ -50,60 +45,74 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["q20_chunked_delete_survivors"](spark, SF0001)
 
 
-#: Oracle-gated queries deliberately ordered AFTER the 50-slot adjudicated
-#: prefix (round-6 verdict "Next round #1"): the registry holds more
-#: oracle-backed queries than the driver gate has slots, so the least
-#: load-bearing ones yield their slot to tx14/sp01/q32. Their coverage is
-#: held by siblings — q13/q14's conditional-agg + scalar-subquery shapes by
-#: q27_above_avg_spenders, q24's keyset pagination by the chunked family
-#: (A2 keyset windowing drives q20-q23) — and all three stay oracle-pinned
-#: by the local gate replica (tests/test_queries_oracle.py parametrizes over
-#: every oracle). If the driver cap ever rises past 50 they are the first
-#: queries to be re-adjudicated, so they sit immediately after the prefix,
-#: still ahead of every rows-only demo.
+#: THE 50 driver-adjudicated slots, pinned BY NAME (the driver's
+#: correctness gate compares exactly the first 50 queries() entries against
+#: their DuckDB oracles at sf0.01). Pinning the prefix explicitly — rather
+#: than deriving it from registration order — makes displacement
+#: structurally impossible: a newly registered oracle-backed query can
+#: never push a slot-holder out (pre-pin failure modes: round 2 lost
+#: tx06-tx11 to ordering; round 7's q33 briefly displaced q32). Rebalanced
+#: in round 7 (verdict "Next round #1"): q13/q14/q24 yielded their slots to
+#: tx14/sp01/q32 — their shapes are covered by siblings (q27's
+#: conditional-agg/scalar-subquery; the chunked family's keyset
+#: windowing) and they stay oracle-pinned in the local gate replica.
+ADJUDICATED_PREFIX = (
+    "q12_rollup_revenue", "q15_asof_join", "q16_semi_join",
+    "q17_scalar_functions", "q18_percentiles", "q25_shipping_priority",
+    "q26_returned_items", "q27_above_avg_spenders", "q28_cube_counts",
+    "q29_fuzzy_part_names", "q30_sessionize", "q31_running_revenue",
+    "q20_chunked_delete_survivors", "q21_chunked_groupby_combine",
+    "q22_chunked_update_overlay", "q23_chunked_update_join",
+    "dd01_exact", "dd02_jaccard_pairs", "dd08_ngram_jaccard_pairs",
+    "dd06_lsh_jaccard_pairs", "dd05_mllib_minhash", "mm01_binary_stats",
+    "q01_pricing_summary", "q02_filter_predicates", "q03_revenue_by_nation",
+    "q04_minmax_count", "q05_groupby_having", "q06_view_orders_1995",
+    "q07_top_customers", "q08_latest_event_per_user",
+    "q09_customers_without_orders", "q10_set_ops", "q11_hourly_event_rollup",
+    "sim01_topk_bruteforce", "sim03_embedding_near_dup", "tx01_token_stats",
+    "tx02_quality_score", "tx03_langid", "tx04_fingerprint",
+    "tx05_json_extract", "tx06_pipeline_quality_dedup", "tx07_bpe_token_count",
+    "tx08_rolling_hash", "tx09_det_split", "tx10_decontaminate",
+    "tx12_repetition", "tx11_group_sample", "tx14_vocab",
+    "sp01_mixture_sample", "q32_banded_range_join",
+)
+
+#: Former slot-holders, first in line to be re-adjudicated if the driver
+#: cap ever rises past 50 — they head the trailing gated block.
 DEMOTED_FROM_PREFIX = (
     "q13_conditional_agg",
     "q14_below_avg_quantity",
     "q24_keyset_page",
 )
 
-#: Oracle-backed queries added AFTER the prefix was already full. They sit
-#: behind the demoted trio (which, having once held driver slots, reclaim
-#: first if the cap rises) but ahead of every rows-only demo. Adjudication:
-#: the local gate replica, like the trio.
-POST_PREFIX = (
-    "dd10_jaccard_components",
-    "tx15_dup_windows",
-    "q33_interval_overlap_join",
-    "sp02_weighted_sample",
-)
-
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All registered queries, ORACLE-GATED ENTRIES FIRST.
+    """All registered queries: the pinned 50-slot ADJUDICATED_PREFIX, then
+    every other oracle-gated query (demoted slot-holders first, then
+    later additions in registration order — all adjudicated by the local
+    gate replica, tests/test_queries_oracle.py), then rows-only demos.
 
-    The driver's correctness gate adjudicates a prefix of this dict (50
-    entries since round 2), so ordering is load-bearing: every query with a
-    DuckDB oracle must precede the rows-only demos, or oracle-gated queries
-    silently receive no CORRECTNESS row (round-2 failure mode: tx06-tx11).
-    Within each group, registration (import) order is preserved, except the
-    DEMOTED_FROM_PREFIX queries which move to the back of the gated block.
+    A renamed or unregistered prefix query raises KeyError HERE (loudly,
+    in every test run) instead of silently shrinking the adjudicated
+    surface at driver time.
     """
-    out_of_prefix = set(DEMOTED_FROM_PREFIX) | set(POST_PREFIX)
-    gated = {
-        n: fn
-        for n, fn in registry.QUERIES.items()
-        if n in registry.ORACLES and n not in out_of_prefix
-    }
+    prefix = {n: registry.QUERIES[n] for n in ADJUDICATED_PREFIX}
+    placed = set(ADJUDICATED_PREFIX) | set(DEMOTED_FROM_PREFIX)
     trailing_gated = {
         n: registry.QUERIES[n]
-        for n in (*DEMOTED_FROM_PREFIX, *POST_PREFIX)
-        if n in registry.QUERIES
+        for n in (
+            *DEMOTED_FROM_PREFIX,
+            *(
+                n
+                for n in registry.QUERIES
+                if n in registry.ORACLES and n not in placed
+            ),
+        )
     }
     rows_only = {
         n: fn for n, fn in registry.QUERIES.items() if n not in registry.ORACLES
     }
-    return {**gated, **trailing_gated, **rows_only}
+    return {**prefix, **trailing_gated, **rows_only}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -705,6 +705,8 @@ def dup_window_stats(docs: DataFrame, k: int = _WINDOW_K) -> DataFrame:
     (< k tokens) emit their single truncated window on both sides —
     the dd08 slice-equivalence contract.
     """
+    from pyspark.sql import Window
+
     from .dedup import _shingles_of, _spread
 
     wins = (
@@ -718,19 +720,20 @@ def dup_window_stats(docs: DataFrame, k: int = _WINDOW_K) -> DataFrame:
             ),
         )
     )
-    shared = (
-        wins.groupBy("win")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .where(F.col("n_docs") >= 2)
-        .select("win", F.lit(1).alias("is_shared"))
-    )
+    # Per-window doc count as a WINDOW function, not aggregate-then-join-
+    # back: the exploded frame is the expensive thing (scan + tokenize +
+    # shingle per row), and two references to it run the whole pipeline
+    # twice. One partitionBy(win) window annotates each row off a single
+    # shuffle of a single computation (windows are pre-distinct per doc, so
+    # the count counts documents).
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("win"))
     return (
-        wins.join(shared, "win", "left")
+        wins.withColumn("is_shared", (n_docs >= 2).cast("int"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
-            F.count("is_shared").alias("n_shared_windows"),
-            F.round(F.count("is_shared") / F.count(F.lit(1)), 6).alias(
+            F.sum("is_shared").alias("n_shared_windows"),
+            F.round(F.sum("is_shared") / F.count(F.lit(1)), 6).alias(
                 "shared_ratio"
             ),
         )

@@ -148,6 +148,9 @@ def test_adjudicated_prefix_is_the_load_bearing_fifty():
     both halves of that contract."""
     q, o = entry_mod.queries(), entry_mod.oracle_sql()
     prefix = list(q)[:50]
+    # The enumerated prefix must be EXACTLY the pinned name list — the
+    # whole point of pinning is that registration order cannot perturb it.
+    assert prefix == list(entry_mod.ADJUDICATED_PREFIX)
     # Every prefix slot must be oracle-gated — a rows-only query in the
     # prefix wastes an adjudication slot.
     assert all(n in o for n in prefix)
