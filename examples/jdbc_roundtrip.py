@@ -8,6 +8,12 @@ This is the cluster deployment shape for the reference's DBI modes
 (BatchChunker.pm:1297-1350): the database serves N independent indexed
 range scans while Spark schedules N partitions across executors.
 
+Against a table that carries a real PRIMARY KEY (Spark's JDBC writer
+cannot declare one, so this example passes id_name explicitly),
+``sources.jdbc.chunker_from_jdbc(spark, url, table, properties=...)``
+resolves id_name from the PK metadata — the reference's id
+auto-introspection (tested end-to-end in tests/test_sources_and_plans.py).
+
 Run: python examples/jdbc_roundtrip.py [sf_dir]
 """
 
