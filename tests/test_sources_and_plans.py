@@ -455,3 +455,36 @@ def test_vocab_topk_avoids_global_sort(spark):
 
     plan = formatted_plan(tx14_vocab(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_binary_file_source_feeds_multimodal(spark, tmp_path):
+    """binaryFile ingestion → multimodal contract: glob filter applied at
+    listing time, oversize exclusion via the metadata length column,
+    deterministic path-hash doc_id, and the payload flows straight into
+    the Arrow-batched resize operator."""
+    from dbix_batchchunker_spark.operators.multimodal import (
+        resize_binary_column,
+    )
+    from dbix_batchchunker_spark.sources.binary import read_binary_dir
+
+    d = tmp_path / "assets"
+    d.mkdir()
+    (d / "a.png").write_bytes(b"imagebytes-a" * 10)
+    (d / "b.png").write_bytes(b"imagebytes-b" * 10)
+    (d / "big.png").write_bytes(b"x" * 10_000)
+    (d / "skip.txt").write_bytes(b"not an image")
+
+    df = read_binary_dir(spark, str(d), "*.png", max_file_bytes=1_000)
+    rows = df.collect()
+    names = sorted(r.path.rsplit("/", 1)[-1] for r in rows)
+    assert names == ["a.png", "b.png"]  # glob excluded .txt, cap excluded big
+    assert all(isinstance(bytes(r.payload), bytes) and r.length == 120
+               for r in rows)
+
+    # doc_id is a pure function of the path: stable across reads
+    again = {r.path: r.doc_id for r in
+             read_binary_dir(spark, str(d), "*.png", 1_000).collect()}
+    assert {r.path: r.doc_id for r in rows} == again
+
+    resized = resize_binary_column(df, 4, 4).collect()
+    assert len(resized) == 2 and all(len(bytes(r.resized)) <= 16 for r in resized)
