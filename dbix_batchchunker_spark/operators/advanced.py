@@ -621,3 +621,127 @@ def q31_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "order_seq")
     )
+
+
+# --------------------------------------------------------------------------- #
+# q34: GROUPING SETS — independent subtotal dimensions in ONE pass over the   #
+# fact table (vs one scan+shuffle per dimension if unioned by hand). Spark    #
+# expands the sets in the Expand operator before a single partial-agg         #
+# shuffle, which is the 100 TB-friendly shape. Completes the grouping-        #
+# analytics family next to q12 (ROLLUP) and q28 (CUBE).                       #
+# --------------------------------------------------------------------------- #
+@query(
+    "q34_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q34_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec2("o_totalprice")).cast(_OUT).alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q35: LAG window — per-user event inter-arrival gaps. One shuffle on         #
+# user_id serves both the window and the aggregate (the groupBy reuses the    #
+# window's hash partitioning). The mean is SUM/COUNT over exact integer       #
+# microseconds — one double division per group, immune to partial-agg        #
+# float-order drift.                                                          #
+# --------------------------------------------------------------------------- #
+@query(
+    "q35_event_gaps",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           MAX(gap_us) AS max_gap_us,
+           CASE WHEN COUNT(gap_us) = 0 THEN NULL
+                ELSE CAST(SUM(gap_us) AS BIGINT) // COUNT(gap_us) END AS avg_gap_us
+    FROM g
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q35_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events")
+    us = epoch_us(events).alias("us")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = events.select(
+        "user_id", "ts", "event_id", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("gap_us").alias("max_gap_us"),
+            # Exact integer mean (gaps are non-negative µs): a 6-decimal
+            # ROUND at 1e10 magnitude is past double precision and drifts
+            # by one ulp between engines.
+            # Guarded: a single-event user has zero gaps, and integer
+            # division by zero is an error under ANSI mode (Spark 4 default).
+            F.expr(
+                "CASE WHEN count(gap_us) = 0 THEN NULL"
+                " ELSE sum(gap_us) div count(gap_us) END"
+            ).alias("avg_gap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q36: PIVOT — long-to-wide event-type matrix. The value list is pinned       #
+# (clean schema, single pass); omitting it would cost Spark an extra          #
+# distinct-scan job just to discover the columns. The oracle is the           #
+# equivalent conditional aggregation, which is also exactly the physical     #
+# plan Spark lowers PIVOT to — one partial-agg shuffle, no explode.           #
+# --------------------------------------------------------------------------- #
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q36_pivot_event_matrix",
+    oracle=f"""
+    SELECT user_id % 10 AS user_bucket,
+           {", ".join(
+               f"CAST(SUM(CASE WHEN event_type = '{et}' THEN 1 ELSE 0 END) AS BIGINT) AS {et}"
+               for et in _EVENT_TYPES
+           )}
+    FROM events
+    GROUP BY user_id % 10
+    ORDER BY user_bucket
+    """,
+)
+def q36_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+        .orderBy("user_bucket")
+    )

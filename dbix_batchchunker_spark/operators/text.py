@@ -739,3 +739,62 @@ def dup_window_stats(docs: DataFrame, k: int = _WINDOW_K) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------- #
+# tx16: Bloom-prefiltered decontamination — tx10's semantics through the      #
+# functions/bloom.py register-blocked Bloom filter. Same exact result (the    #
+# confirm join removes the filter's false positives; the filter has no false  #
+# negatives by construction), different scale envelope: the broadcast payload #
+# is the 64 KiB bitmap instead of the benchmark's distinct n-gram strings,    #
+# so the prefilter keeps working when the benchmark set outgrows a string     #
+# broadcast (~10M grams ≈ 300 MB as strings, ~10 MB as bits) — and the       #
+# confirm join then only carries the fpp-bounded survivors.                   #
+# --------------------------------------------------------------------------- #
+@query(
+    "tx16_bloom_decontaminate",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_tokens_sql()} AS w FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(0, greatest(len(w) - {_DECON_N}, 0) + 1),
+                   i -> array_to_string(w[i + 1 : i + {_DECON_N}], ' ')
+               ))) AS gram
+        FROM d
+    )
+    SELECT DISTINCT doc_id
+    FROM g
+    WHERE doc_id >= {_DECON_BENCH}
+      AND gram IN (SELECT gram FROM g WHERE doc_id < {_DECON_BENCH})
+    ORDER BY doc_id
+    """,
+)
+def tx16_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.bloom import bloom_bitmap, bloom_prefilter
+
+    docs = t(spark, sf_dir, "documents")
+    n = _DECON_N
+    with_toks = docs.select("doc_id", _tokens_spark().alias("toks"))
+    toks = F.col("toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    shingles = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+    grams = with_toks.select("doc_id", F.explode(shingles).alias("gram"))
+    bench = grams.where(F.col("doc_id") < _DECON_BENCH).select("gram").distinct()
+    corpus = grams.where(F.col("doc_id") >= _DECON_BENCH)
+    candidates = bloom_prefilter(corpus, "gram", bloom_bitmap(bench, "gram"))
+    return (
+        candidates.join(F.broadcast(bench), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+    )

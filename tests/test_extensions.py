@@ -1056,3 +1056,38 @@ def test_pil_codec_gated_on_availability(spark):
     df = spark.createDataFrame([(1, buf.getvalue())], "doc_id long, payload binary")
     rows = resize_binary_column(df, 4, 4, codec=pil_codec).collect()
     assert len(bytes(rows[0].resized)) == 4 * 4 * 3
+
+
+def test_bloom_prefilter_superset_and_selective(spark):
+    """The register-blocked Bloom filter must (a) never drop a true member
+    (superset guarantee — tx16's exactness rests on it) and (b) actually
+    filter: on a disjoint probe set only the fpp-sized tail may survive."""
+    from dbix_batchchunker_spark.functions.bloom import bloom_bitmap, bloom_prefilter
+
+    keys = spark.range(0, 2000).select(
+        F.concat(F.lit("member-"), F.col("id")).alias("k")
+    )
+    bitmap = bloom_bitmap(keys, "k")
+    members = spark.range(0, 2000).select(
+        F.concat(F.lit("member-"), F.col("id")).alias("k")
+    )
+    kept = bloom_prefilter(members, "k", bitmap)
+    assert kept.count() == 2000  # no false negatives, ever
+
+    strangers = spark.range(0, 2000).select(
+        F.concat(F.lit("stranger-"), F.col("id")).alias("k")
+    )
+    survivors = bloom_prefilter(strangers, "k", bitmap).count()
+    # 2000 keys over 8192 blocks ≈ 0.49 per block → ~0.98 set bits of 64 →
+    # fpp ≈ (1/64)^2 per probe; allow 50× headroom over the expectation.
+    assert survivors < 50, survivors
+
+
+def test_bloom_prefilter_keeps_payload_columns(spark):
+    from dbix_batchchunker_spark.functions.bloom import bloom_bitmap, bloom_prefilter
+
+    keyed = spark.createDataFrame([("a",), ("b",)], "k string")
+    probe = spark.createDataFrame([("a", 1), ("zz", 2)], "k string, payload int")
+    out = bloom_prefilter(probe, "k", bloom_bitmap(keyed, "k"))
+    assert set(out.columns) == {"k", "payload"}
+    assert ("a", 1) in [tuple(r) for r in out.collect()]
