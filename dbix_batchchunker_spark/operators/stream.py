@@ -215,3 +215,64 @@ def st03_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB-runnable; exact equality with the batch distinct over the same
     # (doubled) input is pinned in tests/test_streaming.py.
     return stream_dedup_drain(spark, sf_dir)
+
+
+def stream_sessions_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain ``events`` through a gap-based SESSION-window aggregation
+    (``F.session_window`` — Spark's native merging-window state operator,
+    the streaming counterpart of q30's batch lag-cumsum sessionization).
+
+    Unlike tumbling windows, session windows MERGE as rows arrive: the
+    state store keeps open sessions per user and the watermark closes
+    them. Complete mode + availableNow makes the bounded drain emit every
+    closed session; the memory sink holds (user × session) rows — bounded
+    by the batch result's own cardinality, same caveat as st01.
+    """
+    from ..streaming.incremental import sessionized
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(sf_dir, "events.*"))
+    )
+    stream = normalize_event_ts(stream)
+    agg = sessionized(stream, gap="30 minutes", watermark="2 hours")
+    sink = f"st04_sink_{uuid.uuid4().hex}"
+    ckpt = tempfile.mkdtemp(prefix="st04_ckpt_")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        result = (
+            spark.table(sink)
+            .select(
+                "user_id",
+                F.col("session.start").alias("session_window_start"),
+                "n_events",
+                "session_start",
+                "session_end",
+            )
+            .orderBy("user_id", "session_window_start")
+        )
+        out = spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        spark.catalog.dropTempView(sink)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+@query("st04_stream_sessions")  # no oracle: a streaming session-window
+def st04_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # drain isn't DuckDB-runnable; exact equality with the BATCH
+    # session_window aggregation over the same input (same Catalyst
+    # operator) is pinned in tests/test_streaming.py.
+    return stream_sessions_drain(spark, sf_dir)

@@ -347,3 +347,30 @@ def test_sqlite_upsert_sink_keywords_and_presence_shape(spark, tmp_path):
 
     with pytest.raises(ValueError, match="at least one column"):
         sqlite_upsert_sink(db, "t", [], ["v"])
+
+
+def test_st04_stream_sessions_equals_batch_session_window(spark):
+    """The drained streaming session-window result must equal the BATCH
+    session_window aggregation over the same events — merging-window
+    state vs a single sort-based pass, same Catalyst semantics."""
+    from dbix_batchchunker_spark.operators.registry import normalize_event_ts, t
+    from dbix_batchchunker_spark.operators.stream import stream_sessions_drain
+    from dbix_batchchunker_spark.streaming.incremental import sessionized
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    streamed = stream_sessions_drain(spark, sf)
+    batch = (
+        sessionized(t(spark, sf, "events"), gap="30 minutes")
+        .select(
+            "user_id",
+            F.col("session.start").alias("session_window_start"),
+            "n_events",
+            "session_start",
+            "session_end",
+        )
+        .orderBy("user_id", "session_window_start")
+    )
+    srows = [tuple(r) for r in streamed.collect()]
+    brows = [tuple(r) for r in batch.collect()]
+    assert srows == brows
+    assert len(srows) > 0
