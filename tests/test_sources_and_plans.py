@@ -4,6 +4,7 @@ quality assertions (pushdown / pruning / broadcast / codegen)."""
 from __future__ import annotations
 
 import os
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -488,3 +489,39 @@ def test_binary_file_source_feeds_multimodal(spark, tmp_path):
 
     resized = resize_binary_column(df, 4, 4).collect()
     assert len(resized) == 2 and all(len(bytes(r.resized)) <= 16 for r in resized)
+
+
+def test_grouping_sets_single_expand_pass(spark):
+    """q34's two subtotal dimensions must come from ONE Expand over one
+    scan — not a union of two aggregations (which would scan+shuffle
+    twice)."""
+    from dbix_batchchunker_spark.operators.advanced import q34_grouping_sets
+    from dbix_batchchunker_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(q34_grouping_sets(spark, SF_DIR))
+    assert "Expand" in plan
+    # formatted output lists each node twice (tree + detail); count the
+    # numbered detail headers.
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    assert "Union" not in plan
+
+
+def test_bloom_prefilter_membership_is_broadcast(spark):
+    """tx16's bitmap membership test must be a broadcast-hash join (the
+    whole point: the corpus side never shuffles for the prefilter)."""
+    from dbix_batchchunker_spark.operators.text import tx16_bloom_decontaminate
+    from dbix_batchchunker_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(tx16_bloom_decontaminate(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pivot_is_single_aggregation(spark):
+    """q36 with a pinned value list must lower to one aggregate pass —
+    no extra job or plan branch to discover pivot columns."""
+    from dbix_batchchunker_spark.operators.advanced import q36_pivot_event_matrix
+    from dbix_batchchunker_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(q36_pivot_event_matrix(spark, SF_DIR))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
