@@ -263,7 +263,11 @@ def stream_sessions_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("user_id", "session_window_start")
         )
-        out = spark.createDataFrame(result.collect(), result.schema)
+        # ~100k (user × session) rows at sf0.1: the copy-out goes through
+        # Arrow both ways (row-object collect + createDataFrame measured
+        # ~2 s slower for this result). Timestamps survive because the
+        # schema is passed explicitly rather than re-inferred from pandas.
+        out = spark.createDataFrame(result.toPandas(), result.schema)
     finally:
         spark.catalog.dropTempView(sink)
         shutil.rmtree(ckpt, ignore_errors=True)
