@@ -203,7 +203,8 @@ def stream_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         result = spark.table(sink).orderBy("event_id")
-        out = spark.createDataFrame(result.collect(), result.schema)
+        # ~100k deduped events at sf0.1: Arrow both ways (see st04 note).
+        out = spark.createDataFrame(result.toPandas(), result.schema)
     finally:
         spark.catalog.dropTempView(sink)
         shutil.rmtree(ckpt, ignore_errors=True)
