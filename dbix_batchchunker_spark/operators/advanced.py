@@ -745,3 +745,48 @@ def q36_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0, _EVENT_TYPES)
         .orderBy("user_bucket")
     )
+
+
+# --------------------------------------------------------------------------- #
+# q37: top-k per group — the "keep the best k rows per key" selection every   #
+# corpus build runs (best docs per domain, newest snapshot per URL). One     #
+# row_number window = one shuffle on the group key; rank ties broken by the  #
+# unique key so both engines pick identical rows. Unlike a global top-k      #
+# (TakeOrdered), per-group top-k has no driver bottleneck: group count scales #
+# with the data and every group's rank is computed where its rows live.      #
+# --------------------------------------------------------------------------- #
+_TOPK_PER_GROUP = 3
+
+
+@query(
+    "q37_topk_per_group",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders
+    )
+    SELECT o_orderpriority, o_orderkey,
+           o_totalprice AS total_price,
+           rnk
+    FROM ranked
+    WHERE rnk <= {_TOPK_PER_GROUP}
+    ORDER BY o_orderpriority, rnk
+    """,
+)
+def q37_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.col("o_totalprice").alias("total_price"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .where(F.col("rnk") <= _TOPK_PER_GROUP)
+        .orderBy("o_orderpriority", "rnk")
+    )

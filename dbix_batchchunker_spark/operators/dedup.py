@@ -520,6 +520,17 @@ def near_dup_pairs(
         n_hashes=bands * rows,
     )
     candidates = lsh_candidate_pairs(sig, bands=bands, rows=rows)
+    return verify_jaccard_pairs(candidates, words, threshold)
+
+
+def verify_jaccard_pairs(
+    candidates: DataFrame, words: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of (doc_a, doc_b) candidate pairs against
+    a (doc_id, words) frame: size-ratio prefilter (lossless) first, word
+    arrays joined only for pairs that can pass. Shared by the batch
+    (``near_dup_pairs``) and incremental (``incremental_near_dup_pairs``)
+    flows."""
     candidates = _size_ratio_prefilter(
         candidates, words.select("doc_id", F.size("words").alias("n")), threshold
     )
@@ -560,6 +571,70 @@ def _size_ratio_prefilter(
         .where(F.least("na", "nb") / F.greatest("na", "nb") >= threshold)
         .select("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------- #
+# Incremental dedup: a production corpus is not rebuilt per batch — each      #
+# ingest increment is deduped against the EXISTING corpus via a persisted     #
+# signature store, never re-pairing the corpus against itself.                #
+# --------------------------------------------------------------------------- #
+def hashed_words(docs: DataFrame) -> DataFrame:
+    """(doc_id, words array<long>) — the token frame both the signature and
+    verify stages consume. Persist this next to the band-entry store so
+    increments can exact-verify against old docs without re-reading text."""
+    return _spread(docs, "doc_id", "text").select(
+        "doc_id", _hashed_words().alias("words")
+    )
+
+
+def minhash_band_entries(
+    words: DataFrame, bands: int = PAIR_BANDS, rows: int = PAIR_ROWS
+) -> DataFrame:
+    """(doc_id, band, bucket) rows for a (doc_id, words) frame — the
+    persistable LSH signature store (bands × 16 bytes per doc). Write it
+    partitioned/bucketed by ``bucket`` and each increment's probe join
+    prunes to the buckets it actually hits."""
+    sig = _signatures_from_shingles(
+        words.select("doc_id", F.explode("words").alias("shingle")),
+        n_hashes=bands * rows,
+    )
+    return _band_entries(sig, bands, rows)
+
+
+def incremental_near_dup_pairs(
+    new_words: DataFrame,
+    store_entries: DataFrame,
+    store_words: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    bands: int = PAIR_BANDS,
+    rows: int = PAIR_ROWS,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING the increment: (new × new) via banding among
+    the new docs plus (new × old) via a band-bucket equi-join against the
+    stored entries — the existing corpus is never paired against itself,
+    so each ingest costs O(increment + matching buckets), not O(corpus²).
+
+    Equals the full-batch :func:`near_dup_pairs` over old ∪ new restricted
+    to pairs with at least one new doc (same hash family ⇒ identical
+    signatures ⇒ identical candidate buckets; pinned in
+    tests/test_extensions.py). Returns (doc_a, doc_b, jaccard) with doc_b
+    always the new doc in cross pairs. After verification, append the
+    increment's ``minhash_band_entries``/``hashed_words`` to the store —
+    the loop is closed, no global rebuild ever.
+    """
+    entries_new = minhash_band_entries(new_words, bands, rows)
+    within = _candidates_from_entries(entries_new)
+    cross = (
+        store_entries.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+        .join(
+            entries_new.select("band", "bucket", F.col("doc_id").alias("doc_b")),
+            ["band", "bucket"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    words = store_words.unionByName(new_words)
+    return verify_jaccard_pairs(within.unionByName(cross), words, threshold)
 
 
 # --------------------------------------------------------------------------- #

@@ -1091,3 +1091,43 @@ def test_bloom_prefilter_keeps_payload_columns(spark):
     out = bloom_prefilter(probe, "k", bloom_bitmap(keyed, "k"))
     assert set(out.columns) == {"k", "payload"}
     assert ("a", 1) in [tuple(r) for r in out.collect()]
+
+
+def test_incremental_near_dup_equals_batch_restricted(spark):
+    """Deduping an increment against the persisted signature store must
+    find exactly the pairs the full-batch run finds among pairs touching
+    the increment — no rebuild, no misses."""
+    from dbix_batchchunker_spark.operators.dedup import (
+        hashed_words,
+        incremental_near_dup_pairs,
+        minhash_band_entries,
+        near_dup_pairs,
+    )
+
+    old_texts = [BASE, BASE + " tail one", "completely different words here"]
+    new_texts = [BASE + " tail two", "another unrelated document entirely", BASE]
+    old = _doc_df(spark, old_texts)
+    # increment ids continue after the corpus
+    new = _doc_df(spark, new_texts).withColumn(
+        "doc_id", F.col("doc_id") + len(old_texts)
+    )
+    threshold = 0.7
+
+    store_words = hashed_words(old)
+    store_entries = minhash_band_entries(store_words)
+    inc = incremental_near_dup_pairs(
+        hashed_words(new), store_entries, store_words, threshold=threshold
+    )
+    got = {frozenset((r.doc_a, r.doc_b)) for r in inc.collect()}
+
+    full = near_dup_pairs(old.unionByName(new), threshold=threshold)
+    new_ids = set(range(len(old_texts), len(old_texts) + len(new_texts)))
+    want = {
+        frozenset((r.doc_a, r.doc_b))
+        for r in full.collect()
+        if r.doc_a in new_ids or r.doc_b in new_ids
+    }
+    assert got == want
+    assert want, "fixture must plant at least one cross/new dup pair"
+    # and at least one pair must cross old↔new (the store actually probed)
+    assert any(p & new_ids and p - new_ids for p in want)
