@@ -1131,3 +1131,32 @@ def test_incremental_near_dup_equals_batch_restricted(spark):
     assert want, "fixture must plant at least one cross/new dup pair"
     # and at least one pair must cross old↔new (the store actually probed)
     assert any(p & new_ids and p - new_ids for p in want)
+
+
+def test_incremental_store_roundtrips_through_parquet(spark, tmp_path):
+    """The signature store must survive disk persistence: entries/words
+    written to (band-partitioned) parquet and read back find the same
+    cross pairs as the in-memory frames."""
+    from dbix_batchchunker_spark.operators.dedup import (
+        hashed_words,
+        incremental_near_dup_pairs,
+        minhash_band_entries,
+    )
+
+    old = _doc_df(spark, [BASE, "something else entirely different"])
+    new = _doc_df(spark, [BASE + " extra"]).withColumn(
+        "doc_id", F.col("doc_id") + 2
+    )
+    w0, nw = hashed_words(old), hashed_words(new)
+    mem = incremental_near_dup_pairs(nw, minhash_band_entries(w0), w0, 0.7)
+
+    ep, wp = str(tmp_path / "entries"), str(tmp_path / "words")
+    minhash_band_entries(w0).write.partitionBy("band").parquet(ep)
+    w0.write.parquet(wp)
+    disk = incremental_near_dup_pairs(
+        nw, spark.read.parquet(ep), spark.read.parquet(wp), 0.7
+    )
+    mrows = sorted((r.doc_a, r.doc_b, r.jaccard) for r in mem.collect())
+    drows = sorted((r.doc_a, r.doc_b, r.jaccard) for r in disk.collect())
+    assert mrows == drows
+    assert mrows, "fixture must produce at least one cross pair"
