@@ -26,6 +26,8 @@ the operator's own dataflow.)
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -51,34 +53,46 @@ def _mask(col: Column) -> Column:
     return m
 
 
-def bloom_bitmap(keyed: DataFrame, col: str, blocks: int = DEFAULT_BLOCKS) -> DataFrame:
+class BloomBitmap(NamedTuple):
+    """A built filter: the (block, bits) DataFrame plus the block count it
+    was hashed with. Probes MUST use the same modulus — carrying it with
+    the bitmap makes a build/probe mismatch (silent false negatives)
+    structurally impossible."""
+
+    bitmap: DataFrame
+    blocks: int
+
+
+def bloom_bitmap(
+    keyed: DataFrame, col: str, blocks: int = DEFAULT_BLOCKS
+) -> BloomBitmap:
     """Build the (block, bits) bitmap over the values of ``keyed[col]``.
 
     One narrow projection + one aggregation whose output is at most
     ``blocks`` rows — the only thing ever broadcast."""
     c = F.col(col)
-    return (
+    return BloomBitmap(
         keyed.select(_block(c, blocks).alias("__bloom_block"), _mask(c).alias("__m"))
         .groupBy("__bloom_block")
-        .agg(F.bit_or("__m").alias("__bloom_bits"))
+        .agg(F.bit_or("__m").alias("__bloom_bits")),
+        blocks,
     )
 
 
-def bloom_prefilter(
-    probe: DataFrame, col: str, bitmap: DataFrame, blocks: int = DEFAULT_BLOCKS
-) -> DataFrame:
+def bloom_prefilter(probe: DataFrame, col: str, bloom: BloomBitmap) -> DataFrame:
     """Rows of ``probe`` whose ``col`` *might* be in the set the bitmap was
     built from (guaranteed superset: no false negatives — every bit of a
-    present key was OR-ed into its block by construction).
+    present key was OR-ed into its block by construction, and the block
+    modulus travels inside ``BloomBitmap``).
 
     The join is broadcast by hint; the inner join doubles as the
     "block exists" test (an absent block means no key hashed there)."""
     c = F.col(col)
     probed = probe.withColumns(
-        {"__bloom_block": _block(c, blocks), "__probe_mask": _mask(c)}
+        {"__bloom_block": _block(c, bloom.blocks), "__probe_mask": _mask(c)}
     )
     return (
-        probed.join(F.broadcast(bitmap), "__bloom_block")
+        probed.join(F.broadcast(bloom.bitmap), "__bloom_block")
         .where(
             F.col("__bloom_bits").bitwiseAND(F.col("__probe_mask"))
             == F.col("__probe_mask")

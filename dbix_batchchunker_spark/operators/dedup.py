@@ -501,18 +501,16 @@ def near_dup_pairs(
     Tokenization runs ONCE: the hashed word arrays feed both the minhash
     signatures (hashing a hashed-long token with a fresh seed is an equally
     valid minhash family) and the exact verify join. That frame is consumed
-    three times (signature + both verify sides); pass ``cache_tokens=True``
-    to persist it for the duration of the job — worth ~2× on the token
-    build, but the persisted frame OUTLIVES the call (nothing here can
-    unpersist after a lazy result materializes), so the default keeps
-    library use leak-free and callers who opt in own the cleanup
-    (``spark.catalog.clearCache()``). The gated dd06 query opts in: it is a
-    run-once-per-session query and bench.py clears caches after each timed
-    run.
+    FIVE times uncached (signature build, the two size-prefilter sides, the
+    two verify sides); pass ``cache_tokens=True`` to persist it for the
+    duration of the job — worth ~2× on the token build, but the persisted
+    frame OUTLIVES the call (nothing here can unpersist after a lazy result
+    materializes), so the default keeps library use leak-free and callers
+    who opt in own the cleanup (``spark.catalog.clearCache()``). The gated
+    dd06 query opts in: it is a run-once-per-session query and bench.py
+    clears caches after each timed run.
     """
-    words = _spread(docs, "doc_id", "text").select(
-        "doc_id", _hashed_words().alias("words")
-    )
+    words = hashed_words(docs)
     if cache_tokens:
         words = words.persist()
     sig = _signatures_from_shingles(

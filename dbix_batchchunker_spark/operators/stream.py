@@ -229,17 +229,15 @@ def stream_sessions_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed session; the memory sink holds (user × session) rows — bounded
     by the batch result's own cardinality, same caveat as st01.
     """
-    from ..streaming.incremental import sessionized
+    from ..streaming.incremental import sessionized, stream_table
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.join(sf_dir, "events.*"))
+    # glob-anchored path: see the basePath note in hourly_rollup_streamed
+    stream = normalize_event_ts(
+        stream_table(spark, os.path.join(sf_dir, "events.*"), schema=schema)
     )
-    stream = normalize_event_ts(stream)
     agg = sessionized(stream, gap="30 minutes", watermark="2 hours")
     sink = f"st04_sink_{uuid.uuid4().hex}"
     ckpt = tempfile.mkdtemp(prefix="st04_ckpt_")

@@ -378,10 +378,9 @@ def tx09_det_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECON_N = 5
 _DECON_BENCH = 10  # doc_id < this = the "benchmark" set
 
-
-@query(
-    "tx10_decontaminate",
-    oracle=f"""
+#: ONE oracle for both decontamination queries (tx10 / tx16) — they are
+#: documented as producing the same exact result, so they must share it.
+_DECON_ORACLE = f"""
     WITH d AS (
         SELECT doc_id, {_tokens_sql()} AS w FROM documents
     ),
@@ -398,14 +397,17 @@ _DECON_BENCH = 10  # doc_id < this = the "benchmark" set
     WHERE doc_id >= {_DECON_BENCH}
       AND gram IN (SELECT gram FROM g WHERE doc_id < {_DECON_BENCH})
     ORDER BY doc_id
-    """,
-)
-def tx10_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Tokens are materialized as a column BEFORE shingling: expressions
-    # inside a transform() lambda get no common-subexpression elimination, so
-    # referencing the split() directly would re-split the whole text for
-    # every element_at — measured 16.8s → 1.4s at sf0.1 for this change.
-    docs = t(spark, sf_dir, "documents")
+    """
+
+
+def _decon_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, gram) word-n-gram rows (n = _DECON_N), shared by tx10/tx16.
+
+    Tokens are materialized as a column BEFORE shingling: expressions
+    inside a transform() lambda get no common-subexpression elimination, so
+    referencing the split() directly would re-split the whole text for
+    every element_at — measured 16.8s → 1.4s at sf0.1 for this change.
+    """
     n = _DECON_N
     with_toks = docs.select("doc_id", _tokens_spark().alias("toks"))
     toks = F.col("toks")
@@ -418,7 +420,12 @@ def tx10_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    grams = with_toks.select("doc_id", F.explode(shingles).alias("gram"))
+    return with_toks.select("doc_id", F.explode(shingles).alias("gram"))
+
+
+@query("tx10_decontaminate", oracle=_DECON_ORACLE)
+def tx10_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grams = _decon_grams(t(spark, sf_dir, "documents"))
     bench = (
         grams.where(F.col("doc_id") < _DECON_BENCH).select("gram").distinct()
     )
@@ -745,55 +752,26 @@ def dup_window_stats(docs: DataFrame, k: int = _WINDOW_K) -> DataFrame:
 # tx16: Bloom-prefiltered decontamination — tx10's semantics through the      #
 # functions/bloom.py register-blocked Bloom filter. Same exact result (the    #
 # confirm join removes the filter's false positives; the filter has no false  #
-# negatives by construction), different scale envelope: the broadcast payload #
-# is the 64 KiB bitmap instead of the benchmark's distinct n-gram strings,    #
-# so the prefilter keeps working when the benchmark set outgrows a string     #
-# broadcast (~10M grams ≈ 300 MB as strings, ~10 MB as bits) — and the       #
-# confirm join then only carries the fpp-bounded survivors.                   #
+# negatives by construction), different scale envelope: the PREFILTER's       #
+# broadcast payload is the 64 KiB bitmap instead of the benchmark's distinct  #
+# n-gram strings, so the corpus-sized probe side never shuffles for           #
+# membership. The exact-confirm join is left UNHINTED on purpose: it only     #
+# carries the fpp-bounded survivors, and at a benchmark-set size where the    #
+# strings outgrow a broadcast AQE picks a shuffle join over exactly that      #
+# small survivor set — forcing broadcast there would re-create the problem    #
+# the bitmap solves. Shares _decon_grams/_DECON_ORACLE with tx10 so the two   #
+# documented-identical queries cannot drift.                                  #
 # --------------------------------------------------------------------------- #
-@query(
-    "tx16_bloom_decontaminate",
-    oracle=f"""
-    WITH d AS (
-        SELECT doc_id, {_tokens_sql()} AS w FROM documents
-    ),
-    g AS (
-        SELECT doc_id,
-               unnest(list_distinct(list_transform(
-                   range(0, greatest(len(w) - {_DECON_N}, 0) + 1),
-                   i -> array_to_string(w[i + 1 : i + {_DECON_N}], ' ')
-               ))) AS gram
-        FROM d
-    )
-    SELECT DISTINCT doc_id
-    FROM g
-    WHERE doc_id >= {_DECON_BENCH}
-      AND gram IN (SELECT gram FROM g WHERE doc_id < {_DECON_BENCH})
-    ORDER BY doc_id
-    """,
-)
+@query("tx16_bloom_decontaminate", oracle=_DECON_ORACLE)
 def tx16_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.bloom import bloom_bitmap, bloom_prefilter
 
-    docs = t(spark, sf_dir, "documents")
-    n = _DECON_N
-    with_toks = docs.select("doc_id", _tokens_spark().alias("toks"))
-    toks = F.col("toks")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    shingles = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-            ),
-        )
-    )
-    grams = with_toks.select("doc_id", F.explode(shingles).alias("gram"))
+    grams = _decon_grams(t(spark, sf_dir, "documents"))
     bench = grams.where(F.col("doc_id") < _DECON_BENCH).select("gram").distinct()
     corpus = grams.where(F.col("doc_id") >= _DECON_BENCH)
     candidates = bloom_prefilter(corpus, "gram", bloom_bitmap(bench, "gram"))
     return (
-        candidates.join(F.broadcast(bench), "gram", "left_semi")
+        candidates.join(bench, "gram", "left_semi")
         .select("doc_id")
         .distinct()
         .orderBy("doc_id")
