@@ -417,6 +417,32 @@ SIM06_THRESHOLD = 0.3
 SIM06_NPROBE = 6
 
 
+def _probe_entries(emb: DataFrame, centroids: DataFrame, nprobe: int) -> DataFrame:
+    """(doc_id, band=0, bucket) rows: each vector's nprobe nearest centroids
+    — the multi-probe entry frame the dedup module's skew-proof candidate
+    machinery consumes. Shared by the batch (sim06) and incremental ingest
+    flows so both probe identically."""
+    from pyspark.sql import Window
+
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "centroid_id",
+        (dot(F.col("embedding"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm"))).alias(
+            "csim"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "centroid_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= nprobe)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.lit(0).alias("band"),
+            F.col("centroid_id").alias("bucket"),
+        )
+    )
+
+
 def ivf_near_dup_pairs(
     emb: DataFrame,
     threshold: float = SIM06_THRESHOLD,
@@ -426,29 +452,10 @@ def ivf_near_dup_pairs(
     """Same-label pairs with cosine ≥ threshold, candidates from shared IVF
     cells (multi-probe) instead of a label-block self-join. Output schema and
     semantics match :func:`sim03_embedding_near_dup` up to IVF recall."""
-    from pyspark.sql import Window
-
     from .dedup import _candidates_from_entries
 
     _, centroids = _ivf_index(emb, clusters)
-    scored = emb.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "centroid_id",
-        (dot(F.col("embedding"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm"))).alias(
-            "csim"
-        ),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "centroid_id")
-    entries = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= nprobe)
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            F.lit(0).alias("band"),
-            F.col("centroid_id").alias("bucket"),
-        )
-    )
-    cand = _candidates_from_entries(entries)
+    cand = _candidates_from_entries(_probe_entries(emb, centroids, nprobe))
     side = emb.select("vec_id", "label", "embedding", "nrm")
     a, b = side.alias("a"), side.alias("b")
     cos = F.round(
@@ -538,3 +545,86 @@ def sim07_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # asserted in tests/test_extensions.py against sim03's oracle-gated pairs.
     emb = t(spark, sf_dir, "embeddings").withColumn("nrm", norm(F.col("embedding")))
     return embedding_dedup(emb)
+
+
+# --------------------------------------------------------------------------- #
+# Incremental embedding ingest — the sim-family twin of dedup's incremental   #
+# path: a persisted IVF index (centroids + posting entries) lets each new    #
+# embedding batch dedup against the corpus without re-indexing or            #
+# re-pairing it.                                                             #
+# --------------------------------------------------------------------------- #
+def ivf_store(
+    emb: DataFrame, clusters: int = IVF_CLUSTERS, nprobe: int = SIM06_NPROBE
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids, entries): the persistable IVF index. ``centroids`` is
+    (centroid_id, cvec, cnrm); ``entries`` is the MULTI-PROBE posting list
+    (vec_id, centroid_id — nprobe rows per vector). Classic IVF stores one
+    cell per vector and multi-probes only the query side, but at sim06's
+    low 0.3-cosine threshold pairs straddle distant cells — single-cell
+    storage measured 0.73 recall where the two-sided nprobe-6 geometry
+    (sim06's own) measures ~1.0, so the store spends ×nprobe rows (16 B
+    each) to keep the batch operating point. Persist both (entries
+    partitioned by centroid_id so increments prune to probed cells) next
+    to the vectors frame (vec_id, label, embedding, nrm)."""
+    _, centroids = _ivf_index(emb, clusters)
+    entries = _probe_entries(emb, centroids, nprobe).select(
+        F.col("doc_id").alias("vec_id"), F.col("bucket").alias("centroid_id")
+    )
+    return centroids, entries
+
+
+def incremental_embedding_near_dups(
+    new_emb: DataFrame,
+    centroids: DataFrame,
+    store_entries: DataFrame,
+    store_vectors: DataFrame,
+    threshold: float = SIM06_THRESHOLD,
+    nprobe: int = SIM06_NPROBE,
+) -> DataFrame:
+    """Same-label cosine ≥ threshold pairs TOUCHING the increment:
+    (new × new) via shared probed cells, (new × old) by probing the stored
+    posting lists — the corpus is never re-paired or re-indexed.
+
+    Precision is exact (every candidate is cosine-verified); recall is IVF
+    recall under centroids trained on the corpus only, so monitor drift and
+    re-train the store when increments stop resembling it (pinned ≥ the
+    sim06 operating point in tests/test_extensions.py). Returns
+    (vec_a, vec_b, cos_sim) with vec_b always the new vector in cross
+    pairs. Close the loop by appending the increment's own multi-probe
+    entries (``_probe_entries`` against the same centroids) and vectors to
+    the store."""
+    from .dedup import _candidates_from_entries
+
+    probe = _probe_entries(new_emb, centroids, nprobe)
+    within = _candidates_from_entries(probe)
+    cross = (
+        store_entries.select(
+            F.col("centroid_id").alias("bucket"), F.col("vec_id").alias("doc_a")
+        )
+        .join(
+            probe.select("bucket", F.col("doc_id").alias("doc_b")),
+            "bucket",
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    side_cols = ("vec_id", "label", "embedding", "nrm")
+    vecs = store_vectors.select(*side_cols).unionByName(new_emb.select(*side_cols))
+    a, b = vecs.alias("a"), vecs.alias("b")
+    cand = within.unionByName(cross)
+    cos = F.round(
+        dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    scored = (
+        cand.join(a, cand.doc_a == F.col("a.vec_id"))
+        .join(b, cand.doc_b == F.col("b.vec_id"))
+        .where(F.col("a.label") == F.col("b.label"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+    )
+    return scored.where(F.col("cos_sim") >= threshold)

@@ -1160,3 +1160,62 @@ def test_incremental_store_roundtrips_through_parquet(spark, tmp_path):
     drows = sorted((r.doc_a, r.doc_b, r.jaccard) for r in disk.collect())
     assert mrows == drows
     assert mrows, "fixture must produce at least one cross pair"
+
+
+def test_incremental_embedding_near_dups_vs_exact(spark):
+    """The incremental IVF path's pairs must be a subset of the exact
+    same-label cosine pairs touching the increment (precision 1.0 — every
+    candidate is verified) with recall at the sim06 operating point."""
+    from dbix_batchchunker_spark.functions.vectors import dot, norm
+    from dbix_batchchunker_spark.operators.similarity import (
+        SIM06_THRESHOLD,
+        incremental_embedding_near_dups,
+        ivf_store,
+    )
+    from dbix_batchchunker_spark.operators.registry import t
+
+    sf = SF_DIR
+    emb = t(spark, sf, "embeddings").withColumn("nrm", norm(F.col("embedding")))
+    cut = emb.agg(F.expr("percentile_approx(vec_id, 0.8)")).first()[0]
+    old, new = emb.where(F.col("vec_id") <= cut), emb.where(F.col("vec_id") > cut)
+
+    centroids, entries = ivf_store(old)
+    got = {
+        frozenset((r.vec_a, r.vec_b))
+        for r in incremental_embedding_near_dups(
+            new, centroids, entries, old
+        ).collect()
+    }
+
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = F.round(
+        dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    exact = {
+        frozenset((r.vec_a, r.vec_b))
+        for r in (
+            a.join(
+                b,
+                (F.col("a.label") == F.col("b.label"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                cos.alias("cos_sim"),
+            )
+            .where(
+                (F.col("cos_sim") >= SIM06_THRESHOLD)
+                & ((F.col("vec_a") > cut) | (F.col("vec_b") > cut))
+            )
+            .collect()
+        )
+    }
+    assert got <= exact  # precision 1.0: every emitted pair is a true pair
+    assert exact, "fixture must contain near-dup pairs touching the increment"
+    recall = len(got) / len(exact)
+    # centroids are trained on the corpus only, so allow a little slack vs
+    # sim06's measured nprobe-6 recall of 1.0 on in-index vectors
+    assert recall >= 0.85, recall
