@@ -790,3 +790,40 @@ def q37_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= _TOPK_PER_GROUP)
         .orderBy("o_orderpriority", "rnk")
     )
+
+
+# --------------------------------------------------------------------------- #
+# q38: COMPOSITE-key keyset pagination — the reference's cursor model is one  #
+# integer column by contract (BatchChunker.pm:1756-1770 rules GUIDs/multi-    #
+# column keys out); real tables often key on (parent_id, seq). The resume     #
+# predicate is the row-value comparison (k1,k2) > (a,b), lowered for Spark    #
+# to the equivalent k1 > a OR (k1 = a AND k2 > b) — which Catalyst pushes     #
+# into the parquet scan as two range filters, preserving the keyset          #
+# property: cost O(page), independent of how deep the cursor sits.            #
+# --------------------------------------------------------------------------- #
+_Q38_AFTER = (1000, 2)
+_Q38_PAGE = 100
+
+
+@query(
+    "q38_composite_keyset",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE (l_orderkey, l_linenumber) > ({_Q38_AFTER[0]}, {_Q38_AFTER[1]})
+    ORDER BY l_orderkey, l_linenumber
+    LIMIT {_Q38_PAGE}
+    """,
+)
+def q38_composite_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k1, k2 = _Q38_AFTER
+    after = (F.col("l_orderkey") > k1) | (
+        (F.col("l_orderkey") == k1) & (F.col("l_linenumber") > k2)
+    )
+    return (
+        t(spark, sf_dir, "lineitem")
+        .where(after)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(_Q38_PAGE)
+    )

@@ -776,3 +776,61 @@ def tx16_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------- #
+# tx17: contamination severity — tx10 answers "which docs touch the           #
+# benchmark"; pipelines also need HOW MUCH (drop above a fraction, downweight #
+# below it). Same shared gram frame, two narrow aggregates joined on doc_id:  #
+# per-doc gram totals and per-doc benchmark hits (broadcast semi-side join).  #
+# --------------------------------------------------------------------------- #
+@query(
+    "tx17_contamination_severity",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_tokens_sql()} AS w FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(0, greatest(len(w) - {_DECON_N}, 0) + 1),
+                   i -> array_to_string(w[i + 1 : i + {_DECON_N}], ' ')
+               ))) AS gram
+        FROM d
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < {_DECON_BENCH}),
+    totals AS (
+        SELECT doc_id, COUNT(*) AS n_grams FROM g
+        WHERE doc_id >= {_DECON_BENCH} GROUP BY doc_id
+    ),
+    hits AS (
+        SELECT doc_id, COUNT(*) AS n_hit FROM g
+        WHERE doc_id >= {_DECON_BENCH} AND gram IN (SELECT gram FROM bench)
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_grams, h.n_hit,
+           ROUND(h.n_hit / t.n_grams, 6) AS overlap_frac
+    FROM totals t JOIN hits h ON t.doc_id = h.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def tx17_contamination_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grams = _decon_grams(t(spark, sf_dir, "documents"))
+    bench = grams.where(F.col("doc_id") < _DECON_BENCH).select("gram").distinct()
+    corpus = grams.where(F.col("doc_id") >= _DECON_BENCH)
+    totals = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        corpus.join(F.broadcast(bench), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        totals.join(hits, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("overlap_frac"),
+        )
+        .orderBy("doc_id")
+    )

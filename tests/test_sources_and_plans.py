@@ -525,3 +525,14 @@ def test_pivot_is_single_aggregation(spark):
 
     plan = formatted_plan(q36_pivot_event_matrix(spark, SF_DIR))
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+
+
+def test_composite_keyset_predicate_is_pushed(spark):
+    """q38's lowered row-value comparison must reach the parquet scan as a
+    pushed filter — the keyset property (O(page) cost) depends on it."""
+    from dbix_batchchunker_spark.operators.advanced import q38_composite_keyset
+    from dbix_batchchunker_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(q38_composite_keyset(spark, SF_DIR))
+    m = re.search(r"PushedFilters: \[(.*)\]", plan)
+    assert m and "l_orderkey" in m.group(1), plan
