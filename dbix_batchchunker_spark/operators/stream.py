@@ -279,3 +279,59 @@ def st04_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session_window aggregation over the same input (same Catalyst
     # operator) is pinned in tests/test_streaming.py.
     return stream_sessions_drain(spark, sf_dir)
+
+
+def stream_enrich_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join: enrich the events stream with the customer
+    dimension — the lookup-table pattern every streaming pipeline runs.
+
+    The static side is a plain batch DataFrame; Spark broadcasts it into
+    each micro-batch with no state store involvement (unlike
+    stream-stream joins there is nothing to buffer — the dimension is
+    re-resolvable at any time, so a late event still enriches correctly).
+    Aggregated per (nation, event_type) so the memory sink stays
+    dimension-bounded. user_id maps onto the customer key by modulus —
+    the testdata's two id spaces are disjoint; a real deployment joins on
+    the shared key directly.
+    """
+    from ..streaming.incremental import stream_table
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = normalize_event_ts(
+        stream_table(spark, os.path.join(sf_dir, "events.*"), schema=schema)
+    )
+    customers = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    n_cust = customers.count()
+    enriched = stream.withColumn(
+        "c_custkey", F.pmod(F.col("user_id"), F.lit(n_cust)) + 1
+    ).join(F.broadcast(customers.select("c_custkey", "c_nationkey")), "c_custkey")
+    agg = enriched.groupBy("c_nationkey", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    sink = f"st05_sink_{uuid.uuid4().hex}"
+    ckpt = tempfile.mkdtemp(prefix="st05_ckpt_")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        result = spark.table(sink).orderBy("c_nationkey", "event_type")
+        out = spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        spark.catalog.dropTempView(sink)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+@query("st05_stream_enrich")  # no oracle: a streaming drain isn't DuckDB-
+def st05_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # runnable; equality with the equivalent BATCH broadcast join +
+    # aggregate is pinned in tests/test_streaming.py.
+    return stream_enrich_drain(spark, sf_dir)

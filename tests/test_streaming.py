@@ -374,3 +374,27 @@ def test_st04_stream_sessions_equals_batch_session_window(spark):
     brows = [tuple(r) for r in batch.collect()]
     assert srows == brows
     assert len(srows) > 0
+
+
+def test_st05_stream_enrich_equals_batch_join(spark):
+    """The drained stream-static join must equal the batch broadcast join
+    + aggregate over the same input."""
+    from dbix_batchchunker_spark.operators.registry import t
+    from dbix_batchchunker_spark.operators.stream import stream_enrich_drain
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    streamed = stream_enrich_drain(spark, sf)
+    customers = spark.read.parquet(os.path.join(sf, "customer.parquet"))
+    n_cust = customers.count()
+    batch = (
+        t(spark, sf, "events")
+        .withColumn("c_custkey", F.pmod(F.col("user_id"), F.lit(n_cust)) + 1)
+        .join(customers.select("c_custkey", "c_nationkey"), "c_custkey")
+        .groupBy("c_nationkey", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("c_nationkey", "event_type")
+    )
+    assert [tuple(r) for r in streamed.collect()] == [
+        tuple(r) for r in batch.collect()
+    ]
+    assert streamed.count() > 0
