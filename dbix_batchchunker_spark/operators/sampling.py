@@ -144,3 +144,56 @@ def sp02_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------- #
+# sp03: TEMPERATURE-scaled mixture — sp01 with the rates DERIVED from the     #
+# data instead of hand-specified. Multilingual pretraining's standard         #
+# α-sampling: target share per language ∝ n^α (α=1 natural, α→0 uniform),    #
+# realized as keep-rate(lang) = (n_lang / n_min)^(α−1) — the smallest        #
+# language keeps 100%, larger ones are thinned toward balance. One tiny      #
+# count aggregate (|langs| rows, broadcast back), then the same stateless    #
+# md5 filter as sp01/sp02 — still shuffle-free on the corpus side, still     #
+# per-doc independent draws (re-running with a new α leaves every kept       #
+# doc's draw unchanged). Rates are rounded to 6 dp on BOTH engines: pow()    #
+# may differ by an ulp across libms, and the gate compares exact             #
+# membership.                                                                 #
+# --------------------------------------------------------------------------- #
+SP03_ALPHA = 0.5
+
+
+@query(
+    "sp03_temperature_sample",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    rates AS (
+        SELECT lang,
+               ROUND(POW(CAST(n AS DOUBLE) / (SELECT MIN(n) FROM counts),
+                         {SP03_ALPHA} - 1), 6) AS keep_rate
+        FROM counts
+    )
+    SELECT d.doc_id, d.lang, r.keep_rate
+    FROM documents d JOIN rates r USING (lang)
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':t'), 1, 4))::INT
+          / 65536.0 < r.keep_rate
+    ORDER BY d.doc_id
+    """,
+)
+def sp03_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    n_min = counts.agg(F.min("n")).first()[0]
+    rates = counts.select(
+        "lang",
+        F.round(
+            F.pow(F.col("n").cast("double") / F.lit(n_min), SP03_ALPHA - 1), 6
+        ).alias("keep_rate"),
+    )
+    enriched = docs.join(F.broadcast(rates), "lang")
+    return (
+        weighted_hash_sample(enriched, F.col("keep_rate"), salt="t")
+        .select("doc_id", "lang", "keep_rate")
+        .orderBy("doc_id")
+    )
