@@ -576,6 +576,38 @@ def _size_ratio_prefilter(
 # ingest increment is deduped against the EXISTING corpus via a persisted     #
 # signature store, never re-pairing the corpus against itself.                #
 # --------------------------------------------------------------------------- #
+def cross_candidates(
+    store_entries: DataFrame, new_entries: DataFrame, keys: list[str]
+) -> DataFrame:
+    """(doc_a=old, doc_b=new) candidate pairs from shared buckets,
+    skew-proof — the incremental twin of :func:`_candidates_from_entries`:
+
+    a naive store⋈new bucket join re-emits a pair once per shared bucket
+    (≤ bands, or ≤ nprobe² for the IVF path) and funnels a hot bucket's
+    |old|×|new| product through one join task. Instead the store side
+    collapses to sorted member LISTS, identical lists dedupe across
+    buckets BEFORE any pair exists, and the pre-explode repartition on
+    doc_b spreads a hot bucket across the cluster — each task explodes
+    one (doc_b, members) row bounded by the bucket size. Both ``entries``
+    frames carry ``doc_id`` plus the ``keys`` columns."""
+    spark = store_entries.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    old_lists = store_entries.groupBy(*keys).agg(
+        F.sort_array(F.collect_set("doc_id")).alias("olds")
+    )
+    joined = (
+        new_entries.select(*keys, F.col("doc_id").alias("doc_b"))
+        .join(old_lists, keys)
+        .select("doc_b", "olds")
+        .distinct()
+    )
+    return (
+        joined.repartition(width, "doc_b")
+        .select(F.explode("olds").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+
+
 def hashed_words(docs: DataFrame) -> DataFrame:
     """(doc_id, words array<long>) — the token frame both the signature and
     verify stages consume. Persist this next to the band-entry store so
@@ -622,15 +654,7 @@ def incremental_near_dup_pairs(
     """
     entries_new = minhash_band_entries(new_words, bands, rows)
     within = _candidates_from_entries(entries_new)
-    cross = (
-        store_entries.select("band", "bucket", F.col("doc_id").alias("doc_a"))
-        .join(
-            entries_new.select("band", "bucket", F.col("doc_id").alias("doc_b")),
-            ["band", "bucket"],
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cross = cross_candidates(store_entries, entries_new, ["band", "bucket"])
     words = store_words.unionByName(new_words)
     return verify_jaccard_pairs(within.unionByName(cross), words, threshold)
 

@@ -595,18 +595,16 @@ def incremental_embedding_near_dups(
     the store."""
     from .dedup import _candidates_from_entries
 
+    from .dedup import cross_candidates
+
     probe = _probe_entries(new_emb, centroids, nprobe)
     within = _candidates_from_entries(probe)
-    cross = (
+    cross = cross_candidates(
         store_entries.select(
-            F.col("centroid_id").alias("bucket"), F.col("vec_id").alias("doc_a")
-        )
-        .join(
-            probe.select("bucket", F.col("doc_id").alias("doc_b")),
-            "bucket",
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
+            F.col("vec_id").alias("doc_id"), F.col("centroid_id").alias("bucket")
+        ),
+        probe,
+        ["bucket"],
     )
     side_cols = ("vec_id", "label", "embedding", "nrm")
     vecs = store_vectors.select(*side_cols).unionByName(new_emb.select(*side_cols))

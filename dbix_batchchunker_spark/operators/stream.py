@@ -32,6 +32,38 @@ from ..streaming.incremental import windowed_counts
 from .registry import normalize_event_ts, query
 
 
+def _drain_memory_sink(agg, prefix, output_mode, finalize, arrow=False):
+    """Run a bounded ``availableNow`` drain of ``agg`` into a memory sink
+    and hand back the finalized result as a standalone batch DataFrame.
+
+    ONE copy of the drain lifecycle for every registered stream query: the
+    memory sink pins its rows on the driver for the session's lifetime and
+    the checkpoint dir is per-call garbage, so the result is copied out
+    (``arrow=True`` for large results — row-object collect measured ~2 s
+    slower at ~100k rows) and both are dropped; repeated calls (bench runs
+    each query several times) don't accumulate. ``finalize`` maps the raw
+    sink table to the output shape (projection/ordering)."""
+    spark = agg.sparkSession
+    sink = f"{prefix}_sink_{uuid.uuid4().hex}"
+    ckpt = tempfile.mkdtemp(prefix=f"{prefix}_ckpt_")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        result = finalize(spark.table(sink))
+        data = result.toPandas() if arrow else result.collect()
+        return spark.createDataFrame(data, result.schema)
+    finally:
+        spark.catalog.dropTempView(sink)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def hourly_rollup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain ``events`` through a watermarked tumbling-window aggregation
     and return the final windows as a batch DataFrame.
@@ -60,38 +92,18 @@ def hourly_rollup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream = normalize_event_ts(stream)
     agg = windowed_counts(stream, ts_col="ts", window="1 hour", watermark="2 hours")
-    sink = f"st01_sink_{uuid.uuid4().hex}"
-    ckpt = tempfile.mkdtemp(prefix="st01_ckpt_")
-    try:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        result = (
-            spark.table(sink)
-            .select(
-                F.col("window.start").alias("window_start"),
-                F.col("window.end").alias("window_end"),
-                "event_type",
-                "n_events",
-                F.round("total_value", 6).alias("total_value"),
-            )
-            .orderBy("window_start", "event_type")
-        )
-        # The memory sink pins its rows on the driver for the session's
-        # lifetime and the checkpoint dir is per-call garbage — copy the
-        # (window × event_type)-bounded result out, then drop both so
-        # repeated calls (bench runs st01 three times) don't accumulate.
-        out = spark.createDataFrame(result.collect(), result.schema)
-    finally:
-        spark.catalog.dropTempView(sink)
-        shutil.rmtree(ckpt, ignore_errors=True)
-    return out
+    return _drain_memory_sink(
+        agg,
+        "st01",
+        "complete",
+        lambda sink_df: sink_df.select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            F.round("total_value", 6).alias("total_value"),
+        ).orderBy("window_start", "event_type"),
+    )
 
 
 @query("st01_stream_hourly_rollup")  # no oracle: a streaming drain isn't
@@ -190,25 +202,14 @@ def stream_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = doubled.dropDuplicates(["event_id"]).select(
         "event_id", "user_id", "event_type"
     )
-    sink = f"st03_sink_{uuid.uuid4().hex}"
-    ckpt = tempfile.mkdtemp(prefix="st03_ckpt_")
-    try:
-        q = (
-            deduped.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        result = spark.table(sink).orderBy("event_id")
-        # ~100k deduped events at sf0.1: Arrow both ways (see st04 note).
-        out = spark.createDataFrame(result.toPandas(), result.schema)
-    finally:
-        spark.catalog.dropTempView(sink)
-        shutil.rmtree(ckpt, ignore_errors=True)
-    return out
+    # arrow: ~100k deduped events at sf0.1.
+    return _drain_memory_sink(
+        deduped,
+        "st03",
+        "append",
+        lambda sink_df: sink_df.orderBy("event_id"),
+        arrow=True,
+    )
 
 
 @query("st03_stream_dedup")  # no oracle: stateful streaming dedup isn't
@@ -239,38 +240,21 @@ def stream_sessions_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_table(spark, os.path.join(sf_dir, "events.*"), schema=schema)
     )
     agg = sessionized(stream, gap="30 minutes", watermark="2 hours")
-    sink = f"st04_sink_{uuid.uuid4().hex}"
-    ckpt = tempfile.mkdtemp(prefix="st04_ckpt_")
-    try:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        result = (
-            spark.table(sink)
-            .select(
-                "user_id",
-                F.col("session.start").alias("session_window_start"),
-                "n_events",
-                "session_start",
-                "session_end",
-            )
-            .orderBy("user_id", "session_window_start")
-        )
-        # ~100k (user × session) rows at sf0.1: the copy-out goes through
-        # Arrow both ways (row-object collect + createDataFrame measured
-        # ~2 s slower for this result). Timestamps survive because the
-        # schema is passed explicitly rather than re-inferred from pandas.
-        out = spark.createDataFrame(result.toPandas(), result.schema)
-    finally:
-        spark.catalog.dropTempView(sink)
-        shutil.rmtree(ckpt, ignore_errors=True)
-    return out
+    # arrow: ~100k (user × session) rows at sf0.1; timestamps survive
+    # because the helper passes the schema explicitly.
+    return _drain_memory_sink(
+        agg,
+        "st04",
+        "complete",
+        lambda sink_df: sink_df.select(
+            "user_id",
+            F.col("session.start").alias("session_window_start"),
+            "n_events",
+            "session_start",
+            "session_end",
+        ).orderBy("user_id", "session_window_start"),
+        arrow=True,
+    )
 
 
 @query("st04_stream_sessions")  # no oracle: a streaming session-window
@@ -304,30 +288,20 @@ def stream_enrich_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     customers = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
     n_cust = customers.count()
+    # c_custkey is 0-based (0..n_cust-1) in the testdata, so the residue
+    # maps directly — a +1 would orphan residue n_cust-1 and customer 0.
     enriched = stream.withColumn(
-        "c_custkey", F.pmod(F.col("user_id"), F.lit(n_cust)) + 1
+        "c_custkey", F.pmod(F.col("user_id"), F.lit(n_cust))
     ).join(F.broadcast(customers.select("c_custkey", "c_nationkey")), "c_custkey")
     agg = enriched.groupBy("c_nationkey", "event_type").agg(
         F.count(F.lit(1)).alias("n_events")
     )
-    sink = f"st05_sink_{uuid.uuid4().hex}"
-    ckpt = tempfile.mkdtemp(prefix="st05_ckpt_")
-    try:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        result = spark.table(sink).orderBy("c_nationkey", "event_type")
-        out = spark.createDataFrame(result.collect(), result.schema)
-    finally:
-        spark.catalog.dropTempView(sink)
-        shutil.rmtree(ckpt, ignore_errors=True)
-    return out
+    return _drain_memory_sink(
+        agg,
+        "st05",
+        "complete",
+        lambda sink_df: sink_df.orderBy("c_nationkey", "event_type"),
+    )
 
 
 @query("st05_stream_enrich")  # no oracle: a streaming drain isn't DuckDB-

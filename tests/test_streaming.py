@@ -388,7 +388,7 @@ def test_st05_stream_enrich_equals_batch_join(spark):
     n_cust = customers.count()
     batch = (
         t(spark, sf, "events")
-        .withColumn("c_custkey", F.pmod(F.col("user_id"), F.lit(n_cust)) + 1)
+        .withColumn("c_custkey", F.pmod(F.col("user_id"), F.lit(n_cust)))
         .join(customers.select("c_custkey", "c_nationkey"), "c_custkey")
         .groupBy("c_nationkey", "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -397,4 +397,7 @@ def test_st05_stream_enrich_equals_batch_join(spark):
     assert [tuple(r) for r in streamed.collect()] == [
         tuple(r) for r in batch.collect()
     ]
-    assert streamed.count() > 0
+    # every event must be enriched — an off-by-one key mapping would
+    # silently drop a residue class in the inner join
+    n_events = t(spark, sf, "events").count()
+    assert sum(r.n_events for r in streamed.collect()) == n_events
