@@ -309,3 +309,59 @@ def st05_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runnable; equality with the equivalent BATCH broadcast join +
     # aggregate is pinned in tests/test_streaming.py.
     return stream_enrich_drain(spark, sf_dir)
+
+
+def stream_stream_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join: each user's purchase events joined to
+    the click events that preceded them by ≤ 1 hour — attribution, the
+    canonical two-stream pattern.
+
+    Unlike the stream-static join (st05) BOTH sides buffer in the state
+    store; the watermarks plus the time-range predicate bound that state —
+    the engine evicts a buffered click once the purchase-side watermark
+    passes click_ts + 1 hour, so state is O(events per watermark window),
+    not O(stream). Inner join + append mode: matches emit as both sides
+    arrive; availableNow drains to the final watermark.
+    """
+    from ..streaming.incremental import as_event_time, stream_table
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    glob = os.path.join(sf_dir, "events.*")
+
+    def side(event_type: str, prefix: str):
+        df = as_event_time(
+            normalize_event_ts(stream_table(spark, glob, schema=schema)), "ts"
+        )
+        return (
+            df.where(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "2 hours")
+        )
+
+    clicks, purchases = side("click", "c"), side("purchase", "p")
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(F.col("c_user").alias("user_id"), "c_id", "p_id")
+    return _drain_memory_sink(
+        joined,
+        "st06",
+        "append",
+        lambda sink_df: sink_df.orderBy("user_id", "c_id", "p_id"),
+        arrow=True,
+    )
+
+
+@query("st06_stream_stream_join")  # no oracle: a two-stream stateful join
+def st06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # drain isn't DuckDB-runnable; equality with the equivalent BATCH
+    # interval self-join is pinned in tests/test_streaming.py.
+    return stream_stream_join_drain(spark, sf_dir)

@@ -401,3 +401,39 @@ def test_st05_stream_enrich_equals_batch_join(spark):
     # silently drop a residue class in the inner join
     n_events = t(spark, sf, "events").count()
     assert sum(r.n_events for r in streamed.collect()) == n_events
+
+
+def test_st06_stream_stream_join_equals_batch_interval_join(spark):
+    """The drained stream-stream interval join must equal the batch
+    interval join over the same events — buffered two-sided state vs a
+    single join pass, same semantics."""
+    from dbix_batchchunker_spark.operators.registry import t
+    from dbix_batchchunker_spark.operators.stream import stream_stream_join_drain
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    streamed = stream_stream_join_drain(spark, sf)
+    ev = t(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("c_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    batch = (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(F.col("c_user").alias("user_id"), "c_id", "p_id")
+        .orderBy("user_id", "c_id", "p_id")
+    )
+    srows = [tuple(r) for r in streamed.collect()]
+    brows = [tuple(r) for r in batch.collect()]
+    assert srows == brows
+    assert srows, "fixture must produce attribution pairs"
