@@ -1219,3 +1219,27 @@ def test_incremental_embedding_near_dups_vs_exact(spark):
     # centroids are trained on the corpus only, so allow a little slack vs
     # sim06's measured nprobe-6 recall of 1.0 on in-index vectors
     assert recall >= 0.85, recall
+
+
+def test_incremental_paths_with_empty_store(spark):
+    """First-ever ingest: an empty store must reduce both incremental
+    paths to pure within-increment dedup, not error."""
+    from dbix_batchchunker_spark.operators.dedup import (
+        hashed_words,
+        incremental_near_dup_pairs,
+        minhash_band_entries,
+        near_dup_pairs,
+    )
+
+    new = _doc_df(spark, [BASE, BASE + " tail", "unrelated text entirely"])
+    empty = _doc_df(spark, []).limit(0)
+    ew = hashed_words(empty)
+    inc = incremental_near_dup_pairs(
+        hashed_words(new), minhash_band_entries(ew), ew, threshold=0.7
+    )
+    got = {frozenset((r.doc_a, r.doc_b)) for r in inc.collect()}
+    want = {
+        frozenset((r.doc_a, r.doc_b))
+        for r in near_dup_pairs(new, threshold=0.7).collect()
+    }
+    assert got == want and want

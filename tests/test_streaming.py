@@ -437,3 +437,47 @@ def test_st06_stream_stream_join_equals_batch_interval_join(spark):
     brows = [tuple(r) for r in batch.collect()]
     assert srows == brows
     assert srows, "fixture must produce attribution pairs"
+
+
+def test_drop_duplicates_within_watermark_bounded_state(spark, tmp_path):
+    """st03's docstring prescribes dropDuplicatesWithinWatermark as the
+    deployment shape (bounded dedup state). Pin its semantics: duplicates
+    arriving within the watermark delay collapse to one emission."""
+    import shutil
+    import tempfile
+
+    src = str(tmp_path / "src")
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:05:00"),   # dup within delay → dropped
+            (2, "2024-01-01 10:10:00"),
+            (2, "2024-01-01 10:11:00"),   # dup within delay → dropped
+            (3, "2024-01-01 12:00:00"),
+        ],
+        "event_id long, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    ev.write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src)
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    sink = "ddww_sink"
+    ckpt = tempfile.mkdtemp(prefix="ddww_ckpt_")
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = sorted(r.event_id for r in spark.table(sink).collect())
+        assert rows == [1, 2, 3]
+    finally:
+        spark.catalog.dropTempView(sink)
+        shutil.rmtree(ckpt, ignore_errors=True)
