@@ -32,7 +32,43 @@ from ..streaming.incremental import windowed_counts
 from .registry import normalize_event_ts, query
 
 
-def _drain_memory_sink(agg, prefix, output_mode, finalize, arrow=False):
+class _state_partitions:
+    """Temporarily pin ``spark.sql.shuffle.partitions`` while a STATEFUL
+    streaming query starts.
+
+    A stateful operator materializes one state-store instance PER shuffle
+    partition, and every micro-batch pays a fixed open/commit cost per
+    instance regardless of how little state it holds. Whether fewer
+    partitions help depends on which cost dominates — measured at sf0.1,
+    min-of-2: the stream-stream join (TWO buffered sides → 2× stores,
+    trivial per-row work) went 6.6 s → 3.0 s at 8 partitions, while the
+    Python-heavy applyInPandasWithState totals (1.7 → 3.1 s) and the
+    session-window merge (1.9 → 5.2 s) REGRESSED — their cost is the
+    parallel per-row work 32 partitions spread out. So the knob is
+    opt-in per drain (``n=None`` leaves the session value), and a
+    deployment sizes it so per-store state fits in executor memory (the
+    count is then FROZEN by the checkpoint: Spark refuses to re-shard
+    existing state, so size for the target volume up front — at 100 TB
+    that is hundreds). Batch queries are unaffected: the session value
+    is restored on exit.
+    """
+
+    def __init__(self, spark, n):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        if self.n is not None:
+            self.saved = self.spark.conf.get("spark.sql.shuffle.partitions")
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        if self.n is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
+
+
+def _drain_memory_sink(
+    agg, prefix, output_mode, finalize, arrow=False, state_partitions=None
+):
     """Run a bounded ``availableNow`` drain of ``agg`` into a memory sink
     and hand back the finalized result as a standalone batch DataFrame.
 
@@ -47,15 +83,16 @@ def _drain_memory_sink(agg, prefix, output_mode, finalize, arrow=False):
     sink = f"{prefix}_sink_{uuid.uuid4().hex}"
     ckpt = tempfile.mkdtemp(prefix=f"{prefix}_ckpt_")
     try:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _state_partitions(spark, state_partitions):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         result = finalize(spark.table(sink))
         data = result.toPandas() if arrow else result.collect()
         return spark.createDataFrame(data, result.schema)
@@ -154,6 +191,9 @@ def user_totals_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ckpt = tempfile.mkdtemp(prefix="st02_ckpt_")
     try:
+        # session-default partitions on purpose: the Arrow/pandas per-row
+        # work dominates here and narrowing to 8 measured 1.7 → 3.1 s
+        # (see _state_partitions)
         q = (
             running_user_totals(stream)
             .writeStream.foreachBatch(sink)
@@ -357,6 +397,10 @@ def stream_stream_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append",
         lambda sink_df: sink_df.orderBy("user_id", "c_id", "p_id"),
         arrow=True,
+        # TWO buffered sides → 2 state stores per partition and trivial
+        # per-row work: store overhead dominates (6.6 → 3.0 s at 8,
+        # measured — see _state_partitions for the sizing rule)
+        state_partitions=8,
     )
 
 
