@@ -827,3 +827,51 @@ def q38_composite_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_orderkey", "l_linenumber")
         .limit(_Q38_PAGE)
     )
+
+
+# --------------------------------------------------------------------------- #
+# q39: distribution ranks — NTILE deciles + PERCENT_RANK + CUME_DIST over     #
+# per-customer spend. Completes the window-function family (q31 running sum,  #
+# q35 lag, q37 row_number) with the rank-distribution trio a corpus build     #
+# uses for percentile-based filtering ("keep the top decile by quality").     #
+# Scale shape: the unpartitioned window runs on the REDUCED aggregate (one    #
+# row per customer), not the raw orders — the groupBy shrinks the input       #
+# before the single-partition sort, which is the correct formulation when     #
+# the ranked domain is key-sized. Ranking raw-event-scale rows globally       #
+# would instead use approxQuantile/percentile_approx (q18/q19 family).        #
+# Deterministic: the window order (total_spent DESC, o_custkey) is a total    #
+# order and o_custkey is unique, so no peer groups — NTILE boundaries,        #
+# PERCENT_RANK and CUME_DIST are all exact and engine-independent.            #
+# --------------------------------------------------------------------------- #
+@query(
+    "q39_spend_deciles",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spent_dec
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           CAST(spent_dec AS DOUBLE) AS total_spent,
+           NTILE(10) OVER w AS decile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM spend
+    WINDOW w AS (ORDER BY spent_dec DESC, o_custkey)
+    ORDER BY o_custkey
+    """,
+)
+def q39_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spend = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(dec2("o_totalprice")).alias("spent_dec"))
+    )
+    w = Window.orderBy(F.col("spent_dec").desc(), F.col("o_custkey"))
+    return spend.select(
+        "o_custkey",
+        F.col("spent_dec").cast(_OUT).alias("total_spent"),
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("o_custkey")

@@ -626,3 +626,94 @@ def incremental_embedding_near_dups(
         )
     )
     return scored.where(F.col("cos_sim") >= threshold)
+
+
+# --------------------------------------------------------------------------- #
+# sim08: int8-QUANTIZED brute-force top-k — the memory-bandwidth path.        #
+#                                                                             #
+# Scalar quantization (the SQ in FAISS's IVF-SQ, Jégou et al., "Product      #
+# Quantization for Nearest Neighbor Search", TPAMI'11 lineage) stores each   #
+# embedding as int8 + one scale: 4× less memory/scan IO than float32, and    #
+# the scan becomes integer math. Cosine needs NO dequantization — the        #
+# per-vector scale cancels in dot/(|a||b|), so ranking runs entirely on the  #
+# int8 codes. At 100 TB the quantized corpus is what you keep hot; compose   #
+# with sim04's IVF routing for the full IVF-SQ scale path. Quantize-once is  #
+# a linear pass; the probe join is broadcast-bounded exactly like sim01.     #
+#                                                                             #
+# Oracle-exact: quantized codes are identical integers in both engines       #
+# (floor(x/s + 0.5) half-up — see functions/vectors.quantize_int8), integer  #
+# dots are exact in 53-bit-mantissa doubles, and the qcos division/sqrt on   #
+# identical integers is bit-identical IEEE, so the 6-dp ranking key cannot   #
+# drift cross-engine.                                                        #
+# --------------------------------------------------------------------------- #
+@query(
+    "sim08_quantized_topk",
+    oracle=f"""
+    WITH qz AS (
+        SELECT vec_id,
+               list_transform(
+                   CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x / greatest(
+                            list_max(list_transform(CAST(embedding AS DOUBLE[]), v -> abs(v))) / 127.0,
+                            1e-30) + 0.5) AS BIGINT)
+               ) AS qvec
+        FROM embeddings
+    ),
+    nq AS (
+        SELECT vec_id, qvec, sqrt(CAST(list_dot_product(qvec, qvec) AS DOUBLE)) AS qnrm
+        FROM qz
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               ROUND(list_dot_product(q.qvec, e.qvec) / (q.qnrm * e.qnrm), 6) AS qcos
+        FROM (SELECT * FROM nq WHERE vec_id < {N_QUERY_VECS}) q
+        JOIN nq e ON e.vec_id != q.vec_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, qcos
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def sim08_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.vectors import int_dot, quantize_int8
+
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", quantize_int8(F.col("embedding")).alias("qvec"))
+        .withColumn(
+            "qnrm",
+            F.sqrt(int_dot(F.col("qvec"), F.col("qvec")).cast("double")),
+        )
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qnrm").alias("q_qnrm"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                int_dot(F.col("q_qvec"), F.col("qvec")).cast("double")
+                / (F.col("q_qnrm") * F.col("qnrm")),
+                6,
+            ).alias("qcos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "qcos")
+    )

@@ -834,3 +834,67 @@ def tx17_contamination_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------- #
+# tx18: BPE merge-step pair counting — ONE iteration of byte-pair-encoding    #
+# training (Sennrich et al., "Neural Machine Translation of Rare Words with   #
+# Subword Units", ACL'16): count every ADJACENT token pair across the corpus  #
+# and surface the top merge candidates. The full trainer loops this count →   #
+# merge → recount; the count is the distributed 99% of the work (the merge    #
+# table is vocabulary-sized, driver/broadcast material), so this is the       #
+# operator a 100 TB tokenizer build runs repeatedly.                          #
+#                                                                             #
+# Scale shape: slice+zip builds the pair list inside codegen (no Python, no   #
+# extra scan), explode is linear in token count, and the groupBy partial-     #
+# aggregates map-side before one hash shuffle on the pair; the top-k cut is   #
+# TakeOrdered (same shape as tx14's vocab). Deterministic total order         #
+# (count DESC, left, right) makes the cut unambiguous in both engines.        #
+# --------------------------------------------------------------------------- #
+_BPE_TOP_PAIRS = 40
+
+
+@query(
+    "tx18_bpe_merge_pairs",
+    # Parallel unnest in DuckDB zips the two shifted slices positionally —
+    # exactly arrays_zip's semantics on the Spark side.
+    oracle=f"""
+    WITH d AS (
+        SELECT {_tokens_sql()} AS toks FROM documents
+    ), p AS (
+        SELECT unnest(toks[1:len(toks)-1]) AS left_tok,
+               unnest(toks[2:len(toks)])   AS right_tok
+        FROM d WHERE len(toks) >= 2
+    )
+    SELECT left_tok, right_tok, COUNT(*) AS n_occurrences
+    FROM p
+    GROUP BY left_tok, right_tok
+    ORDER BY n_occurrences DESC, left_tok, right_tok
+    LIMIT {_BPE_TOP_PAIRS}
+    """,
+)
+def tx18_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.col("toks")
+    n = F.size(toks)
+    pairs = (
+        docs.select(_tokens_spark().alias("toks"))
+        .where(n >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(toks, F.lit(1), n - 1).alias("left_tok"),
+                    F.slice(toks, F.lit(2), n - 1).alias("right_tok"),
+                )
+            ).alias("pr")
+        )
+    )
+    return (
+        pairs.groupBy(
+            F.col("pr.left_tok").alias("left_tok"),
+            F.col("pr.right_tok").alias("right_tok"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "left_tok", "right_tok")
+        .limit(_BPE_TOP_PAIRS)
+    )

@@ -1243,3 +1243,40 @@ def test_incremental_paths_with_empty_store(spark):
         for r in near_dup_pairs(new, threshold=0.7).collect()
     }
     assert got == want and want
+
+
+def test_quantized_topk_recall_vs_bruteforce(spark):
+    # int8 scalar quantization keeps ~7.5 significant bits per component;
+    # on 64-dim embeddings the quantized cosine ranking should agree with
+    # the exact float ranking almost everywhere.
+    from dbix_batchchunker_spark.operators.similarity import (
+        sim01_topk_bruteforce,
+        sim08_quantized_topk,
+    )
+
+    exact_sets, q_sets = {}, {}
+    for r in sim01_topk_bruteforce(spark, SF_DIR).collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in sim08_quantized_topk(spark, SF_DIR).collect():
+        q_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(q_sets) == set(exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    hits = sum(len(s & q_sets[q]) for q, s in exact_sets.items())
+    assert hits / total >= 0.9, f"quantized recall {hits / total:.2f}"
+
+
+def test_quantize_int8_edges(spark):
+    # all-zero vector → all-zero codes (guard, no 0/0); extremes hit ±127
+    # exactly; codes are bounded by construction.
+    import pyspark.sql.functions as F
+
+    from dbix_batchchunker_spark.functions.vectors import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [-2.0, 1.0, 2.0]), (3, [0.5, -0.25, 0.125])],
+        "id long, v array<float>",
+    ).select("id", quantize_int8(F.col("v")).alias("q"))
+    out = {r.id: r.q for r in df.collect()}
+    assert out[1] == [0, 0, 0]
+    assert out[2] == [-127, 64, 127]  # floor(63.5+0.5) = 64: half-up
+    assert out[3][0] == 127 and max(abs(x) for x in out[3]) <= 127
