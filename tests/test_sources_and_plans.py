@@ -536,3 +536,26 @@ def test_composite_keyset_predicate_is_pushed(spark):
     plan = formatted_plan(q38_composite_keyset(spark, SF_DIR))
     m = re.search(r"PushedFilters: \[(.*)\]", plan)
     assert m and "l_orderkey" in m.group(1), plan
+
+
+def test_bpe_pair_count_plan_shape(spark):
+    """tx18: pair explosion must partial-aggregate map-side (two
+    HashAggregates around one exchange) and cut top-k with
+    TakeOrderedAndProject — never a global sort of the full pair table."""
+    from dbix_batchchunker_spark.operators.text import tx18_bpe_merge_pairs
+    from dbix_batchchunker_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(tx18_bpe_merge_pairs(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in plan, plan  # map-side combine before the shuffle
+
+
+def test_quantized_topk_probe_is_broadcast(spark):
+    """sim08: the probe side must broadcast — the corpus side streams
+    through unshuffled (same probe-bounded contract as sim01)."""
+    from dbix_batchchunker_spark.operators.similarity import sim08_quantized_topk
+    from dbix_batchchunker_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(sim08_quantized_topk(spark, SF_DIR))
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
