@@ -149,3 +149,88 @@ def running_user_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def tws_available() -> bool:
+    """True when ``transformWithStateInPandas`` can actually run: the
+    Python side of the state-server protocol needs ``google.protobuf``,
+    which Spark does not bundle. Gate, don't crash — the query fails at
+    RUNTIME (streaming Python runner init) if protobuf is missing, not at
+    plan time."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_type_breakdown(stream_df: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Spark 4-native arbitrary stateful operator (transformWithState):
+    per-user running totals in a typed ValueState plus a per-event-type
+    MapState — the successor API to ``running_user_totals``'s
+    applyInPandasWithState, with composable typed state variables, TTL
+    support, and timers. Requires the RocksDB state-store provider (set by
+    the caller) and ``google.protobuf`` on the Python side
+    (:func:`tws_available`); the container this repo is developed in lacks
+    protobuf, so the end-to-end drain is exercised only where available
+    (tests/test_streaming.py skips with the reason otherwise) — the
+    operator itself is plain public PySpark API.
+
+    Emits one row per (user, event_type) touched in the micro-batch with
+    the type's running count and the user's running value total; the
+    bounded-drain batch equivalent is a groupBy(user, type) count joined
+    to groupBy(user) value sums.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TypeBreakdown(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.totals = handle.getValueState("totals", "n long, total double")
+            self.by_type = handle.getMapState(
+                "by_type", "event_type string", "cnt long"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, total = self.totals.get() if self.totals.exists() else (0, 0.0)
+            touched: set = set()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                for et, c in pdf.groupby("event_type").size().items():
+                    prev = (
+                        self.by_type.getValue((et,))[0]
+                        if self.by_type.containsKey((et,))
+                        else 0
+                    )
+                    self.by_type.updateValue((et,), (prev + int(c),))
+                    touched.add(et)
+            self.totals.update((n, total))
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "event_type": et,
+                        "n_type_events": self.by_type.getValue((et,))[0],
+                        "user_total_value": total,
+                    }
+                    for et in sorted(touched)
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream_df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=TypeBreakdown(),
+        outputStructType=(
+            "user_id long, event_type string, "
+            "n_type_events long, user_total_value double"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -481,3 +481,77 @@ def test_drop_duplicates_within_watermark_bounded_state(spark, tmp_path):
     finally:
         spark.catalog.dropTempView(sink)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_tws_type_breakdown_matches_batch(spark, tmp_path):
+    """transformWithStateInPandas breakdown equals the batch groupBy
+    equivalent. Skipped where google.protobuf is absent (the streaming
+    Python runner's state-server protocol needs it and Spark doesn't
+    bundle it) — the gate is part of the operator's contract."""
+    import pytest
+
+    from dbix_batchchunker_spark.streaming.incremental import (
+        running_type_breakdown,
+        stream_table,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf unavailable: transformWithState "
+                    "runner cannot initialize in this environment")
+
+    data_dir = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ck")
+    spark.range(0, 100).selectExpr(
+        "id AS event_id",
+        "id % 5 AS user_id",
+        "CASE WHEN id % 2 = 0 THEN 'click' ELSE 'view' END AS event_type",
+        "CAST(id AS DOUBLE) / 10 AS value",
+    ).write.parquet(data_dir)
+    schema = spark.read.parquet(data_dir).schema
+
+    latest = {}
+
+    def sink(batch_df, _bid):
+        for r in batch_df.collect():
+            latest[(r.user_id, r.event_type)] = r
+
+    saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            running_type_breakdown(stream_table(spark, data_dir, schema))
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", saved
+            )
+
+    batch = spark.read.parquet(data_dir)
+    expect_counts = {
+        (r.user_id, r.event_type): r.cnt
+        for r in batch.groupBy("user_id", "event_type").count()
+        .withColumnRenamed("count", "cnt").collect()
+    }
+    expect_totals = {
+        r.user_id: r.total
+        for r in batch.groupBy("user_id")
+        .agg(F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(latest) == set(expect_counts)
+    for (u, et), r in latest.items():
+        assert r.n_type_events == expect_counts[(u, et)]
+        assert abs(r.user_total_value - expect_totals[u]) < 1e-9
