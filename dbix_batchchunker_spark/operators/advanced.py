@@ -875,3 +875,118 @@ def q39_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     ).orderBy("o_custkey")
+
+
+# --------------------------------------------------------------------------- #
+# q40: null-aware anti join — the NOT IN trap, done on purpose.               #
+#                                                                             #
+# NOT IN (subquery) is NOT the anti join q09 runs: one NULL anywhere changes  #
+# the answer (outer rows with a NULL key drop out as UNKNOWN; a NULL in the   #
+# subquery empties the result). Spark plans it as a null-aware anti join,    #
+# which only supports BROADCAST — at 100 TB a NOT IN against a large         #
+# subquery will not plan, and that is the correct failure: the fix is NOT    #
+# EXISTS (plain shuffle-able anti join, q09's shape) once you've decided      #
+# NULL keys should match-as-absent. This query pins the tri-valued           #
+# semantics both engines must agree on: customers whose (deliberately       #
+# NULL-holed) key is NOT IN the high-value order keys — NULL-keyed           #
+# customers excluded by UNKNOWN, not returned.                               #
+# --------------------------------------------------------------------------- #
+_Q40_NULL_MOD = 97
+_Q40_PRICE_FLOOR = 150000.0
+
+
+@query(
+    "q40_null_aware_anti",
+    oracle=f"""
+    WITH c AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % {_Q40_NULL_MOD} = 0 THEN NULL
+                    ELSE c_custkey END AS probe_key
+        FROM customer
+    )
+    SELECT c_custkey, c_name
+    FROM c
+    WHERE probe_key NOT IN (
+        SELECT o_custkey FROM orders WHERE o_totalprice > {_Q40_PRICE_FLOOR}
+    )
+    ORDER BY c_custkey
+    """,
+)
+def q40_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "customer").createOrReplaceTempView("q40_customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("q40_orders")
+    # Through spark.sql on purpose: NOT IN must reach the planner as the
+    # null-aware construct (the DataFrame API has no NAAJ spelling).
+    return spark.sql(
+        f"""
+        WITH c AS (
+            SELECT c_custkey, c_name,
+                   CASE WHEN c_custkey % {_Q40_NULL_MOD} = 0 THEN NULL
+                        ELSE c_custkey END AS probe_key
+            FROM q40_customer
+        )
+        SELECT c_custkey, c_name
+        FROM c
+        WHERE probe_key NOT IN (
+            SELECT o_custkey FROM q40_orders WHERE o_totalprice > {_Q40_PRICE_FLOOR}
+        )
+        ORDER BY c_custkey
+        """
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q41: mergeable-sketch rollup — HLL sketches as AGGREGATION STATE.           #
+#                                                                             #
+# The 100 TB pattern behind every distinct-count dashboard: sketch the fact   #
+# table ONCE at fine grain (per nation, partial-aggregated map-side), then    #
+# roll coarser grains up by MERGING the 25 sketch rows — never rescanning    #
+# the facts. Spark's Datasketches functions (hll_sketch_agg / hll_union_agg  #
+# / hll_sketch_estimate) make the sketch a first-class aggregate value; a    #
+# real deployment persists the fine-grain sketch table and serves every      #
+# coarser rollup from it.                                                     #
+#                                                                             #
+# Oracle-backed DELIBERATELY: a Datasketches HLL_4 sketch is coupon-exact in #
+# sparse mode until ~3k distincts, and the gate scales (sf0.001/sf0.01) put  #
+# ≤300 distinct active customers per region — deterministically exact, not   #
+# luckily close (verified: first estimate drift appears at sf0.1, ~3k per    #
+# region, where only wall-clock is graded). The ±1.6% production error bar   #
+# is pinned separately in tests/test_extensions.py at sf0.1.                  #
+# --------------------------------------------------------------------------- #
+@query(
+    "q41_sketch_rollup",
+    oracle="""
+    SELECT r.r_name,
+           COUNT(DISTINCT n.n_nationkey) AS n_nations,
+           COUNT(DISTINCT o.o_custkey) AS est_active_customers
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+)
+def q41_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").select("o_custkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    fine = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_nationkey", "n_regionkey")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    )
+    # the rollup input is 25 sketch rows — the fact table is NOT rescanned
+    return (
+        fine.join(F.broadcast(region), fine.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count_distinct("n_nationkey").alias("n_nations"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "est_active_customers"
+            ),
+        )
+        .orderBy("r_name")
+    )

@@ -1280,3 +1280,38 @@ def test_quantize_int8_edges(spark):
     assert out[1] == [0, 0, 0]
     assert out[2] == [-127, 64, 127]  # floor(63.5+0.5) = 64: half-up
     assert out[3][0] == 127 and max(abs(x) for x in out[3]) <= 127
+
+
+def test_sketch_rollup_error_bound_at_estimation_scale(spark):
+    # At sf0.1 the per-region distinct counts (~3k) push the HLL sketches
+    # past sparse mode into genuine estimation; pin the production error
+    # bar the q41 docstring claims (HLL_4 lgK=12 → ~1.6% RSE; allow 3σ).
+    import os
+
+    import pyspark.sql.functions as F
+
+    from dbix_batchchunker_spark.operators.advanced import q41_sketch_rollup
+
+    sf1 = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf1):
+        import pytest
+
+        pytest.skip("sf0.1 testdata not present")
+    est = {r.r_name: r.est_active_customers for r in q41_sketch_rollup(spark, sf1).collect()}
+    orders = spark.read.parquet(sf1 + "/orders.parquet")
+    cust = spark.read.parquet(sf1 + "/customer.parquet")
+    nat = spark.read.parquet(sf1 + "/nation.parquet")
+    reg = spark.read.parquet(sf1 + "/region.parquet")
+    exact = {
+        r.r_name: r.exact
+        for r in orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nat, cust.c_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count_distinct("o_custkey").alias("exact"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for name, e in est.items():
+        rel = abs(e - exact[name]) / exact[name]
+        assert rel <= 0.05, f"{name}: est {e} vs exact {exact[name]} ({rel:.3%})"
