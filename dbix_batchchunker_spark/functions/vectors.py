@@ -49,6 +49,8 @@ def quantize_int8(vec: Column) -> Column:
     to all-zero via the greatest(scale, 1e-30) guard instead of a 0/0."""
     amax = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
     scale = F.greatest(amax / F.lit(127.0), F.lit(1e-30))
+    # tinyint, not int: the stored code column must actually be 1 byte per
+    # component or the 4× memory/scan-IO claim over float32 is fiction
     return F.transform(
-        vec, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int")
+        vec, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("byte")
     )
