@@ -197,3 +197,73 @@ def sp03_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "keep_rate")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------- #
+# sp04: SEQUENCE PACKING — map each document onto the global token stream.    #
+#                                                                             #
+# Training batches are fixed-token-budget packs; the standard concat-then-    #
+# chunk scheme (GPT-style packing) assigns every document the half-open      #
+# range [start_tok, start_tok + n_tokens) of the concatenated corpus and     #
+# cuts packs every _PACK_BUDGET tokens — docs crossing a boundary split     #
+# across consecutive packs (first_pack..last_pack). The whole layout is a    #
+# pure function of (doc order, token counts): deterministic, resumable,      #
+# and engine-checkable.                                                       #
+#                                                                             #
+# The distributed heart is the GLOBAL running token count. SUM OVER          #
+# (ORDER BY doc_id) with no partition key would single-partition the         #
+# corpus; functions/prefix.with_global_cumsum runs the two-phase prefix     #
+# sum instead — partition-local windows + a #partitions-row driver offset    #
+# pass (plan-asserted free of SinglePartition exchanges). The DuckDB oracle  #
+# IS the naive global window: the gate adjudicates the rewrite.              #
+# --------------------------------------------------------------------------- #
+_PACK_BUDGET = 2048
+
+
+@query(
+    "sp04_sequence_packing",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM d
+    )
+    SELECT doc_id, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS start_tok,
+           CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS first_pack,
+           CAST((cum - 1) // {_PACK_BUDGET} AS BIGINT) AS last_pack,
+           CAST((cum - 1) // {_PACK_BUDGET} - (cum - n_tokens) // {_PACK_BUDGET} + 1 AS BIGINT) AS n_segments
+    FROM c
+    WHERE n_tokens > 0
+    ORDER BY doc_id
+    """,
+)
+def sp04_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.prefix import with_global_cumsum
+    from .text import _tokens_spark
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_tokens_spark("text")).alias("n_tokens")
+    )
+    b = _PACK_BUDGET
+    cum = with_global_cumsum(docs, "doc_id", "n_tokens", out_col="cum")
+    start = F.col("cum") - F.col("n_tokens")
+    first = F.expr(f"(cum - n_tokens) div {b}")
+    last = F.expr(f"(cum - 1) div {b}")
+    return (
+        cum.where(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            start.alias("start_tok"),
+            first.alias("first_pack"),
+            last.alias("last_pack"),
+            (last - first + F.lit(1)).alias("n_segments"),
+        )
+        .orderBy("doc_id")
+    )

@@ -559,3 +559,23 @@ def test_quantized_topk_probe_is_broadcast(spark):
     plan = formatted_plan(sim08_quantized_topk(spark, SF_DIR))
     assert "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_global_cumsum_two_phase_matches_naive_window(spark):
+    """functions/prefix.with_global_cumsum must equal the single-partition
+    window spelling on every row AND keep SinglePartition exchanges out of
+    its plan — the point of the two-phase rewrite."""
+    from pyspark.sql import Window
+
+    from dbix_batchchunker_spark.functions.prefix import with_global_cumsum
+    from dbix_batchchunker_spark.plans.explain import formatted_plan
+
+    df = spark.range(0, 997).selectExpr("id AS k", "(id * 37) % 101 AS v")
+    got = with_global_cumsum(df, "k", "v", out_col="cum", num_partitions=7)
+    naive = df.withColumn(
+        "cum", F.sum("v").over(Window.orderBy("k"))
+    )
+    assert "SinglePartition" not in formatted_plan(got)
+    g = {r.k: r.cum for r in got.collect()}
+    n = {r.k: r.cum for r in naive.collect()}
+    assert g == n
