@@ -990,3 +990,48 @@ def q41_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+# --------------------------------------------------------------------------- #
+# q42: RANGE window frame — trailing 7-day revenue, the value-based frame     #
+# none of the other window queries exercise (q31's cumulative frame is       #
+# ROWS-based: it counts rows, not time; a RANGE frame widens/narrows with    #
+# gaps in the calendar). Runs on the REDUCED daily aggregate (calendar-      #
+# bounded: ~2.4k rows for TPC-H's 7 years AT ANY corpus scale), so the      #
+# unpartitioned window is safe — the same reduced-frame posture as q39.     #
+# Day arithmetic in integer epoch days on both engines; revenue stays        #
+# exact DECIMAL until the final cast.                                        #
+# --------------------------------------------------------------------------- #
+@query(
+    "q42_trailing_week_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day_num,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT day_num,
+           CAST(rev AS DOUBLE) AS daily_revenue,
+           CAST(SUM(rev) OVER (
+               ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_7d_revenue
+    FROM daily
+    ORDER BY day_num
+    """,
+)
+def q42_trailing_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(
+                F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+            ).alias("day_num")
+        )
+        .agg(F.sum(dec2("o_totalprice")).alias("rev"))
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, Window.currentRow)
+    return daily.select(
+        "day_num",
+        F.col("rev").cast(_OUT).alias("daily_revenue"),
+        F.sum("rev").over(w).cast(_OUT).alias("trailing_7d_revenue"),
+    ).orderBy("day_num")

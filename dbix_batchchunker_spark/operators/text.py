@@ -898,3 +898,97 @@ def tx18_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "left_tok", "right_tok")
         .limit(_BPE_TOP_PAIRS)
     )
+
+
+# --------------------------------------------------------------------------- #
+# tx19: learned quality classifier, linearized — model INFERENCE as pure JVM  #
+# expressions. The FineWeb-Edu recipe scores every document with a trained    #
+# quality classifier; at 100 TB the scoring pass dominates, and a linear     #
+# model over cheap text features (the distilled/regression form of such      #
+# classifiers) runs entirely inside whole-stage codegen: the weight vector   #
+# is a handful of literals folded into the plan — no UDF, no model server,   #
+# no Python on the scoring path. The LOGIT is emitted instead of the        #
+# sigmoid: monotone transforms preserve ranking and thresholding, and the    #
+# logit is plain multiply/add on 6-dp-rounded features — engine-portable    #
+# where exp() libm drift is not. Weights here are illustrative constants;   #
+# a real deployment pastes its trained coefficients into _TX19_W.           #
+# --------------------------------------------------------------------------- #
+_TX19_W = {
+    "stopword_ratio": 8.0,   # English prose carries stopwords
+    "punct_ratio": -6.0,     # over-punctuation reads as spam/boilerplate
+    "digit_ratio": -4.0,     # digit-dense docs are tables/logs
+    "log_tokens": 0.5,       # longer docs mildly favored
+}
+_TX19_BIAS = -2.0
+_TX19_THRESHOLD = 0.0  # keep iff logit > 0 (= sigmoid > 0.5)
+
+
+@query(
+    "tx19_classifier_score",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               {_tokens_sql()} AS toks,
+               length(text) AS n_chars,
+               len(regexp_extract_all(text, '{_PUNCT_CLASS}')) AS n_punct,
+               len(regexp_extract_all(text, '[0-9]')) AS n_digits
+        FROM documents
+    ), f AS (
+        SELECT doc_id,
+               ROUND(len(list_filter(toks, x -> x IN ({_EN_LIST_SQL})))
+                     / GREATEST(len(toks), 1), 6) AS stopword_ratio,
+               ROUND(n_punct / GREATEST(n_chars, 1), 6) AS punct_ratio,
+               ROUND(n_digits / GREATEST(n_chars, 1), 6) AS digit_ratio,
+               ROUND(ln(1 + len(toks)), 6) AS log_tokens
+        FROM s
+    )
+    SELECT doc_id, stopword_ratio, punct_ratio, digit_ratio, log_tokens,
+           -- UNROUNDED on purpose: both engines run the identical IEEE
+           -- multiply/add sequence on the identical 6-dp features, so the
+           -- doubles are bit-equal — while ROUND(double, n) itself is the
+           -- one op whose boundary behavior differs cross-engine.
+           ({_TX19_W['stopword_ratio']} * stopword_ratio
+                 + {_TX19_W['punct_ratio']} * punct_ratio
+                 + {_TX19_W['digit_ratio']} * digit_ratio
+                 + {_TX19_W['log_tokens']} * log_tokens
+                 + {_TX19_BIAS}) AS quality_logit,
+           ({_TX19_W['stopword_ratio']} * stopword_ratio
+                 + {_TX19_W['punct_ratio']} * punct_ratio
+                 + {_TX19_W['digit_ratio']} * digit_ratio
+                 + {_TX19_W['log_tokens']} * log_tokens
+                 + {_TX19_BIAS}) > {_TX19_THRESHOLD} AS keep
+    FROM f
+    ORDER BY doc_id
+    """,
+)
+def tx19_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens_spark()
+    n_chars = F.greatest(F.length("text"), F.lit(1))
+    n_punct = F.size(F.regexp_extract_all("text", F.lit(_PUNCT_CLASS), F.lit(0)))
+    n_digits = F.size(F.regexp_extract_all("text", F.lit("[0-9]"), F.lit(0)))
+    feats = docs.select(
+        "doc_id",
+        F.round(
+            _hits_spark(toks, _EN_WORDS) / F.greatest(F.size(toks), F.lit(1)), 6
+        ).alias("stopword_ratio"),
+        F.round(n_punct / n_chars, 6).alias("punct_ratio"),
+        F.round(n_digits / n_chars, 6).alias("digit_ratio"),
+        F.round(F.log(F.lit(1) + F.size(toks)), 6).alias("log_tokens"),
+    )
+    logit = (
+        F.lit(_TX19_W["stopword_ratio"]) * F.col("stopword_ratio")
+        + F.lit(_TX19_W["punct_ratio"]) * F.col("punct_ratio")
+        + F.lit(_TX19_W["digit_ratio"]) * F.col("digit_ratio")
+        + F.lit(_TX19_W["log_tokens"]) * F.col("log_tokens")
+        + F.lit(_TX19_BIAS)
+    )
+    return feats.select(
+        "doc_id",
+        "stopword_ratio",
+        "punct_ratio",
+        "digit_ratio",
+        "log_tokens",
+        logit.alias("quality_logit"),
+        (logit > _TX19_THRESHOLD).alias("keep"),
+    ).orderBy("doc_id")
