@@ -267,3 +267,78 @@ def sp04_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------- #
+# sp05: pack-segment manifest — sp04's layout MATERIALIZED. A trainer reads   #
+# packs, so the deliverable is one row per (pack, doc-segment): which slice   #
+# of which document fills which token range of which pack. Segments per doc   #
+# = packs it touches (explode over sequence(first_pack, last_pack)): total    #
+# rows = n_docs + n_boundary_crossings ≤ n_docs + total_tokens/_PACK_BUDGET   #
+# — linear, no blow-up. Every pack except the last is exactly full by        #
+# construction (asserted in tests/test_extensions.py).                        #
+# --------------------------------------------------------------------------- #
+@query(
+    "sp05_pack_segments",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM d
+    ), spans AS (
+        SELECT doc_id,
+               CAST(cum - n_tokens AS BIGINT) AS start_tok,
+               CAST(cum AS BIGINT) AS end_tok,
+               CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS first_pack,
+               CAST((cum - 1) // {_PACK_BUDGET} AS BIGINT) AS last_pack
+        FROM c WHERE n_tokens > 0
+    )
+    SELECT p.pack_id, s.doc_id,
+           GREATEST(s.start_tok, p.pack_id * {_PACK_BUDGET}) - s.start_tok AS offset_in_doc,
+           LEAST(s.end_tok, (p.pack_id + 1) * {_PACK_BUDGET})
+               - GREATEST(s.start_tok, p.pack_id * {_PACK_BUDGET}) AS seg_len,
+           GREATEST(s.start_tok, p.pack_id * {_PACK_BUDGET})
+               - p.pack_id * {_PACK_BUDGET} AS offset_in_pack
+    FROM spans s, UNNEST(range(s.first_pack, s.last_pack + 1)) AS p(pack_id)
+    ORDER BY pack_id, offset_in_pack
+    """,
+)
+def sp05_pack_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.prefix import with_global_cumsum
+    from .text import _tokens_spark
+
+    b = _PACK_BUDGET
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_tokens_spark("text")).alias("n_tokens")
+    )
+    spans = (
+        with_global_cumsum(docs, "doc_id", "n_tokens", out_col="cum")
+        .where(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            (F.col("cum") - F.col("n_tokens")).alias("start_tok"),
+            F.col("cum").alias("end_tok"),
+            F.expr(f"(cum - n_tokens) div {b}").alias("first_pack"),
+            F.expr(f"(cum - 1) div {b}").alias("last_pack"),
+        )
+    )
+    seg = spans.select(
+        "doc_id",
+        "start_tok",
+        "end_tok",
+        F.explode(F.sequence("first_pack", "last_pack")).alias("pack_id"),
+    )
+    seg_start = F.greatest(F.col("start_tok"), F.col("pack_id") * b)
+    seg_end = F.least(F.col("end_tok"), (F.col("pack_id") + 1) * b)
+    return seg.select(
+        "pack_id",
+        "doc_id",
+        (seg_start - F.col("start_tok")).alias("offset_in_doc"),
+        (seg_end - seg_start).alias("seg_len"),
+        (seg_start - F.col("pack_id") * b).alias("offset_in_pack"),
+    ).orderBy("pack_id", "offset_in_pack")

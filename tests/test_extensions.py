@@ -1315,3 +1315,37 @@ def test_sketch_rollup_error_bound_at_estimation_scale(spark):
     for name, e in est.items():
         rel = abs(e - exact[name]) / exact[name]
         assert rel <= 0.05, f"{name}: est {e} vs exact {exact[name]} ({rel:.3%})"
+
+
+def test_pack_segments_fill_packs_exactly(spark):
+    # sp05 invariants: within each pack, segments tile [0, budget) with no
+    # gaps/overlaps (every pack but the last exactly full); per doc, the
+    # segments tile [0, n_tokens).
+    from dbix_batchchunker_spark.operators.sampling import (
+        _PACK_BUDGET,
+        sp05_pack_segments,
+    )
+
+    rows = sp05_pack_segments(spark, SF_DIR).collect()
+    by_pack, by_doc = {}, {}
+    for r in rows:
+        by_pack.setdefault(r.pack_id, []).append((r.offset_in_pack, r.seg_len))
+        by_doc.setdefault(r.doc_id, []).append((r.offset_in_doc, r.seg_len))
+    last_pack = max(by_pack)
+    for pid, segs in by_pack.items():
+        segs.sort()
+        pos = 0
+        for off, ln in segs:
+            assert off == pos, (pid, off, pos)
+            assert ln > 0
+            pos = off + ln
+        if pid != last_pack:
+            assert pos == _PACK_BUDGET, (pid, pos)
+        else:
+            assert 0 < pos <= _PACK_BUDGET
+    for did, segs in by_doc.items():
+        segs.sort()
+        pos = 0
+        for off, ln in segs:
+            assert off == pos, (did, off, pos)
+            pos = off + ln
