@@ -100,9 +100,51 @@ def main() -> None:
         .join(split, "doc_id")
     )
 
-    # 8. one partitioned write; downstream readers of split=train prune the
+    # 8. learned-quality gate — linearized classifier inference (tx19):
+    #    weights folded into codegen. The demo corpus is synthetic word
+    #    salad, so instead of tx19's absolute keep threshold (tuned for
+    #    prose) the pipeline keeps the TOP HALF by logit — the percentile
+    #    form real corpus builds use ("keep the best k%"); approxQuantile
+    #    is one pass, driver gets a single number
+    scored = QUERIES["tx19_classifier_score"](spark, sf_dir).join(
+        clean.select("doc_id"), "doc_id", "left_semi"
+    )
+    cut = scored.approxQuantile("quality_logit", [0.5], 0.001)[0]
+    clean = clean.join(
+        scored.where(F.col("quality_logit") >= cut).select("doc_id"),
+        "doc_id", "left_semi",
+    )
+
+    # 9. one partitioned write; downstream readers of split=train prune the
     #    other directories at the source
     clean.write.mode("overwrite").partitionBy("split").parquet(out_dir)
+
+    # 10. sequence packing — the trainer-ready manifest: each train doc's
+    #     slice of the concatenated token stream, cut into fixed-budget
+    #     packs (two-phase prefix sum, no single-partition window)
+    from dbix_batchchunker_spark.functions.prefix import with_global_cumsum
+    from dbix_batchchunker_spark.operators.sampling import _PACK_BUDGET
+    from dbix_batchchunker_spark.operators.text import _tokens_spark
+
+    train = spark.read.parquet(out_dir).where("split = 'train'")
+    counts = train.select("doc_id", F.size(_tokens_spark("text")).alias("n_tokens"))
+    spans = with_global_cumsum(counts, "doc_id", "n_tokens", out_col="cum")
+    b = _PACK_BUDGET
+    manifest = (
+        spans.where("n_tokens > 0")
+        .select(
+            "doc_id",
+            (F.col("cum") - F.col("n_tokens")).alias("start_tok"),
+            F.col("cum").alias("end_tok"),
+            F.explode(
+                F.sequence(
+                    F.expr(f"(cum - n_tokens) div {b}"),
+                    F.expr(f"(cum - 1) div {b}"),
+                )
+            ).alias("pack_id"),
+        )
+    )
+    manifest.write.mode("overwrite").parquet(out_dir + "_packs")
 
     kept = spark.read.parquet(out_dir)
     per_split = {r["split"]: r["n"] for r in
