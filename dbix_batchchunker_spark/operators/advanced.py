@@ -1035,3 +1035,50 @@ def q42_trailing_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev").cast(_OUT).alias("daily_revenue"),
         F.sum("rev").over(w).cast(_OUT).alias("trailing_7d_revenue"),
     ).orderBy("day_num")
+
+
+# --------------------------------------------------------------------------- #
+# q43: SALTED hot-key join, registered — functions/skew.salted_join's         #
+# contract is "identical result to the plain equi-join, with the hot key     #
+# fanned across salt_buckets tasks"; this query puts that equivalence under  #
+# the driver's oracle (the oracle runs the PLAIN join — salting must be      #
+# invisible in values). The demo key space is events.user_id folded onto    #
+# the customer key; per-key cardinality is what AQE's skew splitting        #
+# handles automatically, so the explicit salt is reserved for the           #
+# pathological both-sides-hot case (see skew.py docstring) — the query      #
+# exercises the path, the docstring owns the when-to-use.                    #
+# --------------------------------------------------------------------------- #
+@query(
+    "q43_salted_hot_join",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id % (SELECT COUNT(*) FROM customer) AS c_custkey,
+               value FROM events
+    )
+    SELECT c.c_nationkey,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM e JOIN customer c USING (c_custkey)
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+)
+def q43_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import salted_join
+
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n_cust = cust.count()
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(n_cust)).alias("c_custkey"),
+        F.col("value").cast("decimal(18,6)").alias("value"),
+    )
+    joined = salted_join(ev, cust, "c_custkey")
+    return (
+        joined.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").cast(_OUT).alias("total_value"),
+        )
+        .orderBy("c_nationkey")
+    )
