@@ -992,3 +992,69 @@ def tx19_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         logit.alias("quality_logit"),
         (logit > _TX19_THRESHOLD).alias("keep"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------- #
+# tx20: SPLIT-LEAKAGE audit — exact-duplicate documents that land in          #
+# DIFFERENT splits. Deterministic hash splits (tx09) are assigned per doc    #
+# id, so two byte-identical documents can straddle train/val — the exact    #
+# leak an eval protects against, and the audit every corpus release runs    #
+# after dedup + split. Shape: fingerprint hash-agg to duplicate GROUPS      #
+# (dd01's shuffle: 16 B fingerprint + split label per doc, never text),     #
+# keep groups spanning >1 split, emit one row per leaking group with the    #
+# doc count per side. The fingerprint is the SORTED-DISTINCT-TOKEN-SET      #
+# hash (word-order-insensitive — the corpus's near-dups are token          #
+# reshuffles, which byte-exact md5(text) calls distinct; swap in md5(text)  #
+# for the strict form). Composes two existing selectors — the point is     #
+# the cross-family audit, not new machinery.                                 #
+# --------------------------------------------------------------------------- #
+@query(
+    "tx20_split_leakage",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))), ' ')) AS fp,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < '10' THEN 'val'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < '20' THEN 'test'
+                    ELSE 'train' END AS split
+        FROM documents
+    )
+    SELECT fp,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT split) AS n_splits,
+           MIN(doc_id) AS first_doc_id,
+           CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(SUM(CASE WHEN split != 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_eval
+    FROM s
+    GROUP BY fp
+    HAVING COUNT(DISTINCT split) > 1
+    ORDER BY fp
+    """,
+)
+def tx20_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    key = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 2
+    )
+    s = docs.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(_tokens_spark())), " ")
+        ).alias("fp"),
+        F.when(key < "10", "val").when(key < "20", "test").otherwise("train").alias(
+            "split"
+        ),
+    )
+    return (
+        s.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("split").alias("n_splits"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_train"),
+            F.sum(F.when(F.col("split") != "train", 1).otherwise(0)).alias("n_eval"),
+        )
+        .where(F.col("n_splits") > 1)
+        .orderBy("fp")
+    )
