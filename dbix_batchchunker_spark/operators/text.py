@@ -1058,3 +1058,42 @@ def tx20_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_splits") > 1)
         .orderBy("fp")
     )
+
+
+# --------------------------------------------------------------------------- #
+# tx21: VARIANT semi-structured extraction — Spark 4's shredded-JSON path.    #
+# tx05 re-parses the JSON STRING once per get_json_object call; parse_json   #
+# shreds each document into the binary VARIANT encoding ONCE, and every     #
+# subsequent variant_get is a path lookup into that encoding — with many    #
+# extracted paths at 100 TB, parse-once-extract-many is the difference      #
+# between one JSON parse and P parses per row. (The testdata's props        #
+# carries a single key, so tx05 and tx21 agree numerically; the registered  #
+# value is the mechanism + cross-engine agreement, with min/max/sum all     #
+# served from one shred.)                                                    #
+# --------------------------------------------------------------------------- #
+@query(
+    "tx21_variant_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def tx21_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").withColumn("v", F.parse_json("props"))
+    k = F.try_variant_get("v", "$.k", "long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
