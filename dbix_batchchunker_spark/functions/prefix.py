@@ -7,20 +7,27 @@ cannot contain. The classic fix is the two-phase prefix sum:
 
 1. range-partition by the order key (``repartitionByRange`` keeps key
    ranges contiguous and ordered across partition ids);
-2. windowed running sum WITHIN each partition (parallel, partition-local
-   sort only);
+2. windowed running sum WITHIN each partition;
 3. per-partition totals — one tiny row per partition — prefix-summed on
-   the driver and broadcast back as per-partition base offsets.
+   the driver and broadcast-joined back as per-partition base offsets.
 
 Only #partitions rows ever reach the driver; everything row-scale stays
-distributed. q31's single-partition window is fine for key-bounded frames
-(one row per order date); this helper is for running sums over row-scale
-frames, where sp04's sequence packing lives.
+distributed. Honest cost model: TWO row-scale exchanges (the range
+partition, then the window's hash partition on the pid — Spark cannot be
+told the data is already pid-partitioned), both carrying only the slim
+(order, value) projection the callers pass. The one-exchange variant
+would do the partition-local cumsum in ``mapInPandas``; not taken — it
+trades a shuffle of slim rows for an Arrow round-trip of every row and
+puts Python on the row path.
+
+q31's single-partition window is fine for key-bounded frames (one row
+per order date); this helper is for running sums over row-scale frames,
+where sp04's sequence packing lives.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -37,35 +44,44 @@ def with_global_cumsum(
 
     ``order_col`` must be a total order (unique values); the result is
     then independent of partition boundary placement — per-partition
-    offsets are computed from the ACTUAL partition sums, so where
-    ``repartitionByRange``'s sampled boundaries land cannot change any
-    row's cumsum.
+    offsets are computed from the ACTUAL partition sums
+    (``sum(value_col)``, so negative and NULL values are handled), so
+    where ``repartitionByRange``'s sampled boundaries land cannot change
+    any row's cumsum.
+
+    The partitioned input is persisted before the totals job: the
+    offsets map is built from the SAME materialization every downstream
+    action reads, never from a recomputation (a nondeterministic source
+    recomputed differently would silently skew every later partition).
+    Call ``.unpersist()`` on the RETURNED frame's lineage via
+    ``spark.catalog.clearCache()`` when done, as bench.py does.
     """
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
-        "__pid", F.spark_partition_id()
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
     )
     w = Window.partitionBy("__pid").orderBy(order_col)
     local = ranged.withColumn("__local_cum", F.sum(value_col).over(w))
     # one row per partition crosses to the driver — #partitions, not #rows
     totals = sorted(
         (r["__pid"], r["__tot"])
-        for r in local.groupBy("__pid")
-        .agg(F.max("__local_cum").alias("__tot"))
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(value_col).alias("__tot"))
         .collect()
     )
-    offsets, acc = {}, 0
+    rows, acc = [], 0
     for pid, tot in totals:
-        offsets[pid] = acc
-        acc += tot
-    # range partitioning ⇒ pid order == key order, so the prefix of the
-    # partition sums IS each partition's base offset
-    offset_col: Column = F.element_at(
-        F.create_map(
-            *[F.lit(x) for kv in offsets.items() for x in kv]
-        ),
-        F.col("__pid"),
-    )
-    return local.withColumn(out_col, F.col("__local_cum") + offset_col).drop(
-        "__pid", "__local_cum"
+        rows.append((pid, acc))
+        acc += tot or 0  # all-NULL partition sums to NULL → contributes 0
+    # broadcast-join the (pid, offset) table back: stays a hash lookup at
+    # ANY partition count, where a create_map of 2·n literals would blow
+    # past codegen limits around 10^4 partitions
+    offsets = spark.createDataFrame(rows, "__pid int, __base long")
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__local_cum") + F.col("__base"))
+        .drop("__pid", "__local_cum", "__base")
     )

@@ -220,6 +220,50 @@ def sp03_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_BUDGET = 2048
 
 
+def token_pack_spans(
+    counts: DataFrame, budget: int = _PACK_BUDGET, order_col: str = "doc_id"
+) -> DataFrame:
+    """ONE copy of the pack-layout arithmetic for sp04, sp05, and the
+    pipeline example (three hand-synchronized copies was a round-7 review
+    finding): map each (order_col, n_tokens) row onto the concatenated
+    token stream via the two-phase prefix sum and derive its pack span."""
+    from ..functions.prefix import with_global_cumsum
+
+    return (
+        with_global_cumsum(counts, order_col, "n_tokens", out_col="cum")
+        .where(F.col("n_tokens") > 0)
+        .select(
+            order_col,
+            "n_tokens",
+            (F.col("cum") - F.col("n_tokens")).alias("start_tok"),
+            F.col("cum").alias("end_tok"),
+            F.expr(f"(cum - n_tokens) div {budget}").alias("first_pack"),
+            F.expr(f"(cum - 1) div {budget}").alias("last_pack"),
+        )
+    )
+
+
+def pack_segment_manifest(spans: DataFrame, budget: int = _PACK_BUDGET) -> DataFrame:
+    """Explode pack spans into the per-(pack, doc-segment) manifest a
+    trainer consumes: which slice of which doc fills which token range of
+    which pack. Output is linear: n_docs + boundary crossings."""
+    seg = spans.select(
+        spans.columns[0],
+        "start_tok",
+        "end_tok",
+        F.explode(F.sequence("first_pack", "last_pack")).alias("pack_id"),
+    )
+    seg_start = F.greatest(F.col("start_tok"), F.col("pack_id") * budget)
+    seg_end = F.least(F.col("end_tok"), (F.col("pack_id") + 1) * budget)
+    return seg.select(
+        "pack_id",
+        spans.columns[0],
+        (seg_start - F.col("start_tok")).alias("offset_in_doc"),
+        (seg_end - seg_start).alias("seg_len"),
+        (seg_start - F.col("pack_id") * budget).alias("offset_in_pack"),
+    )
+
+
 @query(
     "sp04_sequence_packing",
     oracle=f"""
@@ -244,29 +288,20 @@ _PACK_BUDGET = 2048
     """,
 )
 def sp04_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.prefix import with_global_cumsum
     from .text import _tokens_spark
 
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", F.size(_tokens_spark("text")).alias("n_tokens")
     )
-    b = _PACK_BUDGET
-    cum = with_global_cumsum(docs, "doc_id", "n_tokens", out_col="cum")
-    start = F.col("cum") - F.col("n_tokens")
-    first = F.expr(f"(cum - n_tokens) div {b}")
-    last = F.expr(f"(cum - 1) div {b}")
-    return (
-        cum.where(F.col("n_tokens") > 0)
-        .select(
-            "doc_id",
-            "n_tokens",
-            start.alias("start_tok"),
-            first.alias("first_pack"),
-            last.alias("last_pack"),
-            (last - first + F.lit(1)).alias("n_segments"),
-        )
-        .orderBy("doc_id")
-    )
+    spans = token_pack_spans(docs)
+    return spans.select(
+        "doc_id",
+        "n_tokens",
+        "start_tok",
+        "first_pack",
+        "last_pack",
+        (F.col("last_pack") - F.col("first_pack") + F.lit(1)).alias("n_segments"),
+    ).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------- #
@@ -309,36 +344,11 @@ def sp04_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sp05_pack_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.prefix import with_global_cumsum
     from .text import _tokens_spark
 
-    b = _PACK_BUDGET
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", F.size(_tokens_spark("text")).alias("n_tokens")
     )
-    spans = (
-        with_global_cumsum(docs, "doc_id", "n_tokens", out_col="cum")
-        .where(F.col("n_tokens") > 0)
-        .select(
-            "doc_id",
-            (F.col("cum") - F.col("n_tokens")).alias("start_tok"),
-            F.col("cum").alias("end_tok"),
-            F.expr(f"(cum - n_tokens) div {b}").alias("first_pack"),
-            F.expr(f"(cum - 1) div {b}").alias("last_pack"),
-        )
+    return pack_segment_manifest(token_pack_spans(docs)).orderBy(
+        "pack_id", "offset_in_pack"
     )
-    seg = spans.select(
-        "doc_id",
-        "start_tok",
-        "end_tok",
-        F.explode(F.sequence("first_pack", "last_pack")).alias("pack_id"),
-    )
-    seg_start = F.greatest(F.col("start_tok"), F.col("pack_id") * b)
-    seg_end = F.least(F.col("end_tok"), (F.col("pack_id") + 1) * b)
-    return seg.select(
-        "pack_id",
-        "doc_id",
-        (seg_start - F.col("start_tok")).alias("offset_in_doc"),
-        (seg_end - seg_start).alias("seg_len"),
-        (seg_start - F.col("pack_id") * b).alias("offset_in_pack"),
-    ).orderBy("pack_id", "offset_in_pack")

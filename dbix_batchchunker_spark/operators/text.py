@@ -338,13 +338,31 @@ def tx08_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # byte-for-byte. First hex byte < 0x10 → val (1/16), < 0x20 → test (1/16),   #
 # else train.                                                                 #
 # --------------------------------------------------------------------------- #
+# ONE copy of the split-assignment rule, shared by tx09 (the split) and
+# tx20 (the audit OF that split) on both the Spark and oracle sides — if
+# the salt or thresholds are retuned, the audit follows automatically
+# instead of silently auditing a split nobody produces.
+_SPLIT_CASE_SQL = (
+    "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < '10' THEN 'val' "
+    "WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < '20' THEN 'test' "
+    "ELSE 'train' END"
+)
+
+
+def _split_spark():
+    key = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 2
+    )
+    return (
+        F.when(key < "10", "val").when(key < "20", "test").otherwise("train")
+    )
+
+
 @query(
     "tx09_det_split",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
-           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < '10' THEN 'val'
-                WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < '20' THEN 'test'
-                ELSE 'train' END AS split
+           {_SPLIT_CASE_SQL} AS split
     FROM documents
     ORDER BY doc_id
     """,
@@ -356,15 +374,7 @@ def tx09_det_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # correlated with the samplers — sp01's zh keep-set (prefix < '2000')
     # lands entirely inside val/test (prefix < '10'/'20') and zh gets ZERO
     # train docs. Distinct salts make the family's draws independent.
-    key = F.substring(
-        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 2
-    )
-    return docs.select(
-        "doc_id",
-        F.when(key < "10", "val").when(key < "20", "test").otherwise("train").alias(
-            "split"
-        ),
-    ).orderBy("doc_id")
+    return docs.select("doc_id", _split_spark().alias("split")).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------- #
@@ -1010,14 +1020,12 @@ def tx19_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------- #
 @query(
     "tx20_split_leakage",
-    oracle="""
+    oracle=f"""
     WITH s AS (
         SELECT doc_id,
                md5(array_to_string(list_sort(list_distinct(
                    list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))), ' ')) AS fp,
-               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < '10' THEN 'val'
-                    WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < '20' THEN 'test'
-                    ELSE 'train' END AS split
+               {_SPLIT_CASE_SQL} AS split
         FROM documents
     )
     SELECT fp,
@@ -1034,17 +1042,12 @@ def tx19_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tx20_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    key = F.substring(
-        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 2
-    )
     s = docs.select(
         "doc_id",
         F.md5(
             F.array_join(F.array_sort(F.array_distinct(_tokens_spark())), " ")
         ).alias("fp"),
-        F.when(key < "10", "val").when(key < "20", "test").otherwise("train").alias(
-            "split"
-        ),
+        _split_spark().alias("split"),
     )
     return (
         s.groupBy("fp")

@@ -106,8 +106,14 @@ def main() -> None:
     #    prose) the pipeline keeps the TOP HALF by logit — the percentile
     #    form real corpus builds use ("keep the best k%"); approxQuantile
     #    is one pass, driver gets a single number
-    scored = QUERIES["tx19_classifier_score"](spark, sf_dir).join(
-        clean.select("doc_id"), "doc_id", "left_semi"
+    # persisted: approxQuantile is an ACTION — without the cache the full
+    # upstream pipeline (dedup + regex scoring) would run once for the
+    # quantile and again for the final write (round-7 review finding)
+    scored = (
+        QUERIES["tx19_classifier_score"](spark, sf_dir)
+        .join(clean.select("doc_id"), "doc_id", "left_semi")
+        .select("doc_id", "quality_logit")
+        .persist()
     )
     cut = scored.approxQuantile("quality_logit", [0.5], 0.001)[0]
     clean = clean.join(
@@ -122,28 +128,17 @@ def main() -> None:
     # 10. sequence packing — the trainer-ready manifest: each train doc's
     #     slice of the concatenated token stream, cut into fixed-budget
     #     packs (two-phase prefix sum, no single-partition window)
-    from dbix_batchchunker_spark.functions.prefix import with_global_cumsum
-    from dbix_batchchunker_spark.operators.sampling import _PACK_BUDGET
+    from dbix_batchchunker_spark.operators.sampling import (
+        pack_segment_manifest,
+        token_pack_spans,
+    )
     from dbix_batchchunker_spark.operators.text import _tokens_spark
 
     train = spark.read.parquet(out_dir).where("split = 'train'")
     counts = train.select("doc_id", F.size(_tokens_spark("text")).alias("n_tokens"))
-    spans = with_global_cumsum(counts, "doc_id", "n_tokens", out_col="cum")
-    b = _PACK_BUDGET
-    manifest = (
-        spans.where("n_tokens > 0")
-        .select(
-            "doc_id",
-            (F.col("cum") - F.col("n_tokens")).alias("start_tok"),
-            F.col("cum").alias("end_tok"),
-            F.explode(
-                F.sequence(
-                    F.expr(f"(cum - n_tokens) div {b}"),
-                    F.expr(f"(cum - 1) div {b}"),
-                )
-            ).alias("pack_id"),
-        )
-    )
+    # sp04/sp05's shared layout helpers — one copy of the pack arithmetic;
+    # the manifest carries the per-segment slice columns a trainer needs
+    manifest = pack_segment_manifest(token_pack_spans(counts))
     manifest.write.mode("overwrite").parquet(out_dir + "_packs")
 
     kept = spark.read.parquet(out_dir)

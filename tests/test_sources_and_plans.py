@@ -570,7 +570,9 @@ def test_global_cumsum_two_phase_matches_naive_window(spark):
     from dbix_batchchunker_spark.functions.prefix import with_global_cumsum
     from dbix_batchchunker_spark.plans.explain import formatted_plan
 
-    df = spark.range(0, 997).selectExpr("id AS k", "(id * 37) % 101 AS v")
+    # negative values on purpose: a max()-based per-partition total (the
+    # round-7 review catch) is only exposed when running sums DIP
+    df = spark.range(0, 997).selectExpr("id AS k", "(id * 37) % 101 - 50 AS v")
     got = with_global_cumsum(df, "k", "v", out_col="cum", num_partitions=7)
     naive = df.withColumn(
         "cum", F.sum("v").over(Window.orderBy("k"))
