@@ -581,3 +581,36 @@ def test_global_cumsum_two_phase_matches_naive_window(spark):
     g = {r.k: r.cum for r in got.collect()}
     n = {r.k: r.cum for r in naive.collect()}
     assert g == n
+
+
+def test_python_datasource_corpusgen(spark):
+    """Spark 4 Python Data Source API: the corpusgen connector plans its
+    own partitions (parallel scan), emits Arrow batches, and is
+    DETERMINISTIC under repartitioning — same rows for 4 and 9 partitions."""
+    from dbix_batchchunker_spark.sources.pydatasource import register
+
+    register(spark)
+    a = (
+        spark.read.format("corpusgen")
+        .option("rows", 500)
+        .option("partitions", 4)
+        .load()
+    )
+    b = (
+        spark.read.format("corpusgen")
+        .option("rows", 500)
+        .option("partitions", 9)
+        .load()
+    )
+    assert a.rdd.getNumPartitions() == 4
+    assert b.rdd.getNumPartitions() == 9
+    ra = sorted((r.doc_id, r.text, r.lang) for r in a.collect())
+    rb = sorted((r.doc_id, r.text, r.lang) for r in b.collect())
+    assert ra == rb and len(ra) == 500
+    # generated corpus flows into the operator family like any table
+    from dbix_batchchunker_spark.operators.text import _tokens_spark
+
+    toks = a.select(F.size(_tokens_spark("text")).alias("n")).agg(
+        F.min("n"), F.max("n")
+    ).first()
+    assert toks[0] == toks[1] == 40
