@@ -614,3 +614,52 @@ def test_python_datasource_corpusgen(spark):
         F.min("n"), F.max("n")
     ).first()
     assert toks[0] == toks[1] == 40
+
+
+def test_python_stream_source_resumes_from_checkpoint(spark, tmp_path):
+    """corpusfeed: the offset {'pos': high-water doc_id} lives in the
+    checkpoint — a second drain RESUMES (new doc_ids continue where the
+    first drain stopped), the connector form of the reference's cursor
+    write-back + process_past_max contract. Rows equal the batch
+    corpusgen source over the same id range."""
+    from dbix_batchchunker_spark.sources.pydatasource import (
+        register,
+        register_feed,
+    )
+
+    register(spark)
+    register_feed(spark)
+    ck = str(tmp_path / "ck")
+    got = []
+
+    def drain():
+        q = (
+            spark.readStream.format("corpusfeed")
+            .option("batchrows", 50)
+            .load()
+            .writeStream.foreachBatch(
+                lambda b, i: got.extend(
+                    (r.doc_id, r.text, r.lang) for r in b.collect()
+                )
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    n1 = len(got)
+    assert n1 == 50 and max(r[0] for r in got) == 49
+    drain()
+    assert len(got) == n1 + 50
+    assert max(r[0] for r in got) == 99  # resumed, not restarted
+    batch_rows = sorted(
+        (r.doc_id, r.text, r.lang)
+        for r in spark.read.format("corpusgen")
+        .option("rows", 100)
+        .option("partitions", 3)
+        .load()
+        .collect()
+    )
+    assert sorted(got) == batch_rows  # stream == batch, row-identical
