@@ -566,6 +566,7 @@ class BatchChunker:
             stride = math.ceil(span / self.histogram_max_buckets)
         base = self.min_id
         bucket = ((F.col(self.id_name) - F.lit(base)) / F.lit(stride)).cast("long")
+        # bounded: one row per stride bucket (range/stride), not per id
         rows = (
             self._current_count_df()
             .groupBy(bucket.alias("__bucket"))

@@ -184,6 +184,7 @@ def _require_bounded_blocks(
     """
     if max_block_size is None:
         return
+    # bounded: limit(1) — at most one offending block crosses to the driver
     over = (
         df.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("n"))

@@ -71,7 +71,8 @@ def sqlite_upsert_sink(
     )
 
     def sink(batch_df, _batch_id: int) -> None:
-        # One Arrow transfer + one executemany — vectorized, not per-Row.
+        # One Arrow transfer + one executemany — vectorized, not per-Row;
+        # bounded by the micro-batch the engine hands foreachBatch.
         pdf = batch_df.toPandas()
         rows = list(
             zip(*(pdf[c].tolist() for c in cols))
