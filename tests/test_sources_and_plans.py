@@ -663,3 +663,24 @@ def test_python_stream_source_resumes_from_checkpoint(spark, tmp_path):
         .collect()
     )
     assert sorted(got) == batch_rows  # stream == batch, row-identical
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Partition-layout contract at scale: a fact table written
+    partitionBy(key) + a selective dim filter must trigger DYNAMIC
+    partition pruning — the runtime subquery filter that keeps a 100 TB
+    scan from reading partitions the joined dim excludes. Pinned here
+    because it silently depends on the layout (partitioned write) and the
+    join being planned with the dim on the build side."""
+    fact_dir = str(tmp_path / "fact")
+    spark.range(0, 5000).selectExpr(
+        "id", "id % 20 AS part_key", "id * 2 AS v"
+    ).write.partitionBy("part_key").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.range(0, 20).selectExpr(
+        "id AS part_key", "CASE WHEN id < 3 THEN 'keep' ELSE 'drop' END AS tag"
+    )
+    joined = fact.join(dim.where("tag = 'keep'"), "part_key")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert joined.count() == 750  # 3 of 20 partitions × 250 rows
