@@ -717,3 +717,101 @@ def sim08_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", "qcos")
     )
+
+
+# --------------------------------------------------------------------------- #
+# sim09: MMR diversity re-rank — maximal marginal relevance (Carbonell &      #
+# Goldstein, SIGIR'98) over each query's candidate set: greedily pick the     #
+# candidate maximizing λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s), so the         #
+# returned k are relevant AND mutually diverse — the dedup-at-retrieval      #
+# step RAG/corpus-sampling pipelines run after ANN. Greedy selection is      #
+# inherently sequential IN k but embarrassingly parallel ACROSS queries:     #
+# one applyInPandas group per query (Arrow-batched, candidate-sized — 50     #
+# rows × 64 dims — never corpus-sized). No oracle: the sequential argmax    #
+# isn't SQL-expressible; determinism + the diversity property are pinned    #
+# against an independent numpy reference in tests/test_extensions.py.        #
+# --------------------------------------------------------------------------- #
+_MMR_CANDIDATES = 50
+_MMR_K = 10
+_MMR_LAMBDA = 0.7
+
+
+@query("sim09_mmr_rerank")  # rows-only: sequential greedy argmax per query
+def sim09_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    emb = t(spark, sf_dir, "embeddings").withColumn("nrm", norm(F.col("embedding")))
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "embedding",
+            (
+                dot(F.col("qvec"), F.col("embedding"))
+                / (F.col("qnrm") * F.col("nrm"))
+            ).alias("rel"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("neighbor_id")
+    )
+    cand = scored.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= _MMR_CANDIDATES
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("mmr_rank", T.IntegerType()),
+            T.StructField("mmr_score", T.DoubleType()),
+        ]
+    )
+
+    def rerank(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(["rel", "neighbor_id"], ascending=[False, True])
+        vecs = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        rel = pdf["rel"].to_numpy()
+        ids = pdf["neighbor_id"].to_numpy()
+        chosen: list[int] = []
+        scores: list[float] = []
+        selected = np.zeros((0, vecs.shape[1]))
+        for _ in range(min(_MMR_K, len(pdf))):
+            if len(chosen) == 0:
+                red = np.zeros(len(pdf))
+            else:
+                red = (vecs @ selected.T).max(axis=1)
+            mmr = _MMR_LAMBDA * rel - (1 - _MMR_LAMBDA) * red
+            mmr[chosen] = -np.inf
+            # argmax takes the FIRST max: rows are pre-sorted (rel desc,
+            # neighbor_id asc), so ties resolve deterministically
+            best = int(np.argmax(mmr))
+            chosen.append(best)
+            scores.append(float(mmr[best]))
+            selected = np.vstack([selected, vecs[best]])
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "neighbor_id": ids[chosen],
+                "mmr_rank": range(1, len(chosen) + 1),
+                "mmr_score": scores,
+            }
+        )
+
+    return (
+        cand.groupBy("query_id")
+        .applyInPandas(rerank, schema=out_schema)
+        .orderBy("query_id", "mmr_rank")
+    )

@@ -1349,3 +1349,51 @@ def test_pack_segments_fill_packs_exactly(spark):
         for off, ln in segs:
             assert off == pos, (did, off, pos)
             pos = off + ln
+
+
+def test_mmr_rerank_matches_numpy_reference(spark):
+    """sim09 equals an INDEPENDENT greedy-MMR implementation computed from
+    sim01-style exact similarities; rank 1 is the relevance argmax and the
+    selected set is strictly more diverse than plain top-k."""
+    import numpy as np
+
+    from dbix_batchchunker_spark.operators.similarity import (
+        _MMR_CANDIDATES,
+        _MMR_K,
+        _MMR_LAMBDA,
+        N_QUERY_VECS,
+        sim09_mmr_rerank,
+    )
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(SF_DIR + "/embeddings.parquet").collect()
+    }
+    unit = {k: v / np.linalg.norm(v) for k, v in emb.items()}
+    got = {}
+    for r in sim09_mmr_rerank(spark, SF_DIR).collect():
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+
+    for qid in range(N_QUERY_VECS):
+        rel = {
+            nid: float(unit[qid] @ u)
+            for nid, u in unit.items()
+            if nid != qid
+        }
+        cand = sorted(rel, key=lambda n: (-rel[n], n))[:_MMR_CANDIDATES]
+        chosen = []
+        while len(chosen) < _MMR_K:
+            def mmr(n):
+                red = max((unit[n] @ unit[s] for s in chosen), default=0.0)
+                return _MMR_LAMBDA * rel[n] - (1 - _MMR_LAMBDA) * red
+            rest = [n for n in cand if n not in chosen]
+            # same tie rule as the operator: first max in (rel desc, id) order
+            chosen.append(max(rest, key=lambda n: (mmr(n), -n)))
+        assert got[qid] == chosen, (qid, got[qid], chosen)
+        # diversity property: mean pairwise sim of the MMR set is <= that
+        # of the plain top-k set (strictly less on this data)
+        def mean_pair(ns):
+            sims = [unit[a] @ unit[b] for i, a in enumerate(ns) for b in ns[i + 1:]]
+            return sum(sims) / len(sims)
+        topk = cand[:_MMR_K]
+        assert mean_pair(got[qid]) <= mean_pair(topk) + 1e-12
