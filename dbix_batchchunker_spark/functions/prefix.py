@@ -53,10 +53,21 @@ def with_global_cumsum(
     offsets map is built from the SAME materialization every downstream
     action reads, never from a recomputation (a nondeterministic source
     recomputed differently would silently skew every later partition).
-    Call ``.unpersist()`` on the RETURNED frame's lineage via
-    ``spark.catalog.clearCache()`` when done, as bench.py does.
+    The persisted handle is exposed as ``.cumsum_cache`` on the returned
+    frame — call ``out.cumsum_cache.unpersist()`` when done with the
+    result (or ``spark.catalog.clearCache()``, as bench.py does).
     """
     spark = df.sparkSession
+    vt = dict(df.dtypes)[value_col]
+    if vt in ("tinyint", "smallint", "int", "bigint"):
+        base_type = "long"
+    elif vt in ("float", "double"):
+        base_type = "double"
+    else:
+        raise TypeError(
+            f"with_global_cumsum supports integral/floating value columns; "
+            f"got {value_col}: {vt} (cast decimals explicitly)"
+        )
     n = num_partitions or spark.sparkContext.defaultParallelism
     ranged = (
         df.repartitionByRange(n, F.col(order_col))
@@ -72,16 +83,20 @@ def with_global_cumsum(
         .agg(F.sum(value_col).alias("__tot"))
         .collect()
     )
-    rows, acc = [], 0
+    rows, acc = [], (0.0 if base_type == "double" else 0)
     for pid, tot in totals:
         rows.append((pid, acc))
         acc += tot or 0  # all-NULL partition sums to NULL → contributes 0
     # broadcast-join the (pid, offset) table back: stays a hash lookup at
     # ANY partition count, where a create_map of 2·n literals would blow
     # past codegen limits around 10^4 partitions
-    offsets = spark.createDataFrame(rows, "__pid int, __base long")
-    return (
+    offsets = spark.createDataFrame(rows, f"__pid int, __base {base_type}")
+    out = (
         local.join(F.broadcast(offsets), "__pid")
         .withColumn(out_col, F.col("__local_cum") + F.col("__base"))
         .drop("__pid", "__local_cum", "__base")
     )
+    # expose the cache handle so callers can scope cleanup to THIS call
+    # instead of a session-global clearCache
+    out.cumsum_cache = ranged
+    return out

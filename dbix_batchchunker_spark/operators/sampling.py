@@ -237,16 +237,24 @@ def token_pack_spans(
             "n_tokens",
             (F.col("cum") - F.col("n_tokens")).alias("start_tok"),
             F.col("cum").alias("end_tok"),
-            F.expr(f"(cum - n_tokens) div {budget}").alias("first_pack"),
+            # the budget rides in column metadata so the manifest step
+            # CANNOT be called with a mismatched budget (review catch:
+            # independent params silently corrupted the segment math)
+            F.expr(f"(cum - n_tokens) div {budget}").alias(
+                "first_pack", metadata={"pack_budget": budget}
+            ),
             F.expr(f"(cum - 1) div {budget}").alias("last_pack"),
         )
     )
 
 
-def pack_segment_manifest(spans: DataFrame, budget: int = _PACK_BUDGET) -> DataFrame:
+def pack_segment_manifest(spans: DataFrame) -> DataFrame:
     """Explode pack spans into the per-(pack, doc-segment) manifest a
     trainer consumes: which slice of which doc fills which token range of
-    which pack. Output is linear: n_docs + boundary crossings."""
+    which pack. Output is linear: n_docs + boundary crossings. The budget
+    is read from the metadata :func:`token_pack_spans` stamped on
+    ``first_pack`` — one source of truth, no mismatch possible."""
+    budget = spans.schema["first_pack"].metadata["pack_budget"]
     seg = spans.select(
         spans.columns[0],
         "start_tok",

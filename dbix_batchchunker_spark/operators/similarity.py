@@ -754,9 +754,12 @@ def sim09_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             "embedding",
-            (
+            # 6-dp quantized like sim01: rank boundaries (candidate cut,
+            # greedy argmax) must not flip on cross-platform fp noise
+            F.round(
                 dot(F.col("qvec"), F.col("embedding"))
-                / (F.col("qnrm") * F.col("nrm"))
+                / (F.col("qnrm") * F.col("nrm")),
+                6,
             ).alias("rel"),
         )
     )
@@ -792,7 +795,8 @@ def sim09_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             if len(chosen) == 0:
                 red = np.zeros(len(pdf))
             else:
-                red = (vecs @ selected.T).max(axis=1)
+                # same 6-dp quantization for the redundancy term
+                red = np.round((vecs @ selected.T).max(axis=1), 6)
             mmr = _MMR_LAMBDA * rel - (1 - _MMR_LAMBDA) * red
             mmr[chosen] = -np.inf
             # argmax takes the FIRST max: rows are pre-sorted (rel desc,

@@ -1376,7 +1376,7 @@ def test_mmr_rerank_matches_numpy_reference(spark):
 
     for qid in range(N_QUERY_VECS):
         rel = {
-            nid: float(unit[qid] @ u)
+            nid: round(float(unit[qid] @ u), 6)
             for nid, u in unit.items()
             if nid != qid
         }
@@ -1384,11 +1384,14 @@ def test_mmr_rerank_matches_numpy_reference(spark):
         chosen = []
         while len(chosen) < _MMR_K:
             def mmr(n):
-                red = max((unit[n] @ unit[s] for s in chosen), default=0.0)
+                red = round(
+                    max((unit[n] @ unit[s] for s in chosen), default=0.0), 6
+                )
                 return _MMR_LAMBDA * rel[n] - (1 - _MMR_LAMBDA) * red
             rest = [n for n in cand if n not in chosen]
-            # same tie rule as the operator: first max in (rel desc, id) order
-            chosen.append(max(rest, key=lambda n: (mmr(n), -n)))
+            # operator tie rule: np.argmax takes the FIRST max in
+            # (rel desc, id asc) candidate order → (mmr, rel, -id)
+            chosen.append(max(rest, key=lambda n: (mmr(n), rel[n], -n)))
         assert got[qid] == chosen, (qid, got[qid], chosen)
         # diversity property: mean pairwise sim of the MMR set is <= that
         # of the plain top-k set (strictly less on this data)

@@ -56,6 +56,6 @@ def test_collect_calls_are_all_annotated_bounded():
                 ):
                     unexplained.append(f"{p}:{i + 1}")
     assert not unexplained, (
-        "driver materialization without a bounding comment within 5 lines: "
+        "driver materialization without a bounding comment within 8 lines: "
         f"{unexplained}"
     )
