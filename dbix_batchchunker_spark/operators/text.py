@@ -1100,3 +1100,57 @@ def tx21_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------- #
+# tx22: Zipf power-law fit — the corpus-health diagnostic. Natural-language   #
+# token frequencies follow freq ∝ rank^(-s) with s ≈ 1; a corpus whose       #
+# log-log slope is far from -1 is telling you something (template spam       #
+# flattens it, aggressive dedup steepens it). The fit is ordinary least     #
+# squares on (ln rank, ln freq): slope = covar_pop/var_pop — two passes     #
+# total: one vocabulary hash-agg (map-side partial counts), one window      #
+# rank + one tiny aggregate over the VOCAB table (vocabulary-sized, not    #
+# corpus-sized). Every engine-side op is exact until the final ln/division  #
+# (rounded 4dp: ln ulp drift is the same accepted class as sp03's pow).    #
+# --------------------------------------------------------------------------- #
+@query(
+    "tx22_zipf_fit",
+    oracle=f"""
+    WITH vocab AS (
+        SELECT token, COUNT(*) AS freq
+        FROM (SELECT unnest({_tokens_sql()}) AS token FROM documents)
+        GROUP BY token
+    ), ranked AS (
+        SELECT ln(ROW_NUMBER() OVER (ORDER BY freq DESC, token)) AS lr,
+               ln(freq) AS lf
+        FROM vocab
+    )
+    SELECT COUNT(*) AS n_types,
+           ROUND(covar_pop(lr, lf) / var_pop(lr), 4) AS zipf_slope,
+           ROUND(corr(lr, lf), 4) AS log_log_corr
+    FROM ranked
+    """,
+)
+def tx22_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(_tokens_spark()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # vocab-sized single-partition rank: fine into the tens of millions of
+    # types (Heaps' law keeps vocab sublinear in corpus size); a 100M+-type
+    # corpus would swap this for the two-phase global rank
+    # (functions/prefix.with_global_cumsum over a count of 1s).
+    w = Window.orderBy(F.col("freq").desc(), "token")
+    ranked = vocab.select(
+        F.log(F.row_number().over(w).cast("double")).alias("lr"),
+        F.log(F.col("freq").cast("double")).alias("lf"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.covar_pop("lr", "lf") / F.var_pop("lr"), 4).alias("zipf_slope"),
+        F.round(F.corr("lr", "lf"), 4).alias("log_log_corr"),
+    )
