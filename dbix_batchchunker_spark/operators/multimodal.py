@@ -316,3 +316,115 @@ def mm03_resize_and_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_and_sample_stats(docs, width=8, height=8, every_nth=4).orderBy(
         "doc_id"
     )
+
+
+# --------------------------------------------------------------------------- #
+# mm04: perceptual-hash near-dup — image dedup without pixel-exact equality.  #
+#                                                                             #
+# The standard pipeline step for image corpora: an average-hash (aHash)      #
+# signature — downsample, threshold against the mean, 64 bits — groups      #
+# visually-identical payloads and BANDED Hamming matching finds near-dups   #
+# (re-encodes, minor crops). Same codec-seam contract as resize: the real   #
+# deployment hashes decoded grayscale pixels; the default stand-in          #
+# averages the raw byte stream into an 8×8 grid (structure-preserving for   #
+# byte-similar payloads, deterministic everywhere). After the one          #
+# mapInPandas hash pass everything is JVM: 4×16-bit band explode →         #
+# equi-join → bit_count(xor) ≤ threshold residual — dd07's SimHash         #
+# banding shape on the multimodal column. Hamming ≤ 2 over 4 bands         #
+# guarantees at least one identical band (pigeonhole: 3 errors could dodge  #
+# 4 bands only by landing in 3 distinct bands), so recall at the threshold  #
+# is exact, not probabilistic.                                               #
+# --------------------------------------------------------------------------- #
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("phash", T.LongType(), False),
+    ]
+)
+
+
+def _byte_ahash(payload: bytes) -> int:
+    """Default stand-in codec: aHash over the raw byte stream (8×8 grid of
+    segment means, thresholded at the global mean). Swap for a pixel
+    decoder in production — the signature contract (64-bit int) is the
+    same."""
+    import numpy as np
+
+    b = np.frombuffer(bytes(payload) or b"\0", dtype=np.uint8)
+    cells = np.array_split(b.astype(np.float64), 64)
+    means = np.array([c.mean() if len(c) else 0.0 for c in cells])
+    bits = (means >= means.mean()).astype(np.uint64)
+    h = int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+    return h - (1 << 64) if h >= 1 << 63 else h  # two's complement → LongType
+
+
+def perceptual_hash_column(
+    df: DataFrame,
+    payload_col: str = "payload",
+    hasher: Callable[[bytes], int] = _byte_ahash,
+) -> DataFrame:
+    """Arrow-batched signature pass: (doc_id, phash). One mapInPandas —
+    the only Python in the mm04 pipeline; matching is pure JVM."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "phash": [hasher(p) for p in pdf[payload_col]],
+                }
+            )
+
+    return df.mapInPandas(batches, schema=PHASH_SCHEMA)
+
+
+_PHASH_BANDS = 4
+_PHASH_MAX_HAMMING = 2
+
+
+def phash_near_dup_pairs(
+    hashed: DataFrame, max_hamming: int = _PHASH_MAX_HAMMING
+) -> DataFrame:
+    """Banded Hamming pairs over 64-bit signatures: band equi-join then
+    bit_count(xor) residual — never all-pairs."""
+    bands = F.array(
+        *[
+            F.shiftrightunsigned(F.col("phash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+            for i in range(_PHASH_BANDS)
+        ]
+    )
+    banded = hashed.select(
+        "doc_id", "phash", F.posexplode(bands).alias("band", "key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
+@query("mm04_phash_near_dup")  # rows-only: mapInPandas hash pass isn't
+def mm04_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DuckDB-expressible; planted-payload semantics in tests/test_extensions.py
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return phash_near_dup_pairs(perceptual_hash_column(docs)).orderBy(
+        "doc_a", "doc_b"
+    )

@@ -1400,3 +1400,36 @@ def test_mmr_rerank_matches_numpy_reference(spark):
             return sum(sims) / len(sims)
         topk = cand[:_MMR_K]
         assert mean_pair(got[qid]) <= mean_pair(topk) + 1e-12
+
+
+def test_phash_near_dup_planted_payloads(spark):
+    # Byte-identical payloads → hamming 0; a few flipped bytes → small
+    # hamming, found by banding; unrelated payloads → no pair at the
+    # threshold. Recall at hamming<=2 is EXACT (pigeonhole over 4 bands).
+    from dbix_batchchunker_spark.operators.multimodal import (
+        _byte_ahash,
+        perceptual_hash_column,
+        phash_near_dup_pairs,
+    )
+
+    base = bytes(range(256)) * 8
+    tweaked = bytearray(base)
+    tweaked[100] ^= 0xFF
+    tweaked[900] ^= 0xFF
+    rows = [
+        (1, base),
+        (2, base),                    # exact dup
+        (3, bytes(tweaked)),          # near dup
+        (4, bytes(reversed(base)) * 2),  # different structure
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashed = perceptual_hash_column(df)
+    hs = {r.doc_id: r.phash for r in hashed.collect()}
+    assert hs[1] == hs[2] == _byte_ahash(base)
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in phash_near_dup_pairs(hashed).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 2
+    assert not any(4 in p for p in pairs)
