@@ -350,7 +350,7 @@ def _byte_ahash(payload: bytes) -> int:
     same."""
     import numpy as np
 
-    b = np.frombuffer(bytes(payload) or b"\0", dtype=np.uint8)
+    b = np.frombuffer(bytes(payload) if payload else b"\0", dtype=np.uint8)
     # segment means via one reduceat, not 64 array_split slices (measured
     # 3.5 s → sub-second for the sf0.1 corpus hash pass)
     edges = (np.arange(64) * len(b)) // 64
@@ -391,36 +391,49 @@ _PHASH_MAX_HAMMING = 2
 def phash_near_dup_pairs(
     hashed: DataFrame, max_hamming: int = _PHASH_MAX_HAMMING
 ) -> DataFrame:
-    """Banded Hamming pairs over 64-bit signatures: band equi-join then
-    bit_count(xor) residual — never all-pairs."""
-    bands = F.array(
-        *[
-            F.shiftrightunsigned(F.col("phash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
-            for i in range(_PHASH_BANDS)
-        ]
-    )
-    banded = hashed.select(
-        "doc_id", "phash", F.posexplode(bands).alias("band", "key")
-    )
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    """Banded Hamming pairs over 64-bit signatures — never all-pairs.
+
+    Candidates go through dedup's skew-proof ``_candidates_from_entries``
+    (bucket member lists deduped across bands, two-level explode): on a
+    dup-dense corpus an identical-hash cluster of size k collides in ALL
+    bands, and the naive band self-join this replaced would emit
+    bands×C(k,2) rows through one join task (the pathology dedup.py
+    measured at ~10×). The residual is one bit_count(xor) over the pair's
+    joined-back hashes."""
+    if not 0 <= max_hamming < _PHASH_BANDS:
+        raise ValueError(
+            f"max_hamming={max_hamming}: the {_PHASH_BANDS}-band pigeonhole "
+            f"guarantees exact recall only for hamming < {_PHASH_BANDS}; "
+            "raise _PHASH_BANDS (narrower bands) for looser thresholds"
         )
+    from .dedup import _candidates_from_entries
+
+    entries = hashed.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("phash"), 16 * i).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                    for i in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = _candidates_from_entries(entries)
+    ha = hashed.select(F.col("doc_id").alias("doc_a"), F.col("phash").alias("__ha"))
+    hb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("phash").alias("__hb"))
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
-            ).alias("hamming"),
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .distinct()
     )
-    return pairs
 
 
 @query("mm04_phash_near_dup")  # rows-only: mapInPandas hash pass isn't

@@ -1413,13 +1413,19 @@ def test_phash_near_dup_planted_payloads(spark):
     )
 
     base = bytes(range(256)) * 8
+    # Saturate exactly ONE 32-byte hash segment (segment 10: byte values
+    # 64..95, mean 79.5, bit 0) to 0xFF: its mean jumps to 255 (bit → 1)
+    # while every other segment mean stays ≥ 16 away from the shifted
+    # global threshold — hamming is exactly 1, exercising the BANDED
+    # nonzero-hamming path (the round-7 review found the prior two-byte
+    # tweak hashed identically to base, testing nothing new).
     tweaked = bytearray(base)
-    tweaked[100] ^= 0xFF
-    tweaked[900] ^= 0xFF
+    n = len(base)
+    tweaked[10 * n // 64 : 11 * n // 64] = b"\xff" * (n // 64)
     rows = [
         (1, base),
         (2, base),                    # exact dup
-        (3, bytes(tweaked)),          # near dup
+        (3, bytes(tweaked)),          # near dup, hamming 1
         (4, bytes(reversed(base)) * 2),  # different structure
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
@@ -1430,6 +1436,11 @@ def test_phash_near_dup_planted_payloads(spark):
         (r.doc_a, r.doc_b): r.hamming
         for r in phash_near_dup_pairs(hashed).collect()
     }
+    assert _byte_ahash(bytes(tweaked)) != _byte_ahash(base)  # truly near, not equal
     assert pairs[(1, 2)] == 0
-    assert (1, 3) in pairs and pairs[(1, 3)] <= 2
+    assert pairs[(1, 3)] == 1 and pairs[(2, 3)] == 1
     assert not any(4 in p for p in pairs)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        phash_near_dup_pairs(hashed, max_hamming=4)  # beyond the pigeonhole
