@@ -234,3 +234,78 @@ def running_type_breakdown(stream_df: DataFrame, key_col: str = "user_id") -> Da
         outputMode="Update",
         timeMode="None",
     )
+
+
+def incremental_pack_assign(
+    stream_df: DataFrame,
+    out_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    budget: int = 2048,
+) -> None:
+    """INCREMENTAL sequence packing — the streaming form of sp04: each new
+    corpus drop appends its documents to the global token stream exactly
+    where the previous drain stopped, so pack layout is stable under
+    incremental ingest (early packs never change when new data arrives —
+    a trainer can consume them while the corpus still grows).
+
+    foreachBatch computes the batch-local spans with the same two-phase
+    prefix sum as sp04, shifted by the persisted stream offset. Replay
+    safety (a batch re-delivered after a crash) comes from keying BOTH the
+    output path and the recorded start offset by batch_id: a replayed
+    batch overwrites its own parquet dir using its original offset, and
+    the high-water offset never double-advances. The JSON state file is
+    the demo-sized cursor store (entries bounded by #batches); a
+    deployment puts the (batch_id, start_offset) map in a transactional
+    table exactly like the chunker's resume cursor.
+    """
+    import json
+    import os
+
+    from ..functions.prefix import with_global_cumsum
+
+    def sink(batch_df, batch_id: int) -> None:
+        bid = str(batch_id)
+        state = {"batches": {}}
+        if os.path.exists(state_path):
+            with open(state_path) as fh:
+                state = json.load(fh)
+        batches = state["batches"]
+        if bid in batches:
+            start = batches[bid]["start"]  # replay: reuse original offset
+        else:
+            start = max(
+                (b["end"] for b in batches.values()), default=0
+            )
+        counts = batch_df.select("doc_id", "n_tokens").where("n_tokens > 0")
+        spans = (
+            with_global_cumsum(counts, "doc_id", "n_tokens", out_col="cum")
+            .select(
+                "doc_id",
+                "n_tokens",
+                (F.col("cum") - F.col("n_tokens") + F.lit(start)).alias(
+                    "start_tok"
+                ),
+                (F.col("cum") + F.lit(start)).alias("end_tok"),
+            )
+            .withColumn(
+                "first_pack", F.expr(f"start_tok div {budget}")
+            )
+            .withColumn("last_pack", F.expr(f"(end_tok - 1) div {budget}"))
+        )
+        # idempotent: the batch's own directory, overwritten on replay
+        spans.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={bid}"))
+        total = spans.agg(F.sum("n_tokens")).first()[0] or 0
+        batches[bid] = {"start": start, "end": start + int(total)}
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"batches": batches}, fh)
+        os.replace(tmp, state_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

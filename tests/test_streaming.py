@@ -555,3 +555,60 @@ def test_tws_type_breakdown_matches_batch(spark, tmp_path):
     for (u, et), r in latest.items():
         assert r.n_type_events == expect_counts[(u, et)]
         assert abs(r.user_total_value - expect_totals[u]) < 1e-9
+
+
+def test_incremental_pack_assign_matches_batch_layout(spark, tmp_path):
+    """Incremental sequence packing over the corpusfeed stream: two
+    separate drains (50 docs each) must produce EXACTLY the span layout
+    the batch two-phase prefix sum assigns to the same 100 docs — early
+    packs never move when later data arrives, and the second drain
+    resumes the token stream where the first stopped."""
+    from dbix_batchchunker_spark.functions.prefix import with_global_cumsum
+    from dbix_batchchunker_spark.operators.text import _tokens_spark
+    from dbix_batchchunker_spark.sources.pydatasource import (
+        register,
+        register_feed,
+    )
+    from dbix_batchchunker_spark.streaming.incremental import (
+        incremental_pack_assign,
+    )
+
+    register(spark)
+    register_feed(spark)
+    out = str(tmp_path / "spans")
+    state = str(tmp_path / "state.json")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        feed = (
+            spark.readStream.format("corpusfeed")
+            .option("batchrows", 50)
+            .load()
+            .select("doc_id", F.size(_tokens_spark("text")).alias("n_tokens"))
+        )
+        incremental_pack_assign(feed, out, state, ck, budget=256)
+
+    drain()
+    drain()
+    got = {
+        r.doc_id: (r.start_tok, r.end_tok, r.first_pack, r.last_pack)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = (
+        spark.read.format("corpusgen")
+        .option("rows", 100)
+        .option("partitions", 4)
+        .load()
+        .select("doc_id", F.size(_tokens_spark("text")).alias("n_tokens"))
+    )
+    spans = with_global_cumsum(batch, "doc_id", "n_tokens", out_col="cum")
+    expect = {
+        r.doc_id: (
+            r.cum - r.n_tokens,
+            r.cum,
+            (r.cum - r.n_tokens) // 256,
+            (r.cum - 1) // 256,
+        )
+        for r in spans.collect()
+    }
+    assert got == expect
