@@ -97,6 +97,9 @@ def with_global_cumsum(
         .drop("__pid", "__local_cum", "__base")
     )
     # expose the cache handle so callers can scope cleanup to THIS call
-    # instead of a session-global clearCache
+    # instead of a session-global clearCache, and the grand total (already
+    # on the driver from the offsets pass) so callers never launch a
+    # second job just to re-sum the column
     out.cumsum_cache = ranged
+    out.cumsum_total = acc
     return out

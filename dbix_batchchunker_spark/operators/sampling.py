@@ -221,31 +221,46 @@ _PACK_BUDGET = 2048
 
 
 def token_pack_spans(
-    counts: DataFrame, budget: int = _PACK_BUDGET, order_col: str = "doc_id"
+    counts: DataFrame,
+    budget: int = _PACK_BUDGET,
+    order_col: str = "doc_id",
+    start_offset: int = 0,
 ) -> DataFrame:
-    """ONE copy of the pack-layout arithmetic for sp04, sp05, and the
-    pipeline example (three hand-synchronized copies was a round-7 review
-    finding): map each (order_col, n_tokens) row onto the concatenated
-    token stream via the two-phase prefix sum and derive its pack span."""
+    """ONE copy of the pack-layout arithmetic for sp04, sp05, the pipeline
+    example, AND the incremental streaming form (hand-synchronized copies
+    were a round-7 review finding — twice): map each (order_col, n_tokens)
+    row onto the concatenated token stream via the two-phase prefix sum
+    and derive its pack span. ``start_offset`` shifts the stream origin —
+    the incremental ingest path passes the persisted high-water offset so
+    each corpus drop continues where the last stopped.
+
+    The result carries ``cumsum_cache`` (unpersist when done) and
+    ``cumsum_total`` (this batch's token total, already driver-side — no
+    extra job) through from :func:`with_global_cumsum`."""
     from ..functions.prefix import with_global_cumsum
 
-    return (
-        with_global_cumsum(counts, order_col, "n_tokens", out_col="cum")
-        .where(F.col("n_tokens") > 0)
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    cum = with_global_cumsum(counts, order_col, "n_tokens", out_col="cum")
+    out = (
+        cum.where(F.col("n_tokens") > 0)
         .select(
             order_col,
             "n_tokens",
-            (F.col("cum") - F.col("n_tokens")).alias("start_tok"),
-            F.col("cum").alias("end_tok"),
+            F.expr(f"cum + {start_offset} - n_tokens").alias("start_tok"),
+            F.expr(f"cum + {start_offset}").alias("end_tok"),
             # the budget rides in column metadata so the manifest step
             # CANNOT be called with a mismatched budget (review catch:
             # independent params silently corrupted the segment math)
-            F.expr(f"(cum - n_tokens) div {budget}").alias(
+            F.expr(f"(cum + {start_offset} - n_tokens) div {budget}").alias(
                 "first_pack", metadata={"pack_budget": budget}
             ),
-            F.expr(f"(cum - 1) div {budget}").alias("last_pack"),
+            F.expr(f"(cum + {start_offset} - 1) div {budget}").alias("last_pack"),
         )
     )
+    out.cumsum_cache = cum.cumsum_cache
+    out.cumsum_total = cum.cumsum_total
+    return out
 
 
 def pack_segment_manifest(spans: DataFrame) -> DataFrame:

@@ -262,7 +262,9 @@ def incremental_pack_assign(
     import json
     import os
 
-    from ..functions.prefix import with_global_cumsum
+    # the ONE copy of the pack arithmetic (review contract), shifted by
+    # the persisted stream offset
+    from ..operators.sampling import token_pack_spans
 
     def sink(batch_df, batch_id: int) -> None:
         bid = str(batch_id)
@@ -277,26 +279,19 @@ def incremental_pack_assign(
             start = max(
                 (b["end"] for b in batches.values()), default=0
             )
-        counts = batch_df.select("doc_id", "n_tokens").where("n_tokens > 0")
-        spans = (
-            with_global_cumsum(counts, "doc_id", "n_tokens", out_col="cum")
-            .select(
-                "doc_id",
-                "n_tokens",
-                (F.col("cum") - F.col("n_tokens") + F.lit(start)).alias(
-                    "start_tok"
-                ),
-                (F.col("cum") + F.lit(start)).alias("end_tok"),
+        counts = batch_df.select("doc_id", "n_tokens")
+        spans = token_pack_spans(counts, budget=budget, start_offset=start)
+        try:
+            # idempotent: the batch's own directory, overwritten on replay
+            spans.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch={bid}")
             )
-            .withColumn(
-                "first_pack", F.expr(f"start_tok div {budget}")
-            )
-            .withColumn("last_pack", F.expr(f"(end_tok - 1) div {budget}"))
-        )
-        # idempotent: the batch's own directory, overwritten on replay
-        spans.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={bid}"))
-        total = spans.agg(F.sum("n_tokens")).first()[0] or 0
-        batches[bid] = {"start": start, "end": start + int(total)}
+            # batch token total came back with the prefix-sum offsets pass
+            # — no extra job
+            total = int(spans.cumsum_total)
+        finally:
+            spans.cumsum_cache.unpersist()
+        batches[bid] = {"start": start, "end": start + total}
         tmp = state_path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"batches": batches}, fh)

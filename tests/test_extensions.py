@@ -1440,7 +1440,5 @@ def test_phash_near_dup_planted_payloads(spark):
     assert pairs[(1, 2)] == 0
     assert pairs[(1, 3)] == 1 and pairs[(2, 3)] == 1
     assert not any(4 in p for p in pairs)
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError):
+    with pytest.raises(ValueError):
         phash_near_dup_pairs(hashed, max_hamming=4)  # beyond the pigeonhole
