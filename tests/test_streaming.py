@@ -612,3 +612,52 @@ def test_incremental_pack_assign_matches_batch_layout(spark, tmp_path):
         for r in spans.collect()
     }
     assert got == expect
+
+
+def test_incremental_pack_assign_replay_is_idempotent(spark, tmp_path):
+    """Crash-recovery contract: if the streaming checkpoint is lost but
+    the span state survives, the re-delivered batch takes the REPLAY path
+    — it reuses its originally recorded start offset and overwrites its
+    own output dir, so spans are byte-identical and the high-water offset
+    does not double-advance."""
+    import json
+    import shutil
+
+    from dbix_batchchunker_spark.operators.text import _tokens_spark
+    from dbix_batchchunker_spark.sources.pydatasource import register_feed
+    from dbix_batchchunker_spark.streaming.incremental import (
+        incremental_pack_assign,
+    )
+
+    register_feed(spark)
+    out = str(tmp_path / "spans")
+    state = str(tmp_path / "state.json")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        feed = (
+            spark.readStream.format("corpusfeed")
+            .option("batchrows", 40)
+            .load()
+            .select("doc_id", F.size(_tokens_spark("text")).alias("n_tokens"))
+        )
+        incremental_pack_assign(feed, out, state, ck, budget=256)
+
+    drain()
+    first = sorted(
+        (r.doc_id, r.start_tok, r.end_tok, r.first_pack, r.last_pack)
+        for r in spark.read.parquet(out).collect()
+    )
+    st1 = json.load(open(state))
+
+    # lose the checkpoint, keep the state → the feed restarts from offset
+    # {"pos": 0} and re-delivers batch 0
+    shutil.rmtree(ck)
+    drain()
+    replayed = sorted(
+        (r.doc_id, r.start_tok, r.end_tok, r.first_pack, r.last_pack)
+        for r in spark.read.parquet(out).collect()
+    )
+    st2 = json.load(open(state))
+    assert replayed == first  # overwrote itself, same layout
+    assert st2 == st1  # offset did NOT double-advance
