@@ -1331,3 +1331,95 @@ def dd10_jaccard_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("doc_id"), "rep_id")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------- #
+# dd11: shingle CONTAINMENT pairs — the asymmetric metric Jaccard misses.     #
+#                                                                             #
+# Broder's containment C(A→B) = |A∩B|/|A| ("On the resemblance and           #
+# containment of documents", 1997): a short document quoted or pasted into   #
+# a longer one has HIGH containment but LOW Jaccard (the union is dominated  #
+# by the longer doc), so Jaccard dedup keeps both copies. Corpus builds     #
+# drop the CONTAINED doc. Directed pairs on purpose; blocked on lang only   #
+# — a length bucket would break the very asymmetry the metric exists for —  #
+# with the family's fail-fast block guard; at 100 TB the scale path is      #
+# banding on the SMALLER side's minhash (containment sketches), same        #
+# S-curve story as dd03.                                                     #
+# --------------------------------------------------------------------------- #
+_CONTAIN_THRESHOLD = 0.8
+
+
+@query(
+    "dd11_containment_pairs",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(text, '{_WS}'), x -> x != '') AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                             i -> array_to_string(toks[i:i+2], ' '))) AS grams
+        FROM d
+    )
+    SELECT a.doc_id AS doc_sub, b.doc_id AS doc_sup,
+           ROUND(len(list_intersect(a.grams, b.grams)) / len(a.grams), 6)
+               AS containment
+    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id != b.doc_id
+    WHERE len(a.grams) > 0 AND len(b.grams) > 0
+      AND len(list_intersect(a.grams, b.grams))
+          >= {_CONTAIN_THRESHOLD} * len(a.grams)
+    ORDER BY doc_sub, doc_sup
+    """,
+)
+def dd11_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = (
+        _spread(t(spark, sf_dir, "documents"), "doc_id", "lang", "text")
+        .select("doc_id", "lang", _tokens().alias("toks"))
+        .select("doc_id", "lang", _shingles_of(F.col("toks"), 3).alias("grams"))
+        # xxhash64 longs for the intersect, same equality-up-to-collisions
+        # argument as _hashed_words (verified against the string-set oracle)
+        .select(
+            "doc_id",
+            "lang",
+            F.transform(F.col("grams"), lambda x: F.xxhash64(x)).alias("feats"),
+        )
+        .persist()
+    )
+    _require_bounded_blocks(
+        feats,
+        ["lang"],
+        MAX_BLOCK_SIZE,
+        op="containment_pairs",
+        alternative="minhash-containment banding on the smaller side "
+        "(compose dd03's band machinery over the sub-side signature)",
+    )
+    R = 8
+    docs = feats.where(F.size("feats") > 0)
+    a = docs.withColumn("salt", (F.col("doc_id") % R).cast("int")).alias("a")
+    b = docs.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(R - 1)))
+    ).alias("b")
+    inter = F.size(F.array_intersect(F.col("a.feats"), F.col("b.feats")))
+    # size prune, exact-preserving: |A∩B| ≤ |B|, so C(A→B) ≥ t forces
+    # |B| ≥ t·|A| — skip the intersect for pairs that cannot pass
+    thr_pm = int(_CONTAIN_THRESHOLD * 1000)
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.salt") == F.col("b.salt"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (
+                F.size(F.col("b.feats")) * 1000
+                >= thr_pm * F.size(F.col("a.feats"))
+            ),
+        )
+        .where(inter * 1000 >= thr_pm * F.size(F.col("a.feats")))
+        .select(
+            F.col("a.doc_id").alias("doc_sub"),
+            F.col("b.doc_id").alias("doc_sup"),
+            F.round(inter / F.size(F.col("a.feats")), 6).alias("containment"),
+        )
+        .orderBy("doc_sub", "doc_sup")
+    )
