@@ -204,6 +204,23 @@ def _require_bounded_blocks(
         )
 
 
+_SALT_R = 8
+
+
+def _salted_sides(docs: DataFrame):
+    """ONE copy of the salted self-join scaffolding (shared by the blocked
+    Jaccard family and dd11): left side salted by doc_id%R, right side
+    replicated R× — a block's pair space spreads across R tasks with an
+    identical result set."""
+    a = docs.withColumn(
+        "salt", (F.col("doc_id") % _SALT_R).cast("int")
+    ).alias("a")
+    b = docs.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT_R - 1)))
+    ).alias("b")
+    return a, b
+
+
 def _blocked_jaccard_pairs(
     feats_df: DataFrame,
     threshold: float,
@@ -227,17 +244,13 @@ def _blocked_jaccard_pairs(
         alternative="the banded-LSH pair path (dd06_lsh_jaccard_pairs / "
         "near_dup_pairs) or cluster dedup (dd03_minhash_dedup)",
     )
-    R = 8
     docs = (
         feats_df
         # Empty feature sets can't reach any positive threshold, and a pair
         # of them would make the Jaccard 0/0 (an error under ANSI mode).
         .where(F.size("feats") > 0)
     )
-    a = docs.withColumn("salt", (F.col("doc_id") % R).cast("int")).alias("a")
-    b = docs.withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.lit(R - 1)))
-    ).alias("b")
+    a, b = _salted_sides(docs)
     inter = F.size(F.array_intersect(F.col("a.feats"), F.col("b.feats")))
     union = F.size(F.col("a.feats")) + F.size(F.col("b.feats")) - inter
     # Size-ratio prune, exact-preserving: J = |A∩B|/|A∪B| ≤ min(|A|,|B|) /
@@ -285,6 +298,14 @@ def _blocked_jaccard_pairs(
 # --------------------------------------------------------------------------- #
 _SHINGLE_KEEP = ("0", "1", "2", "3")  # md5 first nibble → keep 4/16 = 1/4
 
+#: ONE copy of the 3-gram shingle SQL (over a `toks` column) shared by the
+#: dd08/dd10 CTEs and dd11's oracle — tokenization/shingling changes reach
+#: every oracle or none.
+_GRAMS_SQL = (
+    "list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1), "
+    "i -> array_to_string(toks[i:i+2], ' ')))"
+)
+
 
 # dd08's oracle, split so dd10 can reuse the identical edge derivation: the
 # shingle-feature CTEs and the blocked Jaccard pair-join are shared text —
@@ -297,8 +318,7 @@ _NGRAM_FEATURE_CTES = f"""
     ), s AS (
         SELECT doc_id, lang, len_bucket,
                list_filter(
-                   list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-                                 i -> array_to_string(toks[i:i+2], ' '))),
+                   {_GRAMS_SQL},
                    sh -> substr(md5(sh), 1, 1) IN {_SHINGLE_KEEP!r}) AS shingles
         FROM d
     )"""
@@ -1357,17 +1377,14 @@ _CONTAIN_THRESHOLD = 0.8
                list_filter(regexp_split_to_array(text, '{_WS}'), x -> x != '') AS toks
         FROM documents
     ), s AS (
-        SELECT doc_id, lang,
-               list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-                             i -> array_to_string(toks[i:i+2], ' '))) AS grams
+        SELECT doc_id, lang, {_GRAMS_SQL} AS grams
         FROM d
     )
     SELECT a.doc_id AS doc_sub, b.doc_id AS doc_sup,
            ROUND(len(list_intersect(a.grams, b.grams)) / len(a.grams), 6)
                AS containment
     FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id != b.doc_id
-    WHERE len(a.grams) > 0 AND len(b.grams) > 0
-      AND len(list_intersect(a.grams, b.grams))
+    WHERE len(list_intersect(a.grams, b.grams))
           >= {_CONTAIN_THRESHOLD} * len(a.grams)
     ORDER BY doc_sub, doc_sup
     """,
@@ -1375,6 +1392,10 @@ _CONTAIN_THRESHOLD = 0.8
 def dd11_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = (
         _spread(t(spark, sf_dir, "documents"), "doc_id", "lang", "text")
+        # NULL text: the oracle's toks is NULL (row drops in the WHERE);
+        # Spark's shingle chain would fabricate [''] instead — filter to
+        # match (dd02 gets this for free via NULL feats)
+        .where(F.col("text").isNotNull())
         .select("doc_id", "lang", _tokens().alias("toks"))
         .select("doc_id", "lang", _shingles_of(F.col("toks"), 3).alias("grams"))
         # xxhash64 longs for the intersect, same equality-up-to-collisions
@@ -1394,32 +1415,31 @@ def dd11_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         alternative="minhash-containment banding on the smaller side "
         "(compose dd03's band machinery over the sub-side signature)",
     )
-    R = 8
-    docs = feats.where(F.size("feats") > 0)
-    a = docs.withColumn("salt", (F.col("doc_id") % R).cast("int")).alias("a")
-    b = docs.withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.lit(R - 1)))
-    ).alias("b")
+    a, b = _salted_sides(feats)
     inter = F.size(F.array_intersect(F.col("a.feats"), F.col("b.feats")))
     # size prune, exact-preserving: |A∩B| ≤ |B|, so C(A→B) ≥ t forces
     # |B| ≥ t·|A| — skip the intersect for pairs that cannot pass
     thr_pm = int(_CONTAIN_THRESHOLD * 1000)
+    # project the intersection ONCE, then filter (the family rule —
+    # referencing it in both WHERE and SELECT evaluates it twice)
+    scored = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.salt") == F.col("b.salt"))
+        & (F.col("a.doc_id") != F.col("b.doc_id"))
+        & (F.size(F.col("b.feats")) * 1000 >= thr_pm * F.size(F.col("a.feats"))),
+    ).select(
+        F.col("a.doc_id").alias("doc_sub"),
+        F.col("b.doc_id").alias("doc_sup"),
+        inter.alias("inter"),
+        F.size(F.col("a.feats")).alias("sub_size"),
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.salt") == F.col("b.salt"))
-            & (F.col("a.doc_id") != F.col("b.doc_id"))
-            & (
-                F.size(F.col("b.feats")) * 1000
-                >= thr_pm * F.size(F.col("a.feats"))
-            ),
-        )
-        .where(inter * 1000 >= thr_pm * F.size(F.col("a.feats")))
+        scored.where(F.col("inter") * 1000 >= thr_pm * F.col("sub_size"))
         .select(
-            F.col("a.doc_id").alias("doc_sub"),
-            F.col("b.doc_id").alias("doc_sup"),
-            F.round(inter / F.size(F.col("a.feats")), 6).alias("containment"),
+            "doc_sub",
+            "doc_sup",
+            F.round(F.col("inter") / F.col("sub_size"), 6).alias("containment"),
         )
         .orderBy("doc_sub", "doc_sup")
     )

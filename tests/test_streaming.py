@@ -557,23 +557,15 @@ def test_tws_type_breakdown_matches_batch(spark, tmp_path):
         assert abs(r.user_total_value - expect_totals[u]) < 1e-9
 
 
-def test_incremental_pack_assign_matches_batch_layout(spark, tmp_path):
-    """Incremental sequence packing over the corpusfeed stream: two
-    separate drains (50 docs each) must produce EXACTLY the span layout
-    the batch two-phase prefix sum assigns to the same 100 docs — early
-    packs never move when later data arrives, and the second drain
-    resumes the token stream where the first stopped."""
-    from dbix_batchchunker_spark.functions.prefix import with_global_cumsum
+def _pack_drain(spark, tmp_path, batchrows):
+    """Shared scaffold for the incremental-pack tests: one availableNow
+    drain of the corpusfeed through incremental_pack_assign."""
     from dbix_batchchunker_spark.operators.text import _tokens_spark
-    from dbix_batchchunker_spark.sources.pydatasource import (
-        register,
-        register_feed,
-    )
+    from dbix_batchchunker_spark.sources.pydatasource import register_feed
     from dbix_batchchunker_spark.streaming.incremental import (
         incremental_pack_assign,
     )
 
-    register(spark)
     register_feed(spark)
     out = str(tmp_path / "spans")
     state = str(tmp_path / "state.json")
@@ -582,12 +574,27 @@ def test_incremental_pack_assign_matches_batch_layout(spark, tmp_path):
     def drain():
         feed = (
             spark.readStream.format("corpusfeed")
-            .option("batchrows", 50)
+            .option("batchrows", batchrows)
             .load()
             .select("doc_id", F.size(_tokens_spark("text")).alias("n_tokens"))
         )
         incremental_pack_assign(feed, out, state, ck, budget=256)
 
+    return drain, out, state, ck
+
+
+def test_incremental_pack_assign_matches_batch_layout(spark, tmp_path):
+    """Incremental sequence packing over the corpusfeed stream: two
+    separate drains (50 docs each) must produce EXACTLY the span layout
+    the batch two-phase prefix sum assigns to the same 100 docs — early
+    packs never move when later data arrives, and the second drain
+    resumes the token stream where the first stopped."""
+    from dbix_batchchunker_spark.functions.prefix import with_global_cumsum
+    from dbix_batchchunker_spark.operators.text import _tokens_spark
+    from dbix_batchchunker_spark.sources.pydatasource import register
+
+    register(spark)
+    drain, out, _state, _ck = _pack_drain(spark, tmp_path, batchrows=50)
     drain()
     drain()
     got = {
@@ -623,32 +630,14 @@ def test_incremental_pack_assign_replay_is_idempotent(spark, tmp_path):
     import json
     import shutil
 
-    from dbix_batchchunker_spark.operators.text import _tokens_spark
-    from dbix_batchchunker_spark.sources.pydatasource import register_feed
-    from dbix_batchchunker_spark.streaming.incremental import (
-        incremental_pack_assign,
-    )
-
-    register_feed(spark)
-    out = str(tmp_path / "spans")
-    state = str(tmp_path / "state.json")
-    ck = str(tmp_path / "ck")
-
-    def drain():
-        feed = (
-            spark.readStream.format("corpusfeed")
-            .option("batchrows", 40)
-            .load()
-            .select("doc_id", F.size(_tokens_spark("text")).alias("n_tokens"))
-        )
-        incremental_pack_assign(feed, out, state, ck, budget=256)
-
+    drain, out, state, ck = _pack_drain(spark, tmp_path, batchrows=40)
     drain()
     first = sorted(
         (r.doc_id, r.start_tok, r.end_tok, r.first_pack, r.last_pack)
         for r in spark.read.parquet(out).collect()
     )
-    st1 = json.load(open(state))
+    with open(state) as fh:
+        st1 = json.load(fh)
 
     # lose the checkpoint, keep the state → the feed restarts from offset
     # {"pos": 0} and re-delivers batch 0
@@ -658,6 +647,7 @@ def test_incremental_pack_assign_replay_is_idempotent(spark, tmp_path):
         (r.doc_id, r.start_tok, r.end_tok, r.first_pack, r.last_pack)
         for r in spark.read.parquet(out).collect()
     )
-    st2 = json.load(open(state))
+    with open(state) as fh:
+        st2 = json.load(fh)
     assert replayed == first  # overwrote itself, same layout
     assert st2 == st1  # offset did NOT double-advance
