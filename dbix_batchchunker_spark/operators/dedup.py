@@ -212,8 +212,10 @@ def _salted_sides(docs: DataFrame):
     Jaccard family and dd11): left side salted by doc_id%R, right side
     replicated R× — a block's pair space spreads across R tasks with an
     identical result set."""
+    # pmod, not %: a negative id's % salt is negative, matching NO
+    # replicated right-side salt — pairs would vanish silently
     a = docs.withColumn(
-        "salt", (F.col("doc_id") % _SALT_R).cast("int")
+        "salt", F.pmod(F.col("doc_id"), F.lit(_SALT_R)).cast("int")
     ).alias("a")
     b = docs.withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT_R - 1)))

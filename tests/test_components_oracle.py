@@ -122,3 +122,25 @@ def test_sim07_components_match_duckdb_closure(spark):
     assert got == expected
     # is_dup is definitionally id != rep_id
     assert all((r["vec_id"] != r["rep_id"]) == r["is_dup"] for r in out)
+
+
+def test_salted_sides_pairs_negative_ids(spark):
+    """_salted_sides must salt with pmod: a plain % gives negative ids a
+    negative salt that matches no replicated right-side salt, silently
+    dropping their pairs from every blocked-pair operator."""
+    from pyspark.sql import functions as F
+
+    from dbix_batchchunker_spark.operators.dedup import _salted_sides
+
+    df = spark.createDataFrame(
+        [(-5, "en", [1, 2, 3]), (-3, "en", [1, 2, 3]), (4, "en", [1, 2, 3])],
+        "doc_id long, lang string, feats array<bigint>",
+    )
+    a, b = _salted_sides(df)
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.salt") == F.col("b.salt"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    assert pairs.count() == 3  # all C(3,2) pairs survive the salt
