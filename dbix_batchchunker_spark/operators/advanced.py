@@ -1082,3 +1082,53 @@ def q43_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# --------------------------------------------------------------------------- #
+# q44: FULL OUTER reconciliation — the source-vs-target diff every migration  #
+# (and every chunked backfill, the reference's bread and butter) ends with:   #
+# which keys exist only on one side, and do the shared keys agree? Completes  #
+# the join-type surface (inner/semi/anti/null-aware anti elsewhere). The     #
+# demo reconciles the customer table against the keys orders actually        #
+# reference; at 100 TB this is one shuffle on the key with AQE handling      #
+# skew — classification happens post-join from null-ness, no second pass.   #
+# --------------------------------------------------------------------------- #
+@query(
+    "q44_full_outer_reconcile",
+    oracle="""
+    WITH src AS (
+        SELECT c_custkey AS k, COUNT(*) AS n_src FROM customer GROUP BY 1
+    ), tgt AS (
+        SELECT o_custkey AS k, COUNT(*) AS n_tgt FROM orders GROUP BY 1
+    )
+    SELECT COALESCE(src.k, tgt.k) AS custkey,
+           CASE WHEN src.k IS NULL THEN 'target_only'
+                WHEN tgt.k IS NULL THEN 'source_only'
+                ELSE 'both' END AS presence,
+           COALESCE(n_src, 0) AS n_src,
+           COALESCE(n_tgt, 0) AS n_tgt
+    FROM src FULL OUTER JOIN tgt ON src.k = tgt.k
+    ORDER BY custkey
+    """,
+)
+def q44_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_custkey").alias("k_src"))
+        .agg(F.count(F.lit(1)).alias("n_src"))
+    )
+    tgt = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k_tgt"))
+        .agg(F.count(F.lit(1)).alias("n_tgt"))
+    )
+    joined = src.join(tgt, src.k_src == tgt.k_tgt, "full_outer")
+    return joined.select(
+        F.coalesce("k_src", "k_tgt").alias("custkey"),
+        F.when(F.col("k_src").isNull(), "target_only")
+        .when(F.col("k_tgt").isNull(), "source_only")
+        .otherwise("both")
+        .alias("presence"),
+        F.coalesce("n_src", F.lit(0)).alias("n_src"),
+        F.coalesce("n_tgt", F.lit(0)).alias("n_tgt"),
+    ).orderBy("custkey")
