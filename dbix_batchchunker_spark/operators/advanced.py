@@ -1132,3 +1132,50 @@ def q44_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_src", F.lit(0)).alias("n_src"),
         F.coalesce("n_tgt", F.lit(0)).alias("n_tgt"),
     ).orderBy("custkey")
+
+
+# --------------------------------------------------------------------------- #
+# q45: UNPIVOT — the inverse of q36's pivot, closing the reshape pair: wide   #
+# per-status count columns melted back to (priority, status, n) long form.    #
+# Spark's unpivot/melt lowers to one Expand over the wide frame — no join,   #
+# no shuffle beyond the source aggregation; the oracle spells the same       #
+# reshape as a portable UNION ALL. Long form is what downstream group-bys   #
+# and chart pipelines consume; at scale the wide frame is already the       #
+# REDUCED aggregate, so the Expand is dimension-sized.                       #
+# --------------------------------------------------------------------------- #
+@query(
+    "q45_unpivot_status_counts",
+    oracle="""
+    WITH wide AS (
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, status, n FROM (
+        SELECT o_orderpriority, 'n_open' AS status, n_open AS n FROM wide
+        UNION ALL
+        SELECT o_orderpriority, 'n_filled', n_filled FROM wide
+        UNION ALL
+        SELECT o_orderpriority, 'n_pending', n_pending FROM wide
+    )
+    ORDER BY o_orderpriority, status
+    """,
+)
+def q45_unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_filled"),
+            F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_pending"),
+        )
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_open", "n_filled", "n_pending"],
+        variableColumnName="status",
+        valueColumnName="n",
+    ).orderBy("o_orderpriority", "status")
