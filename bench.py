@@ -99,6 +99,18 @@ def _chunker_baseline(spark, sf_dir: str) -> dict:
     return out
 
 
+def _clear_caches(spark) -> None:
+    """Session-wide cache drop between timed runs, plus an explicit release
+    of the prefix-sum cache registry so its handle list cannot grow for the
+    life of a long bench session (round-7 advice: attribute handles are
+    lost by downstream transformations; the registry is the cleanup path).
+    """
+    from dbix_batchchunker_spark.functions.prefix import release_cumsum_caches
+
+    release_cumsum_caches()
+    _clear_caches(spark)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -171,7 +183,7 @@ def main() -> None:
             ).save()
         except Exception:
             pass  # warm-up is best-effort; the timed run surfaces real errors
-        spark.catalog.clearCache()
+        _clear_caches(spark)
         best = float("inf")
         # Transient container stalls hit CONSECUTIVE runs (an r3 full-suite
         # run timed dd05 at 13 s in both runs vs 5.3 s reproducible), so
@@ -202,14 +214,14 @@ def main() -> None:
                 # Queries are standalone: drop any frames they persisted so
                 # cache leakage doesn't build GC pressure for the queries
                 # that follow.
-                spark.catalog.clearCache()
+                _clear_caches(spark)
         except Exception as exc:  # noqa: BLE001
             # One broken query must not sink the whole artifact (BENCH_r05
             # died with rc=1 at q30 and recorded zero timings). Record the
             # failure, keep timing the rest.
             errors[name] = f"{type(exc).__name__}: {exc}".splitlines()[0][:200]
             print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
-            spark.catalog.clearCache()
+            _clear_caches(spark)
             # A repeat-run failure must not discard a timing the first run
             # already banked — report both the number and the error.
             if math.isfinite(best):

@@ -30,6 +30,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: Every persisted frame this module creates, so callers that cannot reach
+#: the ``.cumsum_cache`` attribute (it is lost by any downstream
+#: transformation — a round-7 advice finding) still have a deterministic
+#: cleanup path: :func:`release_cumsum_caches`. bench.py calls it between
+#: queries; long-lived sessions should call it after materializing results.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def release_cumsum_caches() -> int:
+    """Unpersist every cumsum cache created since the last release.
+
+    Idempotent (``unpersist`` on an already-unpersisted frame is a no-op)
+    and safe to call while results are still lazy — downstream actions
+    recompute the ranged frame, which is deterministic for deterministic
+    sources (see the persist note in :func:`with_global_cumsum`). Returns
+    the number of handles released."""
+    n = len(_LIVE_CACHES)
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+    return n
+
 
 def with_global_cumsum(
     df: DataFrame,
@@ -74,15 +95,40 @@ def with_global_cumsum(
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
-    w = Window.partitionBy("__pid").orderBy(order_col)
+    _LIVE_CACHES.append(ranged)
+    # ROWS, not the default RANGE frame: RANGE is peer-inclusive, so a
+    # duplicated order key would fold its peers' values into both rows'
+    # running totals — and the result would then depend on which range
+    # partition the ties landed in. ROWS + the uniqueness check below
+    # make duplicates loud instead of silently wrong.
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     local = ranged.withColumn("__local_cum", F.sum(value_col).over(w))
-    # one row per partition crosses to the driver — #partitions, not #rows
-    totals = sorted(
-        (r["__pid"], r["__tot"])
-        for r in ranged.groupBy("__pid")
-        .agg(F.sum(value_col).alias("__tot"))
+    # one row per partition crosses to the driver — #partitions, not #rows.
+    # The uniqueness check rides the SAME job: repartitionByRange sends
+    # equal keys to the same partition, so per-partition count vs
+    # count(DISTINCT) is a GLOBAL duplicate detector at zero extra scans
+    # (count() also counts NULL keys, countDistinct ignores them — NULLs
+    # therefore trip the check too, and a NULL key is not a total order).
+    stats = (
+        ranged.groupBy("__pid")
+        .agg(
+            F.sum(value_col).alias("__tot"),
+            F.count(F.lit(1)).alias("__cnt"),
+            F.countDistinct(order_col).alias("__dst"),
+        )
         .collect()
     )
+    bad = [r["__pid"] for r in stats if r["__cnt"] != r["__dst"]]
+    if bad:
+        raise ValueError(
+            f"with_global_cumsum requires a unique, non-NULL {order_col!r} "
+            f"(a total order); duplicates or NULLs found in partitions {bad[:5]}"
+        )
+    totals = sorted((r["__pid"], r["__tot"]) for r in stats)
     rows, acc = [], (0.0 if base_type == "double" else 0)
     for pid, tot in totals:
         rows.append((pid, acc))

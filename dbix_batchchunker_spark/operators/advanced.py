@@ -1051,9 +1051,13 @@ def q42_trailing_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q43_salted_hot_join",
     oracle="""
-    WITH e AS (
-        SELECT event_id, user_id % (SELECT COUNT(*) FROM customer) AS c_custkey,
-               value FROM events
+    WITH n AS (SELECT COUNT(*) AS n FROM customer),
+    -- pmod-equivalent fold: Spark's F.pmod is non-negative while SQL % keeps
+    -- the dividend's sign, so ((x % n) + n) % n is spelled out here to stay
+    -- cross-engine safe if user_id ever goes negative (round-7 advice).
+    e AS (
+        SELECT event_id, ((user_id % n.n) + n.n) % n.n AS c_custkey,
+               value FROM events, n
     )
     SELECT c.c_nationkey,
            COUNT(*) AS n_events,

@@ -51,6 +51,16 @@ class _state_partitions:
     existing state, so size for the target volume up front — at 100 TB
     that is hundreds). Batch queries are unaffected: the session value
     is restored on exit.
+
+    SINGLE-THREADED ASSUMPTION (round-7 advice): this mutates the
+    SESSION conf for the duration of the stream start, so any batch
+    query planned CONCURRENTLY on the same SparkSession would silently
+    pick up the narrowed partition count. Spark's stream start path
+    reads the session conf (there is no per-writeStream override for
+    ``spark.sql.shuffle.partitions``), so the scope-per-query fix does
+    not exist upstream; a deployment driving streams and batch from one
+    session concurrently should pin the count with a dedicated
+    ``spark.newSession()`` for the streams instead of this helper.
     """
 
     def __init__(self, spark, n):

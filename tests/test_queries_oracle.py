@@ -71,8 +71,25 @@ def _canon_pdf(pdf: pd.DataFrame):
 QUERY_NAMES = sorted(entry_mod.oracle_sql())
 
 
+#: Queries whose oracle equality holds only while a sketch stays in its
+#: coupon-exact (sparse) mode — true at the gate scales sf0.001/sf0.01
+#: (≤300 distincts/region vs the ~3k HLL_4 sparse bound) but documented to
+#: drift at sf0.1+. Running the replica at a bigger SF skips them here; the
+#: ±error-bar guarantee at sf0.1 is pinned separately in
+#: tests/test_extensions.py (round-7 advice).
+_SPARSE_EXACT_ONLY = {"q41_sketch_rollup"}
+_GATE_SCALE_DIRS = ("sf0.001", "sf0.01")
+
+
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, duck, name):
+    if name in _SPARSE_EXACT_ONLY and not SF_DIR.rstrip("/").endswith(
+        _GATE_SCALE_DIRS
+    ):
+        pytest.skip(
+            f"{name}: oracle equality holds only in HLL sparse mode "
+            f"(gate scales {_GATE_SCALE_DIRS}); error-bar test covers {SF_DIR}"
+        )
     q = entry_mod.queries()[name]
     sdf = q(spark, SF_DIR)
     spark_pdf = pd.DataFrame(

@@ -583,6 +583,33 @@ def test_global_cumsum_two_phase_matches_naive_window(spark):
     assert g == n
 
 
+def test_global_cumsum_rejects_duplicate_and_null_keys(spark):
+    """A duplicated (or NULL) order key is not a total order: the default
+    RANGE window frame would fold peers into both rows' totals with a
+    partition-placement-dependent result (round-7 advice). The helper must
+    raise, not silently pick an ordering — and the check must ride the
+    existing totals job, catching duplicates ACROSS partition boundaries
+    too (repartitionByRange co-locates equal keys)."""
+    import pytest as _pytest
+
+    from dbix_batchchunker_spark.functions.prefix import (
+        release_cumsum_caches,
+        with_global_cumsum,
+    )
+
+    dup = spark.range(0, 100).selectExpr("id % 50 AS k", "id AS v")
+    with _pytest.raises(ValueError, match="unique"):
+        with_global_cumsum(dup, "k", "v", num_partitions=5)
+    withnull = spark.range(0, 20).selectExpr(
+        "IF(id = 7, NULL, id) AS k", "id AS v"
+    )
+    with _pytest.raises(ValueError, match="unique"):
+        with_global_cumsum(withnull, "k", "v", num_partitions=3)
+    # the failed calls registered their persisted frames — release drains them
+    assert release_cumsum_caches() >= 2
+    assert release_cumsum_caches() == 0
+
+
 def test_python_datasource_corpusgen(spark):
     """Spark 4 Python Data Source API: the corpusgen connector plans its
     own partitions (parallel scan), emits Arrow batches, and is
