@@ -108,7 +108,7 @@ def _clear_caches(spark) -> None:
     from dbix_batchchunker_spark.functions.prefix import release_cumsum_caches
 
     release_cumsum_caches()
-    _clear_caches(spark)
+    spark.catalog.clearCache()
 
 
 def main() -> None:

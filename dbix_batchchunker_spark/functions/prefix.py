@@ -120,7 +120,7 @@ def with_global_cumsum(
             F.count(F.lit(1)).alias("__cnt"),
             F.countDistinct(order_col).alias("__dst"),
         )
-        .collect()
+        .collect()  # bounded: one row per partition — #partitions, not #rows
     )
     bad = [r["__pid"] for r in stats if r["__cnt"] != r["__dst"]]
     if bad:

@@ -748,26 +748,33 @@ def dd03_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") != F.col("bmin"))
         .select(F.col("bmin").alias("src"), F.col("doc_id").alias("dst"))
         .distinct()
-        .persist()
     )
-    if star.count() <= SMALL_GRAPH_EDGES:
-        ids = entries.select(F.col("doc_id").alias("id")).distinct()
-        rep = (
-            _components_driver_union_find(ids, star)
-            # Eager checkpoint BEFORE the unpersists below: the label frame's
-            # lineage runs through `ids` → entries → the whole signature
-            # pipeline, and a lazy return would recompute all of it at the
-            # caller's first action once the cache is gone.
-            .localCheckpoint(eager=True)
-        )
-        star.unpersist()
+    # ONE action is both the gate check and the edge transfer (round-7
+    # verdict: the persist→count→collect→checkpoint job chain left the
+    # small-graph path stage-launch-bound): limit(gate+1) bounds the driver
+    # transfer to the same constant the count used to enforce, and the
+    # returned length IS the gate decision.
+    epdf = star.limit(SMALL_GRAPH_EDGES + 1).toPandas()
+    if len(epdf) <= SMALL_GRAPH_EDGES:
         entries.unpersist()
+        # The vertex set comes straight off the parquet scan — docs with ≥1
+        # token, exactly the docs that produce band entries (explode drops
+        # empty shingle arrays) — so the result's lineage no longer runs
+        # through the signature pipeline: no eager checkpoint, no cache
+        # outliving the call, and the caller's action recomputes only a
+        # pruned doc_id scan plus one broadcast hash join.
+        ids = (
+            t(spark, sf_dir, "documents")
+            .where(F.size(_tokens()) > 0)
+            .select(F.col("doc_id").alias("id"))
+        )
+        rep = _labels_join(ids, _union_find_labels(epdf))
         return rep.select(
             F.col("id").alias("doc_id"),
             "rep_id",
             (F.col("id") != F.col("rep_id")).alias("is_dup"),
         ).orderBy("doc_id")
-    star.unpersist()
+    del epdf
     rep = entries.select("doc_id").distinct().select(
         "doc_id", F.col("doc_id").alias("rep_id")
     )
@@ -816,12 +823,13 @@ def dd03_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SMALL_GRAPH_EDGES = 1_000_000
 
 
-def _components_driver_union_find(ids: DataFrame, edges: DataFrame) -> DataFrame:
-    """Exact components for a BOUNDED edge list: collect the edges (the
-    caller enforces the size gate), union-find with path compression and
-    union-by-min (the root IS the component minimum), broadcast the
-    non-trivial labels back, left-join against the full vertex set so
-    isolated vertices stay their own representative."""
+def _union_find_labels(epdf) -> list[tuple[int, int]]:
+    """Driver-side union-find over an ALREADY-BOUNDED pandas edge frame
+    (src/dst int64 — the caller enforces the SMALL_GRAPH_EDGES gate before
+    the Arrow transfer). Path compression + union-by-min, so the root IS
+    the component minimum. Returns (vertex, root) for every non-isolated
+    vertex; isolated vertices never appear (they label themselves in
+    :func:`_labels_join`)."""
     parent: dict = {}
 
     def find(x):
@@ -832,10 +840,6 @@ def _components_driver_union_find(ids: DataFrame, edges: DataFrame) -> DataFrame
             parent[x], x = root, parent[x]
         return root
 
-    # toPandas, not collect(): Arrow lands two int64 columns (~16 B/edge —
-    # the budget SMALL_GRAPH_EDGES is calibrated to), where 1M Row objects
-    # would cost 10-30× that in driver heap.
-    epdf = edges.toPandas()
     for a, b in zip(epdf["src"].to_numpy(), epdf["dst"].to_numpy()):
         ra, rb = find(int(a)), find(int(b))
         if ra != rb:
@@ -843,7 +847,13 @@ def _components_driver_union_find(ids: DataFrame, edges: DataFrame) -> DataFrame
                 ra, rb = rb, ra
             parent[rb] = ra
 
-    labels = [(int(v), int(find(v))) for v in list(parent)]
+    return [(int(v), int(find(v))) for v in list(parent)]
+
+
+def _labels_join(ids: DataFrame, labels: list[tuple[int, int]]) -> DataFrame:
+    """Broadcast the non-trivial (id, root) labels back and left-join the
+    full vertex set (one ``id`` column): isolated vertices stay their own
+    representative. Pure plan — no action, no persisted state."""
     spark = ids.sparkSession
     if labels:
         mdf = spark.createDataFrame(labels, "id long, rep long")
@@ -889,24 +899,29 @@ def components_from_edges(
     # pipeline — sim07 hands us IVF-candidates + exact-verify — would execute
     # TWICE just to build sym (measured: ~3 s doubled at sf0.1).
     edges = edges.select("src", "dst").persist()
-    # Small-graph fast path: the count below materializes the persisted
-    # edges (paid once either way), and when the edge list fits the driver
-    # comfortably — SMALL_GRAPH_EDGES pairs ≈ tens of MB, a CONSTANT bound
-    # independent of corpus size — a driver union-find replaces O(log d)
-    # checkpointed rounds (each 3 joins + 2 actions of pure stage-launch
-    # overhead on a near-empty cluster) with one collect + one broadcast
-    # join. Near-dup graphs at sane thresholds are edge-sparse (sf0.1: 391
-    # verified pairs from 2k vectors), so this is the common case at every
-    # scale; past the bound the distributed propagation below runs
-    # unchanged, where its per-round cost amortizes over real data.
-    # Measured when this fast path landed: sim07 12.3 s → 3.2 s at sf0.1
-    # (same labels); the round-6 closing bench then recorded 2.76 s —
+    # Small-graph fast path: when the edge list fits the driver comfortably
+    # — SMALL_GRAPH_EDGES pairs ≈ tens of MB via Arrow (~16 B/edge, two
+    # int64 columns; collect()'s Row objects would cost 10-30× that), a
+    # CONSTANT bound independent of corpus size — a driver union-find
+    # replaces O(log d) checkpointed rounds (each 3 joins + 2 actions of
+    # pure stage-launch overhead on a near-empty cluster) with one transfer
+    # + one broadcast join. limit(gate+1) makes the transfer itself the
+    # gate check — one action where persist→count→toPandas was two
+    # (round-7 verdict on dd03's job count; same surgery here). Near-dup
+    # graphs at sane thresholds are edge-sparse (sf0.1: 391 verified pairs
+    # from 2k vectors), so this is the common case at every scale; past
+    # the bound the distributed propagation below runs unchanged, where
+    # its per-round cost amortizes over real data. Measured when this fast
+    # path landed: sim07 12.3 s → 3.2 s at sf0.1 (same labels);
     # BENCH_DETAIL.json is the binding record for current numbers.
-    if small_graph_edges is not None and edges.count() <= small_graph_edges:
-        try:
-            return _components_driver_union_find(ids, edges)
-        finally:
+    if small_graph_edges is not None:
+        epdf = edges.limit(small_graph_edges + 1).toPandas()
+        if len(epdf) <= small_graph_edges:
+            # the result's lineage is ids + a driver-literal broadcast —
+            # independent of the edge cache, so unpersist immediately.
             edges.unpersist()
+            return _labels_join(ids, _union_find_labels(epdf))
+        del epdf  # over the gate: distributed propagation (edges stay cached)
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
