@@ -51,11 +51,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #: than deriving it from registration order — makes displacement
 #: structurally impossible: a newly registered oracle-backed query can
 #: never push a slot-holder out (pre-pin failure modes: round 2 lost
-#: tx06-tx11 to ordering; round 7's q33 briefly displaced q32). Rebalanced
-#: in round 7 (verdict "Next round #1"): q13/q14/q24 yielded their slots to
-#: tx14/sp01/q32 — their shapes are covered by siblings (q27's
-#: conditional-agg/scalar-subquery; the chunked family's keyset
-#: windowing) and they stay oracle-pinned in the local gate replica.
+#: tx06-tx11 to ordering; round 7's q33 briefly displaced q32). With 81
+#: oracle-backed queries and a fixed 50-slot driver cap, the prefix now
+#: ROTATES each round (round-7 verdict "Next round #2") so every
+#: oracle-backed query earns a driver-adjudicated green row within a few
+#: rounds. Rotation log:
+#:   round 7: q13/q14/q24 out -> tx14/sp01/q32 in.
+#:   round 8: 12 long-stable slot-holders out (q02/q04/q05/q06/q10/q11,
+#:     tx01/tx04/tx05/tx08/tx09/tx12 — all 7-rounds driver-green, shapes
+#:     covered by prefix siblings) -> 12 never-adjudicated in
+#:     (q33/q36/q38/q40/q42/q44, dd10/dd11, sim08, tx16/tx18, sp04).
+#: Every rotated-out query stays oracle-pinned in the local gate replica
+#: (tests/test_queries_oracle.py parametrizes over ALL 81).
 ADJUDICATED_PREFIX = (
     "q12_rollup_revenue", "q15_asof_join", "q16_semi_join",
     "q17_scalar_functions", "q18_percentiles", "q25_shipping_priority",
@@ -65,21 +72,37 @@ ADJUDICATED_PREFIX = (
     "q22_chunked_update_overlay", "q23_chunked_update_join",
     "dd01_exact", "dd02_jaccard_pairs", "dd08_ngram_jaccard_pairs",
     "dd06_lsh_jaccard_pairs", "dd05_mllib_minhash", "mm01_binary_stats",
-    "q01_pricing_summary", "q02_filter_predicates", "q03_revenue_by_nation",
-    "q04_minmax_count", "q05_groupby_having", "q06_view_orders_1995",
+    "q01_pricing_summary", "q03_revenue_by_nation",
     "q07_top_customers", "q08_latest_event_per_user",
-    "q09_customers_without_orders", "q10_set_ops", "q11_hourly_event_rollup",
-    "sim01_topk_bruteforce", "sim03_embedding_near_dup", "tx01_token_stats",
-    "tx02_quality_score", "tx03_langid", "tx04_fingerprint",
-    "tx05_json_extract", "tx06_pipeline_quality_dedup", "tx07_bpe_token_count",
-    "tx08_rolling_hash", "tx09_det_split", "tx10_decontaminate",
-    "tx12_repetition", "tx11_group_sample", "tx14_vocab",
-    "sp01_mixture_sample", "q32_banded_range_join",
+    "q09_customers_without_orders",
+    "q33_interval_overlap_join", "q36_pivot_event_matrix",
+    "q38_composite_keyset", "q40_null_aware_anti",
+    "q42_trailing_week_revenue", "q44_full_outer_reconcile",
+    "sim01_topk_bruteforce", "sim03_embedding_near_dup", "sim08_quantized_topk",
+    "dd10_jaccard_components", "dd11_containment_pairs",
+    "tx02_quality_score", "tx03_langid",
+    "tx06_pipeline_quality_dedup", "tx07_bpe_token_count",
+    "tx10_decontaminate", "tx16_bloom_decontaminate", "tx18_bpe_merge_pairs",
+    "tx11_group_sample", "tx14_vocab",
+    "sp01_mixture_sample", "sp04_sequence_packing", "q32_banded_range_join",
 )
 
-#: Former slot-holders, first in line to be re-adjudicated if the driver
-#: cap ever rises past 50 — they head the trailing gated block.
+#: Former slot-holders, first in line for re-adjudication when the
+#: rotation swings back — they head the trailing gated block so a raised
+#: driver cap would pick them up first.
 DEMOTED_FROM_PREFIX = (
+    "q02_filter_predicates",
+    "q04_minmax_count",
+    "q05_groupby_having",
+    "q06_view_orders_1995",
+    "q10_set_ops",
+    "q11_hourly_event_rollup",
+    "tx01_token_stats",
+    "tx04_fingerprint",
+    "tx05_json_extract",
+    "tx08_rolling_hash",
+    "tx09_det_split",
+    "tx12_repetition",
     "q13_conditional_agg",
     "q14_below_avg_quantity",
     "q24_keyset_page",

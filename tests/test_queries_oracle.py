@@ -171,8 +171,18 @@ def test_adjudicated_prefix_is_the_load_bearing_fifty():
     # Every prefix slot must be oracle-gated — a rows-only query in the
     # prefix wastes an adjudication slot.
     assert all(n in o for n in prefix)
-    # The three queries displaced in round 6 must now be adjudicated.
-    for name in ("tx14_vocab", "sp01_mixture_sample", "q32_banded_range_join"):
+    # The round-8 rotation (verdict "Next round #2") swapped 12 never-
+    # driver-adjudicated queries into the prefix; they must hold slots.
+    for name in (
+        "q33_interval_overlap_join", "q36_pivot_event_matrix",
+        "q38_composite_keyset", "q40_null_aware_anti",
+        "q42_trailing_week_revenue", "q44_full_outer_reconcile",
+        "dd10_jaccard_components", "dd11_containment_pairs",
+        "sim08_quantized_topk", "tx16_bloom_decontaminate",
+        "tx18_bpe_merge_pairs", "sp04_sequence_packing",
+        # and the round-7 rotation's three must still hold theirs
+        "tx14_vocab", "sp01_mixture_sample", "q32_banded_range_join",
+    ):
         assert name in prefix, f"{name} lost its driver CORRECTNESS slot"
     # The demoted trio stays oracle-pinned (this file parametrizes over all
     # oracles) and sits immediately after the prefix, before rows-only.
