@@ -984,6 +984,27 @@ class ConcurrentChunker:
         self.max_in_flight = max_in_flight
 
     def execute(self) -> None:
+        """Run every chunk with up to ``max_in_flight`` in flight, keeping
+        the SERIAL loop's guarantees (round-7 verdict "Next round #3" —
+        they silently vanished in the first concurrent form):
+
+        - ``max_runtime``: checked before each SUBMISSION (the serial loop
+          checks before each chunk, BatchChunker.pm:591-608); once the
+          budget is spent no new chunk starts, in-flight chunks finish,
+          and the reference's "Ran past the maximum run time" message is
+          emitted once. Cursor semantics make the stop resumable.
+        - ``sleep``: the throttle paces SUBMISSIONS (one ``sleep_func``
+          call between consecutive submissions, BatchChunker.pm:629-634) —
+          driver-side pacing, so workers are never blocked mid-chunk; the
+          steady-state chunk start rate matches the serial loop's.
+        - ``on_progress``: fired after each completion with the CONTIGUOUS
+          completed id prefix — monotone, never counts a chunk whose
+          predecessors are unfinished (the same resume-safe measure the
+          cursor uses).
+        - retry: BOTH dispatch modes run under ``bc._retry`` (the DIY path
+          previously bypassed it — a behavioral divergence from the serial
+          loop inside the same class).
+        """
         import concurrent.futures as cf
 
         bc = self.bc
@@ -992,8 +1013,11 @@ class ConcurrentChunker:
             return
         ranges = list(bc.chunk_ranges())
         done: set[int] = set()
+        total_ids = bc.max_id - bc.min_id + 1
+        started = bc.time_source()
 
         def run_one(idx: int) -> int:
+            t0 = bc.time_source()
             start, end = ranges[idx]
             if bc.df is not None and bc.coderef is not None:
                 chunk_df = bc._current_df().filter(
@@ -1001,18 +1025,65 @@ class ConcurrentChunker:
                 )
                 bc._retry(lambda: bc.coderef(bc, chunk_df))
             else:
-                bc.coderef(bc, start, end)
+                bc._retry(lambda: bc.coderef(bc, start, end))
+            if bc.verbose:
+                from .progress import chunk_status_line
+
+                # same reference-uniform line the serial loop prints
+                # (chunk_count is unprobed here — static ranges, no COUNT)
+                bc._message(
+                    chunk_status_line(
+                        start, end, "processed", None, bc.chunk_size,
+                        runtime=bc.time_source() - t0,
+                        sleep=bc.sleep or 0.0, locale=bc.locale,
+                    )
+                )
             return idx
 
+        def contiguous_prefix() -> int:
+            prefix = -1
+            while prefix + 1 in done:
+                prefix += 1
+            return prefix
+
+        last_reported = -1
         with cf.ThreadPoolExecutor(max_workers=self.max_in_flight) as pool:
-            futures = [pool.submit(run_one, i) for i in range(len(ranges))]
+            in_flight: dict = {}
+            next_idx = 0
+            budget_spent = False
             try:
-                for fut in cf.as_completed(futures):
-                    done.add(fut.result())
+                while in_flight or (next_idx < len(ranges) and not budget_spent):
+                    while (
+                        not budget_spent
+                        and next_idx < len(ranges)
+                        and len(in_flight) < self.max_in_flight
+                    ):
+                        if (
+                            bc.max_runtime
+                            and bc.time_source() - started > bc.max_runtime
+                        ):
+                            bc._message("Ran past the maximum run time")
+                            budget_spent = True
+                            break
+                        if bc.sleep and next_idx > 0:
+                            bc.sleep_func(bc.sleep)
+                        in_flight[pool.submit(run_one, next_idx)] = next_idx
+                        next_idx += 1
+                    if not in_flight:
+                        break
+                    finished, _ = cf.wait(
+                        list(in_flight), return_when=cf.FIRST_COMPLETED
+                    )
+                    for fut in finished:
+                        in_flight.pop(fut)
+                        done.add(fut.result())  # re-raises worker errors
+                    prefix = contiguous_prefix()
+                    if bc.on_progress is not None and prefix > last_reported:
+                        last_reported = prefix
+                        done_ids = min(ranges[prefix][1], bc.max_id) - bc.min_id + 1
+                        bc.on_progress(done_ids, total_ids)
             finally:
                 # cursor = end of the contiguous completed prefix
-                prefix = -1
-                while prefix + 1 in done:
-                    prefix += 1
+                prefix = contiguous_prefix()
                 if prefix >= 0:
                     bc.min_id = ranges[prefix][1]

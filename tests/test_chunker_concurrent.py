@@ -1,0 +1,128 @@
+"""ConcurrentChunker parity with the serial loop (round-7 verdict "Next
+round #3"): the reference's budget/throttle/progress/retry semantics
+(BatchChunker.pm:591-634 max_runtime/sleep; the BlockRunner retry wrap)
+must not silently vanish when a user switches to the concurrent form.
+
+All DIY-mode (no Spark) — the guarantees under test live in the driver
+loop, not in dispatch."""
+
+from __future__ import annotations
+
+import pytest
+
+from dbix_batchchunker_spark import BatchChunker, ConcurrentChunker
+from tests.helpers import FakeClock
+
+
+def test_concurrent_max_runtime_stops_and_resumes():
+    """≤3 s budget / 0.5 s per chunk ⇒ submissions stop once the budget is
+    spent (checked before each submission, like the serial loop's
+    before-each-chunk check), the reference's message is emitted, and the
+    cursor resumes exactly where the stop left it — the same contract
+    test_chunker_diy.py pins for the serial loop."""
+    clock = FakeClock()
+    calls = []
+
+    def work(bc, start, end):
+        calls.append((start, end))
+        clock.advance(0.5)
+
+    bc = BatchChunker(
+        coderef=work, min_id=1, max_id=1000, chunk_size=10,
+        target_time=0, sleep=0, max_runtime=3,
+        time_source=clock, sleep_func=clock.sleep,
+    )
+    # max_in_flight=1 keeps the fake clock single-threaded-deterministic
+    ConcurrentChunker(bc, max_in_flight=1).execute()
+    assert 1 <= len(calls) <= 7
+    assert any("maximum run time" in m for m in bc.messages)
+    resumed_from = bc.min_id
+    assert resumed_from == calls[-1][1]
+    bc.max_runtime = 0
+    ConcurrentChunker(bc, max_in_flight=1).execute()
+    assert calls[-1][1] == 1000
+    covered = set()
+    for s, e in calls:
+        covered.update(range(s, e + 1))
+    # resume restarts AT the stored cursor (boundary id re-processed —
+    # the reference's idempotent-work contract), so coverage is total
+    assert covered == set(range(1, 1001))
+
+
+def test_concurrent_sleep_throttles_submissions():
+    """The throttle paces SUBMISSIONS: one sleep between consecutive chunk
+    starts (n-1 sleeps for n chunks — the serial loop sleeps after each
+    processed chunk; the start-rate is the same, t/dbh.t:89-95 idiom)."""
+    clock = FakeClock()
+    slept = []
+
+    def fake_sleep(dt):
+        slept.append(dt)
+        clock.advance(dt)
+
+    bc = BatchChunker(
+        coderef=lambda *a: None, min_id=1, max_id=50, chunk_size=10,
+        target_time=0, sleep=0.1, time_source=clock, sleep_func=fake_sleep,
+    )
+    ConcurrentChunker(bc, max_in_flight=2).execute()
+    assert slept == [0.1] * 4
+    assert bc.min_id == 50
+
+
+def test_concurrent_diy_path_runs_under_retry():
+    """The DIY coderef goes through bc._retry exactly like the DataFrame
+    path (it previously bypassed it): a once-failing chunk succeeds on the
+    retry attempt and the loop completes."""
+    failures = {"left": 1}
+    calls = []
+
+    def flaky(bc, start, end):
+        if start == 21 and failures["left"]:
+            failures["left"] -= 1
+            raise RuntimeError("transient")
+        calls.append((start, end))
+
+    bc = BatchChunker(
+        coderef=flaky, min_id=1, max_id=50, chunk_size=10,
+        target_time=0, sleep=0,
+        retry_opts={"max_attempts": 2},
+    )
+    ConcurrentChunker(bc, max_in_flight=2).execute()
+    assert (21, 30) in calls
+    assert len(calls) == 5
+    assert bc.min_id == 50
+    assert any("Retrying after error" in m for m in bc.messages)
+
+
+def test_concurrent_on_progress_reports_contiguous_prefix():
+    """on_progress fires with the CONTIGUOUS completed id count — monotone
+    and resume-safe (a completed chunk whose predecessor is unfinished is
+    not counted), ending at the full total."""
+    reports = []
+    bc = BatchChunker(
+        coderef=lambda *a: None, min_id=1, max_id=100, chunk_size=10,
+        target_time=0, sleep=0,
+        on_progress=lambda done, total: reports.append((done, total)),
+    )
+    ConcurrentChunker(bc, max_in_flight=3).execute()
+    assert reports, "on_progress never fired"
+    dones = [d for d, _ in reports]
+    assert dones == sorted(dones)  # monotone
+    assert all(t == 100 for _, t in reports)
+    assert dones[-1] == 100
+
+
+def test_concurrent_failed_chunk_still_raises_and_keeps_cursor():
+    """Retry exhaustion propagates (the serial contract) and the cursor
+    still lands at the contiguous prefix before the failure."""
+    def work(bc, start, end):
+        if start == 21:
+            raise RuntimeError("permanent")
+
+    bc = BatchChunker(
+        coderef=work, min_id=1, max_id=50, chunk_size=10,
+        target_time=0, sleep=0, retry_opts={"max_attempts": 2},
+    )
+    with pytest.raises(RuntimeError, match="permanent"):
+        ConcurrentChunker(bc, max_in_flight=1).execute()
+    assert bc.min_id == 20
