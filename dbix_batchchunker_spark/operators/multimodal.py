@@ -77,19 +77,33 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
     return width, height, n_frames, feature
 
 
-def decode_binary_column(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+#: Codec contract for the decode seam: ``codec(payload) -> (width, height,
+#: n_frames, feature)``. Module-level callables only (pickled into the
+#: executor closure). Ready real codec: ``functions.png.png_feature_codec``
+#: — stdlib PNG decode, proven end-to-end in tests/test_multimodal_png.py.
+DecodeCodec = Callable[[bytes], "tuple[int, int, int, list[float]]"]
+
+
+def decode_binary_column(
+    df: DataFrame,
+    payload_col: str = "payload",
+    codec: DecodeCodec = _fake_decode,
+) -> DataFrame:
     """Arrow-batched decode over a binary column.
 
     mapInPandas keeps the batch shape (one pandas DataFrame per Arrow batch
     per partition) so a real decoder amortizes model/codec setup per batch,
-    not per row — the pattern that matters at 100 TB.
+    not per row — the pattern that matters at 100 TB. ``codec`` is the
+    pluggable pixel stage (:data:`DecodeCodec`); the default remains the
+    deterministic stub because the registered mm02 query runs on text-
+    derived payloads.
     """
 
     def decode_batches(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            decoded = [_fake_decode(p) for p in pdf[payload_col]]
+            decoded = [codec(p) for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
@@ -167,6 +181,12 @@ def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
 #:             (width, height)).tobytes()
 #:
 #:     resize_binary_column(df, 64, 64, codec=pil_resize)
+#:
+#: A SECOND ready codec needs no third-party lib at all:
+#: ``functions.png.png_resize_codec`` (stdlib zlib inflate + PNG filter
+#: reconstruction + nearest-neighbor resample, same raw-pixel-bytes
+#: contract as PIL's ``.tobytes()``) — the decode seam is proven on real
+#: PNG bytes in this container (tests/test_multimodal_png.py).
 ResizeCodec = Callable[[bytes, int, int], bytes]
 
 
