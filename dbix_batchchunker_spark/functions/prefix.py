@@ -38,6 +38,14 @@ from pyspark.sql import functions as F
 _LIVE_CACHES: list[DataFrame] = []
 
 
+def register_cache(df: DataFrame) -> DataFrame:
+    """Enroll an externally persisted frame in the same release registry,
+    so operators that must persist-and-count (e.g. tx22's vocab gate) get
+    the identical cleanup path. Returns the frame for chaining."""
+    _LIVE_CACHES.append(df)
+    return df
+
+
 def release_cumsum_caches() -> int:
     """Unpersist every cumsum cache created since the last release.
 
@@ -50,6 +58,79 @@ def release_cumsum_caches() -> int:
     while _LIVE_CACHES:
         _LIVE_CACHES.pop().unpersist()
     return n
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: "list",
+    unique_cols: "list[str] | None" = None,
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = global 1-based ROW_NUMBER over ``order_cols``
+    without a single-partition window — the two-phase rewrite (range
+    partition → partition-local row_number → per-partition counts prefix-
+    summed on the driver and broadcast back as base offsets). The rank
+    sibling of :func:`with_global_cumsum`; tx22's vocabulary rank rides it
+    so the plan stays shuffle-parallel at ANY vocabulary size (round-7
+    verdict "Next round #5" — the single-partition window was fine under
+    Heaps' law but a documented cliff past ~100M types).
+
+    ``order_cols`` are sort expressions (``F.col("freq").desc()`` is fine)
+    and must define a TOTAL order; ``unique_cols`` names a plain-column
+    uniqueness witness for the assert (default: ``order_cols`` when they
+    are all strings — pass it explicitly when any sort expression is not).
+    Same persistence contract as the cumsum: the ranged frame is persisted,
+    registered in the release registry, and exposed as ``.cumsum_cache``.
+    """
+    spark = df.sparkSession
+    order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    if unique_cols is None:
+        if not all(isinstance(c, str) for c in order_cols):
+            raise ValueError(
+                "unique_cols is required when order_cols contains sort "
+                "expressions (the uniqueness witness needs plain columns)"
+            )
+        unique_cols = list(order_cols)
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, *order_exprs)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    _LIVE_CACHES.append(ranged)
+    w = Window.partitionBy("__pid").orderBy(*order_exprs)
+    local = ranged.withColumn("__local_rank", F.row_number().over(w))
+    # one row per partition to the driver; the distinct-struct check rides
+    # the same job (range partitioning co-locates equal keys, so the
+    # per-partition check is a global duplicate detector) — bounded.
+    stats = (
+        ranged.groupBy("__pid")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.countDistinct(F.struct(*unique_cols)).alias("__dst"),
+        )
+        .collect()  # bounded: #partitions rows
+    )
+    bad = [r["__pid"] for r in stats if r["__cnt"] != r["__dst"]]
+    if bad:
+        raise ValueError(
+            f"with_global_rank requires a total order; duplicate "
+            f"{unique_cols!r} tuples found in partitions {bad[:5]}"
+        )
+    rows, acc = [], 0
+    for pid, cnt, _ in sorted((r["__pid"], r["__cnt"], 0) for r in stats):
+        rows.append((pid, acc))
+        acc += cnt
+    offsets = spark.createDataFrame(rows, "__pid int, __base long")
+    out = (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__base") + F.col("__local_rank"))
+        .drop("__pid", "__local_rank", "__base")
+    )
+    out.cumsum_cache = ranged
+    out.cumsum_total = acc
+    return out
 
 
 def with_global_cumsum(

@@ -583,6 +583,74 @@ def test_global_cumsum_two_phase_matches_naive_window(spark):
     assert g == n
 
 
+def test_global_rank_two_phase_matches_naive_window(spark):
+    """functions/prefix.with_global_rank must equal ROW_NUMBER() OVER the
+    unpartitioned order on every row, keep SinglePartition exchanges out
+    of the RANK plan (the final one-row aggregate in consumers like tx22
+    is a different, benign exchange), handle descending sort expressions,
+    and reject a non-total order."""
+    from pyspark.sql import Window
+
+    from dbix_batchchunker_spark.functions.prefix import with_global_rank
+    from dbix_batchchunker_spark.plans.explain import formatted_plan
+
+    df = spark.range(0, 500).selectExpr(
+        "id AS k", "(id * 37) % 97 AS freq"
+    )
+    got = with_global_rank(
+        df, [F.col("freq").desc(), F.col("k")], unique_cols=["k"],
+        out_col="r", num_partitions=7,
+    )
+    assert "SinglePartition" not in formatted_plan(got)
+    naive = df.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("freq").desc(), "k"))
+    )
+    assert {(x.k, x.r) for x in got.collect()} == {
+        (x.k, x.r) for x in naive.collect()
+    }
+    # non-total order must raise, not silently pick a tie order
+    import pytest as _pytest
+
+    dup = spark.range(0, 100).selectExpr("id % 10 AS k")
+    with _pytest.raises(ValueError, match="total order"):
+        with_global_rank(dup, ["k"], num_partitions=4)
+    # sort expressions without a uniqueness witness are rejected up front
+    with _pytest.raises(ValueError, match="unique_cols"):
+        with_global_rank(df, [F.col("freq").desc()], num_partitions=4)
+
+
+def test_tx22_zipf_rank_tiers_agree_and_big_tier_has_no_1p_window(spark):
+    """tx22's tiered rank (round-7 verdict #5): ABOVE the type threshold
+    the vocabulary rank must not funnel through one task — the ranked
+    intermediate's plan (rank stage only, before the benign one-row
+    statistics aggregate) carries no SinglePartition at all — and the two
+    tiers must produce IDENTICAL fit statistics on the same vocabulary."""
+    from dbix_batchchunker_spark.functions.prefix import (
+        release_cumsum_caches,
+        with_global_rank,
+    )
+    from dbix_batchchunker_spark.operators.text import zipf_fit_over_vocab
+    from dbix_batchchunker_spark.plans.explain import formatted_plan
+
+    vocab = spark.range(0, 3000).selectExpr(
+        "concat('tok', id) AS token",
+        # Zipf-ish frequencies with plenty of ties — the tie-break order
+        # (freq DESC, token) must match across tiers for equality to hold
+        "CAST(3000 / (id + 1) AS BIGINT) AS freq",
+    )
+    # the rank stage alone must be SinglePartition-free in the big tier
+    ranked = with_global_rank(
+        vocab, [F.col("freq").desc(), F.col("token")],
+        unique_cols=["token"], out_col="__r",
+    )
+    assert "SinglePartition" not in formatted_plan(ranked)
+    big = zipf_fit_over_vocab(vocab, two_phase_min_types=0).collect()[0]
+    small = zipf_fit_over_vocab(vocab, two_phase_min_types=10**9).collect()[0]
+    assert big.asDict() == small.asDict()
+    assert big.n_types == 3000
+    release_cumsum_caches()
+
+
 def test_global_cumsum_rejects_duplicate_and_null_keys(spark):
     """A duplicated (or NULL) order key is not a total order: the default
     RANGE window frame would fold peers into both rows' totals with a
