@@ -682,6 +682,32 @@ def incremental_near_dup_pairs(
     return verify_jaccard_pairs(within.unionByName(cross), words, threshold)
 
 
+def compact_near_dup_store(
+    store_entries: DataFrame,
+    store_words: DataFrame,
+    deleted_ids: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Store lifecycle (round-7 verdict "Next round #7"): the band/word
+    stores only ever GROW under the append-only ingest loop, so deleted
+    or filtered-out docs keep matching against every future increment
+    until compacted. One anti-join per store frame drops them — the
+    signature family is per-doc, so removal is exact (no re-banding, no
+    neighbor effects; compaction round-trip pinned identical to a rebuild
+    from the surviving docs in tests/test_extensions.py).
+
+    ``deleted_ids``' first column is the doc id. At 100 TB run this as a
+    partition-overwrite over the bucket-partitioned store parquet; the
+    deleted set is typically small enough to broadcast — hinted here so
+    neither store frame shuffles."""
+    d = deleted_ids.select(
+        F.col(deleted_ids.columns[0]).alias("doc_id")
+    ).distinct()
+    return (
+        store_entries.join(F.broadcast(d), "doc_id", "left_anti"),
+        store_words.join(F.broadcast(d), "doc_id", "left_anti"),
+    )
+
+
 # --------------------------------------------------------------------------- #
 # dd06: LSH near-dup pairs with an EXACT, UNBLOCKED oracle — the scale path   #
 # for pair emission, correctness-gated against the full quadratic ground      #

@@ -1442,3 +1442,144 @@ def test_phash_near_dup_planted_payloads(spark):
     assert not any(4 in p for p in pairs)
     with pytest.raises(ValueError):
         phash_near_dup_pairs(hashed, max_hamming=4)  # beyond the pigeonhole
+
+
+# --------------------------------------------------------------------------- #
+# store lifecycle: compaction + re-train trigger (round-7 verdict #7)         #
+# --------------------------------------------------------------------------- #
+def test_near_dup_store_compaction_roundtrip(spark):
+    """Compacting deleted docs out of the band/word stores must yield
+    EXACTLY the pairs of a store rebuilt from the surviving docs — for the
+    same future increment. (The growing-only store was the lifecycle gap:
+    deleted docs kept matching every later ingest.)"""
+    from dbix_batchchunker_spark.operators.dedup import (
+        compact_near_dup_store,
+        hashed_words,
+        incremental_near_dup_pairs,
+        minhash_band_entries,
+    )
+
+    texts = [BASE, BASE + " tail one", "totally different text", BASE + " x"]
+    corpus = _doc_df(spark, texts)
+    words = hashed_words(corpus)
+    entries = minhash_band_entries(words)
+
+    # delete two docs, one of them a near-dup of the upcoming increment
+    deleted = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    c_entries, c_words = compact_near_dup_store(entries, words, deleted)
+
+    survivors = corpus.where(~F.col("doc_id").isin(1, 2))
+    r_words = hashed_words(survivors)
+    r_entries = minhash_band_entries(r_words)
+
+    new = _doc_df(spark, [BASE + " tail two"]).withColumn(
+        "doc_id", F.col("doc_id") + 10
+    )
+    nw = hashed_words(new)
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in incremental_near_dup_pairs(nw, c_entries, c_words, 0.6).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in incremental_near_dup_pairs(nw, r_entries, r_words, 0.6).collect()
+    }
+    assert got == want
+    assert want, "fixture must plant surviving near-dups"
+    assert not any(a in (1, 2) or b in (1, 2) for a, b, _ in got), (
+        "deleted docs still matching after compaction"
+    )
+
+
+def test_ivf_store_compaction_roundtrip(spark):
+    """compact_ivf_store must equal a store rebuilt over the survivors
+    WITH THE SAME centroids (compaction changes population, not geometry):
+    identical incremental pairs, and no deleted vector ever surfaces."""
+    from dbix_batchchunker_spark.functions.vectors import norm
+    from dbix_batchchunker_spark.operators.registry import t
+    from dbix_batchchunker_spark.operators.similarity import (
+        SIM06_NPROBE,
+        _probe_entries,
+        compact_ivf_store,
+        incremental_embedding_near_dups,
+        ivf_store,
+    )
+
+    emb = t(spark, SF_DIR, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
+    cut = emb.agg(F.expr("percentile_approx(vec_id, 0.8)")).first()[0]
+    old, new = emb.where(F.col("vec_id") <= cut), emb.where(F.col("vec_id") > cut)
+
+    centroids, entries = ivf_store(old)
+    deleted = old.select("vec_id").limit(20)
+    c_entries, c_vectors = compact_ivf_store(entries, old, deleted)
+
+    survivors = old.join(deleted, "vec_id", "left_anti")
+    r_entries = _probe_entries(survivors, centroids, SIM06_NPROBE).select(
+        F.col("doc_id").alias("vec_id"), F.col("bucket").alias("centroid_id")
+    )
+
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in incremental_embedding_near_dups(
+            new, centroids, c_entries, c_vectors
+        ).collect()
+    }
+    want = {
+        (r.vec_a, r.vec_b)
+        for r in incremental_embedding_near_dups(
+            new, centroids, r_entries, survivors
+        ).collect()
+    }
+    assert got == want
+    deleted_set = {r.vec_id for r in deleted.collect()}
+    assert not any(a in deleted_set or b in deleted_set for a, b in got)
+
+
+def test_ivf_drift_trigger_fires_on_shifted_population(spark):
+    """ivf_needs_retrain: a same-distribution increment keeps the store
+    (False); a population shifted off the training distribution trips the
+    mean-cosine drop (True). Operationalizes SCALING.md's drift caveat."""
+    from dbix_batchchunker_spark.functions.vectors import norm
+    from dbix_batchchunker_spark.operators.registry import t
+    from dbix_batchchunker_spark.operators.similarity import (
+        ivf_drift_stats,
+        ivf_needs_retrain,
+        ivf_store,
+    )
+
+    emb = t(spark, SF_DIR, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
+    cut = emb.agg(F.expr("percentile_approx(vec_id, 0.8)")).first()[0]
+    old, inc = emb.where(F.col("vec_id") <= cut), emb.where(F.col("vec_id") > cut)
+
+    centroids, _ = ivf_store(old)
+    # baseline on a HELD-OUT same-distribution sample sized like the
+    # increments (the docstring contract: training-set stats overfit and
+    # small samples run skewier — compare like with like)
+    inc1 = inc.where(F.col("vec_id") % 2 == 0)
+    inc2 = inc.where(F.col("vec_id") % 2 == 1)
+    baseline = ivf_drift_stats(centroids, inc1)
+    assert 0.0 < baseline["mean_top_cos"] <= 1.0
+    assert baseline["occupancy_skew"] >= 1.0
+
+    same = ivf_drift_stats(centroids, inc2)
+    assert not ivf_needs_retrain(baseline, same)
+
+    # shift: translate every component by +3 — the population collapses
+    # into the few cells aligned with the shift direction, the occupancy
+    # signal a content-distribution change actually produces
+    from dbix_batchchunker_spark.functions.vectors import norm as _norm
+
+    shifted = (
+        inc2.withColumn(
+            "embedding", F.transform("embedding", lambda x: x + F.lit(3.0))
+        )
+        .withColumn("nrm", _norm(F.col("embedding")))
+        .withColumn("vec_id", F.col("vec_id") + 100000)
+    )
+    drifted = ivf_drift_stats(centroids, shifted)
+    assert drifted["occupancy_skew"] > 2 * baseline["occupancy_skew"]
+    assert ivf_needs_retrain(baseline, drifted)
