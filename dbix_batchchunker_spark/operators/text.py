@@ -1190,3 +1190,99 @@ def zipf_fit_over_vocab(
         F.round(F.covar_pop("lr", "lf") / F.var_pop("lr"), 4).alias("zipf_slope"),
         F.round(F.corr("lr", "lf"), 4).alias("log_log_corr"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# tx23: PII scan + redaction — the compliance pass every training-data        #
+# pipeline runs before release. Four detector families (email, NANP-style    #
+# phone, SSN-shaped, IPv4) as ONE regex alternation each, all JVM-side       #
+# regexp_count/regexp_replace in whole-stage codegen; redaction replaces     #
+# each hit with a fixed class token so downstream token counts stay stable.  #
+# This corpus is synthetic word-soup, so the driver-gate totals are zeros    #
+# by construction — the oracle still adjudicates the cross-engine regex      #
+# dialect on every row (and n_chars-vs-redacted arithmetic is live); the     #
+# DETECTION semantics are pinned on planted fixtures in                      #
+# tests/test_extensions.py, where each family must hit and redact.           #
+# --------------------------------------------------------------------------- #
+#: detector family -> (regex, redaction token). One alternation per family
+#: (not per-variant regexes): each extra regexp column is another full pass
+#: over the string. Dialect-portable subset: RE2 (DuckDB) and Java (Spark)
+#: agree on everything used here (classes, bounded quantifiers, \b).
+PII_PATTERNS: "dict[str, tuple[str, str]]" = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    "ipv4": (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+}
+
+
+def scan_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add one ``n_<family>`` count column per PII family. Pure JVM
+    regexp_count — no Python on the row path."""
+    out = df
+    for fam, (pat, _tok) in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{fam}", F.regexp_count(F.col(text_col), F.lit(pat))
+        )
+    return out
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out_col: str = "redacted") -> DataFrame:
+    """Replace every PII hit with its class token (chained JVM
+    regexp_replace — order matters: SSN before phone would be wrong the
+    other way around only if patterns overlapped; these are disjoint, but
+    the chain order is pinned by the dict and mirrored in the oracle)."""
+    expr = F.col(text_col)
+    for _fam, (pat, tok) in PII_PATTERNS.items():
+        expr = F.regexp_replace(expr, pat, tok)
+    return df.withColumn(out_col, expr)
+
+
+@query(
+    "tx23_pii_scan",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '{PII_PATTERNS["email"][0]}'))) AS BIGINT) AS n_emails,
+           CAST(SUM(len(regexp_extract_all(text, '{PII_PATTERNS["phone"][0]}'))) AS BIGINT) AS n_phones,
+           CAST(SUM(len(regexp_extract_all(text, '{PII_PATTERNS["ssn"][0]}'))) AS BIGINT) AS n_ssns,
+           CAST(SUM(len(regexp_extract_all(text, '{PII_PATTERNS["ipv4"][0]}'))) AS BIGINT) AS n_ipv4,
+           CAST(SUM(CASE WHEN len(regexp_extract_all(text, '{PII_PATTERNS["email"][0]}'))
+                     + len(regexp_extract_all(text, '{PII_PATTERNS["phone"][0]}'))
+                     + len(regexp_extract_all(text, '{PII_PATTERNS["ssn"][0]}'))
+                     + len(regexp_extract_all(text, '{PII_PATTERNS["ipv4"][0]}')) > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars_in,
+           CAST(SUM(length(
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   text,
+                   '{PII_PATTERNS["email"][0]}', '<EMAIL>', 'g'),
+                   '{PII_PATTERNS["phone"][0]}', '<PHONE>', 'g'),
+                   '{PII_PATTERNS["ssn"][0]}', '<SSN>', 'g'),
+                   '{PII_PATTERNS["ipv4"][0]}', '<IP>', 'g')
+           )) AS BIGINT) AS n_chars_redacted
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def tx23_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("source", "text")
+    scanned = redact_pii(scan_pii(docs))
+    fams = list(PII_PATTERNS)
+    any_pii = sum(F.col(f"n_{f}") for f in fams) > 0
+    return (
+        scanned.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_email").alias("n_emails"),
+            F.sum("n_phone").alias("n_phones"),
+            F.sum("n_ssn").alias("n_ssns"),
+            F.sum("n_ipv4").alias("n_ipv4"),
+            F.sum(any_pii.cast("long")).alias("n_docs_with_pii"),
+            F.sum(F.length("text")).alias("n_chars_in"),
+            F.sum(F.length("redacted")).alias("n_chars_redacted"),
+        )
+        .orderBy("source")
+    )

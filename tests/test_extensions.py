@@ -1583,3 +1583,44 @@ def test_ivf_drift_trigger_fires_on_shifted_population(spark):
     drifted = ivf_drift_stats(centroids, shifted)
     assert drifted["occupancy_skew"] > 2 * baseline["occupancy_skew"]
     assert ivf_needs_retrain(baseline, drifted)
+
+
+def test_pii_scan_and_redaction_on_planted_fixtures(spark):
+    """tx23's detector families must each HIT and REDACT on planted PII —
+    the registered query's corpus is PII-free by construction, so
+    detection semantics are pinned here: counts per family, idempotent
+    redaction, and non-PII text untouched."""
+    from dbix_batchchunker_spark.operators.text import redact_pii, scan_pii
+
+    rows = [
+        (0, "contact bob.smith+news@sub.example.co.uk today"),
+        (1, "call 555-867-5309 or 555 123 4567 now"),
+        (2, "ssn 123-45-6789 on file"),
+        (3, "server at 10.0.255.7 responded"),
+        (4, "plain text, no identifiers at all"),
+        (5, "mix: a@b.io and 192.168.1.1 and 321-54-9876"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in redact_pii(scan_pii(df)).collect()}
+
+    assert (got[0].n_email, got[0].redacted) == (1, "contact <EMAIL> today")
+    assert got[1].n_phone == 2
+    assert got[1].redacted == "call <PHONE> or <PHONE> now"
+    assert (got[2].n_ssn, got[2].redacted) == (1, "ssn <SSN> on file")
+    assert (got[3].n_ipv4, got[3].redacted) == (1, "server at <IP> responded")
+    assert got[4].redacted == rows[4][1]  # untouched
+    assert all(
+        got[4][f"n_{fam}"] == 0 for fam in ("email", "phone", "ssn", "ipv4")
+    )
+    assert (got[5].n_email, got[5].n_ipv4, got[5].n_ssn) == (1, 1, 1)
+    assert got[5].redacted == "mix: <EMAIL> and <IP> and <SSN>"
+
+    # redaction is idempotent: class tokens contain no redactable text
+    twice = {
+        r.doc_id: r.redacted2
+        for r in redact_pii(
+            redact_pii(df).select("doc_id", F.col("redacted").alias("text")),
+            out_col="redacted2",
+        ).collect()
+    }
+    assert twice == {r.doc_id: r.redacted for r in redact_pii(df).collect()}
