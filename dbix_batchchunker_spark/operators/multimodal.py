@@ -465,3 +465,110 @@ def mm04_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dup_pairs(perceptual_hash_column(docs)).orderBy(
         "doc_a", "doc_b"
     )
+
+
+# --------------------------------------------------------------------------- #
+# mm05: audio clip features via a REAL container decode — the audio sibling   #
+# of the PNG path. The corpus has no audio table, so each doc_id maps to a    #
+# deterministic synthesized PCM clip (sine of doc-derived frequency/length,   #
+# encoded to actual RIFF/WAV bytes); the pipeline stage under test is the     #
+# DECODE: executors parse the RIFF container with functions/wav.decode_wav    #
+# (stdlib struct) and emit the per-clip feature row. One fused Arrow pass —  #
+# synthesize → bytes → decode → features — so the payload never crosses the  #
+# JVM↔Python boundary twice (the same fusion stance as mm03).                 #
+# --------------------------------------------------------------------------- #
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload_bytes", T.IntegerType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_channels", T.IntegerType(), False),
+        T.StructField("bits", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("duration_ms", T.DoubleType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("peak", T.DoubleType(), False),
+    ]
+)
+
+
+def audio_stats_column(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched per-clip features over a WAV binary column
+    (functions/wav.wav_stats_codec per payload)."""
+    from ..functions.wav import wav_stats_codec
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                s = wav_stats_codec(bytes(payload))
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "payload_bytes": len(payload),
+                        **{
+                            k: s[k]
+                            for k in (
+                                "sample_rate", "n_channels", "bits",
+                                "n_frames", "duration_ms", "rms", "peak",
+                            )
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, schema=AUDIO_STATS_SCHEMA)
+
+
+@query("mm05_wav_clip_stats")  # rows-only: container decode isn't SQL
+def mm05_wav_clip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_and_decode(it: Iterator) -> Iterator:
+        import math
+
+        import pandas as pd
+
+        from ..functions.wav import encode_wav, wav_stats_codec
+
+        rate = 8000
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                # deterministic clip: 40-200 ms sine, 200-1700 Hz
+                n = rate * (40 + (doc_id * 7) % 161) // 1000
+                freq = 200 + (doc_id * 37) % 1501
+                amp = 12000 + (doc_id % 17) * 1000
+                samples = [
+                    int(amp * math.sin(2 * math.pi * freq * i / rate))
+                    for i in range(n)
+                ]
+                payload = encode_wav(samples, sample_rate=rate)
+                s = wav_stats_codec(payload)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "payload_bytes": len(payload),
+                        **{
+                            k: s[k]
+                            for k in (
+                                "sample_rate", "n_channels", "bits",
+                                "n_frames", "duration_ms", "rms", "peak",
+                            )
+                        },
+                    }
+                )
+            pdf_out = pd.DataFrame(rows)
+            # 6dp: keep the gate's string canonicalizer away from float ulps
+            for c in ("duration_ms", "rms", "peak"):
+                pdf_out[c] = pdf_out[c].round(6)
+            yield pdf_out
+
+    return docs.mapInPandas(
+        synth_and_decode, schema=AUDIO_STATS_SCHEMA
+    ).orderBy("doc_id")

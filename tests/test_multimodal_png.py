@@ -219,3 +219,86 @@ def test_mm04_hash_pass_over_decoded_pixels(spark):
     }
     assert (1, 2) in pairs or (2, 1) in pairs
     assert not any({1, 3} == {a, b} or {2, 3} == {a, b} for a, b in pairs)
+
+
+# --------------------------------------------------------------------------- #
+# WAV: the audio decode path (functions/wav.py)                               #
+# --------------------------------------------------------------------------- #
+def test_wav_known_answer_header_and_samples():
+    """Hand-assembled RIFF bytes (not via encode_wav) decode to the exact
+    header fields and samples — the parser is pinned against the format,
+    not against its own encoder."""
+    import struct as _struct
+
+    from dbix_batchchunker_spark.functions.wav import decode_wav
+
+    samples = [0, 1000, -1000, 32767]
+    data = _struct.pack("<4h", *samples)
+    fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + _struct.pack("<I", 16) + fmt
+        # an extra chunk the walker must skip (odd length -> padded)
+        + b"LIST" + _struct.pack("<I", 3) + b"abc\0"
+        + b"data" + _struct.pack("<I", len(data)) + data
+    )
+    wav = b"RIFF" + _struct.pack("<I", len(body)) + body
+    assert decode_wav(wav) == (8000, 1, 16, samples)
+
+
+def test_wav_round_trip_and_unsupported():
+    import pytest as _pytest
+
+    from dbix_batchchunker_spark.functions.wav import decode_wav, encode_wav
+
+    for bits, samples in [
+        (16, [0, 5, -5, 32767, -32768]),
+        (8, [0, 1, 128, 255, 7]),
+        (32, [0, 2**31 - 1, -(2**31), 42, -42]),
+    ]:
+        # stereo needs an even frame count
+        got = decode_wav(encode_wav(samples[:4], 44100, 2, bits))
+        assert got == (44100, 2, bits, samples[:4])
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS....")
+    # float PCM (tag 3) must refuse, not mis-decode
+    import struct as _struct
+
+    fmt = _struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = b"WAVE" + b"fmt " + _struct.pack("<I", 16) + fmt + b"data" + _struct.pack("<I", 0)
+    with _pytest.raises(NotImplementedError, match="format tag"):
+        decode_wav(b"RIFF" + _struct.pack("<I", len(body)) + body)
+
+
+def test_wav_stats_codec_values():
+    """A full-scale square wave has RMS == peak == 1.0 (width-normalized);
+    duration follows n_frames/rate."""
+    from dbix_batchchunker_spark.functions.wav import encode_wav, wav_stats_codec
+
+    sq = [32767 if i % 2 else -32768 for i in range(800)]
+    s = wav_stats_codec(encode_wav(sq, sample_rate=8000))
+    assert s["n_frames"] == 800 and s["sample_rate"] == 8000
+    assert abs(s["duration_ms"] - 100.0) < 1e-9
+    assert 0.999 < s["rms"] <= 1.0 and s["peak"] == 1.0
+
+
+def test_mm05_wav_clip_stats_end_to_end(spark):
+    """mm05: executors synthesize real RIFF bytes and DECODE them back —
+    per-clip stats must match the synthesis parameters (deterministic
+    doc_id -> frequency/length mapping), proving the container decode on
+    the Spark side."""
+    from dbix_batchchunker_spark.operators.multimodal import mm05_wav_clip_stats
+
+    rows = {
+        r.doc_id: r
+        for r in mm05_wav_clip_stats(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert rows, "no clips decoded"
+    for doc_id, r in list(rows.items())[:20]:
+        expect_frames = 8000 * (40 + (doc_id * 7) % 161) // 1000
+        assert r.n_frames == expect_frames, doc_id
+        assert r.sample_rate == 8000 and r.n_channels == 1 and r.bits == 16
+        assert abs(r.duration_ms - 1000.0 * expect_frames / 8000) < 1e-6
+        # a sine's RMS is ~amp/sqrt(2); amplitude <= 28000 < 32768
+        assert 0.2 < r.rms < 0.95 and r.peak <= 1.0
+        assert r.payload_bytes >= 44 + 2 * expect_frames
