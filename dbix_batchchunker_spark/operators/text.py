@@ -1193,22 +1193,20 @@ def zipf_fit_over_vocab(
 
 
 # --------------------------------------------------------------------------- #
-# tx23: PII scan + redaction — the compliance pass every training-data        #
-# pipeline runs before release. Four detector families (email, NANP-style    #
-# phone, SSN-shaped, IPv4) as ONE regex alternation each, all JVM-side       #
-# regexp_count/regexp_replace in whole-stage codegen; redaction replaces     #
-# each hit with a fixed class token so downstream token counts stay stable.  #
-# This corpus is synthetic word-soup, so the driver-gate totals are zeros    #
-# by construction — the oracle still adjudicates the cross-engine regex      #
-# dialect on every row (and n_chars-vs-redacted arithmetic is live); the     #
-# DETECTION semantics are pinned on planted fixtures in                      #
-# tests/test_extensions.py, where each family must hit and redact.           #
+# tx23: ORACLE-GATED PII scan + per-source rollup — the adjudicated sibling   #
+# of tx13. tx13's redact_pii is the richer production scrub (lookaround      #
+# phone/IP patterns Java regex supports but RE2 cannot → rows-only); tx23    #
+# restricts itself to the DIALECT-PORTABLE subset (classes, bounded          #
+# quantifiers, \b — RE2 and Java agree) plus an SSN family, so the DuckDB   #
+# oracle adjudicates the regex semantics and the count/redaction arithmetic  #
+# row by row. This corpus is synthetic word-soup, so the gate totals are     #
+# structurally zero; DETECTION semantics for both variants are pinned on     #
+# planted fixtures in tests/test_extensions.py.                              #
 # --------------------------------------------------------------------------- #
 #: detector family -> (regex, redaction token). One alternation per family
 #: (not per-variant regexes): each extra regexp column is another full pass
-#: over the string. Dialect-portable subset: RE2 (DuckDB) and Java (Spark)
-#: agree on everything used here (classes, bounded quantifiers, \b).
-PII_PATTERNS: "dict[str, tuple[str, str]]" = {
+#: over the string.
+PII_PATTERNS_PORTABLE: "dict[str, tuple[str, str]]" = {
     "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     "phone": (r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
     "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
@@ -1220,21 +1218,21 @@ def scan_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add one ``n_<family>`` count column per PII family. Pure JVM
     regexp_count — no Python on the row path."""
     out = df
-    for fam, (pat, _tok) in PII_PATTERNS.items():
+    for fam, (pat, _tok) in PII_PATTERNS_PORTABLE.items():
         out = out.withColumn(
             f"n_{fam}", F.regexp_count(F.col(text_col), F.lit(pat))
         )
     return out
 
 
-def redact_pii(df: DataFrame, text_col: str = "text",
-               out_col: str = "redacted") -> DataFrame:
-    """Replace every PII hit with its class token (chained JVM
-    regexp_replace — order matters: SSN before phone would be wrong the
-    other way around only if patterns overlapped; these are disjoint, but
-    the chain order is pinned by the dict and mirrored in the oracle)."""
+def redact_pii_portable(df: DataFrame, text_col: str = "text",
+                        out_col: str = "redacted") -> DataFrame:
+    """Portable-subset redaction (tx23): every hit replaced by its class
+    token in one chained JVM regexp_replace. The chain order is pinned by
+    the dict and mirrored in the oracle. For the richer lookaround-based
+    production scrub, use :func:`redact_pii` (tx13)."""
     expr = F.col(text_col)
-    for _fam, (pat, tok) in PII_PATTERNS.items():
+    for _fam, (pat, tok) in PII_PATTERNS_PORTABLE.items():
         expr = F.regexp_replace(expr, pat, tok)
     return df.withColumn(out_col, expr)
 
@@ -1244,23 +1242,23 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     oracle=f"""
     SELECT source,
            COUNT(*) AS n_docs,
-           CAST(SUM(len(regexp_extract_all(text, '{PII_PATTERNS["email"][0]}'))) AS BIGINT) AS n_emails,
-           CAST(SUM(len(regexp_extract_all(text, '{PII_PATTERNS["phone"][0]}'))) AS BIGINT) AS n_phones,
-           CAST(SUM(len(regexp_extract_all(text, '{PII_PATTERNS["ssn"][0]}'))) AS BIGINT) AS n_ssns,
-           CAST(SUM(len(regexp_extract_all(text, '{PII_PATTERNS["ipv4"][0]}'))) AS BIGINT) AS n_ipv4,
-           CAST(SUM(CASE WHEN len(regexp_extract_all(text, '{PII_PATTERNS["email"][0]}'))
-                     + len(regexp_extract_all(text, '{PII_PATTERNS["phone"][0]}'))
-                     + len(regexp_extract_all(text, '{PII_PATTERNS["ssn"][0]}'))
-                     + len(regexp_extract_all(text, '{PII_PATTERNS["ipv4"][0]}')) > 0
+           CAST(SUM(len(regexp_extract_all(text, '{PII_PATTERNS_PORTABLE["email"][0]}'))) AS BIGINT) AS n_emails,
+           CAST(SUM(len(regexp_extract_all(text, '{PII_PATTERNS_PORTABLE["phone"][0]}'))) AS BIGINT) AS n_phones,
+           CAST(SUM(len(regexp_extract_all(text, '{PII_PATTERNS_PORTABLE["ssn"][0]}'))) AS BIGINT) AS n_ssns,
+           CAST(SUM(len(regexp_extract_all(text, '{PII_PATTERNS_PORTABLE["ipv4"][0]}'))) AS BIGINT) AS n_ipv4,
+           CAST(SUM(CASE WHEN len(regexp_extract_all(text, '{PII_PATTERNS_PORTABLE["email"][0]}'))
+                     + len(regexp_extract_all(text, '{PII_PATTERNS_PORTABLE["phone"][0]}'))
+                     + len(regexp_extract_all(text, '{PII_PATTERNS_PORTABLE["ssn"][0]}'))
+                     + len(regexp_extract_all(text, '{PII_PATTERNS_PORTABLE["ipv4"][0]}')) > 0
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
            CAST(SUM(length(text)) AS BIGINT) AS n_chars_in,
            CAST(SUM(length(
                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                    text,
-                   '{PII_PATTERNS["email"][0]}', '<EMAIL>', 'g'),
-                   '{PII_PATTERNS["phone"][0]}', '<PHONE>', 'g'),
-                   '{PII_PATTERNS["ssn"][0]}', '<SSN>', 'g'),
-                   '{PII_PATTERNS["ipv4"][0]}', '<IP>', 'g')
+                   '{PII_PATTERNS_PORTABLE["email"][0]}', '<EMAIL>', 'g'),
+                   '{PII_PATTERNS_PORTABLE["phone"][0]}', '<PHONE>', 'g'),
+                   '{PII_PATTERNS_PORTABLE["ssn"][0]}', '<SSN>', 'g'),
+                   '{PII_PATTERNS_PORTABLE["ipv4"][0]}', '<IP>', 'g')
            )) AS BIGINT) AS n_chars_redacted
     FROM documents
     GROUP BY source
@@ -1269,8 +1267,8 @@ def redact_pii(df: DataFrame, text_col: str = "text",
 )
 def tx23_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("source", "text")
-    scanned = redact_pii(scan_pii(docs))
-    fams = list(PII_PATTERNS)
+    scanned = redact_pii_portable(scan_pii(docs))
+    fams = list(PII_PATTERNS_PORTABLE)
     any_pii = sum(F.col(f"n_{f}") for f in fams) > 0
     return (
         scanned.groupBy("source")

@@ -1590,7 +1590,10 @@ def test_pii_scan_and_redaction_on_planted_fixtures(spark):
     the registered query's corpus is PII-free by construction, so
     detection semantics are pinned here: counts per family, idempotent
     redaction, and non-PII text untouched."""
-    from dbix_batchchunker_spark.operators.text import redact_pii, scan_pii
+    from dbix_batchchunker_spark.operators.text import (
+        redact_pii_portable,
+        scan_pii,
+    )
 
     rows = [
         (0, "contact bob.smith+news@sub.example.co.uk today"),
@@ -1601,7 +1604,7 @@ def test_pii_scan_and_redaction_on_planted_fixtures(spark):
         (5, "mix: a@b.io and 192.168.1.1 and 321-54-9876"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    got = {r.doc_id: r for r in redact_pii(scan_pii(df)).collect()}
+    got = {r.doc_id: r for r in redact_pii_portable(scan_pii(df)).collect()}
 
     assert (got[0].n_email, got[0].redacted) == (1, "contact <EMAIL> today")
     assert got[1].n_phone == 2
@@ -1618,9 +1621,13 @@ def test_pii_scan_and_redaction_on_planted_fixtures(spark):
     # redaction is idempotent: class tokens contain no redactable text
     twice = {
         r.doc_id: r.redacted2
-        for r in redact_pii(
-            redact_pii(df).select("doc_id", F.col("redacted").alias("text")),
+        for r in redact_pii_portable(
+            redact_pii_portable(df).select(
+                "doc_id", F.col("redacted").alias("text")
+            ),
             out_col="redacted2",
         ).collect()
     }
-    assert twice == {r.doc_id: r.redacted for r in redact_pii(df).collect()}
+    assert twice == {
+        r.doc_id: r.redacted for r in redact_pii_portable(df).collect()
+    }
