@@ -26,16 +26,27 @@ WIDE_ID = 1_000_000_000
 class NumberLocale:
     """CLDR decimal/percent symbols for one locale — the slice of
     CLDR::Number the status lines actually consume (group separator,
-    decimal separator, gap between a number and the percent sign). Data
+    decimal separator, gap between a number and the percent sign, digit
+    GROUPING SIZES — CLDR patterns allow a distinct primary/secondary
+    group, e.g. Indian numbering's ``#,##,##0`` → 12,34,56,789). Data
     from the public Unicode CLDR charts; register more locales by adding
     to :data:`CLDR_LOCALES` or passing an instance directly."""
 
-    __slots__ = ("group", "decimal", "percent_gap")
+    __slots__ = ("group", "decimal", "percent_gap", "groups")
 
-    def __init__(self, group: str, decimal: str, percent_gap: str = "") -> None:
+    def __init__(
+        self,
+        group: str,
+        decimal: str,
+        percent_gap: str = "",
+        groups: "tuple[int, ...]" = (3,),
+    ) -> None:
         self.group = group
         self.decimal = decimal
         self.percent_gap = percent_gap
+        # (primary,) or (primary, secondary): primary sizes the rightmost
+        # group, secondary repeats leftward (CLDR decimal pattern grammar)
+        self.groups = groups
 
 
 CLDR_LOCALES = {
@@ -47,6 +58,9 @@ CLDR_LOCALES = {
     "es": NumberLocale(".", ",", " "),
     "it": NumberLocale(".", ","),
     "ja": NumberLocale(",", "."),
+    # Indian numbering: primary group 3, then 2s (CLDR pattern #,##,##0)
+    "hi": NumberLocale(",", ".", groups=(3, 2)),
+    "en-IN": NumberLocale(",", ".", groups=(3, 2)),
 }
 
 
@@ -65,10 +79,21 @@ def _locale(locale: "str | NumberLocale") -> NumberLocale:
 def format_int(
     n: int, sep: Optional[str] = None, locale: "str | NumberLocale" = "en"
 ) -> str:
-    """Grouped integer per the locale's CLDR decimal pattern. ``sep``
+    """Grouped integer per the locale's CLDR decimal pattern, including
+    non-uniform grouping (hi/en-IN: primary 3 then repeating 2s). ``sep``
     (pre-locale API) overrides the locale's group separator."""
-    group = sep if sep is not None else _locale(locale).group
-    return f"{n:,}".replace(",", group)
+    loc = _locale(locale)
+    group = sep if sep is not None else loc.group
+    if loc.groups == (3,):
+        return f"{n:,}".replace(",", group)
+    sign, digits = ("-", str(-n)) if n < 0 else ("", str(n))
+    primary, secondary = loc.groups[0], loc.groups[-1]
+    parts, i, size = [], len(digits), primary
+    while i > 0:
+        parts.append(digits[max(0, i - size) : i])
+        i -= size
+        size = secondary
+    return sign + group.join(reversed(parts))
 
 
 def format_decimal(

@@ -143,3 +143,18 @@ def test_unknown_locale_rejected_at_construction():
             coderef=lambda bc, s, e: None, min_id=0, max_id=9,
             chunk_size=10, target_time=0, sleep=0, locale="en-US",
         )
+
+
+def test_indian_grouping_locale():
+    """CLDR non-uniform grouping (pattern #,##,##0): primary group of 3,
+    then repeating 2s — the case a uniform '{:,}' replace cannot render."""
+    from dbix_batchchunker_spark.progress import format_int
+
+    assert format_int(123456789, locale="hi") == "12,34,56,789"
+    assert format_int(1234, locale="en-IN") == "1,234"
+    assert format_int(12345, locale="en-IN") == "12,345"
+    assert format_int(123456, locale="en-IN") == "1,23,456"
+    assert format_int(-9876543, locale="hi") == "-98,76,543"
+    assert format_int(7, locale="hi") == "7"
+    # uniform locales keep the fast path
+    assert format_int(123456789, locale="de") == "123.456.789"
