@@ -912,3 +912,182 @@ def sim09_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(rerank, schema=out_schema)
         .orderBy("query_id", "mmr_rank")
     )
+
+
+# --------------------------------------------------------------------------- #
+# sim10: PRODUCT-QUANTIZATION ANN with exact re-rank — the memory-bound       #
+# scale path (Jégou et al., "Product Quantization for Nearest Neighbor       #
+# Search", TPAMI 2011 — published algorithm, public knowledge). The corpus   #
+# compresses 64 floats (256 B) to M=8 one-byte codes: 32× smaller, so the   #
+# candidate sweep reads codes, never vectors. Cosine reduces to inner       #
+# product on PRE-NORMALIZED vectors, so ADC tables are per-subspace dot     #
+# products and the approximate score is Σ_m table[m][code_m] — a pure JVM   #
+# aggregate over broadcast tables, zero Python on the corpus sweep. The     #
+# standard two-stage shape: ADC shortlist (4×k) → exact re-rank of the     #
+# shortlist only. Codebooks train driver-side on a BOUNDED sample (the      #
+# FAISS posture — k-means over a few thousand rows is driver work at any    #
+# corpus size); encoding is one Arrow pass.                                  #
+# --------------------------------------------------------------------------- #
+PQ_SUBSPACES = 8          # M: one byte-ish code per subspace
+PQ_CODES = 64             # k: codewords per subspace (256 is the classic byte code; 64 suits the 0.5-5k-vector testdata sample)
+PQ_TRAIN_SAMPLE = 2048    # driver-side training sample bound
+PQ_SHORTLIST_FACTOR = 8   # shortlist = factor × TOP_K before exact re-rank
+
+
+def _pq_train_codebooks(emb: DataFrame, m: int = PQ_SUBSPACES,
+                        k: int = PQ_CODES) -> "list":
+    """Per-subspace k-means codebooks from a bounded, deterministic sample.
+    Returns a numpy array (m, k, dim/m). Seeds = first k sample rows per
+    subspace (the sample is hash-ordered → pseudo-random), 8 Lloyd steps —
+    deterministic end to end (fixed sample order, float64 accumulation)."""
+    import numpy as np
+
+    sample = (
+        emb.select("embedding", F.xxhash64("vec_id").alias("__h"))
+        .orderBy("__h")
+        .limit(PQ_TRAIN_SAMPLE)
+        .select("embedding")
+        .toPandas()  # bounded: PQ_TRAIN_SAMPLE rows — the FAISS-style gate
+    )
+    x = np.asarray(sample["embedding"].tolist(), dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    d = x.shape[1] // m
+    books = []
+    for s in range(m):
+        sub = x[:, s * d : (s + 1) * d]
+        cent = sub[:k].copy()
+        for _ in range(8):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(k):
+                mem = sub[assign == j]
+                if len(mem):
+                    cent[j] = mem.mean(axis=0)
+        books.append(cent)
+    return np.stack(books)  # (m, k, d)
+
+
+def pq_encode(emb: DataFrame, codebooks) -> DataFrame:
+    """(vec_id, codes array<int>) — one vectorized Arrow pass: per subspace,
+    argmin squared distance to the broadcast codebook on the NORMALIZED
+    vector (cosine contract). numpy einsum over the whole batch."""
+    import numpy as np
+
+    books = np.asarray(codebooks)
+    m, k, d = books.shape
+
+    def encode(it):
+        import pandas as pd
+
+        for pdf in it:
+            x = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for s in range(m):
+                sub = x[:, s * d : (s + 1) * d]
+                # ||sub - c||² argmin ≡ (−2·sub·cᵀ + ||c||²) argmin
+                d2 = -2.0 * sub @ books[s].T + (books[s] ** 2).sum(axis=1)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].astype("int64"),
+                 "codes": list(codes.tolist())}
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        encode, schema="vec_id long, codes array<int>"
+    )
+
+
+def sim10_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    import numpy as np
+
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
+    books = _pq_train_codebooks(emb)
+    m, k, _d = books.shape
+    codes = pq_encode(emb, books)
+
+    # per-query ADC tables (m*k floats each) — driver numpy on the probe
+    # set only (N_QUERY_VECS rows; bounded like sim01's broadcast probes)
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select("vec_id", "embedding")
+        .toPandas()  # bounded: N_QUERY_VECS probe rows
+    )
+    d = books.shape[2]
+    rows = []
+    for _, r in probes.iterrows():
+        q = np.asarray(r["embedding"], dtype=np.float64)
+        q /= max(np.linalg.norm(q), 1e-12)
+        # inner-product tables: approx cosine = Σ_m table[m][code_m]
+        tab = np.concatenate(
+            [books[s] @ q[s * d : (s + 1) * d] for s in range(m)]
+        )
+        rows.append((int(r["vec_id"]), [float(v) for v in tab]))
+    tables = spark.createDataFrame(rows, "query_id long, tables array<double>")
+
+    # corpus sweep: pure JVM — codes array + broadcast tables, no vectors
+    approx = (
+        codes.crossJoin(F.broadcast(tables))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, s: acc
+                + F.element_at(
+                    "tables", (s * k + F.element_at("codes", s + 1) + 1).cast("int")
+                ),
+            ).alias("approx_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        approx.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= PQ_SHORTLIST_FACTOR * TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+
+    # exact re-rank of the shortlist ONLY (shortlist × 1 join back to
+    # vectors — 4k·|queries| rows, not the corpus)
+    qv = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    nv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("nvec"),
+        F.col("nrm").alias("nnrm"),
+    )
+    exact = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qvec"), F.col("nvec"))
+                / (F.col("qnrm") * F.col("nnrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+query("sim10_pq_topk")(sim10_pq_topk)  # rows-only: PQ isn't SQL-expressible

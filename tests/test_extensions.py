@@ -1631,3 +1631,62 @@ def test_pii_scan_and_redaction_on_planted_fixtures(spark):
     assert twice == {
         r.doc_id: r.redacted for r in redact_pii_portable(df).collect()
     }
+
+
+def test_pq_topk_recall_vs_bruteforce(spark):
+    """sim10: PQ ADC shortlist + exact re-rank. The shortlist is where
+    recall can leak (re-ranked scores are exact cosine), so the pin is on
+    the final top-k against brute force — measured 0.94 at sf0.001 and
+    0.98 at sf0.01 with k=64 codewords, shortlist 8x."""
+    from dbix_batchchunker_spark.operators.similarity import (
+        sim01_topk_bruteforce,
+        sim10_pq_topk,
+    )
+
+    exact_sets, pq_sets = {}, {}
+    for r in sim01_topk_bruteforce(spark, SF_DIR).collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    pq_rows = sim10_pq_topk(spark, SF_DIR).collect()
+    for r in pq_rows:
+        pq_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(pq_sets) == set(exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    hits = sum(len(s & pq_sets[q]) for q, s in exact_sets.items())
+    assert hits / total >= 0.85, f"PQ recall {hits / total:.2f}"
+    # re-ranked scores are EXACT cosine: any neighbor shared with brute
+    # force must carry the identical rounded score
+    exact_scores = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in sim01_topk_bruteforce(spark, SF_DIR).collect()
+    }
+    for r in pq_rows:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_scores:
+            assert abs(r.cos_sim - exact_scores[key]) < 1e-9
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    from dbix_batchchunker_spark.functions.vectors import norm
+    from dbix_batchchunker_spark.operators.registry import t
+    from dbix_batchchunker_spark.operators.similarity import (
+        PQ_CODES,
+        PQ_SUBSPACES,
+        _pq_train_codebooks,
+        pq_encode,
+    )
+
+    emb = t(spark, SF_DIR, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
+    books = _pq_train_codebooks(emb)
+    assert books.shape[:2] == (PQ_SUBSPACES, PQ_CODES)
+    a = {r.vec_id: r.codes for r in pq_encode(emb, books).collect()}
+    b = {
+        r.vec_id: r.codes
+        for r in pq_encode(emb.repartition(7), books).collect()
+    }
+    assert a == b, "codes must be partitioning-invariant"
+    assert all(
+        len(c) == PQ_SUBSPACES and all(0 <= x < PQ_CODES for x in c)
+        for c in a.values()
+    )
