@@ -422,3 +422,47 @@ def st06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drain isn't DuckDB-runnable; equality with the equivalent BATCH
     # interval self-join is pinned in tests/test_streaming.py.
     return stream_stream_join_drain(spark, sf_dir)
+
+
+@query("st07_stream_incremental_packing")  # no oracle: stateful ingest loop
+def st07_stream_incremental_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO availableNow drains of the corpusfeed connector through
+    incremental sequence packing (streaming/incremental.py): the second
+    drain must append to the global token stream exactly where the first
+    stopped, so the returned layout is one contiguous packing of both
+    drains' documents — early packs never move as the corpus grows. The
+    batch-equivalence and replay-idempotence contracts are pinned in
+    tests/test_streaming.py; this registers the operator so the ingest
+    loop a 100 TB corpus actually runs has a registry entry and a bench
+    number. (sf_dir is unused: the feed connector generates the corpus —
+    deterministic, cursor in the checkpoint.)"""
+    from ..sources.pydatasource import register_feed
+    from ..streaming.incremental import incremental_pack_assign
+    from .text import _tokens_spark
+
+    register_feed(spark)
+    base = tempfile.mkdtemp(prefix="st07_")
+    out = os.path.join(base, "spans")
+    state = os.path.join(base, "state.json")
+    ck = os.path.join(base, "ck")
+
+    def drain() -> None:
+        feed = (
+            spark.readStream.format("corpusfeed")
+            .option("batchrows", 50)
+            .load()
+            .select("doc_id", F.size(_tokens_spark("text")).alias("n_tokens"))
+        )
+        incremental_pack_assign(feed, out, state, ck, budget=256)
+
+    drain()
+    drain()
+    spans = spark.read.parquet(out).select(
+        "doc_id", "n_tokens", "start_tok", "end_tok", "first_pack", "last_pack"
+    )
+    # Materialize before the tempdir is reclaimed: the drain is demo-sized
+    # (two 50-doc batches — bounded), so an eager localCheckpoint holds the
+    # 100 rows and the parquet/checkpoint dirs can go.
+    spans = spans.localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return spans.orderBy("doc_id")
