@@ -1183,3 +1183,51 @@ def q45_unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="status",
         valueColumnName="n",
     ).orderBy("o_orderpriority", "status")
+
+
+# --------------------------------------------------------------------------- #
+# q46: correlated LATERAL join — "for each row, run this subquery" is the     #
+# SQL shape ORMs and report engines emit constantly (top-N-per-entity with    #
+# extra outer columns). The scale story is in what Catalyst does with it:     #
+# the correlated LIMIT subquery DECORRELATES into one WindowGroupLimit pass   #
+# over orders (per-key top-3 folded into the shuffle, no per-customer         #
+# re-execution) + a broadcast hash join back to customer — the naive          #
+# "execute the subquery n times" plan never exists. Plan-asserted; DuckDB    #
+# executes its lateral per-row semantics for the oracle, so the gate          #
+# adjudicates that the decorrelation preserved them.                          #
+# --------------------------------------------------------------------------- #
+@query(
+    "q46_lateral_topn_per_customer",
+    oracle="""
+    SELECT c.c_custkey, c.c_nationkey, t.o_orderkey, t.o_totalprice, t.rnk
+    FROM customer c
+    JOIN LATERAL (
+        SELECT o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 3
+    ) t ON TRUE
+    ORDER BY c.c_custkey, t.rnk
+    """,
+)
+def q46_lateral_topn_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "customer").createOrReplaceTempView("q46_customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("q46_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_nationkey, t.o_orderkey, t.o_totalprice, t.rnk
+        FROM q46_customer c
+        JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+            FROM q46_orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 3
+        ) t
+        ORDER BY c.c_custkey, t.rnk
+        """
+    )

@@ -779,3 +779,43 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     assert joined.count() == 750  # 3 of 20 partitions × 250 rows
+
+
+def test_tx23_scan_prunes_to_source_and_text(spark):
+    """tx23 reads only (source, text): the parquet ReadSchema must not
+    carry doc_id/lang/n_chars — regex work rides a pruned scan."""
+    from dbix_batchchunker_spark.operators.text import tx23_pii_scan
+    from dbix_batchchunker_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(tx23_pii_scan(spark, SF_DIR))
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert rs, plan
+    assert all("doc_id" not in ln and "n_chars" not in ln for ln in rs), rs
+
+
+def test_sim10_corpus_sweep_reads_codes_not_vectors(spark):
+    """sim10's ADC sweep must join the CODES frame against broadcast
+    tables (BroadcastNestedLoopJoin over the bounded probe side is the
+    expected shape) and only re-read embeddings for the shortlist re-rank
+    — the broadcast must appear, and no corpus×corpus CartesianProduct."""
+    from dbix_batchchunker_spark.operators.similarity import sim10_pq_topk
+    from dbix_batchchunker_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(sim10_pq_topk(spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q46_lateral_decorrelates_to_window_group_limit(spark):
+    """q46's correlated LATERAL LIMIT subquery must decorrelate: one
+    WindowGroupLimit pass over orders + a hash join back — never a
+    per-outer-row re-execution (no nested-loop/cartesian shape)."""
+    from dbix_batchchunker_spark.operators.advanced import (
+        q46_lateral_topn_per_customer,
+    )
+    from dbix_batchchunker_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(q46_lateral_topn_per_customer(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
