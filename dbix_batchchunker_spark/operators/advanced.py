@@ -1231,3 +1231,43 @@ def q46_lateral_topn_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame
         ORDER BY c.c_custkey, t.rnk
         """
     )
+
+
+# --------------------------------------------------------------------------- #
+# q47: RECURSIVE CTE hierarchy rollup — Spark 4.1's WITH RECURSIVE as a       #
+# first-class surface. The hierarchy is the decimal prefix DAG over part     #
+# keys (node k's parent is k div 10): acyclic with depth ≤ digits(max key),  #
+# which matters because Spark's recursion supports UNION ALL only (no        #
+# fixpoint dedup — a cyclic closure would diverge; that's why dd10's         #
+# closure stays on components_from_edges and its DuckDB-side recursive       #
+# oracle). Each part emits its ancestor chain; the rollup aggregates         #
+# subtree size and price per node. IDENTICAL SQL text runs on both engines   #
+# — the oracle is the same string, so the gate adjudicates Spark's          #
+# recursion semantics directly. Scale shape: k rounds of a self-UNION-ALL   #
+# (k = key digits), each a narrow projection; the aggregate is one hash     #
+# shuffle.                                                                    #
+# --------------------------------------------------------------------------- #
+_Q47_SQL = """
+    WITH RECURSIVE anc(part, node) AS (
+        SELECT p_partkey, p_partkey FROM {part}
+        UNION ALL
+        SELECT a.part, CAST(FLOOR(a.node / 10) AS BIGINT)
+        FROM anc a WHERE a.node >= 10
+    )
+    SELECT a.node AS node_id,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p.p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS subtree_price
+    FROM anc a JOIN {part} p ON p.p_partkey = a.part
+    GROUP BY a.node
+    ORDER BY a.node
+"""
+
+
+@query(
+    "q47_recursive_hierarchy_rollup",
+    oracle=_Q47_SQL.format(part="part"),
+)
+def q47_recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "part").createOrReplaceTempView("q47_part")
+    return spark.sql(_Q47_SQL.format(part="q47_part"))
