@@ -95,3 +95,99 @@ def test_interrupt_resume_never_loses_ids(span, chunk_size, budget_chunks):
     for s, e in seen:
         covered.update(range(s, e + 1))
     assert covered == set(range(1, span + 1))
+
+
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    channels=st.sampled_from([1, 2, 3, 4]),
+    filter_type=st.integers(min_value=0, max_value=4),
+    data=st.data(),
+)
+@settings(max_examples=120, deadline=None)
+def test_png_round_trip_property(w, h, channels, filter_type, data):
+    """decode(encode(x)) == x for arbitrary pixel bytes, sizes, channel
+    counts, and filter types — the PNG filter reconstruction is an exact
+    inverse everywhere, not just on the fixture images."""
+    from dbix_batchchunker_spark.functions.png import decode_png, encode_png
+
+    n = w * h * channels
+    pixels = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n))
+    )
+    assert decode_png(encode_png(pixels, w, h, channels, filter_type)) == (
+        w, h, channels, pixels
+    )
+
+
+@given(
+    rate=st.sampled_from([8000, 16000, 44100]),
+    channels=st.integers(min_value=1, max_value=3),
+    bits=st.sampled_from([8, 16, 32]),
+    data=st.data(),
+)
+@settings(max_examples=80, deadline=None)
+def test_wav_round_trip_property(rate, channels, bits, data):
+    from dbix_batchchunker_spark.functions.wav import decode_wav, encode_wav
+
+    lo, hi = {
+        8: (0, 255), 16: (-(2**15), 2**15 - 1), 32: (-(2**31), 2**31 - 1)
+    }[bits]
+    n_frames = data.draw(st.integers(min_value=0, max_value=16))
+    samples = data.draw(
+        st.lists(
+            st.integers(lo, hi),
+            min_size=n_frames * channels,
+            max_size=n_frames * channels,
+        )
+    )
+    assert decode_wav(encode_wav(samples, rate, channels, bits)) == (
+        rate, channels, bits, samples
+    )
+
+
+@given(data=st.data())
+@settings(max_examples=30, deadline=None)
+def test_union_find_labels_match_bruteforce_components(data):
+    """_union_find_labels (the dd03/dd04/sim07 closure fast path) must
+    label every vertex with its true component minimum for arbitrary
+    small graphs — checked against a brute-force flood fill."""
+    import pandas as pd
+
+    from dbix_batchchunker_spark.operators.dedup import _union_find_labels
+
+    n = data.draw(st.integers(min_value=0, max_value=14))
+    edges = data.draw(
+        st.lists(
+            st.tuples(st.integers(0, n), st.integers(0, n)), max_size=30
+        )
+    )
+    epdf = pd.DataFrame(edges, columns=["src", "dst"]) if edges else (
+        pd.DataFrame({"src": [], "dst": []})
+    )
+    labels = dict(_union_find_labels(epdf))
+    # brute force: flood fill over the undirected graph
+    adj: dict = {}
+    verts = set()
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+        verts |= {a, b}
+    want = {}
+    seen = set()
+    for v in sorted(verts):
+        if v in seen:
+            continue
+        comp, stack = set(), [v]
+        while stack:
+            x = stack.pop()
+            if x in comp:
+                continue
+            comp.add(x)
+            stack.extend(adj.get(x, ()))
+        m = min(comp)
+        seen |= comp
+        for x in comp:
+            want[x] = m
+    for v in verts:
+        assert labels.get(v, v) == want[v], (v, labels, want)
