@@ -375,3 +375,47 @@ def sp05_pack_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_segment_manifest(token_pack_spans(docs)).orderBy(
         "pack_id", "offset_in_pack"
     )
+
+
+# --------------------------------------------------------------------------- #
+# sp06: deterministic EPOCH SHUFFLE — the global permutation a trainer        #
+# re-derives per epoch. Shuffle order = md5(seed || doc_id): deterministic    #
+# across engines/runs/cluster sizes (the tx09 hash-splitting stance), a new   #
+# seed is a new permutation, and no RNG state ever ships. The global rank    #
+# over the hash order is the scale problem — ROW_NUMBER with no partition    #
+# key single-partitions the corpus — so this rides                           #
+# functions/prefix.with_global_rank (two-phase: range partition + local      #
+# row_number + broadcast offsets). The DuckDB oracle IS the naive global     #
+# window: the driver gate adjudicates the distributed rank rewrite against   #
+# per-row ground truth, on a permutation (not just tx22's vocab stats).      #
+# --------------------------------------------------------------------------- #
+_EPOCH_SEED = 7
+
+
+@query(
+    "sp06_epoch_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+               ORDER BY md5(CONCAT('epoch-{_EPOCH_SEED}:', CAST(doc_id AS VARCHAR))),
+                        doc_id
+           ) AS shuffle_pos
+    FROM documents
+    ORDER BY shuffle_pos
+    """,
+)
+def sp06_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.prefix import with_global_rank
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.lit(f"epoch-{_EPOCH_SEED}:"), F.col("doc_id").cast("string")
+            )
+        ).alias("__h"),
+    )
+    ranked = with_global_rank(
+        docs, ["__h", "doc_id"], unique_cols=["doc_id"], out_col="shuffle_pos"
+    )
+    return ranked.select("doc_id", "shuffle_pos").orderBy("shuffle_pos")
