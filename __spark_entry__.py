@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from dbix_batchchunker_spark.operators import registry
 from dbix_batchchunker_spark.operators import (  # noqa: F401
     advanced,
+    bpe,
     chunked,
     dedup,
     multimodal,

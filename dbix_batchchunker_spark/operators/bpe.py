@@ -1,0 +1,150 @@
+"""Distributed BPE tokenizer TRAINING (SURVEY.md §2.C text analysis; the
+iterative half of tx18's single-step pair count).
+
+Classic byte-pair encoding (Sennrich et al., "Neural Machine Translation
+of Rare Words with Subword Units", ACL 2016 — published algorithm, public
+knowledge) trains on the WORD-FREQUENCY table, not the corpus: after one
+distributed word-count pass (Heaps'-bounded output), every iteration
+operates on vocabulary-sized state — count all adjacent symbol pairs
+weighted by word frequency, pick the most frequent pair, merge it in
+every word containing it. The Spark formulation keeps exactly that
+split:
+
+- ONE corpus-scale pass (``vocab_counts``-shaped word count);
+- per iteration: a pair-count aggregate over the exploded symbol arrays
+  (map-side partials, one small shuffle), an ARGMAX of one row to the
+  driver, and a vectorized Arrow re-encode of only the words that contain
+  the merged pair (everything else passes through untouched);
+- lineage truncated per iteration (``localCheckpoint``) so round k never
+  replays rounds 1..k-1.
+
+Determinism: ties on pair count break lexicographically on the pair
+itself — pinned against a pure-Python reference implementation in
+tests/test_extensions.py, merge-for-merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import query, t
+
+
+def _word_symbols(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq, syms array<string>) — BPE's training state: distinct
+    words with corpus frequencies, split into single-character symbols
+    with the end-of-word marker the published algorithm uses."""
+    from .text import _tokens_spark
+
+    words = (
+        docs.select(F.explode(_tokens_spark(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return words.select(
+        "word",
+        "freq",
+        F.concat(
+            F.split(F.col("word"), ""),  # single characters
+            F.array(F.lit("</w>")),
+        ).alias("syms"),
+        # The state is vocabulary-sized (Heaps-bounded) but inherits the
+        # word count's full shuffle width; right-size it so each training
+        # iteration schedules a handful of tasks, not the session's full
+        # shuffle count (a 100M-type vocabulary raises this to keep
+        # partitions executor-sized — it does not change the loop). At
+        # gate scale the measured cost is ~0.45 s/merge either way: two
+        # actions per iteration (argmax + checkpointed re-encode) is the
+        # floor, which is why the registered query trains 6 merges and
+        # the reference-equality test carries the longer sequence.
+    ).coalesce(4)
+
+
+def _pair_counts(state: DataFrame) -> DataFrame:
+    """freq-weighted adjacent-pair counts over the symbol arrays — the
+    tx18 shape: slice+arrays_zip inside codegen, explode, map-side
+    partial agg, ONE small shuffle on the pair."""
+    pairs = state.select(
+        "freq",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("syms"), 1, F.size("syms") - 1).alias("a"),
+                F.slice(F.col("syms"), 2, F.size("syms") - 1).alias("b"),
+            )
+        ).alias("p"),
+    ).select("freq", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    return pairs.groupBy("a", "b").agg(F.sum("freq").alias("n"))
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+) -> "tuple[list[tuple[str, str]], DataFrame]":
+    """Train ``n_merges`` BPE merges over the corpus; returns
+    ``(merges, final_state)`` where ``merges`` is the ordered merge list
+    and ``final_state`` the (word, freq, syms) table encoded under them.
+
+    Each iteration's driver traffic is ONE (pair, count) row — the argmax
+    — never the vocabulary."""
+    state = _word_symbols(docs, text_col).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            _pair_counts(state)
+            # deterministic tie-break: count desc, then pair lexicographic
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+            .collect()  # bounded: the argmax — exactly one row
+        )
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        merged = a + b
+
+        def apply_merge(it, a=a, b=b, merged=merged):
+            for pdf in it:
+                out = []
+                for syms in pdf["syms"]:
+                    syms = list(syms)
+                    # fast reject: untouched words pass through unscanned
+                    if a in syms:
+                        i, new = 0, []
+                        while i < len(syms):
+                            if (
+                                i + 1 < len(syms)
+                                and syms[i] == a
+                                and syms[i + 1] == b
+                            ):
+                                new.append(merged)
+                                i += 2
+                            else:
+                                new.append(syms[i])
+                                i += 1
+                        syms = new
+                    out.append(syms)
+                pdf = pdf.copy()
+                pdf["syms"] = out
+                yield pdf
+
+        state = state.mapInPandas(
+            apply_merge, schema="word string, freq long, syms array<string>"
+        ).localCheckpoint(eager=True)  # truncate lineage per round
+    return merges, state
+
+
+@query("tx24_bpe_train")  # rows-only: an iterative trainer isn't SQL
+def tx24_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six merges trained on the documents corpus; returns the ordered
+    merge table (rank, left, right, merged). Six keeps the registered
+    query bench-lean (each merge costs one pair-count job + one Arrow
+    re-encode); the merge-for-merge equality with a pure-Python reference
+    BPE — including tie-breaks — is pinned in tests/test_extensions.py."""
+    docs = t(spark, sf_dir, "documents")
+    merges, _state = bpe_train(docs, n_merges=6)
+    return spark.createDataFrame(
+        [(i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string, merged string",
+    )

@@ -1690,3 +1690,72 @@ def test_pq_encode_shape_and_determinism(spark):
         len(c) == PQ_SUBSPACES and all(0 <= x < PQ_CODES for x in c)
         for c in a.values()
     )
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """bpe_train's merge sequence must equal a pure-Python reference BPE
+    (Sennrich-style: char symbols + </w>, most-frequent pair first, ties
+    broken lexicographically) MERGE-FOR-MERGE on a corpus engineered with
+    ties, and the final symbol table must match word-for-word."""
+    from dbix_batchchunker_spark.operators.bpe import bpe_train
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "wider wider new new",
+    ]
+    docs = _doc_df(spark, texts)
+
+    # reference implementation (independent of the Spark code path)
+    from collections import Counter
+
+    vocab = Counter()
+    for t_ in texts:
+        for w in t_.split():
+            vocab[tuple(list(w) + ["</w>"])] += 1
+
+    def ref_merges(vocab, n):
+        vocab = dict(vocab)
+        out = []
+        for _ in range(n):
+            pc = Counter()
+            for syms, f in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += f
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            out.append(best)
+            a, b = best
+            nv = {}
+            for syms, f in vocab.items():
+                syms = list(syms)
+                i, new = 0, []
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        new.append(a + b)
+                        i += 2
+                    else:
+                        new.append(syms[i])
+                        i += 1
+                nv[tuple(new)] = nv.get(tuple(new), 0) + f
+            vocab = nv
+        return out, vocab
+
+    want_merges, want_vocab = ref_merges(vocab, 12)
+    got_merges, state = bpe_train(docs, n_merges=12)
+    assert got_merges == want_merges
+    got_vocab = {
+        tuple(r.syms): r.freq for r in state.collect()
+    }
+    assert got_vocab == {k: v for k, v in want_vocab.items()}
+
+
+def test_tx24_registered_query_shape(spark):
+    from dbix_batchchunker_spark.operators.bpe import tx24_bpe_train
+
+    rows = tx24_bpe_train(spark, SF_DIR).collect()
+    assert len(rows) == 6
+    assert [r.rank for r in rows] == list(range(1, 7))
+    assert all(r.merged == r.left + r.right for r in rows)
