@@ -1759,3 +1759,69 @@ def test_tx24_registered_query_shape(spark):
     assert len(rows) == 6
     assert [r.rank for r in rows] == list(range(1, 7))
     assert all(r.merged == r.left + r.right for r in rows)
+
+
+def test_bpe_encode_matches_reference_end_to_end(spark):
+    """train-on-sample + encode-corpus must equal a pure-Python BPE
+    train+encode on the same inputs, token-count-for-token-count."""
+    from dbix_batchchunker_spark.operators.bpe import (
+        bpe_encode_token_counts,
+        bpe_train,
+    )
+
+    texts = [
+        "low low low lower lowest",
+        "newest newest new news",
+        "wider wide wide widest",
+        "low new wide lowest newest",
+    ]
+    docs = _doc_df(spark, texts)
+    merges, _ = bpe_train(docs, n_merges=10)
+
+    def ref_encode(w, merges):
+        syms = list(w) + ["</w>"]
+        ranks = {p: i for i, p in enumerate(merges)}
+        while len(syms) > 1:
+            cands = [
+                (ranks[(syms[i], syms[i + 1])], i)
+                for i in range(len(syms) - 1)
+                if (syms[i], syms[i + 1]) in ranks
+            ]
+            if not cands:
+                break
+            r, _ = min(cands)
+            a, b = merges[r]
+            i, new = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    new.append(a + b)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            syms = new
+        return len(syms)
+
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe_encode_token_counts(docs, merges).collect()
+    }
+    for i, t_ in enumerate(texts):
+        words = t_.split()
+        want = sum(ref_encode(w, merges) for w in words)
+        assert got[i] == (len(words), want), (i, got[i], want)
+
+
+def test_bpe_train_local_equals_distributed(spark):
+    """The driver fast path and the distributed loop must produce the
+    IDENTICAL merge sequence (same tie-break) — the gate only changes
+    where the loop runs, never what it computes."""
+    from dbix_batchchunker_spark.operators.bpe import bpe_train, bpe_train_local
+
+    docs = _doc_df(
+        spark,
+        ["low low lower lowest", "newest new news newest", "wide wider widest"],
+    )
+    dist, _ = bpe_train(docs, n_merges=10)
+    local = bpe_train_local(docs, n_merges=10)
+    assert dist == local
