@@ -239,7 +239,7 @@ def bpe_encode_token_counts(
                 return hit
             syms = list(w) + ["</w>"]
             while len(syms) > 1:
-                best = bi = None
+                best = None
                 for i in range(len(syms) - 1):
                     r = ranks.get((syms[i], syms[i + 1]))
                     if r is not None and (best is None or r < best):

@@ -97,6 +97,23 @@ def main() -> None:
     total = spark.read.parquet(words_path).count()
     print(f"store now holds {total} docs; next ingest probes it the same way")
 
+    # --- lifecycle: compact deletions out of the store --------------------
+    # The append-only loop only GROWS the store; docs later deleted (DMCA,
+    # quality purge) keep matching every future ingest until compacted.
+    from dbix_batchchunker_spark.operators.dedup import compact_near_dup_store
+
+    deleted = corpus.select("doc_id").limit(5)  # stand-in for a purge list
+    c_entries, c_words = compact_near_dup_store(
+        spark.read.parquet(entries_path), spark.read.parquet(words_path), deleted
+    )
+    # at 100 TB this is a partition-overwrite; demo-scale: rewrite aside
+    c_words.write.mode("overwrite").parquet(words_path + "_compacted")
+    c_entries.write.mode("overwrite").partitionBy("band").parquet(
+        entries_path + "_compacted"
+    )
+    n_after = spark.read.parquet(words_path + "_compacted").count()
+    print(f"compacted store: {total} -> {n_after} docs (5 purged)")
+
     if len(sys.argv) <= 2:
         shutil.rmtree(store_dir, ignore_errors=True)
 
