@@ -419,3 +419,125 @@ def sp06_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, ["__h", "doc_id"], unique_cols=["doc_id"], out_col="shuffle_pos"
     )
     return ranked.select("doc_id", "shuffle_pos").orderBy("shuffle_pos")
+
+
+# --------------------------------------------------------------------------- #
+# sp07: EXACT-BUDGET mixture waterfill — the third way a mixture is           #
+# specified. sp01 takes hand-set keep-RATES, sp03 derives rates from a        #
+# temperature; both realize the mixture only in EXPECTATION (each doc an     #
+# independent draw). A pretraining data order is usually specified the       #
+# other way around: "the corpus is 30% en / 20% de / ... BY TOKENS, as       #
+# large as the available data allows without upsampling". That is a          #
+# waterfilling problem with a closed form: the binding domain — the one      #
+# with the least data relative to its target share — sets the total,        #
+#     T = min_d floor(avail_d * 10000 / bp_d)        (shares in basis        #
+# points, all-BIGINT arithmetic so both engines agree bit-for-bit), and      #
+# each domain keeps its hash-smallest docs until                            #
+#     budget_d = floor(bp_d * T / 10000)                                     #
+# chars are taken (greedy prefix of the salted-md5 order: deterministic,    #
+# engine-independent, and stable under rate changes to OTHER domains —      #
+# doc draws never depend on each other across domains).                      #
+#                                                                            #
+# Scale posture: the totals aggregate is |domains| rows (broadcast back);   #
+# the only heavy step is the per-domain hash-ordered cumsum, a per-domain   #
+# global sort. At gate scale a plain Window is right; at 100 TB the swap    #
+# is the functions/prefix.py two-phase construction run per domain (range-  #
+# partition WITHIN domain by hash, per-partition totals to the driver —     #
+# |domains|·|partitions| rows — broadcast offsets back), or equivalently a  #
+# sampled hash-threshold with exact boundary refinement. Same rewrite        #
+# sp06/tx22 already adjudicate for the global-rank case.                     #
+# --------------------------------------------------------------------------- #
+SP07_TARGET_BP = {"en": 3000, "de": 2000, "fr": 2000, "es": 1500, "zh": 1500}
+
+
+def mixture_waterfill(
+    docs: DataFrame,
+    target_bp: dict[str, int],
+    domain_col: str = "lang",
+    size_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salt: str = "wf",
+) -> DataFrame:
+    """Keep each domain's hash-smallest docs up to an exact size budget
+    chosen so the kept corpus matches ``target_bp`` (basis points, must sum
+    to 10000) as closely as no-upsampling allows. BIGINT-only arithmetic:
+    ``avail * 10000`` stays under 2^63 up to ~9e14 total chars (≈ 900 TB),
+    asserted nowhere because the overflow is loud, not silent (ANSI mode).
+    Domains absent from ``target_bp`` are dropped (share 0)."""
+    from pyspark.sql import Window
+
+    bp_col = None
+    for dom, bp in sorted(target_bp.items()):
+        bp_col = (F if bp_col is None else bp_col).when(
+            F.col(domain_col) == dom, F.lit(bp)
+        )
+    base = docs.where(
+        F.col(domain_col).isin(list(target_bp))
+    ).select(
+        id_col,
+        domain_col,
+        size_col,
+        F.md5(
+            F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))
+        ).alias("__h"),
+        bp_col.alias("__bp"),
+    )
+    totals = base.groupBy(domain_col, "__bp").agg(
+        F.sum(size_col).cast("long").alias("__avail")
+    )
+    scale = totals.select(
+        F.min(F.expr("__avail * 10000 div __bp")).alias("__t")
+    )
+    budgets = totals.crossJoin(F.broadcast(scale)).select(
+        domain_col, F.expr("__bp * __t div 10000").alias("__budget")
+    )
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy("__h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.join(F.broadcast(budgets), domain_col)
+        .withColumn("__cum", F.sum(size_col).over(w))
+        .where(F.col("__cum") <= F.col("__budget"))
+        .select(id_col, domain_col, size_col)
+    )
+
+
+def _sp07_bp_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{dom}' THEN {bp}" for dom, bp in sorted(SP07_TARGET_BP.items())
+    )
+    return f"CASE lang {whens} END"
+
+
+@query(
+    "sp07_mixture_waterfill",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, lang, n_chars,
+               md5(CAST(doc_id AS VARCHAR) || ':wf') AS h,
+               {_sp07_bp_case_sql()} AS bp
+        FROM documents
+        WHERE lang IN ({", ".join(f"'{d}'" for d in sorted(SP07_TARGET_BP))})
+    ), totals AS (
+        SELECT lang, bp, CAST(SUM(n_chars) AS BIGINT) AS avail
+        FROM base GROUP BY lang, bp
+    ), scale AS (
+        SELECT MIN(avail * 10000 // bp) AS t FROM totals
+    ), budgets AS (
+        SELECT lang, CAST(bp * t // 10000 AS BIGINT) AS budget
+        FROM totals, scale
+    )
+    SELECT b.doc_id, b.lang, b.n_chars
+    FROM base b JOIN budgets USING (lang)
+    QUALIFY SUM(n_chars) OVER (
+        PARTITION BY b.lang ORDER BY h
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) <= budget
+    ORDER BY doc_id
+    """,
+)
+def sp07_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return mixture_waterfill(docs, SP07_TARGET_BP).orderBy("doc_id")
