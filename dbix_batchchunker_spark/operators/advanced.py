@@ -1271,3 +1271,129 @@ _Q47_SQL = """
 def q47_recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir, "part").createOrReplaceTempView("q47_part")
     return spark.sql(_Q47_SQL.format(part="q47_part"))
+
+
+# --------------------------------------------------------------------------- #
+# q48: SCD2 MERGE (close-and-insert) — the warehouse upsert the reference's   #
+# chunked UPDATE loop (BatchChunker.pm SYNOPSIS' "process in chunks" DML)     #
+# exists to feed, expressed as one set-based plan instead of a per-row        #
+# MERGE: a type-2 dimension of each customer's order priority is brought     #
+# up to date against an update batch. Current rows whose key got a new       #
+# value are CLOSED (valid_to = the update's effective date) and a new        #
+# current row is INSERTED; same-value updates are no-ops (the old            #
+# valid_from survives — no spurious versions); unseen keys pass through     #
+# untouched; brand-new keys insert their first version. Both sides reduce    #
+# to one row per key first (WindowGroupLimit top-1 folded into the           #
+# shuffle), then ONE full-outer join on the key decides every row's fate —   #
+# the changed subset is re-selected from the same joined frame for the       #
+# closed rows, so the corpus is joined once, not three times. Scale: both   #
+# inputs shuffle on custkey (co-partitioned join); a real nightly batch is  #
+# dim ≫ updates, where the planner broadcasts the update side and the dim   #
+# never moves — the Delta-style MERGE INTO plan, minus the table format.    #
+# --------------------------------------------------------------------------- #
+_Q48_CUTOFF = "1999-01-01"
+
+
+@query(
+    "q48_scd2_merge",
+    oracle=f"""
+    WITH dim AS (
+        SELECT o_custkey AS custkey, o_orderpriority AS priority,
+               o_orderdate AS valid_from
+        FROM orders
+        WHERE o_orderdate <= TIMESTAMP '{_Q48_CUTOFF}'
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC
+        ) = 1
+    ), upd AS (
+        SELECT o_custkey AS custkey, o_orderpriority AS priority,
+               o_orderdate AS valid_from
+        FROM orders
+        WHERE o_orderdate > TIMESTAMP '{_Q48_CUTOFF}'
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC
+        ) = 1
+    ), j AS (
+        SELECT COALESCE(dim.custkey, upd.custkey) AS custkey,
+               dim.priority AS d_pri, dim.valid_from AS d_from,
+               upd.priority AS u_pri, upd.valid_from AS u_from,
+               (dim.custkey IS NULL
+                OR (upd.custkey IS NOT NULL AND dim.priority <> upd.priority))
+                   AS changed
+        FROM dim FULL OUTER JOIN upd ON dim.custkey = upd.custkey
+    )
+    SELECT custkey,
+           CASE WHEN changed THEN u_pri ELSE d_pri END AS priority,
+           CASE WHEN changed THEN u_from ELSE d_from END AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to,
+           TRUE AS is_current
+    FROM j
+    UNION ALL
+    SELECT custkey, d_pri AS priority, d_from AS valid_from,
+           u_from AS valid_to, FALSE AS is_current
+    FROM j
+    WHERE changed AND d_pri IS NOT NULL
+    ORDER BY custkey, is_current, valid_from
+    """,
+)
+def q48_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = t(spark, sf_dir, "orders")
+    cutoff = F.lit(_Q48_CUTOFF).cast("timestamp")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+
+    def latest(side: DataFrame, tag: str) -> DataFrame:
+        return (
+            side.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(
+                F.col("o_custkey").alias(f"{tag}_key"),
+                F.col("o_orderpriority").alias(f"{tag}_pri"),
+                F.col("o_orderdate").alias(f"{tag}_from"),
+            )
+        )
+
+    dim = latest(orders.where(F.col("o_orderdate") <= cutoff), "d")
+    upd = latest(orders.where(F.col("o_orderdate") > cutoff), "u")
+    j = dim.join(upd, dim.d_key == upd.u_key, "full_outer").select(
+        F.coalesce("d_key", "u_key").alias("custkey"),
+        "d_pri",
+        "d_from",
+        "u_pri",
+        "u_from",
+        (
+            F.col("d_key").isNull()
+            | (F.col("u_key").isNotNull() & (F.col("d_pri") != F.col("u_pri")))
+        ).alias("changed"),
+    )
+    # Emit the (current, maybe-closed) pair per key from ONE pass over the
+    # joined frame — a union of two selects would recompute the join per
+    # branch; inline(array_compact(...)) is a single dimension-2 Expand.
+    current = F.struct(
+        F.when(F.col("changed"), F.col("u_pri"))
+        .otherwise(F.col("d_pri"))
+        .alias("priority"),
+        F.when(F.col("changed"), F.col("u_from"))
+        .otherwise(F.col("d_from"))
+        .alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    closed = F.when(
+        F.col("changed") & F.col("d_pri").isNotNull(),
+        F.struct(
+            F.col("d_pri").alias("priority"),
+            F.col("d_from").alias("valid_from"),
+            F.col("u_from").alias("valid_to"),
+            F.lit(False).alias("is_current"),
+        ),
+    )
+    return (
+        j.select("custkey", F.inline(F.array_compact(F.array(current, closed))))
+        .orderBy("custkey", "is_current", "valid_from")
+    )
