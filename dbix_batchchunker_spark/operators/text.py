@@ -1284,3 +1284,83 @@ def tx23_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------- #
+# tx26: TOKEN RARITY profile — the inverse-document-frequency signal quality  #
+# filters rank on, kept in exact integers so the gate adjudicates it          #
+# bit-for-bit (log-space idf is a per-row monotone map the consumer applies;  #
+# summing floats cross-engine is order-dependent and would break the value    #
+# hash). Per doc: how much of it is made of corpus-common words vs words      #
+# seen nowhere else. n_hapax > 0 flags docs carrying unique strings (IDs,     #
+# gibberish, PII-ish tokens); high sum_df/n_distinct flags boilerplate.      #
+#                                                                            #
+# Shape is the classic TF-IDF pipeline: distinct (doc, token) pairs → df     #
+# per token → join BACK to the pairs → per-doc aggregate. Scale: the pairs   #
+# frame crosses two shuffles (by token for the df aggregate — map-side      #
+# partials on array_distinct'd pairs — then by doc_id for the profile);     #
+# the join-back reuses the by-token partitioning on both sides, so no third  #
+# shuffle. The token key is intrinsically skewed (a stopword's join fan-out  #
+# IS its df) — exactly the case AQE skew-join splits; the structural         #
+# alternative is broadcasting the df table, sound because vocabulary is      #
+# Heaps-bounded (~K·N^0.5, tx22's measured exponent) — sublinear in corpus   #
+# size where the corpus itself is not.                                       #
+# --------------------------------------------------------------------------- #
+@query(
+    "tx26_token_rarity",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_tokens_sql()} AS toks FROM documents
+    ), pairs AS (
+        SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM toks
+    ), dfreq AS (
+        SELECT tok, COUNT(*) AS df FROM pairs GROUP BY tok
+    ), per_doc AS (
+        SELECT doc_id,
+               COUNT(*) AS n_distinct,
+               CAST(SUM(df) AS BIGINT) AS sum_df,
+               MIN(df) AS min_df,
+               COUNT(*) FILTER (WHERE df = 1) AS n_hapax
+        FROM pairs JOIN dfreq USING (tok)
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           COALESCE(n_distinct, 0) AS n_distinct,
+           COALESCE(sum_df, 0) AS sum_df,
+           COALESCE(min_df, 0) AS min_df,
+           COALESCE(n_hapax, 0) AS n_hapax
+    FROM toks t LEFT JOIN per_doc USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def tx26_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens_spark().alias("toks"))
+    pairs = toks.select(
+        "doc_id", F.explode(F.array_distinct("toks")).alias("tok")
+    )
+    dfreq = pairs.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        pairs.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum("df").alias("sum_df"),
+            F.min("df").alias("min_df"),
+            F.count(F.when(F.col("df") == 1, 1)).alias("n_hapax"),
+        )
+    )
+    return (
+        toks.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            F.coalesce("sum_df", F.lit(0)).alias("sum_df"),
+            F.coalesce("min_df", F.lit(0)).alias("min_df"),
+            F.coalesce("n_hapax", F.lit(0)).alias("n_hapax"),
+        )
+        .orderBy("doc_id")
+    )
