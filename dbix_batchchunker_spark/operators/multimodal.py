@@ -572,3 +572,96 @@ def mm05_wav_clip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         synth_and_decode, schema=AUDIO_STATS_SCHEMA
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------- #
+# mm06: JVM-side IMAGE HEADER PARSE — the scale pattern for multimodal        #
+# metadata. A 100 TB image corpus is filtered on dimensions/format long      #
+# before any pixel is decoded; shipping every payload through Python for     #
+# that is the anti-pattern. PNG's fixed layout (8-byte signature, IHDR       #
+# always first: 4-byte big-endian width at offset 16, height at 20, then    #
+# bit depth / color type bytes — RFC 2083 §3, same layout functions/png.py  #
+# encodes) makes the parse pure JVM expressions: substring on the BINARY    #
+# column + hex + base-16 conv, whole-stage-codegen'd inside the scan, so    #
+# dimension predicates PUSH INTO the first pass and only survivors reach a  #
+# decoder. The synth stage below stands in for spark.read.format            #
+# ("binaryFile") — Arrow-batched, like mm02/mm05 — and the pytest pin       #
+# (tests/test_multimodal_png.py) checks the JVM parse against what          #
+# encode_png actually wrote, byte-for-byte provenance for every field.      #
+# Rows-only at the gate: DuckDB 1.x has no blob slicing to mirror it.       #
+# --------------------------------------------------------------------------- #
+PNG_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+_PNG_MAGIC_HEX = "89504E470D0A1A0A"
+
+
+def synth_png_column(docs: DataFrame) -> DataFrame:
+    """doc_id -> deterministic tiny PNG payload (binaryFile stand-in);
+    cycles every channel count and scanline filter the codec supports."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        from ..functions.png import encode_png
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 3 + doc_id % 6
+                h = 2 + doc_id % 5
+                ch = (1, 2, 3, 4)[doc_id % 4]
+                px = bytes(
+                    (doc_id * 31 + i * 7) & 0xFF for i in range(w * h * ch)
+                )
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "payload": encode_png(px, w, h, ch, doc_id % 5),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(batches, schema=PNG_META_SCHEMA)
+
+
+def _be_int(col: str, pos: int, n: int):
+    """Big-endian unsigned int from ``n`` payload bytes at 1-based ``pos``
+    — hex() then conv(16, 10), all JVM."""
+    return F.conv(F.hex(F.expr(f"substring({col}, {pos}, {n})")), 16, 10).cast(
+        "long"
+    )
+
+
+def png_header_metadata(imgs: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Parse PNG signature + IHDR fields from a binary column with built-in
+    expressions only (no Python, no decode)."""
+    color_type = _be_int(payload_col, 26, 1)
+    return imgs.select(
+        "doc_id",
+        F.octet_length(payload_col).cast("long").alias("payload_bytes"),
+        (F.hex(F.expr(f"substring({payload_col}, 1, 8)")) == _PNG_MAGIC_HEX)
+        .alias("magic_ok"),
+        _be_int(payload_col, 17, 4).alias("width"),
+        _be_int(payload_col, 21, 4).alias("height"),
+        _be_int(payload_col, 25, 1).alias("bit_depth"),
+        color_type.alias("color_type"),
+        # RFC 2083 color-type -> samples/pixel (functions/png.py _CHANNELS)
+        F.when(color_type == 0, 1)
+        .when(color_type == 2, 3)
+        .when(color_type == 4, 2)
+        .when(color_type == 6, 4)
+        .cast("long")
+        .alias("n_channels"),
+    )
+
+
+@query("mm06_png_header_metadata")  # rows-only: blob parse, no DuckDB analog
+def mm06_png_header_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return png_header_metadata(synth_png_column(docs)).orderBy("doc_id")

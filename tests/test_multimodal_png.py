@@ -302,3 +302,37 @@ def test_mm05_wav_clip_stats_end_to_end(spark):
         # a sine's RMS is ~amp/sqrt(2); amplitude <= 28000 < 32768
         assert 0.2 < r.rms < 0.95 and r.peak <= 1.0
         assert r.payload_bytes >= 44 + 2 * expect_frames
+
+
+def test_mm06_jvm_header_parse_matches_encoder(spark):
+    """The JVM-expression IHDR parse (substring/hex/conv — no Python in
+    the parse path) must report exactly what encode_png wrote, for every
+    channel count and filter type, plus reject a non-PNG payload's magic."""
+    from dbix_batchchunker_spark.operators.multimodal import (
+        png_header_metadata,
+    )
+
+    expected = {}
+    rows = []
+    i = 0
+    for channels, color_type in ((1, 0), (2, 4), (3, 2), (4, 6)):
+        for filter_type in range(5):
+            w, h = 3 + i % 4, 2 + i % 3
+            px = bytes((i * 13 + j) & 0xFF for j in range(w * h * channels))
+            rows.append((i, encode_png(px, w, h, channels, filter_type)))
+            expected[i] = (w, h, channels, color_type)
+            i += 1
+    rows.append((999, b"notapngpayload--"))  # magic must come back False
+
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in png_header_metadata(df).collect()}
+    assert len(got) == len(rows)
+    for doc_id, (w, h, channels, color_type) in expected.items():
+        r = got[doc_id]
+        assert r["magic_ok"] is True
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["bit_depth"] == 8
+        assert r["color_type"] == color_type
+        assert r["n_channels"] == channels
+        assert r["payload_bytes"] == len(rows[doc_id][1])
+    assert got[999]["magic_ok"] is False
