@@ -1397,3 +1397,48 @@ def q48_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.select("custkey", F.inline(F.array_compact(F.array(current, closed))))
         .orderBy("custkey", "is_current", "valid_from")
     )
+
+
+# --------------------------------------------------------------------------- #
+# q49: Z-ORDER layout key under oracle adjudication. The Morton key that      #
+# sources/maintenance.zorder_by clusters by is a pure closed form —          #
+# equal-width BIGINT bucketing then bit interleave — emitted for BOTH        #
+# engines by the same generator (zvalue_sql, dialects differ only in the     #
+# floor-div token), so the gate checks the actual layout computation         #
+# bit-for-bit. That matters because a wrong z-value is SILENT: every scan    #
+# still returns correct rows, it just stops skipping row groups — the       #
+# pyarrow-measured pruning test (tests/test_maintenance.py) proves the      #
+# layout works, this oracle proves it's the layout we specified. Price       #
+# cents via FLOOR(x*100): identical IEEE product + floor on both engines    #
+# (Spark CAST truncates where DuckDB CAST rounds — floor sidesteps the      #
+# dialect trap).                                                             #
+# --------------------------------------------------------------------------- #
+def _q49_sql(dialect: str, orders: str = "orders") -> str:
+    from ..sources.maintenance import zvalue_sql
+
+    z = zvalue_sql(
+        ["ck", "pc"],
+        ["ck_min", "pc_min"],
+        ["ck_max", "pc_max"],
+        dialect=dialect,
+    )
+    return f"""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey AS ck,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS pc
+        FROM {orders}
+    ), stats AS (
+        SELECT MIN(ck) AS ck_min, MAX(ck) AS ck_max,
+               MIN(pc) AS pc_min, MAX(pc) AS pc_max
+        FROM base
+    )
+    SELECT o_orderkey, ck, pc, CAST({z} AS BIGINT) AS zval
+    FROM base, stats
+    ORDER BY o_orderkey
+    """
+
+
+@query("q49_zorder_key", oracle=_q49_sql("duckdb"))
+def q49_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "orders").createOrReplaceTempView("q49_orders")
+    return spark.sql(_q49_sql("spark", orders="q49_orders"))
