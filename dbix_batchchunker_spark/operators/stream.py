@@ -466,3 +466,49 @@ def st07_stream_incremental_packing(spark: SparkSession, sf_dir: str) -> DataFra
     spans = spans.localCheckpoint(eager=True)
     shutil.rmtree(base, ignore_errors=True)
     return spans.orderBy("doc_id")
+
+
+@query("st08_stream_sized_sink")  # no oracle: sink layout, not a relation
+def st08_stream_sized_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One availableNow drain of the corpusfeed through the SIZED parquet
+    sink (streaming/sinks.sized_parquet_sink): streaming ingest whose
+    output files are target-sized at write time — the small-files
+    problem handled at the sink instead of by a nightly compactor.
+    Exactly-once via per-batch overwrite dirs (same idempotency key as
+    st07's packer); replay equivalence is pinned in
+    tests/test_streaming.py. Returns per-batch file/row stats read back
+    from the written table — bounded by #batches. (sf_dir unused: the
+    feed connector generates the corpus.)"""
+    from ..sources.pydatasource import register_feed
+    from ..streaming.sinks import sized_parquet_sink
+
+    register_feed(spark)
+    base = tempfile.mkdtemp(prefix="st08_")
+    out = os.path.join(base, "table")
+    ck = os.path.join(base, "ck")
+
+    feed = (
+        spark.readStream.format("corpusfeed")
+        .option("batchrows", 50)
+        .load()
+        .select("doc_id", "text")
+    )
+    sized_parquet_sink(feed, out, ck, target_mb=0.002)
+    stats = (
+        spark.read.option("basePath", out)
+        .parquet(out)
+        .select("doc_id", F.input_file_name().alias("f"))
+        .groupBy("f")
+        .agg(
+            F.count(F.lit(1)).alias("rows_in_file"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .drop("f")
+        .orderBy("min_doc", "max_doc", "rows_in_file")
+    )
+    # Materialize before the tempdir is reclaimed (bounded: #files ~ corpus
+    # bytes / target — a handful at demo scale).
+    stats = stats.localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return stats

@@ -87,3 +87,65 @@ def sqlite_upsert_sink(
             conn.close()
 
     return sink
+
+
+def sized_parquet_sink(
+    stream_df,
+    out_dir: str,
+    checkpoint_dir: str,
+    target_mb: float = 128.0,
+    bytes_per_row: float | None = None,
+):
+    """Stream → parquet with the small-files problem handled AT THE SINK.
+
+    A naive ``writeStream.format("parquet")`` emits one file per
+    partition per micro-batch — at one batch a minute on a 200-partition
+    shuffle that is ~300k files/day, and the nightly compaction job
+    exists only to clean up after it. This sink instead runs each batch
+    through sources/maintenance.write_sized_parquet inside foreachBatch:
+    files come out AT the target size, so downstream scans never see the
+    fragmentation in the first place (the compactor remains for
+    re-layout, e.g. Z-ordering, not for hygiene).
+
+    Exactly-once via the engine's batch-id contract: each batch
+    overwrites its OWN ``batch=<id>`` subdirectory, so a replayed batch
+    (crash between sink and checkpoint commit) rewrites identical files
+    instead of appending duplicates — the same idempotency key the
+    incremental packer uses (streaming/incremental.py). Readers see the
+    union of batch dirs as one table (hive-style discovery).
+
+    ``bytes_per_row``: pass a known figure to keep the sink single-pass
+    per batch; when None, the first batch's sample is measured once and
+    REUSED for every later batch (schema is fixed; re-sampling each
+    micro-batch would add a driver round-trip per batch for no new
+    information).
+    """
+    import os
+
+    from ..sources.maintenance import write_sized_parquet
+
+    measured: dict = {"bpr": bytes_per_row}
+
+    def sink(batch_df, batch_id: int) -> None:
+        n = batch_df.count()
+        if n == 0:
+            return
+        if measured["bpr"] is None:
+            from ..sources.maintenance import estimate_parquet_bytes_per_row
+
+            measured["bpr"] = estimate_parquet_bytes_per_row(batch_df)
+        write_sized_parquet(
+            batch_df,
+            os.path.join(out_dir, f"batch={batch_id}"),
+            target_mb=target_mb,
+            n_rows=n,
+            bytes_per_row=measured["bpr"],
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
