@@ -819,3 +819,78 @@ def test_q46_lateral_decorrelates_to_window_group_limit(spark):
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sp07_waterfill_budgets_broadcast_single_window(spark):
+    """sp07's corpus side must cross exactly ONE per-domain Window; the
+    per-domain budget row arrives by broadcast (never a shuffled join),
+    and the domain filter reaches the parquet scan."""
+    from dbix_batchchunker_spark.operators.sampling import (
+        sp07_mixture_waterfill,
+    )
+    from dbix_batchchunker_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(sp07_mixture_waterfill(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Window\n", plan)) == 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert re.search(r"PushedFilters: \[.*In\(lang", plan), plan
+
+
+def test_q48_scd2_single_join_single_expand(spark):
+    """q48 must decide every row's fate from ONE full-outer join and emit
+    the (current, maybe-closed) pair via ONE Generate — a UNION shape
+    would recompute the join per branch. Latest-per-key must fold into
+    WindowGroupLimit (map-side top-1), not a full sort+filter."""
+    from dbix_batchchunker_spark.operators.advanced import q48_scd2_merge
+    from dbix_batchchunker_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(q48_scd2_merge(spark, SF_DIR))
+    assert len(re.findall(r"SortMergeJoin FullOuter \(\d+\)", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Generate\n", plan)) == 1, plan
+    assert "WindowGroupLimit" in plan
+    assert "Union" not in plan
+
+
+def test_tx26_rarity_df_join_reuses_token_partitioning(spark):
+    """tx26's join-back of the df table onto the exploded pairs must
+    reuse the by-token hash partitioning both sides already have — the
+    plan carries exactly the two intrinsic exchanges (by token for the
+    df aggregate + join, by doc for the profile/final join) plus the
+    presentation sort, and no per-row Python."""
+    from dbix_batchchunker_spark.operators.text import tx26_token_rarity
+    from dbix_batchchunker_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(tx26_token_rarity(spark, SF_DIR))
+    hash_exchanges = len(re.findall(r"Arguments: hashpartitioning", plan))
+    assert hash_exchanges == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q49_zorder_key_is_codegen_no_python(spark):
+    """The Morton key must evaluate as pure JVM expressions inside
+    whole-stage codegen — stats arrive once via broadcast; no Python
+    eval, no per-dimension re-shuffle of the corpus."""
+    from dbix_batchchunker_spark.operators.advanced import q49_zorder_key
+    from dbix_batchchunker_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(q49_zorder_key(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    corpus_shuffles = len(re.findall(r"Arguments: hashpartitioning", plan))
+    assert corpus_shuffles == 0, plan
+
+
+def test_mm06_header_parse_is_jvm_projection(spark):
+    """mm06's IHDR parse must be a JVM projection over the binary column:
+    exactly ONE Arrow stage (the binaryFile-stand-in synth), zero Python
+    in the parse itself — dimension predicates can then push into the
+    first JVM pass."""
+    from dbix_batchchunker_spark.operators.multimodal import (
+        mm06_png_header_metadata,
+    )
+    from dbix_batchchunker_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(mm06_png_header_metadata(spark, SF_DIR))
+    arrow_stages = len(re.findall(r"\(\d+\) (?:MapInPandas|ArrowEvalPython)", plan))
+    assert arrow_stages == 1, plan
