@@ -122,8 +122,20 @@ def main() -> None:
     )
 
     # 9. one partitioned write; downstream readers of split=train prune the
-    #    other directories at the source
-    clean.write.mode("overwrite").partitionBy("split").parquet(out_dir)
+    #    other directories at the source. The write goes through the
+    #    maintenance layer: files come out ~target-sized (never
+    #    one-per-shuffle-partition), and each split's files are laid out
+    #    in doc_id ranges (sort_cols) so keyed scans prune row groups.
+    from dbix_batchchunker_spark.sources.maintenance import write_sized_parquet
+
+    clean = clean.persist()  # three split writes + sizing counts, one compute
+    for split_name in ("train", "val", "test"):
+        part = clean.where(F.col("split") == split_name).drop("split")
+        write_sized_parquet(
+            part, f"{out_dir}/split={split_name}",
+            target_mb=8.0, sort_cols=["doc_id"],
+        )
+    clean.unpersist()
 
     # 10. sequence packing — the trainer-ready manifest: each train doc's
     #     slice of the concatenated token stream, cut into fixed-budget
