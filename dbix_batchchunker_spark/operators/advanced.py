@@ -1442,3 +1442,73 @@ def _q49_sql(dialect: str, orders: str = "orders") -> str:
 def q49_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir, "orders").createOrReplaceTempView("q49_orders")
     return spark.sql(_q49_sql("spark", orders="q49_orders"))
+
+
+# --------------------------------------------------------------------------- #
+# q50: mergeable HISTOGRAM-SKETCH quantile rollup — q41's pattern (sketch     #
+# the facts ONCE at fine grain, answer coarse-grain questions from the        #
+# sketch table) applied to quantiles, where Spark's percentile_approx has     #
+# no storable/mergeable column form. The sketch is an equal-width BIGINT     #
+# histogram (64 bins over price cents, the q49 bucket closed form): per-     #
+# nation bin counts are 25x64 rows, regions MERGE nation histograms by       #
+# summing bins — the fact table is NOT rescanned per drill-up — and the      #
+# median is the smallest bin whose running count reaches half the total      #
+# (window over <=64 rows/region). Everything integer ⇒ the gate checks the   #
+# whole sketch->merge->quantile path bit-for-bit; resolution is the bin      #
+# width (span/64), the documented sketch tradeoff. At 100 TB: one fact      #
+# pass builds the histogram table; every later rollup/drill is dimension-   #
+# sized arithmetic.                                                          #
+# --------------------------------------------------------------------------- #
+_Q50_BINS = 64
+
+
+def _q50_sql(dialect: str, prefix: str = "") -> str:
+    fdiv = {"spark": "div", "duckdb": "//"}[dialect]
+    nb = _Q50_BINS
+    return f"""
+    WITH pc AS (
+        SELECT o.o_orderkey, c.c_nationkey,
+               CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM {prefix}orders o JOIN {prefix}customer c
+          ON o.o_custkey = c.c_custkey
+    ), stats AS (
+        SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM pc
+    ), nation_hist AS (
+        SELECT c_nationkey,
+               LEAST(((cents - lo) * {nb}) {fdiv} (hi - lo + 1), {nb - 1})
+                   AS bin,
+               COUNT(*) AS n
+        FROM pc, stats
+        GROUP BY 1, 2
+    ), region_hist AS (
+        SELECT n.n_regionkey, h.bin,
+               CAST(SUM(h.n) AS BIGINT) AS n
+        FROM nation_hist h JOIN {prefix}nation n
+          ON h.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    )
+    , ranked AS (
+        SELECT n_regionkey, bin, n, lo, hi,
+               SUM(n) OVER (
+                   PARTITION BY n_regionkey ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum,
+               SUM(n) OVER (PARTITION BY n_regionkey) AS total
+        FROM region_hist, stats
+    )
+    SELECT n_regionkey AS regionkey,
+           bin AS p50_bin,
+           CAST(lo + (bin * (hi - lo + 1)) {fdiv} {nb} AS BIGINT)
+               AS p50_lo_cents,
+           CAST(total AS BIGINT) AS n_orders
+    FROM ranked
+    WHERE 2 * cum >= total AND 2 * (cum - n) < total
+    ORDER BY regionkey
+    """
+
+
+@query("q50_histogram_quantile_rollup", oracle=_q50_sql("duckdb"))
+def q50_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("orders", "customer", "nation"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"q50_{name}")
+    return spark.sql(_q50_sql("spark", prefix="q50_"))
