@@ -1512,3 +1512,94 @@ def q50_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     for name in ("orders", "customer", "nation"):
         t(spark, sf_dir, name).createOrReplaceTempView(f"q50_{name}")
     return spark.sql(_q50_sql("spark", prefix="q50_"))
+
+
+# --------------------------------------------------------------------------- #
+# q51: windowed event FUNNEL — the product-analytics operator (ClickHouse's   #
+# windowFunnel, Amplitude's conversion query) under EXPLICIT greedy-anchor    #
+# semantics: anchor at the user's FIRST signup, then greedily take the        #
+# earliest click at-or-after it and the earliest purchase at-or-after that;   #
+# funnel_level = deepest step whose greedy timestamp falls within 24 h of     #
+# the anchor. Greedy-from-first-anchor is deterministic and closed-form      #
+# (three chained MIN-over-user windows — each references the previous        #
+# window's column, all share ONE user_id partitioning so the corpus          #
+# shuffles once); "best anchor" semantics would need per-user sequence       #
+# search, which is what the deterministic contract here deliberately         #
+# avoids. Time math in epoch MICROSECONDS on both engines (registry          #
+# epoch_us — the events-ts dialect rule).                                    #
+# --------------------------------------------------------------------------- #
+_Q51_WINDOW_US = 86_400_000_000  # 24 hours
+
+
+@query(
+    "q51_event_funnel",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ), s1 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'signup' THEN us END)
+                      OVER (PARTITION BY user_id) AS t1 FROM ev
+    ), s2 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click' AND us >= t1 THEN us END)
+                      OVER (PARTITION BY user_id) AS t2 FROM s1
+    ), s3 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us >= t2 THEN us END)
+                      OVER (PARTITION BY user_id) AS t3 FROM s2
+    )
+    SELECT user_id,
+           MIN(t1) AS signup_us,
+           CASE WHEN MIN(t3) - MIN(t1) <= {_Q51_WINDOW_US} THEN 3
+                WHEN MIN(t2) - MIN(t1) <= {_Q51_WINDOW_US} THEN 2
+                WHEN MIN(t1) IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_level
+    FROM s3
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q51_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .registry import epoch_us
+
+    ev = t(spark, sf_dir, "events")
+    ev = ev.select("user_id", "event_type", epoch_us(ev).alias("us"))
+    w = Window.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "t1",
+        F.min(F.when(F.col("event_type") == "signup", F.col("us"))).over(w),
+    )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("us") >= F.col("t1")),
+                F.col("us"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("us") >= F.col("t2")),
+                F.col("us"),
+            )
+        ).over(w),
+    )
+    agg = s3.groupBy("user_id").agg(
+        F.min("t1").alias("signup_us"),
+        F.min("t2").alias("__t2"),
+        F.min("t3").alias("__t3"),
+    )
+    lvl = (
+        F.when(F.col("__t3") - F.col("signup_us") <= _Q51_WINDOW_US, 3)
+        .when(F.col("__t2") - F.col("signup_us") <= _Q51_WINDOW_US, 2)
+        .when(F.col("signup_us").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        agg.select("user_id", "signup_us", lvl.alias("funnel_level"))
+        .orderBy("user_id")
+    )
