@@ -541,3 +541,78 @@ def _sp07_bp_case_sql() -> str:
 def sp07_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return mixture_waterfill(docs, SP07_TARGET_BP).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------- #
+# sp08: EPOCH PLAN with upsampling — sp07's complement, completing the        #
+# mixture family (sp01 hand rates / sp03 temperature / sp07 exact budget     #
+# without upsampling / sp08 the plan WHEN the target total exceeds what's    #
+# available). Pretraining corpora routinely run small high-quality domains   #
+# for multiple epochs while capping the big ones; the plan is closed-form    #
+# integer arithmetic per domain:                                             #
+#     budget_d      = bp_d * T_total div 10000                               #
+#     full_epochs_d = budget_d div avail_d                                   #
+#     tail_chars_d  = budget_d mod avail_d                                   #
+# with the tail drawn by the SAME hash-smallest prefix rule as sp07 (so the  #
+# partial epoch is deterministic and stable under rate changes elsewhere).   #
+# The registered query emits the |domains|-row PLAN — the artifact a corpus  #
+# build reviews/commits before expanding it (the expansion itself is one    #
+# explode over sequence(1, full_epochs) plus one sp07-style prefix filter). #
+# T_total here = 2x available total: forces upsampling of every domain      #
+# whose share exceeds half its natural proportion — exercises both sides.   #
+# --------------------------------------------------------------------------- #
+@query(
+    "sp08_epoch_plan",
+    oracle=f"""
+    WITH base AS (
+        SELECT lang, n_chars, {_sp07_bp_case_sql()} AS bp
+        FROM documents
+        WHERE lang IN ({", ".join(f"'{d}'" for d in sorted(SP07_TARGET_BP))})
+    ), totals AS (
+        SELECT lang, bp, CAST(SUM(n_chars) AS BIGINT) AS avail_chars
+        FROM base GROUP BY lang, bp
+    ), grand AS (
+        SELECT CAST(2 * SUM(avail_chars) AS BIGINT) AS t_total FROM totals
+    )
+    SELECT lang, avail_chars,
+           CAST(bp * t_total // 10000 AS BIGINT) AS budget_chars,
+           CAST((bp * t_total // 10000) // avail_chars AS BIGINT)
+               AS full_epochs,
+           CAST((bp * t_total // 10000) % avail_chars AS BIGINT)
+               AS tail_chars
+    FROM totals, grand
+    ORDER BY lang
+    """,
+)
+def sp08_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    bp_col = None
+    for dom, bp in sorted(SP07_TARGET_BP.items()):
+        bp_col = (F if bp_col is None else bp_col).when(
+            F.col("lang") == dom, F.lit(bp)
+        )
+    totals = (
+        docs.where(F.col("lang").isin(list(SP07_TARGET_BP)))
+        .select("lang", "n_chars", bp_col.alias("bp"))
+        .groupBy("lang", "bp")
+        .agg(F.sum("n_chars").cast("long").alias("avail_chars"))
+    )
+    grand = totals.select(
+        (F.lit(2) * F.sum("avail_chars")).cast("long").alias("t_total")
+    )
+    budget = F.expr("bp * t_total div 10000")
+    return (
+        totals.crossJoin(F.broadcast(grand))
+        .select(
+            "lang",
+            "avail_chars",
+            budget.alias("budget_chars"),
+            F.expr("(bp * t_total div 10000) div avail_chars").alias(
+                "full_epochs"
+            ),
+            F.expr("(bp * t_total div 10000) % avail_chars").alias(
+                "tail_chars"
+            ),
+        )
+        .orderBy("lang")
+    )
