@@ -63,6 +63,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     tx01/tx04/tx05/tx08/tx09/tx12 — all 7-rounds driver-green, shapes
 #:     covered by prefix siblings) -> 12 never-adjudicated in
 #:     (q33/q36/q38/q40/q42/q44, dd10/dd11, sim08, tx16/tx18, sp04).
+#:   round 9 (PLANNED): rotate in the 7 round-8 oracle-backed additions
+#:     (sp07/sp08, q48/q49/q50/q51, tx26) plus the longest-waiting
+#:     trailing-block members; candidates to rotate out: the 12 round-8
+#:     first-timers once their CORRECTNESS_r08 rows are green.
 #: Every rotated-out query stays oracle-pinned in the local gate replica
 #: (tests/test_queries_oracle.py parametrizes over every oracle —
 #: 92 as of round 8).

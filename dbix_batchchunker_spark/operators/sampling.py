@@ -616,3 +616,40 @@ def sp08_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def expand_epoch_plan(docs: DataFrame, plan: DataFrame,
+                      domain_col: str = "lang", size_col: str = "n_chars",
+                      id_col: str = "doc_id", salt: str = "wf") -> DataFrame:
+    """Materialize sp08's plan into the actual multi-epoch corpus: each
+    domain's docs replicated ``full_epochs`` times (epoch column 1..k via
+    one explode over ``sequence``) plus a partial epoch 0 holding the
+    hash-smallest prefix that fills ``tail_chars`` — the sp07 rule, so
+    the tail is deterministic and stable under changes to OTHER domains.
+    Output size is exactly the plan's budget (pinned in
+    tests/test_extensions.py); the corpus is touched once, the plan is
+    broadcast."""
+    from pyspark.sql import Window
+
+    base = docs.join(
+        F.broadcast(plan.select(domain_col, "full_epochs", "tail_chars")),
+        domain_col,
+    ).withColumn(
+        "__h",
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))),
+    )
+    full = base.select(
+        id_col, domain_col, size_col,
+        F.explode(F.sequence(F.lit(1), F.col("full_epochs"))).alias("epoch"),
+    )
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy("__h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tail = (
+        base.withColumn("__cum", F.sum(size_col).over(w))
+        .where(F.col("__cum") <= F.col("tail_chars"))
+        .select(id_col, domain_col, size_col, F.lit(0).alias("epoch"))
+    )
+    return full.unionAll(tail)

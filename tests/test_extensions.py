@@ -1825,3 +1825,79 @@ def test_bpe_train_local_equals_distributed(spark):
     dist, _ = bpe_train(docs, n_merges=10)
     local = bpe_train_local(docs, n_merges=10)
     assert dist == local
+
+
+def test_sp07_waterfill_budget_tightness(spark):
+    """Per-domain kept chars must never exceed the closed-form budget,
+    and the greedy hash-prefix must fill it TIGHTLY — the shortfall is
+    bounded by that domain's largest document (one more doc would have
+    overflowed). Also: the kept composition hits the basis-point target
+    within one document's worth of chars per domain."""
+    import pyspark.sql.functions as F
+
+    from dbix_batchchunker_spark.operators.sampling import (
+        SP07_TARGET_BP,
+        sp07_mixture_waterfill,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    kept = sp07_mixture_waterfill(spark, sf)
+
+    avail = {
+        r["lang"]: (r["a"], r["m"])
+        for r in docs.groupBy("lang")
+        .agg(F.sum("n_chars").alias("a"), F.max("n_chars").alias("m"))
+        .collect()
+    }
+    t_scale = min(
+        avail[d][0] * 10000 // bp for d, bp in SP07_TARGET_BP.items()
+    )
+    got = {
+        r["lang"]: r["k"]
+        for r in kept.groupBy("lang").agg(F.sum("n_chars").alias("k")).collect()
+    }
+    for dom, bp in SP07_TARGET_BP.items():
+        budget = bp * t_scale // 10000
+        max_doc = avail[dom][1]
+        assert got[dom] <= budget, (dom, got[dom], budget)
+        assert budget - got[dom] < max_doc, (dom, got[dom], budget, max_doc)
+
+
+def test_sp08_expansion_matches_plan_budget(spark):
+    """expand_epoch_plan must reproduce the plan EXACTLY: per domain,
+    full_epochs * avail + tail-prefix chars, with the tail a greedy
+    hash-smallest prefix (tight to within one doc)."""
+    import pyspark.sql.functions as F
+
+    from dbix_batchchunker_spark.operators.sampling import (
+        expand_epoch_plan,
+        sp08_epoch_plan,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    plan = sp08_epoch_plan(spark, sf)
+    expanded = expand_epoch_plan(docs, plan)
+
+    got = {
+        r["lang"]: (r["chars"], r["max_epoch"])
+        for r in expanded.groupBy("lang")
+        .agg(
+            F.sum("n_chars").alias("chars"),
+            F.max("epoch").alias("max_epoch"),
+        )
+        .collect()
+    }
+    max_doc = {
+        r["lang"]: r["m"]
+        for r in docs.groupBy("lang").agg(F.max("n_chars").alias("m")).collect()
+    }
+    for r in plan.collect():
+        chars, max_epoch = got[r["lang"]]
+        target = r["full_epochs"] * r["avail_chars"] + r["tail_chars"]
+        assert chars <= target, (r["lang"], chars, target)
+        assert target - chars < max_doc[r["lang"]], (r["lang"], chars, target)
+        assert max_epoch == r["full_epochs"]
+        # upsampling actually happened for at least the binding domains
+    assert any(r["full_epochs"] >= 2 for r in plan.collect())
