@@ -36,7 +36,15 @@ def encode_wav(
     if len(samples) % n_channels:
         raise ValueError("len(samples) must be a multiple of n_channels")
     code = _PCM_WIDTHS[bits]
-    data = struct.pack(f"<{len(samples)}{code}", *samples)
+    try:  # ndarray fast path — tobytes() is the same little-endian layout
+        import numpy as np
+
+        if isinstance(samples, np.ndarray):
+            data = samples.astype(_NP_DTYPES[bits]).tobytes()
+        else:
+            data = struct.pack(f"<{len(samples)}{code}", *samples)
+    except ImportError:
+        data = struct.pack(f"<{len(samples)}{code}", *samples)
     block_align = n_channels * bits // 8
     fmt = struct.pack(
         "<HHIIHH", 1, n_channels, sample_rate,
@@ -51,11 +59,31 @@ def encode_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+#: numpy dtypes for the PCM widths (little-endian, matching struct codes)
+_NP_DTYPES = {8: "<u1", 16: "<i2", 32: "<i4"}
+
+
 def decode_wav(payload: bytes) -> tuple[int, int, int, "list[int]"]:
     """WAV bytes -> (sample_rate, n_channels, bits, interleaved samples).
 
     Full RIFF walk: unknown chunks are skipped (odd lengths padded), the
     'fmt ' chunk gates the format, 'data' carries the PCM frames."""
+    rate, channels, bits, data = _decode_wav_raw(payload)
+    code = _PCM_WIDTHS[bits]
+    width = bits // 8
+    n = len(data) // width
+    return (
+        rate,
+        channels,
+        bits,
+        list(struct.unpack(f"<{n}{code}", data[: n * width])),
+    )
+
+
+def _decode_wav_raw(payload: bytes) -> tuple[int, int, int, bytes]:
+    """The RIFF walk shared by :func:`decode_wav` (list-of-ints API) and
+    :func:`wav_stats_codec` (numpy frombuffer — a 5000-clip Arrow batch
+    cannot afford a Python int per sample)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV: bad RIFF/WAVE header")
     pos = 12
@@ -84,10 +112,9 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, "list[int]"]:
         raise ValueError("not a WAV: no fmt chunk")
     if data is None:
         raise ValueError("not a WAV: no data chunk")
-    code = _PCM_WIDTHS[bits]
     width = bits // 8
     n = len(data) // width
-    return rate, channels, bits, list(struct.unpack(f"<{n}{code}", data[: n * width]))
+    return rate, channels, bits, data[: n * width]
 
 
 def wav_stats_codec(payload: bytes) -> dict:
@@ -97,13 +124,14 @@ def wav_stats_codec(payload: bytes) -> dict:
     are width-independent."""
     import numpy as np
 
-    rate, channels, bits, samples = decode_wav(payload)
-    arr = np.asarray(samples, dtype=np.float64)
+    rate, channels, bits, data = _decode_wav_raw(payload)
+    arr = np.frombuffer(data, dtype=_NP_DTYPES[bits]).astype(np.float64)
+    n_samples = len(arr)
     if bits == 8:  # unsigned midpoint 128
         arr = (arr - 128.0) / 128.0
     else:
         arr = arr / float(1 << (bits - 1))
-    n_frames = len(samples) // max(channels, 1)
+    n_frames = n_samples // max(channels, 1)
     return {
         "sample_rate": int(rate),
         "n_channels": int(channels),
