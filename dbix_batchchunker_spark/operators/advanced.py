@@ -1603,3 +1603,69 @@ def q51_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.select("user_id", "signup_us", lvl.alias("funnel_level"))
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------- #
+# q52: DENSE time-series fill — q11 rolls up the hours that HAVE events;      #
+# every charting/anomaly/forecast consumer needs the hours that don't        #
+# (a missing row and a zero are different facts). The spine is generated     #
+# INSIDE the plan — explode(sequence(lo, hi)) over the 1-row bounds          #
+# aggregate crossed with the observed type dimension — so it is              #
+# time-range-sized, never data-sized: the corpus contributes exactly one    #
+# group-by; the fill join runs on two post-aggregate dimension-sized        #
+# frames (Spark broadcasts the spine side). Hour indexes stay in the        #
+# BIGINT epoch-hour domain (µs div 3600e9) — the q11 timezone lesson:       #
+# date_trunc on NTZ promotes through the session timezone; integer          #
+# arithmetic cannot.                                                         #
+# --------------------------------------------------------------------------- #
+@query(
+    "q52_dense_hourly_fill",
+    oracle="""
+    WITH ev AS (
+        SELECT epoch_us(ts) // 3600000000 AS hour_idx, event_type FROM events
+    ), b AS (
+        SELECT MIN(hour_idx) AS lo, MAX(hour_idx) AS hi FROM ev
+    ), spine AS (
+        SELECT unnest(range(lo, hi + 1)) AS hour_idx FROM b
+    ), types AS (
+        SELECT DISTINCT event_type FROM ev
+    ), counts AS (
+        SELECT hour_idx, event_type, COUNT(*) AS n
+        FROM ev GROUP BY 1, 2
+    )
+    SELECT s.hour_idx, t.event_type, COALESCE(c.n, 0) AS n_events
+    FROM spine s
+    CROSS JOIN types t
+    LEFT JOIN counts c
+      ON c.hour_idx = s.hour_idx AND c.event_type = t.event_type
+    ORDER BY s.hour_idx, t.event_type
+    """,
+)
+def q52_dense_hourly_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import epoch_us
+
+    ev = t(spark, sf_dir, "events")
+    # positive-epoch corpus: plain div IS floor here; q11 keeps the
+    # sign-safe form because its buckets feed timestamp reconstruction
+    ev = ev.select(
+        (epoch_us(ev) / F.lit(3_600_000_000)).cast("long").alias("hour_idx"),
+        "event_type",
+    )
+    bounds = ev.agg(
+        F.min("hour_idx").alias("lo"), F.max("hour_idx").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("hour_idx")
+    ).crossJoin(ev.select("event_type").distinct())
+    counts = ev.groupBy("hour_idx", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        spine.join(counts, ["hour_idx", "event_type"], "left")
+        .select(
+            "hour_idx",
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+        .orderBy("hour_idx", "event_type")
+    )
