@@ -1669,3 +1669,89 @@ def q52_dense_hourly_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_idx", "event_type")
     )
+
+
+# --------------------------------------------------------------------------- #
+# q53: the SHUFFLE-SAFE null-aware anti join — q40 registers NOT IN as the    #
+# planner's native NAAJ, which Spark can ONLY execute broadcast-side         #
+# (BroadcastHashJoin LeftAnti + NAAJ flag — a correct refusal at scale:      #
+# the build side must fit in executor memory, full stop).                    #
+# This is the documented scale rewrite, REGISTERED under the IDENTICAL       #
+# NOT IN oracle so the equivalence is driver-adjudicated, not claimed:       #
+# tri-valued semantics decompose into one 1-row subquery stats broadcast     #
+# (n rows / n non-null — decides the "subquery empty" and "subquery         #
+# contains NULL" branches for ALL probe rows at once) + one plain equality   #
+# LEFT ANTI join, which shuffles/sorts like any other join at 100 TB. The   #
+# crafted-null branches (empty S keeps NULL probes; a NULL in S empties     #
+# the result) are additionally unit-pinned against spark.sql's own NOT IN   #
+# in tests/test_extensions.py.                                               #
+# --------------------------------------------------------------------------- #
+@query(
+    "q53_null_aware_anti_shuffle",
+    oracle=f"""
+    WITH c AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % {_Q40_NULL_MOD} = 0 THEN NULL
+                    ELSE c_custkey END AS probe_key
+        FROM customer
+    )
+    SELECT c_custkey, c_name
+    FROM c
+    WHERE probe_key NOT IN (
+        SELECT o_custkey FROM orders WHERE o_totalprice > {_Q40_PRICE_FLOOR}
+    )
+    ORDER BY c_custkey
+    """,
+)
+def q53_null_aware_anti_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    probe = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_custkey") % _Q40_NULL_MOD == 0, None)
+        .otherwise(F.col("c_custkey"))
+        .alias("probe_key"),
+    )
+    sub = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > _Q40_PRICE_FLOOR)
+        .select("o_custkey")
+    )
+    return null_aware_anti_join(probe, sub, "probe_key", "o_custkey").select(
+        "c_custkey", "c_name"
+    ).orderBy("c_custkey")
+
+
+def null_aware_anti_join(
+    probe: DataFrame, sub: DataFrame, probe_col: str, sub_col: str
+) -> DataFrame:
+    """``probe WHERE probe_col NOT IN (SELECT sub_col FROM sub)`` without
+    the broadcast-only NAAJ plan. Tri-valued NOT IN truth table, row kept
+    iff the predicate is TRUE:
+
+    * sub empty                     -> keep EVERY row (NULL probes too);
+    * sub contains a NULL           -> keep NOTHING (predicate never TRUE);
+    * else                          -> keep non-NULL probes not in sub.
+
+    The first two branches collapse to one broadcast 1-row stats
+    aggregate; the third is a plain equality LEFT ANTI join — the shape
+    that shuffles at scale."""
+    stats = sub.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count(sub_col).alias("__n_nonnull"),
+    )
+    return (
+        probe.crossJoin(F.broadcast(stats))
+        .where(
+            (F.col("__n") == 0)
+            | (
+                F.col(probe_col).isNotNull()
+                & (F.col("__n") == F.col("__n_nonnull"))
+            )
+        )
+        .join(
+            sub.distinct(),
+            F.col(probe_col) == F.col(sub_col),
+            "left_anti",
+        )
+        .drop("__n", "__n_nonnull")
+    )

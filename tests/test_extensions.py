@@ -1901,3 +1901,37 @@ def test_sp08_expansion_matches_plan_budget(spark):
         assert max_epoch == r["full_epochs"]
         # upsampling actually happened for at least the binding domains
     assert any(r["full_epochs"] >= 2 for r in plan.collect())
+
+
+def test_null_aware_anti_join_matches_spark_not_in(spark):
+    """The shuffle-safe rewrite must reproduce spark.sql's own NOT IN on
+    every tri-valued branch: subquery empty (NULL probes kept), subquery
+    containing NULL (nothing kept), and the plain exclusion case."""
+    from dbix_batchchunker_spark.operators.advanced import (
+        null_aware_anti_join,
+    )
+
+    probe = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30), (4, 40)], "id long, k long"
+    )
+    cases = {
+        "plain": [(30,), (99,)],
+        "with_null": [(30,), (None,)],
+        "empty": [],
+    }
+    for name, rows in cases.items():
+        sub = spark.createDataFrame(rows, "v long")
+        probe.createOrReplaceTempView("naaj_probe")
+        sub.createOrReplaceTempView("naaj_sub")
+        want = sorted(
+            r.id
+            for r in spark.sql(
+                "SELECT id FROM naaj_probe "
+                "WHERE k NOT IN (SELECT v FROM naaj_sub)"
+            ).collect()
+        )
+        got = sorted(
+            r.id
+            for r in null_aware_anti_join(probe, sub, "k", "v").collect()
+        )
+        assert got == want, (name, got, want)

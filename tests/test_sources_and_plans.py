@@ -894,3 +894,22 @@ def test_mm06_header_parse_is_jvm_projection(spark):
     plan = formatted_plan(mm06_png_header_metadata(spark, SF_DIR))
     arrow_stages = len(re.findall(r"\(\d+\) (?:MapInPandas|ArrowEvalPython)", plan))
     assert arrow_stages == 1, plan
+
+
+def test_q53_null_aware_rewrite_has_no_nested_loop(spark):
+    """q40's native NOT IN plans only as a BROADCAST null-aware anti join
+    (BroadcastHashJoin LeftAnti with the NAAJ flag — Spark refuses to
+    shuffle it); the q53 rewrite must carry a PLAIN equality anti join
+    (shuffleable at 100 TB) and no nested-loop anywhere except the 1-row
+    stats broadcast."""
+    from dbix_batchchunker_spark.operators.advanced import (
+        q53_null_aware_anti_shuffle,
+    )
+    from dbix_batchchunker_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(q53_null_aware_anti_shuffle(spark, SF_DIR))
+    assert re.search(r"Join LeftAnti, \(probe_key", plan) or re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) LeftAnti", plan
+    ), plan
+    nlj = re.findall(r"\(\d+\) BroadcastNestedLoopJoin\n", plan)
+    assert len(nlj) <= 1, plan  # only the 1-row stats cross join
