@@ -53,7 +53,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: structurally impossible: a newly registered oracle-backed query can
 #: never push a slot-holder out (pre-pin failure modes: round 2 lost
 #: tx06-tx11 to ordering; round 7's q33 briefly displaced q32). With 85
-#: oracle-backed queries (94 after the round-8 additions: sp07/sp08, q48-q53, tx26)
+#: oracle-backed queries (95 after the round-8 additions: sp07/sp08, q48-q54, tx26)
 #: and a fixed 50-slot driver cap, the prefix now
 #: ROTATES each round (round-7 verdict "Next round #2") so every
 #: oracle-backed query earns a driver-adjudicated green row within a few
@@ -69,7 +69,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     first-timers once their CORRECTNESS_r08 rows are green.
 #: Every rotated-out query stays oracle-pinned in the local gate replica
 #: (tests/test_queries_oracle.py parametrizes over every oracle —
-#: 94 as of round 8).
+#: 95 as of round 8).
 ADJUDICATED_PREFIX = (
     "q12_rollup_revenue", "q15_asof_join", "q16_semi_join",
     "q17_scalar_functions", "q18_percentiles", "q25_shipping_priority",

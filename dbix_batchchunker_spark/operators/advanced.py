@@ -1755,3 +1755,86 @@ def null_aware_anti_join(
         )
         .drop("__n", "__n_nonnull")
     )
+
+
+# --------------------------------------------------------------------------- #
+# q54: session PATH analysis — "what do users actually do, in order?" —       #
+# the product-analytics sibling of q30 (same session rule: 30-min gap,       #
+# same (us, event_id) tie order) and q51 (funnels check ONE hypothesized     #
+# path; this surfaces the paths that exist). Each session's event stream     #
+# slides a 3-step window (two LEADs over the (user, session) ordering —     #
+# same partitioning the session numbering just built, so no extra           #
+# shuffle), triples crossing a session boundary are dropped, and the        #
+# corpus-wide triple counts come off one hash aggregate. Output is          #
+# alphabet-bounded (|event_types|^3), never data-sized.                     #
+# --------------------------------------------------------------------------- #
+@query(
+    "q54_session_paths",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, event_id, event_type, us,
+               CASE WHEN us - LAG(us) OVER w > {SESSION_GAP_US}
+                         OR LAG(us) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, event_type, us, event_id,
+               CAST(SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM marked
+    ),
+    paths AS (
+        SELECT event_type AS e1,
+               LEAD(event_type, 1) OVER w2 AS e2,
+               LEAD(event_type, 2) OVER w2 AS e3
+        FROM numbered
+        WINDOW w2 AS (PARTITION BY user_id, session_id ORDER BY us, event_id)
+    )
+    SELECT e1, e2, e3, COUNT(*) AS n_paths
+    FROM paths
+    WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY n_paths DESC, e1, e2, e3
+    """,
+)
+def q54_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id", "event_id", "event_type", epoch_us(events).alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    numbered = (
+        ev.withColumn(
+            "new_sess",
+            F.when(
+                F.lag("us").over(w).isNull()
+                | ((F.col("us") - F.lag("us").over(w)) > SESSION_GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    w2 = Window.partitionBy("user_id", "session_id").orderBy("us", "event_id")
+    paths = numbered.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w2).alias("e2"),
+        F.lead("event_type", 2).over(w2).alias("e3"),
+    )
+    return (
+        paths.where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "e1", "e2", "e3")
+    )
