@@ -63,16 +63,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     tx01/tx04/tx05/tx08/tx09/tx12 — all 7-rounds driver-green, shapes
 #:     covered by prefix siblings) -> 12 never-adjudicated in
 #:     (q33/q36/q38/q40/q42/q44, dd10/dd11, sim08, tx16/tx18, sp04).
-#:   round 9 (PLANNED): rotate in the 7 round-8 oracle-backed additions
-#:     (sp07/sp08, q48/q49/q50/q51, tx26) plus the longest-waiting
-#:     trailing-block members; candidates to rotate out: the 12 round-8
-#:     first-timers once their CORRECTNESS_r08 rows are green.
+#:   round 9: CORRECTNESS_r08 = 50/50 green, so the 12 round-8
+#:     first-timers (q33/q36/q38/q40/q42/q44, dd10/dd11, sim08,
+#:     tx16/tx18, sp04) rotate out, plus 3 long-stable 8-round-green
+#:     slot-holders (q16/q17/q18). In: the 10 round-8 oracle-backed
+#:     additions (sp07/sp08, q48-q54, tx26), the 2 longest-waiting
+#:     (tx15/tx17), and the 3 oldest demoted for re-adjudication
+#:     (q13/q14/q24 — demoted since round 7).
 #: Every rotated-out query stays oracle-pinned in the local gate replica
 #: (tests/test_queries_oracle.py parametrizes over every oracle —
 #: 95 as of round 8).
 ADJUDICATED_PREFIX = (
-    "q12_rollup_revenue", "q15_asof_join", "q16_semi_join",
-    "q17_scalar_functions", "q18_percentiles", "q25_shipping_priority",
+    "q12_rollup_revenue", "q15_asof_join", "q25_shipping_priority",
     "q26_returned_items", "q27_above_avg_spenders", "q28_cube_counts",
     "q29_fuzzy_part_names", "q30_sessionize", "q31_running_revenue",
     "q20_chunked_delete_survivors", "q21_chunked_groupby_combine",
@@ -82,22 +84,44 @@ ADJUDICATED_PREFIX = (
     "q01_pricing_summary", "q03_revenue_by_nation",
     "q07_top_customers", "q08_latest_event_per_user",
     "q09_customers_without_orders",
-    "q33_interval_overlap_join", "q36_pivot_event_matrix",
-    "q38_composite_keyset", "q40_null_aware_anti",
-    "q42_trailing_week_revenue", "q44_full_outer_reconcile",
-    "sim01_topk_bruteforce", "sim03_embedding_near_dup", "sim08_quantized_topk",
-    "dd10_jaccard_components", "dd11_containment_pairs",
+    "q13_conditional_agg", "q14_below_avg_quantity", "q24_keyset_page",
+    "q48_scd2_merge", "q49_zorder_key", "q50_histogram_quantile_rollup",
+    "q51_event_funnel", "q52_dense_hourly_fill",
+    "q53_null_aware_anti_shuffle", "q54_session_paths",
+    "sim01_topk_bruteforce", "sim03_embedding_near_dup",
     "tx02_quality_score", "tx03_langid",
     "tx06_pipeline_quality_dedup", "tx07_bpe_token_count",
-    "tx10_decontaminate", "tx16_bloom_decontaminate", "tx18_bpe_merge_pairs",
+    "tx10_decontaminate", "tx15_dup_windows", "tx17_contamination_severity",
+    "tx26_token_rarity",
     "tx11_group_sample", "tx14_vocab",
-    "sp01_mixture_sample", "sp04_sequence_packing", "q32_banded_range_join",
+    "sp01_mixture_sample", "sp07_mixture_waterfill", "sp08_epoch_plan",
+    "q32_banded_range_join",
 )
 
 #: Former slot-holders, first in line for re-adjudication when the
 #: rotation swings back — they head the trailing gated block so a raised
 #: driver cap would pick them up first.
 DEMOTED_FROM_PREFIX = (
+    # Round-9 demotions head the queue (newest demotion = most recent
+    # driver-green row, so the OLDER tail below them is still first in
+    # line when slots free up; q13/q14/q24 left this list by rotating
+    # BACK IN this round).
+    "q16_semi_join",
+    "q17_scalar_functions",
+    "q18_percentiles",
+    "q33_interval_overlap_join",
+    "q36_pivot_event_matrix",
+    "q38_composite_keyset",
+    "q40_null_aware_anti",
+    "q42_trailing_week_revenue",
+    "q44_full_outer_reconcile",
+    "dd10_jaccard_components",
+    "dd11_containment_pairs",
+    "sim08_quantized_topk",
+    "tx16_bloom_decontaminate",
+    "tx18_bpe_merge_pairs",
+    "sp04_sequence_packing",
+    # Round-8 demotions.
     "q02_filter_predicates",
     "q04_minmax_count",
     "q05_groupby_having",
@@ -110,9 +134,6 @@ DEMOTED_FROM_PREFIX = (
     "tx08_rolling_hash",
     "tx09_det_split",
     "tx12_repetition",
-    "q13_conditional_agg",
-    "q14_below_avg_quantity",
-    "q24_keyset_page",
 )
 
 

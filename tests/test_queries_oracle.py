@@ -171,15 +171,17 @@ def test_adjudicated_prefix_is_the_load_bearing_fifty():
     # Every prefix slot must be oracle-gated — a rows-only query in the
     # prefix wastes an adjudication slot.
     assert all(n in o for n in prefix)
-    # The round-8 rotation (verdict "Next round #2") swapped 12 never-
-    # driver-adjudicated queries into the prefix; they must hold slots.
+    # The round-9 rotation (round-8 verdict "Next round #1") swapped the
+    # 12 never-driver-adjudicated round-8 additions plus the two longest
+    # waiters and the three oldest demotions into the prefix; they must
+    # hold slots until THEIR CORRECTNESS rows come back green.
     for name in (
-        "q33_interval_overlap_join", "q36_pivot_event_matrix",
-        "q38_composite_keyset", "q40_null_aware_anti",
-        "q42_trailing_week_revenue", "q44_full_outer_reconcile",
-        "dd10_jaccard_components", "dd11_containment_pairs",
-        "sim08_quantized_topk", "tx16_bloom_decontaminate",
-        "tx18_bpe_merge_pairs", "sp04_sequence_packing",
+        "q48_scd2_merge", "q49_zorder_key", "q50_histogram_quantile_rollup",
+        "q51_event_funnel", "q52_dense_hourly_fill",
+        "q53_null_aware_anti_shuffle", "q54_session_paths",
+        "sp07_mixture_waterfill", "sp08_epoch_plan", "tx26_token_rarity",
+        "tx15_dup_windows", "tx17_contamination_severity",
+        "q13_conditional_agg", "q14_below_avg_quantity", "q24_keyset_page",
         # and the round-7 rotation's three must still hold theirs
         "tx14_vocab", "sp01_mixture_sample", "q32_banded_range_join",
     ):
