@@ -1058,6 +1058,12 @@ class ConcurrentChunker:
                         and next_idx < len(ranges)
                         and len(in_flight) < self.max_in_flight
                     ):
+                        if bc.sleep and next_idx > 0:
+                            bc.sleep_func(bc.sleep)
+                        # Budget checked AFTER the throttle sleep — the
+                        # reference's serial loop order is chunk -> sleep ->
+                        # loop-top budget check, so a budget expiring DURING
+                        # sleep_func must not admit one more chunk.
                         if (
                             bc.max_runtime
                             and bc.time_source() - started > bc.max_runtime
@@ -1065,8 +1071,6 @@ class ConcurrentChunker:
                             bc._message("Ran past the maximum run time")
                             budget_spent = True
                             break
-                        if bc.sleep and next_idx > 0:
-                            bc.sleep_func(bc.sleep)
                         in_flight[pool.submit(run_one, next_idx)] = next_idx
                         next_idx += 1
                     if not in_flight:

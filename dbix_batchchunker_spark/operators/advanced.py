@@ -1734,26 +1734,40 @@ def null_aware_anti_join(
 
     The first two branches collapse to one broadcast 1-row stats
     aggregate; the third is a plain equality LEFT ANTI join — the shape
-    that shuffles at scale."""
+    that shuffles at scale.
+
+    Temp columns and the sub-side key are given names guaranteed absent
+    from ``probe``, so the helper stays generic: ``probe_col == sub_col``
+    and pre-existing ``__naaj*`` columns both resolve unambiguously."""
+    taken = set(probe.columns)
+
+    def fresh(base: str) -> str:
+        name, i = base, 0
+        while name in taken:
+            i += 1
+            name = f"{base}_{i}"
+        taken.add(name)
+        return name
+
+    n_col = fresh("__naaj_n")
+    nn_col = fresh("__naaj_n_nonnull")
+    key_col = fresh("__naaj_key")
     stats = sub.agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.count(sub_col).alias("__n_nonnull"),
+        F.count(F.lit(1)).alias(n_col),
+        F.count(sub_col).alias(nn_col),
     )
+    keys = sub.select(F.col(sub_col).alias(key_col)).distinct()
     return (
         probe.crossJoin(F.broadcast(stats))
         .where(
-            (F.col("__n") == 0)
+            (F.col(n_col) == 0)
             | (
                 F.col(probe_col).isNotNull()
-                & (F.col("__n") == F.col("__n_nonnull"))
+                & (F.col(n_col) == F.col(nn_col))
             )
         )
-        .join(
-            sub.distinct(),
-            F.col(probe_col) == F.col(sub_col),
-            "left_anti",
-        )
-        .drop("__n", "__n_nonnull")
+        .join(keys, F.col(probe_col) == F.col(key_col), "left_anti")
+        .drop(n_col, nn_col)
     )
 
 

@@ -463,8 +463,20 @@ def mixture_waterfill(
     to 10000) as closely as no-upsampling allows. BIGINT-only arithmetic:
     ``avail * 10000`` stays under 2^63 up to ~9e14 total chars (≈ 900 TB),
     asserted nowhere because the overflow is loud, not silent (ANSI mode).
-    Domains absent from ``target_bp`` are dropped (share 0)."""
+    Domains absent from ``target_bp`` are dropped (share 0).
+
+    Raises ``ValueError`` if the shares do not sum to 10000, or if a
+    ``target_bp`` domain has no rows in ``docs`` — without the check a
+    zero-row domain would silently vanish from the totals aggregate, and
+    ``T = min(avail*10000/bp)`` over the REMAINING domains would emit a
+    mixture that simply lacks that domain instead of failing loudly."""
     from pyspark.sql import Window
+
+    if sum(target_bp.values()) != 10000:
+        raise ValueError(
+            f"target_bp shares must sum to 10000 basis points, "
+            f"got {sum(target_bp.values())}: {dict(sorted(target_bp.items()))}"
+        )
 
     bp_col = None
     for dom, bp in sorted(target_bp.items()):
@@ -485,6 +497,17 @@ def mixture_waterfill(
     totals = base.groupBy(domain_col, "__bp").agg(
         F.sum(size_col).cast("long").alias("__avail")
     )
+    # Bounded driver materialization: totals is at most |target_bp| rows
+    # (one per requested domain); the gate exists to refuse a zero-row
+    # domain before it silently drops out of the min().
+    present = {r[0] for r in totals.select(domain_col).collect()}
+    missing = sorted(set(target_bp) - present)
+    if missing:
+        raise ValueError(
+            f"target_bp domains with zero rows in docs[{domain_col}]: "
+            f"{missing} — a no-upsampling waterfill cannot satisfy a "
+            f"nonzero share for an empty domain"
+        )
     scale = totals.select(
         F.min(F.expr("__avail * 10000 div __bp")).alias("__t")
     )
@@ -626,9 +649,10 @@ def expand_epoch_plan(docs: DataFrame, plan: DataFrame,
     one explode over ``sequence``) plus a partial epoch 0 holding the
     hash-smallest prefix that fills ``tail_chars`` — the sp07 rule, so
     the tail is deterministic and stable under changes to OTHER domains.
-    Output size is exactly the plan's budget (pinned in
-    tests/test_extensions.py); the corpus is touched once, the plan is
-    broadcast."""
+    The greedy prefix stops at ``cum <= tail_chars``, so the realized
+    size is within one document of the plan's budget (never over; the
+    weaker-than-exact bound is what tests/test_extensions.py pins); the
+    corpus is touched once, the plan is broadcast."""
     from pyspark.sql import Window
 
     base = docs.join(

@@ -126,3 +126,26 @@ def test_concurrent_failed_chunk_still_raises_and_keeps_cursor():
     with pytest.raises(RuntimeError, match="permanent"):
         ConcurrentChunker(bc, max_in_flight=1).execute()
     assert bc.min_id == 20
+
+
+def test_concurrent_budget_expiring_during_sleep_blocks_submission():
+    """ADVICE r8: the budget is re-checked AFTER the throttle sleep (the
+    serial loop's order is chunk -> sleep -> loop-top check), so a budget
+    that expires while sleep_func runs cannot admit one more chunk."""
+    clock = FakeClock()
+    calls = []
+
+    def work(bc, start, end):
+        calls.append((start, end))
+        clock.advance(0.5)
+
+    bc = BatchChunker(
+        coderef=work, min_id=1, max_id=1000, chunk_size=10,
+        target_time=0, sleep=0.6, max_runtime=1,
+        time_source=clock, sleep_func=clock.sleep,
+    )
+    ConcurrentChunker(bc, max_in_flight=1).execute()
+    # chunk 0: elapsed 0.5 (inside budget); sleep 0.6 -> elapsed 1.1 —
+    # the post-sleep check must now stop BEFORE submitting chunk 1.
+    assert len(calls) == 1
+    assert any("maximum run time" in m for m in bc.messages)

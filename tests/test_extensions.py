@@ -1935,3 +1935,46 @@ def test_null_aware_anti_join_matches_spark_not_in(spark):
             for r in null_aware_anti_join(probe, sub, "k", "v").collect()
         )
         assert got == want, (name, got, want)
+
+
+def test_null_aware_anti_join_survives_name_collisions(spark):
+    """The helper is generic, so it must tolerate probe_col == sub_col and
+    probe frames that already carry __naaj* columns (ADVICE r8: the old
+    crossJoin/filter/join raised ambiguous-reference errors)."""
+    from dbix_batchchunker_spark.operators.advanced import (
+        null_aware_anti_join,
+    )
+
+    probe = spark.createDataFrame(
+        [(1, 10, 7), (2, None, 7), (3, 30, 7)],
+        "id long, k long, __naaj_n long",
+    )
+    sub = spark.createDataFrame([(30,), (99,)], "k long")
+    # same column name on both sides + a pre-existing temp-name column
+    got = sorted(
+        r.id for r in null_aware_anti_join(probe, sub, "k", "k").collect()
+    )
+    assert got == [1]
+    # and the caller's column comes through untouched
+    out = null_aware_anti_join(probe, sub, "k", "k")
+    assert "__naaj_n" in out.columns
+
+
+def test_mixture_waterfill_validates_targets(spark):
+    """ADVICE r8: a target_bp domain with zero rows must raise, not
+    silently vanish from the mixture; malformed shares must raise too."""
+    import pytest as _pytest
+
+    from dbix_batchchunker_spark.operators.sampling import mixture_waterfill
+
+    docs = spark.createDataFrame(
+        [(1, "en", 100), (2, "en", 50), (3, "de", 80)],
+        "doc_id long, lang string, n_chars long",
+    )
+    with _pytest.raises(ValueError, match="sum to 10000"):
+        mixture_waterfill(docs, {"en": 5000, "de": 4000})
+    with _pytest.raises(ValueError, match="zero rows"):
+        mixture_waterfill(docs, {"en": 5000, "de": 3000, "zz": 2000})
+    # the happy path still works and honors the shares
+    kept = mixture_waterfill(docs, {"en": 6000, "de": 4000}).collect()
+    assert {r.lang for r in kept} == {"en", "de"}
