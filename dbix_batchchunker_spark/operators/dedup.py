@@ -1199,11 +1199,25 @@ def simhash_near_pairs(
 
     Guaranteed-complete only for max_hamming ≤ SIMHASH_BANDS-1; a larger
     radius would need more/narrower bands (pigeonhole again).
-    """
-    sh = simhash(docs).persist()  # band self-join scans it from both sides
+
+    The 64-bit signature rides along INSIDE the band entries (8 bytes per
+    entry), so the bucket self-join verifies Hamming distance in the same
+    stage it finds candidates — no join-back to the signature table, and
+    the pair `distinct` (a ≤max_hamming pair can collide on up to
+    SIMHASH_BANDS bands) shuffles only the few verified survivors instead
+    of every candidate. Measured at sf0.1: the old
+    candidates→distinct→double-join-back shape moved ~232k rows through
+    three extra shuffles to produce the same output."""
+    from ..functions.prefix import register_cache
+
+    # Persisted because the band self-join scans it from both sides;
+    # registered so callers (bench, pipelines) can release it — the
+    # round-8 form leaked this cache for the session's lifetime.
+    sh = register_cache(simhash(docs).persist())
     mask = (1 << SIMHASH_BAND_BITS) - 1
     entries = sh.select(
         "doc_id",
+        "simhash",
         F.explode(
             F.array(
                 *[
@@ -1217,26 +1231,24 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.bucket")
+    ).select("doc_id", "simhash", "bk.band", "bk.bucket")
     a, b = entries.alias("a"), entries.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
         .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
