@@ -290,3 +290,53 @@ def tx25_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = docs.orderBy("doc_id").limit(200)
     merges = bpe_train_local(sample, n_merges=12)
     return bpe_encode_token_counts(docs, merges).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------- #
+# tx27: the BPE ENCODE pass under a FIXED merge table, oracle-adjudicated     #
+# (round-8 verdict "Next round #3": the tokenizer family rested on pure-      #
+# Python pins; this puts the exact Arrow encode path tx25 runs onto the      #
+# driver's DuckDB track).                                                     #
+#                                                                             #
+# Oracle trick: the merge pairs below have PAIRWISE-DISJOINT character sets   #
+# and distinct characters within each pair, so (a) merges commute — no rank   #
+# interaction — and (b) each merge's application count in a word equals the   #
+# leftmost-non-overlapping substring count of its pair in the ORIGINAL text   #
+# (a merged 2-char symbol can never create or destroy another listed pair).   #
+# Token count is then closed-form:                                            #
+#     n_bpe_tokens = n_non_ws_chars + n_words − Σ_m occurrences(m)            #
+# (each word contributes len(word)+1 for the </w> marker, minus one per       #
+# merge application), and occurrences are countable on the raw text because   #
+# no pair spans whitespace. Verified against the real encoder over 20k        #
+# randomized + hostile words (tests/test_extensions.py); the encode path      #
+# itself is bpe_encode_token_counts — the SAME mapInPandas tx25 uses.         #
+# --------------------------------------------------------------------------- #
+TX27_FIXED_MERGES: "list[tuple[str, str]]" = [
+    ("t", "h"), ("e", "r"), ("o", "n"), ("a", "d"),
+    ("i", "s"), ("l", "y"), ("u", "m"),
+]
+
+
+def _tx27_occ_sql(pair: "tuple[str, str]") -> str:
+    p = pair[0] + pair[1]
+    return f"(length(text) - length(replace(text, '{p}', ''))) // 2"
+
+
+@query(
+    "tx27_bpe_fixed_encode",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                    x -> x != '')) AS BIGINT) AS n_words,
+           CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+                + len(list_filter(regexp_split_to_array(text, '\\s+'),
+                      x -> x != ''))
+                - ({" + ".join(_tx27_occ_sql(m) for m in TX27_FIXED_MERGES)})
+             AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def tx27_bpe_fixed_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return bpe_encode_token_counts(docs, TX27_FIXED_MERGES).orderBy("doc_id")

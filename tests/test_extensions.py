@@ -1978,3 +1978,63 @@ def test_mixture_waterfill_validates_targets(spark):
     # the happy path still works and honors the shares
     kept = mixture_waterfill(docs, {"en": 6000, "de": 4000}).collect()
     assert {r.lang for r in kept} == {"en", "de"}
+
+
+def test_tx27_closed_form_matches_real_encoder():
+    """The tx27 oracle's closed-form count (chars + words - pair
+    occurrences) must equal the REAL lowest-rank-first encoder for the
+    fixed disjoint-charset merge table — randomized + hostile words.
+    This is the proof the DuckDB oracle adjudicates the genuine BPE
+    semantics, not a parallel approximation."""
+    import random
+
+    from dbix_batchchunker_spark.operators.bpe import TX27_FIXED_MERGES
+
+    ranks = {p: i for i, p in enumerate(TX27_FIXED_MERGES)}
+
+    def enc_word(w):
+        syms = list(w) + ["</w>"]
+        while len(syms) > 1:
+            best = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best = r
+            if best is None:
+                break
+            a, b = TX27_FIXED_MERGES[best]
+            i, new = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    new.append(a + b)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            syms = new
+        return len(syms)
+
+    def occ(s, pair):  # leftmost non-overlapping, replace() semantics
+        n, i, p = 0, 0, pair[0] + pair[1]
+        while True:
+            j = s.find(p, i)
+            if j < 0:
+                return n
+            n, i = n + 1, j + 2
+
+    rng = random.Random(7)
+    alpha = "theronadislyum qxz"
+    cases = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(0, 40)))
+        for _ in range(3000)
+    ] + ["ththe thth", "adad onon erer", "thermonadisumly", "tthhee",
+         "theron", "ee rr tt hh", "umum umlyly", ""]
+    for text in cases:
+        words = [w for w in text.split() if w]
+        real = sum(enc_word(w) for w in words)
+        closed = (
+            sum(len(w) for w in words)
+            + len(words)
+            - sum(occ(text, m) for m in TX27_FIXED_MERGES)
+        )
+        assert real == closed, (text, real, closed)
