@@ -662,7 +662,46 @@ def png_header_metadata(imgs: DataFrame, payload_col: str = "payload") -> DataFr
     )
 
 
-@query("mm06_png_header_metadata")  # rows-only: blob parse, no DuckDB analog
+@query("mm06_png_header_metadata")  # rows-only: payload_bytes is zlib-sized
 def mm06_png_header_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return png_header_metadata(synth_png_column(docs)).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------- #
+# mm07: mm06's ORACLE-ADJUDICATED core (round-8 verdict "Next round #5").     #
+# The planted payloads' IHDR fields are exact integer functions of doc_id     #
+# (synth_png_column: w = 3 + id%6, h = 2 + id%5, channels = 1 + id%4;        #
+# encode_png maps channels 1/2/3/4 -> color types 0/4/2/6, bit depth 8), so  #
+# DuckDB can state the EXPECTED header without parsing a byte. The Spark     #
+# side still synthesizes real PNG payloads and JVM-parses them back          #
+# (substring+hex+conv inside codegen), so a green row certifies the whole    #
+# encode->binary->parse loop: a wrong byte written by functions/png.py OR a  #
+# wrong offset read by png_header_metadata both break the hash. mm06 stays   #
+# registered for the full surface (payload_bytes is zlib-output-sized —      #
+# not closed-form — and magic_ok stays boolean there).                        #
+# --------------------------------------------------------------------------- #
+@query(
+    "mm07_png_header_oracle",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 AS BIGINT) AS magic_ok,
+           CAST(3 + doc_id % 6 AS BIGINT) AS width,
+           CAST(2 + doc_id % 5 AS BIGINT) AS height,
+           CAST(8 AS BIGINT) AS bit_depth,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 4
+                                WHEN 2 THEN 2 ELSE 6 END AS BIGINT)
+               AS color_type,
+           CAST(1 + doc_id % 4 AS BIGINT) AS n_channels
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def mm07_png_header_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    meta = png_header_metadata(synth_png_column(docs))
+    return meta.select(
+        "doc_id",
+        F.col("magic_ok").cast("long").alias("magic_ok"),
+        "width", "height", "bit_depth", "color_type", "n_channels",
+    ).orderBy("doc_id")
