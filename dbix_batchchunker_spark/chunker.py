@@ -968,6 +968,7 @@ class ConcurrentChunker:
         self,
         bc: BatchChunker,
         max_in_flight: int = 4,
+        wave_adaptive: bool = False,
     ) -> None:
         if bc.stmt is not None:
             raise ValueError(
@@ -980,8 +981,15 @@ class ConcurrentChunker:
             raise ValueError(
                 "ConcurrentChunker requires a coderef (DataFrame or DIY mode)."
             )
+        if wave_adaptive and not bc.target_time:
+            raise ValueError(
+                "wave_adaptive requires target_time: the wave boundary "
+                "exists to feed completed-wave timings through the serial "
+                "runtime-targeting math, which target_time=0 disables."
+            )
         self.bc = bc
         self.max_in_flight = max_in_flight
+        self.wave_adaptive = wave_adaptive
 
     def execute(self) -> None:
         """Run every chunk with up to ``max_in_flight`` in flight, keeping
@@ -1004,8 +1012,13 @@ class ConcurrentChunker:
         - retry: BOTH dispatch modes run under ``bc._retry`` (the DIY path
           previously bypassed it — a behavioral divergence from the serial
           loop inside the same class).
+        - ``wave_adaptive=True`` adds the serial loop's runtime targeting
+          at WAVE boundaries — see :meth:`_execute_waves`.
         """
         import concurrent.futures as cf
+
+        if self.wave_adaptive:
+            return self._execute_waves()
 
         bc = self.bc
         if bc.min_id is None or bc.max_id is None:
@@ -1091,3 +1104,107 @@ class ConcurrentChunker:
                 prefix = contiguous_prefix()
                 if prefix >= 0:
                     bc.min_id = ranges[prefix][1]
+
+    def _execute_waves(self) -> None:
+        """Wave-adaptive execution (round-8 verdict "Next round #4"):
+        adaptivity AND concurrency, without racing the feedback loop.
+
+        The serial loop adapts ``chunk_size`` from per-chunk runtimes
+        (``_runtime_checker``), which concurrent completion would make racy
+        — so the static path deliberately dropped it, forcing users to pick
+        adaptivity XOR throughput. The wave form restores the reference's
+        runtime-targeting contract (t/dbic.t:255-352 idioms) at the only
+        safe cadence: chunks run ``max_in_flight`` at a time inside a WAVE,
+        the wave is a barrier, and each completed chunk's runtime is fed —
+        in submission order, single-threaded — through the UNCHANGED serial
+        targeting math (5-sample ring, ≤2x grow with 5/5 under-target
+        samples, >=0.5x shrink unless 3x over, floor 1). The NEXT wave's
+        ranges are cut from the adjusted size, so within ~2 waves the loop
+        converges exactly as the serial form does, while every wave still
+        keeps the cluster ``max_in_flight`` wide.
+
+        Budget/throttle/cursor semantics match the static path: sleep
+        paces submissions, max_runtime is re-checked after each sleep, and
+        the cursor advances to the end of the contiguous completed prefix
+        (a wave that dies mid-flight resumes at its first unfinished
+        chunk; work must be idempotent, as always)."""
+        import concurrent.futures as cf
+
+        bc = self.bc
+        if bc.min_id is None or bc.max_id is None:
+            bc._message("No chunks; nothing to process...")
+            return
+        ls = LoopState(chunk_size=bc.chunk_size, time_source=bc.time_source)
+        bc._ls = ls
+        started = bc.time_source()
+        total_ids = bc.max_id - bc.min_id + 1
+        cursor = bc.min_id  # next unprocessed id
+        first_submission = True
+        stopped = False
+
+        def run_range(start: int, end: int) -> float:
+            t0 = bc.time_source()
+            if bc.df is not None and bc.coderef is not None:
+                chunk_df = bc._current_df().filter(
+                    F.col(bc.id_name).between(bc._id_lit(start), bc._id_lit(end))
+                )
+                bc._retry(lambda: bc.coderef(bc, chunk_df))
+            else:
+                bc._retry(lambda: bc.coderef(bc, start, end))
+            return bc.time_source() - t0
+
+        try:
+            with cf.ThreadPoolExecutor(max_workers=self.max_in_flight) as pool:
+                while cursor <= bc.max_id and not stopped:
+                    # cut THIS wave's ranges from the CURRENT chunk size
+                    wave: list = []
+                    s = cursor
+                    while s <= bc.max_id and len(wave) < self.max_in_flight:
+                        e = min(s + ls.chunk_size - 1, bc.max_id)
+                        wave.append((s, e))
+                        s = e + 1
+                    futs = []
+                    for cs, ce in wave:
+                        if bc.sleep and not first_submission:
+                            bc.sleep_func(bc.sleep)
+                        first_submission = False
+                        # post-sleep budget check — same order as the
+                        # static path and the serial loop top
+                        if (
+                            bc.max_runtime
+                            and bc.time_source() - started > bc.max_runtime
+                        ):
+                            bc._message("Ran past the maximum run time")
+                            stopped = True
+                            break
+                        futs.append((pool.submit(run_range, cs, ce), cs, ce))
+                    # BARRIER: drain the wave in submission order, feeding
+                    # each runtime through the serial targeting math on the
+                    # driver thread (no concurrent checker access).
+                    for fut, cs, ce in futs:
+                        runtime = fut.result()  # re-raises worker errors
+                        cursor = ce + 1  # contiguous: drained in order
+                        if bc.verbose:
+                            from .progress import chunk_status_line
+
+                            bc._message(
+                                chunk_status_line(
+                                    cs, ce, "processed", None, ls.chunk_size,
+                                    runtime=runtime,
+                                    sleep=bc.sleep or 0.0, locale=bc.locale,
+                                )
+                            )
+                        if bc.on_progress is not None:
+                            bc.on_progress(
+                                min(ce, bc.max_id) - bc.min_id + 1, total_ids
+                            )
+                        ls.chunk_count = None  # unprobed, like the static path
+                        ls.prev_runtime = runtime
+                        bc._runtime_checker()
+        finally:
+            # cursor = end of the contiguous completed prefix; a wave that
+            # failed mid-drain resumes at its first unfinished chunk
+            if cursor > bc.min_id:
+                bc.min_id = cursor - 1
+            bc.chunk_size = ls.chunk_size  # converged size survives resume
+            bc._ls = None

@@ -149,3 +149,97 @@ def test_concurrent_budget_expiring_during_sleep_blocks_submission():
     # the post-sleep check must now stop BEFORE submitting chunk 1.
     assert len(calls) == 1
     assert any("maximum run time" in m for m in bc.messages)
+
+
+def test_wave_adaptive_requires_target_time():
+    bc = BatchChunker(
+        coderef=lambda *a: None, min_id=1, max_id=10, chunk_size=5,
+        target_time=0, sleep=0,
+    )
+    with pytest.raises(ValueError, match="wave_adaptive requires target_time"):
+        ConcurrentChunker(bc, wave_adaptive=True)
+
+
+def test_wave_adaptive_grows_chunk_size_too_fast():
+    """Concurrent analog of the serial too-fast targeting (t/dbic.t:255-352
+    idiom): 0.1 s chunks against a 10 s target must double chunk_size after
+    every 5 under-target samples, with the growth applied to the NEXT
+    wave's ranges. Deterministic even with 3 live workers: every runtime
+    is far under target regardless of fake-clock interleaving, so the 5/5
+    gate and the min(2, factor) = 2 doubling never flip."""
+    clock = FakeClock()
+    calls = []
+
+    def work(bc, start, end):
+        calls.append((start, end))
+        clock.advance(0.1)
+
+    bc = BatchChunker(
+        coderef=work, min_id=1, max_id=2000, chunk_size=10,
+        target_time=10, sleep=0,
+        time_source=clock, sleep_func=clock.sleep,
+    )
+    ConcurrentChunker(bc, max_in_flight=3, wave_adaptive=True).execute()
+    widths = [e - s + 1 for s, e in sorted(calls)]
+    assert widths[0] == 10
+    assert max(widths) >= 40, widths  # doubled at least twice
+    # growth only ever doubles: widths are 10 * 2^k
+    assert all(w in (10, 20, 40, 80, 160, 320, 640, 1280) or w == widths[-1]
+               for w in widths), widths
+    assert any("Processing too fast" in m for m in bc.messages)
+    # full contiguous coverage, cursor at the end
+    covered = set()
+    for s, e in calls:
+        covered.update(range(s, e + 1))
+    assert covered == set(range(1, 2001))
+    assert bc.min_id == 2000
+    assert bc.chunk_size > 10  # converged size survives for resume
+
+
+def test_wave_adaptive_shrinks_chunk_size_too_slow():
+    """3 s chunks against a 1 s target (>3x over) shrink by the full
+    adjust factor — later waves must cut smaller ranges, never below 1."""
+    clock = FakeClock()
+    calls = []
+
+    def work(bc, start, end):
+        calls.append((start, end))
+        clock.advance(3.0)
+
+    bc = BatchChunker(
+        coderef=work, min_id=1, max_id=120, chunk_size=30,
+        target_time=1, sleep=0,
+        time_source=clock, sleep_func=clock.sleep,
+    )
+    ConcurrentChunker(bc, max_in_flight=2, wave_adaptive=True).execute()
+    widths = [e - s + 1 for s, e in sorted(calls)]
+    assert widths[0] == 30
+    assert min(widths) < 30, widths
+    assert all(w >= 1 for w in widths)
+    assert any("Processing too slow" in m for m in bc.messages)
+    covered = set()
+    for s, e in calls:
+        covered.update(range(s, e + 1))
+    assert covered == set(range(1, 121))
+
+
+def test_wave_adaptive_keeps_budget_and_throttle():
+    """max_runtime + sleep semantics carry into the wave path: the budget
+    is re-checked after each throttle sleep and stops mid-wave; the cursor
+    resumes at the contiguous prefix."""
+    clock = FakeClock()
+    calls = []
+
+    def work(bc, start, end):
+        calls.append((start, end))
+        clock.advance(0.5)
+
+    bc = BatchChunker(
+        coderef=work, min_id=1, max_id=1000, chunk_size=10,
+        target_time=10, sleep=0.6, max_runtime=1,
+        time_source=clock, sleep_func=clock.sleep,
+    )
+    ConcurrentChunker(bc, max_in_flight=1, wave_adaptive=True).execute()
+    assert len(calls) == 1
+    assert any("maximum run time" in m for m in bc.messages)
+    assert bc.min_id == calls[-1][1]
