@@ -698,3 +698,44 @@ def test_sized_parquet_sink_sizes_and_replay(spark, tmp_path):
     ]
     assert len(files2) == len(files1)
     assert rows2 == rows1
+
+
+def test_incremental_pack_state_is_batch_bounded_not_row_bounded(spark, tmp_path):
+    """The state carried across drains (round-8 verdict "Next round #6")
+    must be O(batches) — the (batch_id -> [start,end]) cursor map plus the
+    engine's per-batch offset/commit markers — never O(rows seen). Proof:
+    3 drains at 10 rows/batch and 3 drains at 200 rows/batch must leave
+    (a) the SAME number of state entries (one per batch, two ints each),
+    (b) state files within bytes of each other despite 20x the rows, and
+    (c) one bounded offset+commit marker pair per batch in the checkpoint."""
+    import json
+    import os
+
+    sizes = {}
+    for label, rows in (("small", 10), ("large", 200)):
+        sub = tmp_path / label
+        sub.mkdir()
+        drain, _out, state, ck = _pack_drain(spark, sub, batchrows=rows)
+        for _ in range(3):
+            drain()
+        with open(state) as fh:
+            st = json.load(fh)
+        n_batches = len(st["batches"])
+        assert n_batches == 3, st
+        # each entry is exactly the two-int cursor — nothing row-shaped
+        for b in st["batches"].values():
+            assert set(b) == {"start", "end"}
+        sizes[label] = os.path.getsize(state)
+        # engine checkpoint: one offset + one commit marker per batch,
+        # each a bounded few-hundred-byte JSON file
+        offsets = [f for f in os.listdir(os.path.join(ck, "offsets"))
+                   if not f.startswith(".")]
+        commits = [f for f in os.listdir(os.path.join(ck, "commits"))
+                   if not f.startswith(".")]
+        assert len(offsets) == n_batches and len(commits) == n_batches
+        for d in ("offsets", "commits"):
+            for f in os.listdir(os.path.join(ck, d)):
+                assert os.path.getsize(os.path.join(ck, d, f)) < 4096
+    # 20x the rows may not move the carried state by more than int-width
+    # digit drift
+    assert abs(sizes["large"] - sizes["small"]) < 64, sizes
