@@ -394,6 +394,11 @@ def dd08_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    # persisted frame outlives this lazy result — enrolled in the shared
+    # release registry so library callers (and bench) can drop it
+    from ..functions.prefix import register_cache
+
+    register_cache(feats)
     return _blocked_jaccard_pairs(feats, threshold=0.5)
 
 
@@ -1310,6 +1315,9 @@ def dd05_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("words_str") > 0)
         .persist()
     )
+    from ..functions.prefix import register_cache
+
+    register_cache(docs)  # outlives the lazy result; shared release path
     tf = HashingTF(inputCol="words_str", outputCol="features", numFeatures=1 << 18)
     feats = tf.transform(docs.select("doc_id", "words_str"))
     mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=MINHASH_HASHES, seed=42)
@@ -1462,6 +1470,9 @@ def dd11_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    from ..functions.prefix import register_cache
+
+    register_cache(feats)  # outlives the lazy result; shared release path
     _require_bounded_blocks(
         feats,
         ["lang"],
