@@ -1852,3 +1852,111 @@ def q54_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_paths"))
         .orderBy(F.desc("n_paths"), "e1", "e2", "e3")
     )
+
+
+# --------------------------------------------------------------------------- #
+# q55: corpus SNAPSHOT DIFF — dataset versioning's core operator: "between    #
+# crawl N and crawl N+1, what was added, removed, changed?" A training       #
+# pipeline re-ingesting a 100 TB corpus answers this BEFORE deciding what    #
+# to re-process (the chunker's incremental posture applied to versions).     #
+#                                                                            #
+# Plan shape: one FULL OUTER shuffle join on the key — the minimal correct   #
+# form (both sides must be seen once; anything cheaper needs source-level    #
+# change capture) — with null-safe per-column comparison deciding 'changed'  #
+# in the same stage; unchanged rows are dropped BEFORE any downstream        #
+# consumer, so output is delta-sized, not corpus-sized. The registered      #
+# query derives version 2 from orders with closed-form integer edits, so    #
+# the oracle states the expected classification exactly.                     #
+# --------------------------------------------------------------------------- #
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, compare_cols: "list[str]"
+) -> DataFrame:
+    """(key, status) rows for every key whose presence or compared values
+    differ between ``old`` and ``new``; status in added/removed/changed.
+    Unchanged keys are absent. Collision-proof temp names, same stance as
+    null_aware_anti_join."""
+    from functools import reduce as _reduce
+
+    o = old.select(
+        F.col(key).alias("__snap_k_old"),
+        *[F.col(c).alias(f"__snap_o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        F.col(key).alias("__snap_k_new"),
+        *[F.col(c).alias(f"__snap_n_{c}") for c in compare_cols],
+    )
+    changed = _reduce(
+        lambda a, b: a | b,
+        [
+            ~F.col(f"__snap_o_{c}").eqNullSafe(F.col(f"__snap_n_{c}"))
+            for c in compare_cols
+        ],
+    )
+    status = (
+        F.when(F.col("__snap_k_old").isNull(), F.lit("added"))
+        .when(F.col("__snap_k_new").isNull(), F.lit("removed"))
+        .when(changed, F.lit("changed"))
+    )
+    return (
+        o.join(n, F.col("__snap_k_old") == F.col("__snap_k_new"), "full_outer")
+        .select(
+            F.coalesce("__snap_k_old", "__snap_k_new").alias(key),
+            status.alias("status"),
+        )
+        .where(F.col("status").isNotNull())
+    )
+
+
+_Q55_ADD_OFFSET = 10_000_000_000
+
+
+@query(
+    "q55_snapshot_diff",
+    oracle=f"""
+    WITH v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + {_Q55_ADD_OFFSET}, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 83 = 0
+    ), j AS (
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                         OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                         THEN 'changed' END AS status
+        FROM orders o FULL OUTER JOIN v2 n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT o_orderkey, status FROM j
+    WHERE status IS NOT NULL
+    ORDER BY o_orderkey
+    """,
+)
+def q55_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v1 = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    v2 = (
+        v1.where(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        .unionAll(
+            v1.where(F.col("o_orderkey") % 83 == 0).select(
+                (F.col("o_orderkey") + _Q55_ADD_OFFSET).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderstatus",
+            )
+        )
+    )
+    return snapshot_diff(
+        v1, v2, "o_orderkey", ["o_totalprice", "o_orderstatus"]
+    ).orderBy("o_orderkey")

@@ -1364,3 +1364,194 @@ def tx26_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------- #
+# tx28: Gopher-style document quality RULES (Rae et al., "Scaling Language    #
+# Models: Methods, Analysis & Insights from Training Gopher", 2021 — the     #
+# published rule set LLM pipelines actually apply before training). Unlike   #
+# tx02's continuous score, these are hard accept/reject gates. Every rule    #
+# is stated in INTEGER closed form (3*n_words <= chars, 10*sym <= words,     #
+# ...) so the DuckDB oracle adjudicates bit-for-bit — no ratio rounding      #
+# drift — and the whole pass is one projection inside codegen: at 100 TB     #
+# this runs AT THE SCAN with zero shuffles.                                  #
+# --------------------------------------------------------------------------- #
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def _tx28_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return f"""
+    WITH d AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(text, '{_WS}'),
+                   x -> x != '')) AS n_words,
+               length(regexp_replace(text, '{_WS}', '', 'g')) AS n_word_chars,
+               length(text) - length(replace(text, '#', '')) AS n_hash,
+               (length(text) - length(replace(text, '...', ''))) // 3
+                   AS n_ellipsis,
+               len(regexp_split_to_array(text, '\n')) AS n_lines,
+               len(list_filter(regexp_split_to_array(text, '\n'),
+                   l -> regexp_matches(l, '^\\s*[-*]'))) AS n_bullet,
+               len(list_filter(list_filter(regexp_split_to_array(text, '{_WS}'),
+                   x -> x != ''), x -> regexp_matches(x, '[A-Za-z]')))
+                   AS n_alpha,
+               len(list_filter(list_filter(regexp_split_to_array(text, '{_WS}'),
+                   x -> x != ''), x -> lower(x) IN ({stop}))) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_words BETWEEN 50 AND 100000 AS BIGINT) AS r_word_count,
+           CAST(3 * n_words <= n_word_chars
+                AND n_word_chars <= 10 * n_words AS BIGINT) AS r_mean_word_len,
+           CAST(10 * (n_hash + n_ellipsis) <= n_words AS BIGINT)
+               AS r_symbol_ratio,
+           CAST(10 * n_bullet <= n_lines AS BIGINT) AS r_bullets,
+           CAST(5 * n_alpha >= 4 * n_words AS BIGINT) AS r_alpha_words,
+           CAST(n_stop >= 2 AS BIGINT) AS r_stopwords,
+           CAST(n_words BETWEEN 50 AND 100000
+                AND 3 * n_words <= n_word_chars
+                AND n_word_chars <= 10 * n_words
+                AND 10 * (n_hash + n_ellipsis) <= n_words
+                AND 10 * n_bullet <= n_lines
+                AND 5 * n_alpha >= 4 * n_words
+                AND n_stop >= 2 AS BIGINT) AS passes
+    FROM d
+    ORDER BY doc_id
+    """
+
+
+@query("tx28_gopher_quality_rules", oracle=_tx28_sql())
+def tx28_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "text",
+        _tokens_spark().alias("toks"),
+        F.split(F.col("text"), r"\n").alias("lines"),
+    ).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_words"),
+        F.length(F.regexp_replace("text", _WS, "")).cast("long")
+        .alias("n_word_chars"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"))))
+        .cast("long").alias("n_hash"),
+        F.expr("(length(text) - length(replace(text, '...', ''))) div 3")
+        .alias("n_ellipsis"),
+        F.size("lines").cast("long").alias("n_lines"),
+        F.size(F.filter("lines", lambda l: l.rlike(r"^\s*[-*]")))
+        .cast("long").alias("n_bullet"),
+        F.size(F.filter("toks", lambda x: x.rlike("[A-Za-z]")))
+        .cast("long").alias("n_alpha"),
+        F.size(F.filter("toks", lambda x: F.lower(x).isin(*GOPHER_STOPWORDS)))
+        .cast("long").alias("n_stop"),
+    )
+    r_wc = F.col("n_words").between(50, 100000)
+    r_len = (3 * F.col("n_words") <= F.col("n_word_chars")) & (
+        F.col("n_word_chars") <= 10 * F.col("n_words")
+    )
+    r_sym = 10 * (F.col("n_hash") + F.col("n_ellipsis")) <= F.col("n_words")
+    r_bul = 10 * F.col("n_bullet") <= F.col("n_lines")
+    r_alp = 5 * F.col("n_alpha") >= 4 * F.col("n_words")
+    r_stp = F.col("n_stop") >= 2
+    return base.select(
+        "doc_id",
+        "n_words",
+        r_wc.cast("long").alias("r_word_count"),
+        r_len.cast("long").alias("r_mean_word_len"),
+        r_sym.cast("long").alias("r_symbol_ratio"),
+        r_bul.cast("long").alias("r_bullets"),
+        r_alp.cast("long").alias("r_alpha_words"),
+        r_stp.cast("long").alias("r_stopwords"),
+        (r_wc & r_len & r_sym & r_bul & r_alp & r_stp)
+        .cast("long").alias("passes"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------- #
+# tx29: n-gram NOVELTY scoring — "how much of this document's content has     #
+# not been seen in any earlier document?" First-occurrence attribution:      #
+# every distinct 3-gram shingle is owned by the minimum doc_id containing    #
+# it; a doc's novelty is the share of its grams it owns. The training use    #
+# is corpus ORDERING and incremental-crawl triage (near-zero novelty =       #
+# boilerplate/templated content even when no single pair crosses a dedup    #
+# threshold — the corpus-level complement of dd08's pairwise view).          #
+#                                                                            #
+# Plan shape (100 TB): explode grams once; ONE gram-keyed aggregate gives   #
+# first owners; n_novel then comes from re-AGGREGATING the owner table by   #
+# first_doc — never joining the corpus-sized gram list back to itself —     #
+# and the two doc-keyed side tables join onto the doc spine. Linear, two    #
+# gram-shuffles + doc-key joins, no quadratic anything. BIGINT basis-point  #
+# ratio keeps the oracle hash-exact.                                         #
+# --------------------------------------------------------------------------- #
+@query(
+    "tx29_ngram_novelty",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '{_WS}'),
+                           x -> x != '') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id, unnest(
+            list_distinct(list_transform(
+                range(1, greatest(len(toks) - 2, 1) + 1),
+                i -> array_to_string(toks[i:i+2], ' ')))) AS gram
+        FROM d
+    ), gg AS (SELECT doc_id, gram FROM g WHERE gram != ''),
+    ng AS (SELECT doc_id, COUNT(*) AS n_grams FROM gg GROUP BY doc_id),
+    fo AS (SELECT gram, MIN(doc_id) AS first_doc FROM gg GROUP BY gram),
+    nv AS (SELECT first_doc AS doc_id, COUNT(*) AS n_novel
+           FROM fo GROUP BY first_doc)
+    SELECT d.doc_id,
+           CAST(COALESCE(ng.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(nv.n_novel, 0) AS BIGINT) AS n_novel,
+           CAST(COALESCE(nv.n_novel, 0) * 10000
+                // greatest(COALESCE(ng.n_grams, 0), 1) AS BIGINT)
+               AS novelty_bp
+    FROM d
+    LEFT JOIN ng ON d.doc_id = ng.doc_id
+    LEFT JOIN nv ON d.doc_id = nv.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def tx29_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _shingles_of, _spread
+
+    docs = t(spark, sf_dir, "documents")
+    # n_grams is just the (distinct, non-empty) shingle-array SIZE — a
+    # projection, so the corpus is EXPLODED only once, for the gram-keyed
+    # first-owner aggregate (the naive two-aggregate form re-ran the
+    # explode per consumer: 2 Generates, 2 corpus shuffles).
+    shingled = _spread(docs, "doc_id", "text").select(
+        "doc_id", _tokens_spark().alias("toks")
+    ).select(
+        "doc_id",
+        F.filter(_shingles_of(F.col("toks"), 3), lambda g: g != F.lit(""))
+        .alias("grams"),
+    )
+    ng = shingled.select(
+        "doc_id", F.size("grams").cast("long").alias("n_grams")
+    )
+    fo = (
+        shingled.select("doc_id", F.explode("grams").alias("gram"))
+        .groupBy("gram")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    nv = fo.groupBy("first_doc").agg(F.count(F.lit(1)).alias("n_novel"))
+    # ng already carries every doc_id (it is a projection of the corpus
+    # scan), so it IS the spine — no extra join against documents.
+    return (
+        ng.join(nv, F.col("doc_id") == F.col("first_doc"), "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.expr(
+                "CAST(coalesce(n_novel, 0) * 10000 "
+                "div greatest(n_grams, 1) AS BIGINT)"
+            ).alias("novelty_bp"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2038,3 +2038,29 @@ def test_tx27_closed_form_matches_real_encoder():
             - sum(occ(text, m) for m in TX27_FIXED_MERGES)
         )
         assert real == closed, (text, real, closed)
+
+
+def test_snapshot_diff_classification_and_null_semantics(spark):
+    """added/removed/changed classification with null-safe column compare:
+    null->value and value->null are 'changed'; null->null is unchanged
+    (absent from output), as is any fully equal row."""
+    from dbix_batchchunker_spark.operators.advanced import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, None, "C"), (4, 40.0, None),
+         (5, 50.0, "E")],
+        "k long, price double, st string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "A"),        # unchanged
+         (2, 21.0, "B"),        # changed (value)
+         (3, None, "C"),        # unchanged (null == null, null-safe)
+         (4, 40.0, "D"),        # changed (null -> value)
+         (6, 60.0, "F")],       # added; 5 removed
+        "k long, price double, st string",
+    )
+    got = {
+        r.k: r.status
+        for r in snapshot_diff(old, new, "k", ["price", "st"]).collect()
+    }
+    assert got == {2: "changed", 4: "changed", 5: "removed", 6: "added"}
