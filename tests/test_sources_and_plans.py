@@ -913,3 +913,55 @@ def test_q53_null_aware_rewrite_has_no_nested_loop(spark):
     ), plan
     nlj = re.findall(r"\(\d+\) BroadcastNestedLoopJoin\n", plan)
     assert len(nlj) <= 1, plan  # only the 1-row stats cross join
+
+
+def test_compensating_chunk_overwrite_protocol(spark, tmp_path):
+    """The stage->promote->commit protocol (reference single_rows txn
+    analog, BatchChunker.pm:1305-1327): fresh commit replaces exactly the
+    chunk's buckets; replay of a committed chunk is an observable no-op;
+    a torn run (staging without marker) is listed as compensation residue
+    and heals by roll-forward re-run; hidden dirs never leak into reads."""
+    import os
+
+    from dbix_batchchunker_spark.sources.parquet import (
+        committed_chunks,
+        compensating_chunk_overwrite,
+        read_committed,
+        uncommitted_residue,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.range(0, 30).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    assert compensating_chunk_overwrite(
+        base, path, "0-29", "id", bucket_width=10) == "committed"
+    assert committed_chunks(path) == {"0-29"}
+    assert uncommitted_residue(path) == []
+
+    # chunk rewrite of ids 10..19 only
+    patch = spark.range(10, 20).select(F.col("id"), (F.col("id") * 100).alias("v"))
+    assert compensating_chunk_overwrite(
+        patch, path, "10-19", "id", bucket_width=10) == "committed"
+    got = {r.id: r.v for r in read_committed(spark, path).collect()}
+    assert got == {i: (i * 100 if 10 <= i < 20 else i * 2) for i in range(30)}
+
+    # replay of a committed chunk: no-op, marker decides
+    assert compensating_chunk_overwrite(
+        patch, path, "10-19", "id", bucket_width=10) == "already-committed"
+
+    # torn run: staging exists, no marker -> residue; re-run heals it
+    stale = str(tmp_path / "tbl" / "_staging" / "chunk=20-29")
+    os.makedirs(stale, exist_ok=True)
+    with open(os.path.join(stale, "part-torn.parquet"), "wb") as fh:
+        fh.write(b"torn")
+    assert uncommitted_residue(path) == ["20-29"]
+    repair = spark.range(20, 30).select(F.col("id"), (F.col("id") * 7).alias("v"))
+    assert compensating_chunk_overwrite(
+        repair, path, "20-29", "id", bucket_width=10) == "committed"
+    assert uncommitted_residue(path) == []
+    got = {r.id: r.v for r in read_committed(spark, path).collect()}
+    assert got == {
+        i: (i * 7 if i >= 20 else i * 100 if i >= 10 else i * 2)
+        for i in range(30)
+    }
