@@ -705,3 +705,102 @@ def mm07_png_header_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("magic_ok").cast("long").alias("magic_ok"),
         "width", "height", "bit_depth", "color_type", "n_channels",
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------- #
+# mm08: mm05's header surface, ORACLE-ADJUDICATED — the WAV twin of mm07.     #
+# mm05's planted clips are closed-form in doc_id (8 kHz mono 16-bit,          #
+# duration_ms = 40 + (doc_id*7) % 161, so n_frames = 8*dur and the RIFF      #
+# container is exactly 44 + 16*dur bytes — 16-bit data is always even, no    #
+# pad byte), so DuckDB states the expected header while Spark synthesizes    #
+# real WAV bytes (functions/wav.encode_wav) and parses them back with JVM    #
+# expressions. WAV is LITTLE-endian where PNG was big-endian, so the parse   #
+# combines per-byte conv()s at ascending weights — still whole-stage         #
+# codegen, still zero Python on the parse side. A green row certifies the    #
+# encode->binary->parse loop byte-for-byte.                                  #
+# --------------------------------------------------------------------------- #
+def _le_int(col: str, pos: int, n: int):
+    """Little-endian unsigned int from ``n`` payload bytes at 1-based
+    ``pos`` — per-byte hex/conv at ascending 256^i weights (mm07's _be_int
+    mirrored)."""
+    total = None
+    for i in range(n):
+        byte = F.conv(
+            F.hex(F.expr(f"substring({col}, {pos + i}, 1)")), 16, 10
+        ).cast("long") * (256 ** i)
+        total = byte if total is None else total + byte
+    return total
+
+
+def synth_wav_column(docs: DataFrame) -> DataFrame:
+    """doc_id -> deterministic WAV payload with mm05's clip parameters
+    (the binaryFile stand-in for the header-parse path)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.wav import encode_wav
+
+        rate = 8000
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = rate * (40 + (doc_id * 7) % 161) // 1000
+                freq = 200 + (doc_id * 37) % 1501
+                amp = 12000 + (doc_id % 17) * 1000
+                samples = (
+                    amp * np.sin(2 * np.pi * freq * np.arange(n) / rate)
+                ).astype(np.int64)
+                rows.append(
+                    {"doc_id": doc_id, "payload": encode_wav(samples, rate)}
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema=PNG_META_SCHEMA  # same (doc_id, payload) shape
+    )
+
+
+def wav_header_metadata(wavs: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """RIFF/WAVE + fmt-chunk fields from a binary column, built-in
+    expressions only (canonical 44-byte PCM layout, fmt chunk first —
+    the layout functions/wav.py writes)."""
+    return wavs.select(
+        "doc_id",
+        (
+            (F.hex(F.expr(f"substring({payload_col}, 1, 4)")) == F.lit("52494646"))
+            & (F.hex(F.expr(f"substring({payload_col}, 9, 4)")) == F.lit("57415645"))
+        ).cast("long").alias("riff_ok"),
+        F.octet_length(payload_col).cast("long").alias("payload_bytes"),
+        _le_int(payload_col, 23, 2).alias("n_channels"),
+        _le_int(payload_col, 25, 4).alias("sample_rate"),
+        _le_int(payload_col, 35, 2).alias("bits"),
+        _le_int(payload_col, 41, 4).alias("data_bytes"),
+        (
+            _le_int(payload_col, 41, 4)
+            / (_le_int(payload_col, 23, 2) * _le_int(payload_col, 35, 2) / 8)
+        ).cast("long").alias("n_frames"),
+    )
+
+
+@query(
+    "mm08_wav_header_oracle",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 AS BIGINT) AS riff_ok,
+           CAST(44 + 16 * (40 + (doc_id * 7) % 161) AS BIGINT)
+               AS payload_bytes,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(16 AS BIGINT) AS bits,
+           CAST(16 * (40 + (doc_id * 7) % 161) AS BIGINT) AS data_bytes,
+           CAST(8 * (40 + (doc_id * 7) % 161) AS BIGINT) AS n_frames
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def mm08_wav_header_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return wav_header_metadata(synth_wav_column(docs)).orderBy("doc_id")

@@ -677,3 +677,67 @@ def expand_epoch_plan(docs: DataFrame, plan: DataFrame,
         .select(id_col, domain_col, size_col, F.lit(0).alias("epoch"))
     )
     return full.unionAll(tail)
+
+
+# --------------------------------------------------------------------------- #
+# sp09: stratified EXACT split — tx09's hash-threshold split gives each doc   #
+# an independent 80/10/10 coin, so realized per-language proportions drift   #
+# by sqrt(n) (and a small stratum can lose a whole side). Training-data      #
+# curation wants the other contract too: per-stratum COUNTS exact to the    #
+# floor, deterministic, stable under corpus growth only in expectation.     #
+# Rank docs inside each language by salted md5 (the package's selector      #
+# convention), then cut at closed-form integer thresholds:                  #
+# rank*10 <= 8*cnt -> train, <= 9*cnt -> val, else test. BIGINT-only, so    #
+# the DuckDB oracle adjudicates exactly.                                     #
+#                                                                            #
+# Scale posture: one window per lang partition over the salted-hash order   #
+# — a per-stratum global sort, same shape as sp07's cumsum (and the same    #
+# functions/prefix.py two-phase rewrite applies when a stratum outgrows a   #
+# partition).                                                                #
+# --------------------------------------------------------------------------- #
+@query(
+    "sp09_stratified_split",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':strat'), doc_id
+               ) AS rnk,
+               COUNT(*) OVER (PARTITION BY lang) AS cnt
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN rnk * 10 <= 8 * cnt THEN 'train'
+                WHEN rnk * 10 <= 9 * cnt THEN 'val'
+                ELSE 'test' END AS split
+    FROM r
+    ORDER BY doc_id
+    """,
+)
+def sp09_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":strat"))
+        ).alias("__h"),
+    )
+    w = Window.partitionBy("lang").orderBy("__h", "doc_id")
+    wc = Window.partitionBy("lang")
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("rnk") * 10 <= 8 * F.col("cnt"), "train")
+        .when(F.col("rnk") * 10 <= 9 * F.col("cnt"), "val")
+        .otherwise("test")
+        .alias("split"),
+    ).orderBy("doc_id")
