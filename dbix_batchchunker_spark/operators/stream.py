@@ -512,3 +512,56 @@ def st08_stream_sized_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = stats.localCheckpoint(eager=True)
     shutil.rmtree(base, ignore_errors=True)
     return stats
+
+
+# --------------------------------------------------------------------------- #
+# st09: the FIRST streaming query on the ORACLE track. Streaming has been     #
+# rows-only because window bounds are timestamps (session-tz stringification  #
+# hazards) and total_value is an order-dependent double sum — but neither is  #
+# inherent: after a bounded availableNow drain in complete mode the final    #
+# windowed COUNTS are exactly the batch counts, and projecting the window    #
+# to an INTEGER epoch-hour (unix_micros of the as-if-UTC window start —     #
+# the same session-tz-proof rule every batch consumer uses) leaves nothing   #
+# but BIGINTs for DuckDB to adjudicate. A green row certifies the whole     #
+# streaming path — source, watermark, tumbling window, state store, drain   #
+# — against the plain batch GROUP BY.                                        #
+# --------------------------------------------------------------------------- #
+@query(
+    "st09_stream_hourly_counts",
+    oracle="""
+    SELECT epoch_us(ts) // 3600000000 AS window_hour,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY window_hour, event_type
+    ORDER BY window_hour, event_type
+    """,
+)
+def st09_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        # glob-anchored path: see the basePath note in hourly_rollup_streamed
+        .parquet(os.path.join(sf_dir, "events.*"))
+    )
+    agg = windowed_counts(
+        stream, ts_col="ts", window="1 hour", watermark="2 hours"
+    )
+    return _drain_memory_sink(
+        agg,
+        "st09",
+        "complete",
+        lambda sink_df: sink_df.select(
+            # window.start is the as-if-UTC instant (as_event_time), so
+            # unix_micros here is the same session-tz-proof epoch the
+            # oracle's epoch_us(ts) computes
+            F.expr(
+                "CAST(unix_micros(window.start) div 3600000000 AS BIGINT)"
+            ).alias("window_hour"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+        ).orderBy("window_hour", "event_type"),
+    )

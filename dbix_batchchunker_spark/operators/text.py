@@ -1523,13 +1523,28 @@ def tx29_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_grams is just the (distinct, non-empty) shingle-array SIZE — a
     # projection, so the corpus is EXPLODED only once, for the gram-keyed
     # first-owner aggregate (the naive two-aggregate form re-ran the
-    # explode per consumer: 2 Generates, 2 corpus shuffles).
-    shingled = _spread(docs, "doc_id", "text").select(
-        "doc_id", _tokens_spark().alias("toks")
-    ).select(
-        "doc_id",
-        F.filter(_shingles_of(F.col("toks"), 3), lambda g: g != F.lit(""))
-        .alias("grams"),
+    # explode per consumer: 2 Generates, 2 corpus shuffles). Grams shuffle
+    # as xxhash64 LONGS, not ~20-byte strings — dd08's equality-up-to-
+    # collisions argument (driver-green there against a string-set oracle).
+    # PERSISTED, dd08's pattern: CollapseProject would inline the whole
+    # tokenize->shingle->hash chain INTO the Generate, re-splitting the
+    # text per window position (measured: the un-cached explode alone ran
+    # 8.4 s at sf0.1 for 260k gram rows; cached, the full query is ~1 s).
+    from ..functions.prefix import register_cache
+
+    shingled = register_cache(
+        _spread(docs, "doc_id", "text")
+        .select("doc_id", _tokens_spark().alias("toks"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.filter(
+                    _shingles_of(F.col("toks"), 3), lambda g: g != F.lit("")
+                ),
+                lambda g: F.xxhash64(g),
+            ).alias("grams"),
+        )
+        .persist()
     )
     ng = shingled.select(
         "doc_id", F.size("grams").cast("long").alias("n_grams")
