@@ -265,10 +265,22 @@ def stream_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("st03_stream_dedup")  # no oracle: stateful streaming dedup isn't
+@query(
+    "st03_stream_dedup",
+    # ORACLE-track since round 9 (st09 proved the pattern): the drained
+    # output is timestamp-free and event_id is unique in the base table at
+    # every gate scale, so the exactly-once dedup of the self-doubled
+    # stream must reproduce the plain batch relation bit-for-bit — the
+    # engine's dedup state is what's on trial, adjudicated by DuckDB.
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    ORDER BY event_id
+    """,
+)
 def st03_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # DuckDB-runnable; exact equality with the batch distinct over the same
-    # (doubled) input is pinned in tests/test_streaming.py.
+    # exact equality with the batch distinct over the same (doubled) input
+    # is additionally pinned in tests/test_streaming.py.
     return stream_dedup_drain(spark, sf_dir)
 
 
