@@ -12,10 +12,15 @@ windows, applyInPandasWithState running totals) with cross-drain resume
 tests in tests/test_streaming.py; this module registers one end-to-end
 query so the driver inventory exercises the path.
 
-Rows-only on purpose: a DuckDB oracle cannot run a streaming drain. The
-semantic contract — the drained result equals the equivalent BATCH
-windowed aggregation over the same input (same Catalyst operator either
-way) — is asserted in tests/test_streaming.py instead.
+A DuckDB oracle cannot run a streaming DRAIN — but it can adjudicate the
+drained RESULT whenever that result is deterministic and integer/string
+shaped: since round 9, st03 (exactly-once dedup), st05 (stream-static
+enrichment counts), st09 (tumbling-window counts on an integer epoch-hour
+domain) and st10 (custom-stateful per-user counts) sit on the driver's
+oracle track, each equal to its plain batch relation. Queries whose
+output carries timestamps or order-dependent double sums (st01/st02/st04/
+st06/st07/st08) stay rows-only, with batch equivalence asserted in
+tests/test_streaming.py instead.
 """
 
 from __future__ import annotations
@@ -369,10 +374,25 @@ def stream_enrich_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("st05_stream_enrich")  # no oracle: a streaming drain isn't DuckDB-
+@query(
+    "st05_stream_enrich",
+    # ORACLE-track since round 9: the (nation, event_type) counts are pure
+    # integers/strings — user_id >= 0 in the testdata so pmod == %, and the
+    # dimension join is deterministic — so the per-micro-batch broadcast
+    # enrichment must reproduce the one-shot batch join+aggregate exactly.
+    oracle="""
+    SELECT c.c_nationkey, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events e
+    JOIN customer c
+      ON c.c_custkey = e.user_id % (SELECT COUNT(*) FROM customer)
+    GROUP BY c.c_nationkey, e.event_type
+    ORDER BY c.c_nationkey, e.event_type
+    """,
+)
 def st05_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # runnable; equality with the equivalent BATCH broadcast join +
-    # aggregate is pinned in tests/test_streaming.py.
+    # equality with the equivalent BATCH broadcast join + aggregate is
+    # additionally pinned in tests/test_streaming.py.
     return stream_enrich_drain(spark, sf_dir)
 
 
@@ -577,3 +597,27 @@ def st09_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").cast("long").alias("n_events"),
         ).orderBy("window_hour", "event_type"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# st10: the CUSTOM STATEFUL operator (applyInPandasWithState) on the ORACLE   #
+# track — st02's integer half. st02's total_value is an order-dependent      #
+# double sum, but its n_events is exact: per-user event counts carried in    #
+# arbitrary Python state across micro-batches must land on the plain batch   #
+# GROUP BY. A green row certifies the §2.C custom-stateful-operator path —  #
+# Arrow state transfer, update-mode re-emission, last-emission-wins sink —  #
+# end to end against DuckDB.                                                 #
+# --------------------------------------------------------------------------- #
+@query(
+    "st10_stream_user_counts",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def st10_stream_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return user_totals_streamed(spark, sf_dir).select(
+        "user_id", "n_events"
+    ).orderBy("user_id")
