@@ -621,3 +621,40 @@ def st10_stream_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_totals_streamed(spark, sf_dir).select(
         "user_id", "n_events"
     ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------- #
+# st11: the MERGING session-window state operator on the ORACLE track —       #
+# st04's integer half. Per-user SESSION COUNTS under a 30-minute gap are     #
+# pure integers, and the session_window merge rule is exactly expressible    #
+# as a lag scan: windows [t, t+gap) overlap iff the inter-event gap is       #
+# STRICTLY under the gap, so a new session starts at diff >= gap (note the   #
+# >=; q30's batch sessionization uses the >-rule — one more reason the      #
+# boundary semantics deserve a driver-adjudicated pin). A green row          #
+# certifies state merging across micro-batches against DuckDB's closed      #
+# form.                                                                      #
+# --------------------------------------------------------------------------- #
+@query(
+    "st11_stream_session_counts",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+    ), m AS (
+        SELECT user_id,
+               CASE WHEN LAG(us) OVER w IS NULL
+                         OR us - LAG(us) OVER w >= 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    )
+    SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions
+    FROM m GROUP BY user_id ORDER BY user_id
+    """,
+)
+def st11_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        stream_sessions_drain(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy("user_id")
+    )
