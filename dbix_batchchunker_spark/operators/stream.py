@@ -449,10 +449,28 @@ def stream_stream_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("st06_stream_stream_join")  # no oracle: a two-stream stateful join
+@query(
+    "st06_stream_stream_join",
+    # ORACLE-track since round 9: (user, click_id, purchase_id) matches
+    # are pure integers and the attribution predicate is closed-form, so
+    # the two-sided buffered state join — watermark eviction and all —
+    # must emit exactly the batch interval self-join's pairs.
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        FROM events
+    )
+    SELECT c.user_id, c.event_id AS c_id, p.event_id AS p_id
+    FROM e c JOIN e p
+      ON c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.user_id = p.user_id
+     AND p.us >= c.us AND p.us <= c.us + 3600000000
+    ORDER BY c.user_id, c_id, p_id
+    """,
+)
 def st06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # drain isn't DuckDB-runnable; equality with the equivalent BATCH
-    # interval self-join is pinned in tests/test_streaming.py.
+    # equality with the equivalent BATCH interval self-join is additionally
+    # pinned in tests/test_streaming.py.
     return stream_stream_join_drain(spark, sf_dir)
 
 
