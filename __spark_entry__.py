@@ -70,6 +70,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     additions (sp07/sp08, q48-q54, tx26), the 2 longest-waiting
 #:     (tx15/tx17), and the 3 oldest demoted for re-adjudication
 #:     (q13/q14/q24 — demoted since round 7).
+#:   round 10 (PLANNED): rotate in the 13 round-9 oracle-backed additions
+#:     (tx27/tx28/tx29, mm07/mm08, q55, sp09, st03/st05/st06/st09/st10/
+#:     st11 — the streaming block's FIRST driver slots) plus longest
+#:     waiters (tx19/tx20/tx21, q34/q35/q37); rotate out the round-9
+#:     first-timers once CORRECTNESS_r09 shows them green.
 #: Every rotated-out query stays oracle-pinned in the local gate replica
 #: (tests/test_queries_oracle.py parametrizes over every oracle —
 #: 95 as of round 8).

@@ -282,3 +282,26 @@ def test_concurrent_chunker_rejects_stmt_mode():
     bc2.coderef = None
     with _pytest.raises(ValueError, match="coderef"):
         ConcurrentChunker(bc2)
+
+
+def test_wave_adaptive_concurrent_chunker_on_dataframe(spark):
+    """Wave-adaptive mode against a REAL DataFrame dispatch: full
+    coverage, a converged chunk_size written back, and the targeting
+    messages present — the round-9 adaptivity+throughput integration
+    (tests/test_chunker_concurrent.py pins the timing math with a fake
+    clock; this pins the Spark wiring)."""
+    from dbix_batchchunker_spark import BatchChunker, ConcurrentChunker
+
+    df = spark.range(0, 2000).withColumn("v", F.col("id"))
+    counts = []
+    bc = BatchChunker(
+        df=df, id_name="id", coderef=lambda bc, cdf: counts.append(cdf.count()),
+        chunk_size=10, target_time=30,  # Spark chunks are far under 30 s
+        sleep=0, min_chunk_percent=0, min_id=0, max_id=1999, verbose=True,
+    )
+    ConcurrentChunker(bc, max_in_flight=3, wave_adaptive=True).execute()
+    assert sum(counts) == 2000
+    assert bc.min_id == 1999
+    # fast chunks against a 30 s target must have grown the size
+    assert bc.chunk_size > 10
+    assert any("Processing too fast" in m for m in bc.messages)
