@@ -1198,7 +1198,15 @@ class ConcurrentChunker:
                             bc.on_progress(
                                 min(ce, bc.max_id) - bc.min_id + 1, total_ids
                             )
-                        ls.chunk_count = None  # unprobed, like the static path
+                        # Attribute the runtime to the width this chunk was
+                        # ACTUALLY cut at: a mid-wave resize changes
+                        # ls.chunk_size, and feeding the remaining samples
+                        # in as chunk_per=1 against the NEW size makes the
+                        # loop oscillate (measured: 10->40->160->1->...
+                        # against a serial convergence to ~100). chunk_count
+                        # = drained id-width normalizes rowtime exactly the
+                        # way the serial loop's COUNT probe does.
+                        ls.chunk_count = ce - cs + 1
                         ls.prev_runtime = runtime
                         bc._runtime_checker()
         finally:

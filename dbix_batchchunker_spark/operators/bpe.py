@@ -259,10 +259,19 @@ def bpe_encode_token_counts(
             cache[w] = len(syms)
             return len(syms)
 
+        import re
+
+        # ASCII \s+ split — the SAME whitespace rule _tokens_spark (Java
+        # \s) and the DuckDB oracles (RE2 \s) apply. Python str.split()
+        # splits on UNICODE whitespace (U+00A0, U+3000, ...), a third
+        # definition that would silently diverge on non-ASCII spaces now
+        # that tx27 puts this path under hash adjudication (round-9
+        # review finding).
+        ws = re.compile(r"\s+", re.ASCII)
         for pdf in it:
             n_words, n_toks = [], []
             for text in pdf[text_col]:
-                words = [w for w in (text or "").split() if w]
+                words = [w for w in ws.split(text or "") if w]
                 n_words.append(len(words))
                 n_toks.append(sum(enc_word(w) for w in words))
             yield pd.DataFrame(

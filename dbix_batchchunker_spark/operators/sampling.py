@@ -494,25 +494,30 @@ def mixture_waterfill(
         ).alias("__h"),
         bp_col.alias("__bp"),
     )
-    totals = base.groupBy(domain_col, "__bp").agg(
-        F.sum(size_col).cast("long").alias("__avail")
-    )
     # Bounded driver materialization: totals is at most |target_bp| rows
-    # (one per requested domain); the gate exists to refuse a zero-row
-    # domain before it silently drops out of the min().
-    present = {r[0] for r in totals.select(domain_col).collect()}
-    missing = sorted(set(target_bp) - present)
+    # (one per requested domain). Collected ONCE — the zero-row-domain
+    # gate, T = min(avail*10000/bp) and the per-domain budgets are all
+    # closed-form over these few rows, so computing them driver-side and
+    # broadcasting the literal budgets back costs ONE corpus aggregate
+    # instead of three (round-9 review: the first validation collect left
+    # the lazy plan re-running the identical aggregate twice more).
+    rows = (
+        base.groupBy(domain_col, "__bp")
+        .agg(F.sum(size_col).cast("long").alias("__avail"))
+        .collect()
+    )
+    missing = sorted(set(target_bp) - {r[0] for r in rows})
     if missing:
         raise ValueError(
             f"target_bp domains with zero rows in docs[{domain_col}]: "
             f"{missing} — a no-upsampling waterfill cannot satisfy a "
             f"nonzero share for an empty domain"
         )
-    scale = totals.select(
-        F.min(F.expr("__avail * 10000 div __bp")).alias("__t")
-    )
-    budgets = totals.crossJoin(F.broadcast(scale)).select(
-        domain_col, F.expr("__bp * __t div 10000").alias("__budget")
+    # Python // == Spark/DuckDB div on non-negative BIGINTs
+    t_scale = min(r["__avail"] * 10000 // r["__bp"] for r in rows)
+    budgets = docs.sparkSession.createDataFrame(
+        [(r[0], r["__bp"] * t_scale // 10000) for r in rows],
+        f"{domain_col} string, __budget long",
     )
     w = (
         Window.partitionBy(domain_col)

@@ -15,11 +15,13 @@ query so the driver inventory exercises the path.
 A DuckDB oracle cannot run a streaming DRAIN — but it can adjudicate the
 drained RESULT whenever that result is deterministic and integer/string
 shaped: since round 9, st03 (exactly-once dedup), st05 (stream-static
-enrichment counts), st09 (tumbling-window counts on an integer epoch-hour
-domain) and st10 (custom-stateful per-user counts) sit on the driver's
-oracle track, each equal to its plain batch relation. Queries whose
-output carries timestamps or order-dependent double sums (st01/st02/st04/
-st06/st07/st08) stay rows-only, with batch equivalence asserted in
+enrichment counts), st06 (two-sided interval-join pairs), st09
+(tumbling-window counts on an integer epoch-hour domain), st10
+(custom-stateful per-user counts) and st11 (merging session-window
+counts) sit on the driver's oracle track, each equal to its plain batch
+relation. Queries whose output carries timestamps or order-dependent
+double sums (st01/st02/st04) stay rows-only, as do the sink-layout/
+ingest-loop drains (st07/st08), with batch equivalence asserted in
 tests/test_streaming.py instead.
 """
 
@@ -588,14 +590,17 @@ def st08_stream_sized_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def st09_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.incremental import stream_table
+
     path = os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
+    # glob-anchored path: see the basePath note in hourly_rollup_streamed
     stream = normalize_event_ts(
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        # glob-anchored path: see the basePath note in hourly_rollup_streamed
-        .parquet(os.path.join(sf_dir, "events.*"))
+        stream_table(
+            spark, os.path.join(sf_dir, "events.*"),
+            schema=schema, max_files_per_trigger=1,
+        )
     )
     agg = windowed_counts(
         stream, ts_col="ts", window="1 hour", watermark="2 hours"

@@ -94,6 +94,10 @@ def compensating_chunk_overwrite(
     staging = os.path.join(path, "_staging", f"chunk={chunk_id}")
     marker = os.path.join(path, "_commits", f"chunk-{chunk_id}.json")
     if os.path.exists(marker):
+        # a crash BETWEEN the marker write and the staging cleanup leaves
+        # committed-but-staged residue; sweep it here so replay is the
+        # repair path for that window too (round-9 review finding)
+        shutil.rmtree(staging, ignore_errors=True)
         return "already-committed"
     # stage (overwrite heals any torn staging from a crashed attempt)
     (

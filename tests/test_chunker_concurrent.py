@@ -243,3 +243,32 @@ def test_wave_adaptive_keeps_budget_and_throttle():
     assert len(calls) == 1
     assert any("maximum run time" in m for m in bc.messages)
     assert bc.min_id == calls[-1][1]
+
+
+def test_wave_adaptive_converges_not_oscillates():
+    """Round-9 review: same-wave runtimes must be attributed to the width
+    the chunk was CUT at, not the post-resize chunk_size — without the
+    chunk_count normalization this scenario oscillated 1 <-> 200 forever.
+    With it, the loop must land on the serial loop's ideal width (100 ids
+    at 0.02 s/id against a 2 s target) and STAY there."""
+    clock = FakeClock()
+    calls = []
+
+    def work(bc, start, end):
+        calls.append((start, end))
+        clock.advance(0.02 * (end - start + 1))
+
+    bc = BatchChunker(
+        coderef=work, min_id=1, max_id=20000, chunk_size=10,
+        target_time=2.0, sleep=0,
+        time_source=clock, sleep_func=clock.sleep,
+    )
+    ConcurrentChunker(bc, max_in_flight=12, wave_adaptive=True).execute()
+    widths = [e - s + 1 for s, e in calls]
+    tail = widths[-20:]
+    # converged: the last 20 chunks all sit within 25% of the ideal width
+    assert all(75 <= w <= 125 for w in tail), tail
+    covered = set()
+    for s, e in calls:
+        covered.update(range(s, e + 1))
+    assert covered == set(range(1, 20001))

@@ -946,9 +946,13 @@ def test_compensating_chunk_overwrite_protocol(spark, tmp_path):
     got = {r.id: r.v for r in read_committed(spark, path).collect()}
     assert got == {i: (i * 100 if 10 <= i < 20 else i * 2) for i in range(30)}
 
-    # replay of a committed chunk: no-op, marker decides
+    # replay of a committed chunk: no-op, marker decides — and it sweeps
+    # residue from a crash BETWEEN marker write and staging cleanup
+    crashed = str(tmp_path / "tbl" / "_staging" / "chunk=10-19")
+    os.makedirs(crashed, exist_ok=True)
     assert compensating_chunk_overwrite(
         patch, path, "10-19", "id", bucket_width=10) == "already-committed"
+    assert not os.path.exists(crashed)
 
     # torn run: staging exists, no marker -> residue; re-run heals it
     stale = str(tmp_path / "tbl" / "_staging" / "chunk=20-29")
