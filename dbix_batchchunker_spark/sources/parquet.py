@@ -160,3 +160,30 @@ def read_committed(spark: SparkSession, path: str) -> DataFrame:
     are metadata to Spark's file index (hiddenFileFilter), so the plain
     partition-discovery read never sees uncommitted bytes."""
     return read_keyed(spark, path)
+
+
+def read_committed_range(
+    spark: SparkSession,
+    path: str,
+    id_name: str,
+    start: int,
+    end: int,
+    bucket_width: int,
+    min_id: int = 0,
+) -> DataFrame:
+    """Range-read the committed table with PARTITION PRUNING: the id
+    BETWEEN predicate alone cannot prune ``__bucket=`` directories (Spark
+    sees no relation between a data column and the partition column), so
+    this derives the covering bucket range and filters BOTH — the
+    partition filter prunes directories at planning time, the id filter
+    pushes into the surviving row groups. A chunk read over a 100 TB
+    committed table touches O(chunk) files, the same contract the
+    chunker's BETWEEN scan has on an unbucketed table (SCALING.md 'Chunk
+    read cost')."""
+    lo_b = (start - min_id) // bucket_width
+    hi_b = (end - min_id) // bucket_width
+    df = spark.read.parquet(path)
+    pruned = df.where(F.col("__bucket").between(lo_b, hi_b)).where(
+        F.col(id_name).between(start, end)
+    )
+    return pruned.drop("__bucket")

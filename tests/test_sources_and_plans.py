@@ -969,3 +969,31 @@ def test_compensating_chunk_overwrite_protocol(spark, tmp_path):
         i: (i * 7 if i >= 20 else i * 100 if i >= 10 else i * 2)
         for i in range(30)
     }
+
+
+def test_read_committed_range_prunes_buckets(spark, tmp_path):
+    """The derived __bucket predicate must reach the scan as a
+    PartitionFilter (pruned at planning time), with the id BETWEEN pushed
+    into the surviving row groups — the O(chunk) read contract on the
+    compensating-commit layout."""
+    from dbix_batchchunker_spark.plans.explain import formatted_plan
+    from dbix_batchchunker_spark.sources.parquet import (
+        compensating_chunk_overwrite,
+        read_committed_range,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.range(0, 100).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    compensating_chunk_overwrite(base, path, "all", "id", bucket_width=10)
+
+    out = read_committed_range(spark, path, "id", 42, 58, bucket_width=10)
+    got = sorted(r.id for r in out.collect())
+    assert got == list(range(42, 59))
+
+    plan = formatted_plan(out)
+    assert "PartitionFilters" in plan
+    # the bucket range 4..5 appears in the partition filters line
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "__bucket" in pf_line
+    # and the data predicate pushes down
+    assert "PushedFilters" in plan
