@@ -2064,3 +2064,65 @@ def test_snapshot_diff_classification_and_null_semantics(spark):
         for r in snapshot_diff(old, new, "k", ["price", "st"]).collect()
     }
     assert got == {2: "changed", 4: "changed", 5: "removed", 6: "added"}
+
+
+def test_sp09_proportions_exact_to_the_floor(spark):
+    """Per-stratum counts must hit the 80/10/10 thresholds EXACTLY:
+    train = floor(8n/10), train+val = floor(9n/10) — the contract tx09's
+    independent-coin split deliberately does not make."""
+    from dbix_batchchunker_spark.operators.sampling import (
+        sp09_stratified_split,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = sp09_stratified_split(spark, sf).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.lang, {}).setdefault(r.split, 0)
+        per[r.lang][r.split] += 1
+    assert per, "no strata"
+    for lang, counts in per.items():
+        n = sum(counts.values())
+        train = counts.get("train", 0)
+        val = counts.get("val", 0)
+        assert train == 8 * n // 10, (lang, counts)
+        assert train + val == 9 * n // 10, (lang, counts)
+
+
+def test_tx28_rule_bits_on_crafted_documents(spark):
+    """Hand-crafted docs pin each Gopher rule bit independently of the
+    corpus (the oracle gate proves Spark==DuckDB; this proves both match
+    the INTENDED rule semantics)."""
+    from dbix_batchchunker_spark.operators.text import (
+        GOPHER_STOPWORDS,
+        tx28_gopher_quality_rules,
+    )
+    import dbix_batchchunker_spark.operators.text as text_mod
+
+    good_words = ("the quick brown fox jumps over that lazy dog with " * 6).split()
+    docs = [
+        # 0: passes everything — 60 clean words incl. stopwords
+        (0, " ".join(good_words)),
+        # 1: too few words
+        (1, "tiny doc"),
+        # 2: symbol-heavy (### per word)
+        (2, " ".join("#" + w for w in good_words)),
+        # 3: bullet-heavy lines
+        (3, "\n".join("- " + w for w in good_words)),
+        # 4: no stopwords (numbers are also non-alpha -> fails alpha too)
+        (4, " ".join(str(i) * 4 for i in range(60))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # monkey-path-free: call the registered query body via a temp table?
+    # tx28 reads t(spark, sf_dir, "documents") — write the crafted docs as
+    # a parquet dir shaped like testdata instead.
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="tx28_crafted_")
+    df.write.parquet(os.path.join(d, "documents.parquet"))
+    got = {r.doc_id: r for r in tx28_gopher_quality_rules(spark, d).collect()}
+    assert got[0].passes == 1, got[0]
+    assert got[1].r_word_count == 0 and got[1].passes == 0
+    assert got[2].r_symbol_ratio == 0 and got[2].passes == 0
+    assert got[3].r_bullets == 0 and got[3].passes == 0
+    assert got[4].r_stopwords == 0 and got[4].r_alpha_words == 0
+    assert set(GOPHER_STOPWORDS) & set(good_words)
