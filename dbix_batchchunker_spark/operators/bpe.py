@@ -261,13 +261,14 @@ def bpe_encode_token_counts(
 
         import re
 
-        # ASCII \s+ split — the SAME whitespace rule _tokens_spark (Java
-        # \s) and the DuckDB oracles (RE2 \s) apply. Python str.split()
-        # splits on UNICODE whitespace (U+00A0, U+3000, ...), a third
-        # definition that would silently diverge on non-ASCII spaces now
-        # that tx27 puts this path under hash adjudication (round-9
-        # review finding).
-        ws = re.compile(r"\s+", re.ASCII)
+        # RE2-exact whitespace class [ \t\n\f\r] — the rule the DuckDB
+        # oracles split on. Neither Python str.split() (Unicode ws,
+        # U+00A0/U+3000/...) nor re.ASCII \s nor Java \s matches it
+        # exactly: the latter two also include \x0b, which RE2 \s does
+        # NOT. An adjudicated path must mirror its ORACLE's dialect; the
+        # \x0b gap between Java-split queries and their RE2 oracles is a
+        # corpus contract (no vertical tabs) shared by the whole suite.
+        ws = re.compile(r"[ \t\n\f\r]+")
         for pdf in it:
             n_words, n_toks = [], []
             for text in pdf[text_col]:

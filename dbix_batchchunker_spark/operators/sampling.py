@@ -515,9 +515,16 @@ def mixture_waterfill(
         )
     # Python // == Spark/DuckDB div on non-negative BIGINTs
     t_scale = min(r["__avail"] * 10000 // r["__bp"] for r in rows)
+    from pyspark.sql import types as T
+
     budgets = docs.sparkSession.createDataFrame(
         [(r[0], r["__bp"] * t_scale // 10000) for r in rows],
-        f"{domain_col} string, __budget long",
+        # domain keeps the CALLER's column type (review: a hardcoded
+        # string schema broke non-string domain columns)
+        T.StructType([
+            T.StructField(domain_col, docs.schema[domain_col].dataType),
+            T.StructField("__budget", T.LongType()),
+        ]),
     )
     w = (
         Window.partitionBy(domain_col)

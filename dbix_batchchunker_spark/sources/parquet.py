@@ -21,6 +21,17 @@ def read_table(spark: SparkSession, path: str, columns: Optional[list] = None) -
     return df.select(*columns) if columns else df
 
 
+def _bucket_expr(id_name: str, bucket_width: int, min_id: int):
+    """EXACT integer bucket assignment: ``(id - min_id) div width``.
+    The first version used double division + cast — truncation that
+    silently disagrees with the readers' integer floor for ids below
+    ``min_id`` and loses precision past 2^53 (round-9 review). ``min_id``
+    must not exceed any id in the table; readers validate the same."""
+    return F.expr(
+        f"CAST((({id_name}) - {min_id}) div {bucket_width} AS BIGINT)"
+    )
+
+
 def keyed_overwrite(
     df: DataFrame,
     path: str,
@@ -36,10 +47,7 @@ def keyed_overwrite(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         (
-            df.withColumn(
-                "__bucket",
-                ((F.col(id_name) - F.lit(min_id)) / F.lit(bucket_width)).cast("long"),
-            )
+            df.withColumn("__bucket", _bucket_expr(id_name, bucket_width, min_id))
             .write.partitionBy("__bucket")
             .mode("overwrite")
             .parquet(path)
@@ -84,13 +92,45 @@ def compensating_chunk_overwrite(
     id_name: str,
     bucket_width: int,
     min_id: int = 0,
+    id_range: "tuple[int, int] | None" = None,
+    is_tail: bool = False,
 ) -> str:
     """Chunk-transactional keyed overwrite; returns "committed" on a fresh
     commit or "already-committed" on replay. ``chunk_id`` must be stable
-    across retries of the same chunk (e.g. f"{start}-{end}")."""
+    across retries of the same chunk (e.g. f"{start}-{end}").
+
+    PRECONDITIONS (round-9 review — violating either silently corrupts):
+
+    * **Bucket alignment**: the atomic replace unit is the BUCKET, so a
+      chunk must contain ALL surviving rows of every bucket it touches.
+      Pass ``id_range=(start, end)`` to have alignment VALIDATED
+      (``is_tail=True`` for the table's final partial chunk); without it
+      the caller owns the invariant.
+    * **One writer per bucket at a time**: concurrent promotes of the
+      same bucket race (rmtree vs move). Aligned chunks touch disjoint
+      buckets, so any per-id-range concurrency (ConcurrentChunker) is
+      safe once alignment holds."""
     import json
     import shutil
 
+    if id_range is not None:
+        start, end = id_range
+        if start < min_id:
+            raise ValueError(
+                f"chunk start {start} below min_id {min_id}: bucket math "
+                f"requires non-negative offsets"
+            )
+        if (start - min_id) % bucket_width != 0 or (
+            not is_tail and (end - min_id + 1) % bucket_width != 0
+        ):
+            raise ValueError(
+                f"chunk [{start}, {end}] is not bucket-aligned "
+                f"(width {bucket_width}, min_id {min_id}): the protocol's "
+                f"atomic unit is the BUCKET, so a chunk covering part of a "
+                f"bucket would replace the whole bucket with partial data. "
+                f"Align chunk boundaries to bucket multiples (pass "
+                f"is_tail=True for the table's final partial chunk)."
+            )
     staging = os.path.join(path, "_staging", f"chunk={chunk_id}")
     marker = os.path.join(path, "_commits", f"chunk-{chunk_id}.json")
     if os.path.exists(marker):
@@ -101,10 +141,7 @@ def compensating_chunk_overwrite(
         return "already-committed"
     # stage (overwrite heals any torn staging from a crashed attempt)
     (
-        df.withColumn(
-            "__bucket",
-            ((F.col(id_name) - F.lit(min_id)) / F.lit(bucket_width)).cast("long"),
-        )
+        df.withColumn("__bucket", _bucket_expr(id_name, bucket_width, min_id))
         .write.partitionBy("__bucket")
         .mode("overwrite")
         .parquet(staging)
@@ -180,6 +217,12 @@ def read_committed_range(
     committed table touches O(chunk) files, the same contract the
     chunker's BETWEEN scan has on an unbucketed table (SCALING.md 'Chunk
     read cost')."""
+    if start < min_id:
+        raise ValueError(
+            f"range start {start} below min_id {min_id}: bucket math "
+            f"requires non-negative offsets (the writers share this rule)"
+        )
+    # non-negative offsets: Python // == the writers' exact `div`
     lo_b = (start - min_id) // bucket_width
     hi_b = (end - min_id) // bucket_width
     df = spark.read.parquet(path)

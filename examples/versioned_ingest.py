@@ -6,13 +6,17 @@
                              join — decide what to re-process BEFORE
                              touching 100 TB)
   2. wave-adaptive chunking  (ConcurrentChunker(wave_adaptive=True):
-                             re-process ONLY the delta ids, max_in_flight
-                             wide, chunk size converging on target_time
-                             between waves)
+                             validate the delta max_in_flight wide, chunk
+                             size converging on target_time between waves
+                             — the READ side, where ranges can be any
+                             width)
   3. compensating commits    (compensating_chunk_overwrite: each chunk
                              stages, promotes, and commit-markers its
-                             buckets — a crashed run is repaired by
-                             roll-forward replay, a committed chunk
+                             buckets. The protocol's atomic unit is the
+                             BUCKET, so the WRITE side uses ranges
+                             aligned to bucket boundaries — validated by
+                             id_range — and a crashed run is repaired by
+                             roll-forward replay; a committed chunk
                              replays as a no-op)
 
 Run: python examples/versioned_ingest.py  (uses /root/testdata/sf0.001)
@@ -35,6 +39,7 @@ from dbix_batchchunker_spark.sources.parquet import (
 )
 
 SF = "/root/testdata/sf0.001"
+BUCKET = 500
 
 
 def main() -> None:
@@ -61,35 +66,51 @@ def main() -> None:
                  delta.groupBy("status").agg(F.count("*").alias("n")).collect()}
     print(f"delta: {by_status}")
 
-    # --- 2+3. re-process ONLY changed/removed keys, chunk-transactionally
+    # --- 2. wave-adaptive READ pass over the touched range --------------
     touched = delta.where(F.col("status") != "added")
     lo, hi = touched.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
-    committed = []
-
-    def work(bc, start, end):
-        chunk = v2.where(F.col("o_orderkey").between(start, end))
-        state = compensating_chunk_overwrite(
-            chunk, out, f"{start}-{end}", "o_orderkey", bucket_width=500
-        )
-        committed.append((start, end, state))
-
+    validated = []
     bc = BatchChunker(
-        coderef=work, min_id=int(lo), max_id=int(hi),
+        coderef=lambda bc, s, e: validated.append(
+            v2.where(F.col("o_orderkey").between(s, e)).count()
+        ),
+        min_id=int(lo), max_id=int(hi),
         chunk_size=200, target_time=2.0, sleep=0,
     )
     ConcurrentChunker(bc, max_in_flight=4, wave_adaptive=True).execute()
-    print(f"chunks committed: {len(committed_chunks(out))} "
-          f"(converged chunk_size={bc.chunk_size})")
+    print(f"validated {sum(validated)} rows in {len(validated)} adaptive "
+          f"chunks (converged chunk_size={bc.chunk_size})")
+
+    # --- 3. transactional WRITE pass: bucket-ALIGNED static ranges ------
+    # snap the touched range outward to bucket boundaries, then commit
+    # whole buckets — the unit the protocol replaces atomically
+    start = (int(lo) // BUCKET) * BUCKET
+    stop = ((int(hi) // BUCKET) + 1) * BUCKET - 1
+    committed = []
+    for s in range(start, stop + 1, BUCKET):
+        e = s + BUCKET - 1
+        state = compensating_chunk_overwrite(
+            v2.where(F.col("o_orderkey").between(s, e)), out,
+            f"{s}-{e}", "o_orderkey", bucket_width=BUCKET,
+            id_range=(s, e),
+        )
+        committed.append((s, e, state))
+    print(f"chunks committed: {len(committed_chunks(out))}")
 
     # a replayed chunk is an observable no-op
     s, e, _ = committed[0]
     assert compensating_chunk_overwrite(
         v2.where(F.col("o_orderkey").between(s, e)), out,
-        f"{s}-{e}", "o_orderkey", bucket_width=500,
+        f"{s}-{e}", "o_orderkey", bucket_width=BUCKET, id_range=(s, e),
     ) == "already-committed"
 
+    # the live table holds EXACTLY v2's rows for the committed range —
+    # this assertion is what round 9's review added (a misaligned write
+    # silently lost 60% of rows before the id_range validation existed)
+    expect = v2.where(F.col("o_orderkey").between(start, stop)).count()
     n = read_committed(spark, out).count()
-    print(f"live table rows: {n}")
+    print(f"live table rows: {n} (expected {expect})")
+    assert n == expect, (n, expect)
     delta.unpersist()
     spark.stop()
 
