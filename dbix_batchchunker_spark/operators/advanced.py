@@ -1960,3 +1960,122 @@ def q55_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(
         v1, v2, "o_orderkey", ["o_totalprice", "o_orderstatus"]
     ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------- #
+# q56: RELATIONAL DIVISION — "which customers have orders in EVERY order      #
+# status?" — the classic ∀-quantified query (Codd's divide), the one SQL     #
+# shape the assumed-surface inventory (SURVEY.md §2.B) had no entry for.     #
+# The textbook form is a double-negated NOT EXISTS; the form that SCALES is  #
+# the count-matching rewrite: one distinct-count aggregate per customer      #
+# compared against the 1-row universe count — a single fact shuffle plus a  #
+# broadcast, no correlated subquery, no quadratic anti join.                  #
+# --------------------------------------------------------------------------- #
+@query(
+    "q56_relational_division",
+    oracle="""
+    WITH u AS (SELECT COUNT(DISTINCT o_orderstatus) AS n_statuses FROM orders)
+    SELECT o.o_custkey, c.c_name,
+           CAST(COUNT(DISTINCT o.o_orderstatus) AS BIGINT) AS n_statuses
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY o.o_custkey, c.c_name
+    HAVING COUNT(DISTINCT o.o_orderstatus) = (SELECT n_statuses FROM u)
+    ORDER BY o_custkey
+    """,
+)
+def q56_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    universe = orders.agg(
+        F.countDistinct("o_orderstatus").alias("__n_univ")
+    )
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.countDistinct("o_orderstatus").alias("n_statuses"))
+        .crossJoin(F.broadcast(universe))
+        .where(F.col("n_statuses") == F.col("__n_univ"))
+    )
+    return (
+        per_cust.join(
+            F.broadcast(customer),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("o_custkey", "c_name", F.col("n_statuses").cast("long"))
+        .orderBy("o_custkey")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q57: GAPS-AND-ISLANDS over the order-key space — contiguous id runs via     #
+# the id - ROW_NUMBER() grouping constant (the canonical islands idiom:      #
+# consecutive ids share the difference). Directly load-bearing for THIS     #
+# engine: the chunker's fixed-width ranges probe EMPTY id space on sparse   #
+# tables, and the islands relation is exactly the "where do rows actually   #
+# live" map `ranges_from_islands` (below) feeds back into BatchChunker.     #
+# One global window — acceptable because the input is the DISTINCT KEY      #
+# column, and at 100 TB the same computation routes through the two-phase   #
+# global rank (functions/prefix.py) exactly like sp06/tx22.                  #
+# --------------------------------------------------------------------------- #
+_Q57_SPARSE_MOD = 7  # knock out ~1/7 of keys so islands are non-trivial
+
+
+@query(
+    "q57_id_islands",
+    oracle=f"""
+    WITH k AS (
+        SELECT o_orderkey AS id FROM orders WHERE o_orderkey % {_Q57_SPARSE_MOD} != 0
+    ), g AS (
+        SELECT id, id - ROW_NUMBER() OVER (ORDER BY id) AS grp FROM k
+    )
+    SELECT MIN(id) AS island_start, MAX(id) AS island_end,
+           CAST(COUNT(*) AS BIGINT) AS n_ids
+    FROM g GROUP BY grp
+    ORDER BY island_start
+    """,
+)
+def q57_id_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % _Q57_SPARSE_MOD != 0)
+        .select(F.col("o_orderkey").alias("id"))
+    )
+    return id_islands(keys, "id")
+
+
+def id_islands(keys: DataFrame, id_name: str) -> DataFrame:
+    """(island_start, island_end, n_ids) for the maximal contiguous runs
+    of ``keys[id_name]`` (assumed distinct)."""
+    w = Window.orderBy(id_name)
+    return (
+        keys.select(
+            F.col(id_name), (F.col(id_name) - F.row_number().over(w)).alias("__grp")
+        )
+        .groupBy("__grp")
+        .agg(
+            F.min(id_name).alias("island_start"),
+            F.max(id_name).alias("island_end"),
+            F.count(F.lit(1)).cast("long").alias("n_ids"),
+        )
+        .drop("__grp")
+        .orderBy("island_start")
+    )
+
+
+def ranges_from_islands(
+    keys: DataFrame, id_name: str, chunk_size: int
+) -> "list[tuple[int, int]]":
+    """Chunk ranges that SKIP the id-space gaps: each island is cut into
+    ``chunk_size``-wide ranges independently, so no chunk ever spans (or
+    probes) empty id space — the sparse-table complement of
+    ``BatchChunker.chunk_ranges``. Feed to ``ConcurrentChunker`` via a
+    DIY coderef, or iterate directly. Driver materialization is the
+    ISLANDS relation (one row per contiguous run), not the keys."""
+    out: "list[tuple[int, int]]" = []
+    # bounded: one row per island — gap-structure cardinality, not rows
+    for r in id_islands(keys, id_name).collect():
+        s = r["island_start"]
+        while s <= r["island_end"]:
+            e = min(s + chunk_size - 1, r["island_end"])
+            out.append((s, e))
+            s = e + 1
+    return out

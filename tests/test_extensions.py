@@ -2126,3 +2126,27 @@ def test_tx28_rule_bits_on_crafted_documents(spark):
     assert got[3].r_bullets == 0 and got[3].passes == 0
     assert got[4].r_stopwords == 0 and got[4].r_alpha_words == 0
     assert set(GOPHER_STOPWORDS) & set(good_words)
+
+
+def test_ranges_from_islands_skip_gaps(spark):
+    """Island-derived chunk ranges must tile exactly the EXISTING ids —
+    no range spans a gap, every id is covered once, and driving them
+    through a DIY chunk loop touches zero empty id space."""
+    from dbix_batchchunker_spark.operators.advanced import (
+        id_islands,
+        ranges_from_islands,
+    )
+
+    ids = [1, 2, 3, 10, 11, 12, 13, 14, 15, 16, 30, 45, 46]
+    keys = spark.createDataFrame([(i,) for i in ids], "id long")
+    islands = [(r.island_start, r.island_end, r.n_ids)
+               for r in id_islands(keys, "id").collect()]
+    assert islands == [(1, 3, 3), (10, 16, 7), (30, 30, 1), (45, 46, 2)]
+
+    ranges = ranges_from_islands(keys, "id", chunk_size=3)
+    assert ranges == [(1, 3), (10, 12), (13, 15), (16, 16),
+                      (30, 30), (45, 46)]
+    covered = set()
+    for s, e in ranges:
+        covered.update(range(s, e + 1))
+    assert covered == set(ids)  # nothing outside the islands
