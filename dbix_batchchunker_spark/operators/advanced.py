@@ -2079,3 +2079,71 @@ def ranges_from_islands(
             out.append((s, e))
             s = e + 1
     return out
+
+
+# --------------------------------------------------------------------------- #
+# q58: PERCENT-OF-TOTAL (ratio_to_report) — each nation's share of its        #
+# region's revenue. The cross-engine trap is the DIVISION (decimal scale/    #
+# rounding dialects differ), so the share ships as exact BIGINT basis        #
+# points over CENTS: both engines aggregate DECIMAL(12,2), multiply to      #
+# integral cents, and divide with integer div — hash-identical by           #
+# construction, and the window reuses the nation aggregate's partitioning   #
+# (region) so the share costs no extra corpus pass.                          #
+# --------------------------------------------------------------------------- #
+@query(
+    "q58_revenue_share",
+    oracle="""
+    WITH nat AS (
+        SELECT n.n_regionkey, n.n_name,
+               SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS nat_rev
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_regionkey, n.n_name
+    )
+    SELECT r.r_name, nat.n_name,
+           CAST(nat.nat_rev * 100 AS BIGINT) AS nat_rev_cents,
+           CAST(CAST(nat.nat_rev * 100 AS BIGINT) * 10000
+                // CAST(SUM(nat.nat_rev * 100) OVER
+                        (PARTITION BY nat.n_regionkey) AS BIGINT)
+             AS BIGINT) AS share_bp
+    FROM nat JOIN region r ON r.r_regionkey = nat.n_regionkey
+    ORDER BY r.r_name, nat.n_name
+    """,
+)
+def q58_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nat = (
+        orders.join(
+            F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_regionkey", "n_name")
+        .agg(F.sum(dec2("o_totalprice")).alias("nat_rev"))
+    )
+    w = Window.partitionBy("n_regionkey")
+    return (
+        nat.withColumn(
+            "share_bp",
+            F.expr(
+                "CAST(CAST(nat_rev * 100 AS BIGINT) * 10000 "
+                "div CAST(sum(nat_rev * 100) OVER "
+                "(PARTITION BY n_regionkey) AS BIGINT) AS BIGINT)"
+            ),
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "r_name",
+            "n_name",
+            # exact integer cents — a DECIMAL output column stringifies
+            # with different trailing-zero rules across engines
+            F.expr("CAST(nat_rev * 100 AS BIGINT)").alias("nat_rev_cents"),
+            "share_bp",
+        )
+        .orderBy("r_name", "n_name")
+    )

@@ -1570,3 +1570,43 @@ def tx29_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------- #
+# tx30: language-ID CONFUSION MATRIX — the EVAL half tx03 was missing:        #
+# classifier quality is judged on the (tagged, detected) count matrix, not   #
+# per-row predictions. One hash aggregate over tx03's argmax projection —    #
+# output is |langs|² rows at most, so the rollup is alphabet-bounded at any  #
+# corpus size. Accuracy ships as exact BIGINT basis points (correct·10000    #
+# div row-count shares the q50/sp07 integer-ratio idiom).                     #
+# --------------------------------------------------------------------------- #
+@query(
+    "tx30_langid_confusion",
+    oracle=f"""
+    WITH pred AS (
+        SELECT lang AS tagged_lang,
+               {_langid_case_sql()} AS detected_lang
+        FROM documents
+    )
+    SELECT tagged_lang, detected_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN tagged_lang = detected_lang THEN 1 ELSE 0 END)
+                * 10000 // COUNT(*) AS BIGINT) AS accuracy_bp
+    FROM pred
+    GROUP BY tagged_lang, detected_lang
+    ORDER BY tagged_lang, detected_lang
+    """,
+)
+def tx30_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = tx03_langid(spark, sf_dir)
+    return (
+        pred.groupBy("tagged_lang", "detected_lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr(
+                "CAST(sum(CASE WHEN tagged_lang = detected_lang "
+                "THEN 1 ELSE 0 END) * 10000 div count(1) AS BIGINT)"
+            ).alias("accuracy_bp"),
+        )
+        .orderBy("tagged_lang", "detected_lang")
+    )
