@@ -2147,3 +2147,43 @@ def q58_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name", "n_name")
     )
+
+
+# --------------------------------------------------------------------------- #
+# q59: ORDERED STRING AGGREGATION (LISTAGG / string_agg) — the report-        #
+# friendly "collapse a group to a delimited list" shape. Cross-engine        #
+# determinism requires pinning BOTH the element set and the order: Spark's  #
+# collect_set/collect_list are partitioning-order-dependent, so the list    #
+# is sorted IN-PLAN (sort_array over the distinct set) before joining —     #
+# matching the oracle's string_agg(DISTINCT ... ORDER BY). Aggregate state  #
+# is the distinct set (bounded by the value domain, here market segments),  #
+# so the shuffle carries sets, not rows.                                     #
+# --------------------------------------------------------------------------- #
+@query(
+    "q59_segment_listagg",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(DISTINCT c.c_mktsegment) AS BIGINT) AS n_segments,
+           string_agg(DISTINCT c.c_mktsegment, ',' ORDER BY c.c_mktsegment)
+               AS segments_csv
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def q59_segment_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        customer.join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_mktsegment").cast("long").alias("n_segments"),
+            F.array_join(
+                F.sort_array(F.collect_set("c_mktsegment")), ","
+            ).alias("segments_csv"),
+        )
+        .orderBy("n_name")
+    )
