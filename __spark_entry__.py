@@ -73,7 +73,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   round 10 (PLANNED): rotate in the 13 round-9 oracle-backed additions
 #:     (tx27/tx28/tx29, mm07/mm08, q55, sp09, st03/st05/st06/st09/st10/
 #:     st11 — the streaming block's FIRST driver slots) plus longest
-#:     waiters (tx19/tx20/tx21, q34/q35/q37); rotate out the round-9
+#:     waiters (tx19/tx20/tx21, q34/q35/q37); the late-round-9 additions
+#:     (q56-q59, tx30) queue behind them; rotate out the round-9
 #:     first-timers once CORRECTNESS_r09 shows them green.
 #: Every rotated-out query stays oracle-pinned in the local gate replica
 #: (tests/test_queries_oracle.py parametrizes over every oracle —
