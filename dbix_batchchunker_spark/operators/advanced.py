@@ -2042,13 +2042,42 @@ def q57_id_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return id_islands(keys, "id")
 
 
-def id_islands(keys: DataFrame, id_name: str) -> DataFrame:
+#: tx22's tier threshold, reused: below it a single-partition ROW_NUMBER
+#: over the slim key column is one fast task; past it no single task may
+#: hold the keys.
+ISLANDS_TWO_PHASE_MIN_KEYS = 5_000_000
+
+
+def id_islands(
+    keys: DataFrame,
+    id_name: str,
+    two_phase_min_keys: int = ISLANDS_TWO_PHASE_MIN_KEYS,
+) -> DataFrame:
     """(island_start, island_end, n_ids) for the maximal contiguous runs
-    of ``keys[id_name]`` (assumed distinct)."""
-    w = Window.orderBy(id_name)
+    of ``keys[id_name]`` (assumed distinct).
+
+    Tiered rank, the tx22 stance: below ``two_phase_min_keys`` the global
+    ROW_NUMBER is a plain single-partition window (key-column-sized, one
+    fast task — measured 0.48 s vs 1.76 s for the always-two-phase form
+    at sf0.1); at or above it the rank rides
+    :func:`functions.prefix.with_global_rank` (range partition +
+    broadcast offsets) so no single task ever holds the key column."""
+    n_keys = keys.count()  # bounded: one long — the tier decision
+    if n_keys < two_phase_min_keys:
+        w = Window.orderBy(id_name)
+        ranked = keys.select(
+            F.col(id_name), F.row_number().over(w).alias("__rn")
+        )
+    else:
+        from ..functions.prefix import with_global_rank
+
+        ranked = with_global_rank(
+            keys.select(id_name), [id_name], unique_cols=[id_name],
+            out_col="__rn",
+        )
     return (
-        keys.select(
-            F.col(id_name), (F.col(id_name) - F.row_number().over(w)).alias("__grp")
+        ranked.select(
+            F.col(id_name), (F.col(id_name) - F.col("__rn")).alias("__grp")
         )
         .groupBy("__grp")
         .agg(

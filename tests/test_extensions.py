@@ -2150,3 +2150,18 @@ def test_ranges_from_islands_skip_gaps(spark):
     for s, e in ranges:
         covered.update(range(s, e + 1))
     assert covered == set(ids)  # nothing outside the islands
+
+
+def test_id_islands_two_phase_tier_equals_plain(spark):
+    """Both rank tiers must produce identical islands — forcing the
+    two-phase route on a small key set pins the equality (the tx22
+    cross-tier idiom)."""
+    from dbix_batchchunker_spark.operators.advanced import id_islands
+
+    ids = [1, 2, 3, 10, 11, 12, 13, 14, 15, 16, 30, 45, 46]
+    keys = spark.createDataFrame([(i,) for i in ids], "id long")
+    plain = [tuple(r) for r in id_islands(keys, "id").collect()]
+    forced = [tuple(r) for r in
+              id_islands(keys, "id", two_phase_min_keys=1).collect()]
+    assert plain == forced == [(1, 3, 3), (10, 16, 7), (30, 30, 1),
+                               (45, 46, 2)]
