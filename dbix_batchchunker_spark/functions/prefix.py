@@ -230,3 +230,38 @@ def with_global_cumsum(
     out.cumsum_cache = ranged
     out.cumsum_total = acc
     return out
+
+
+#: Shared tier threshold for :func:`tiered_global_rank` — below it the
+#: whole keyset is one fast single-partition window task; at or above it
+#: no single task may hold the rows (tx22's measured cliff, reused by
+#: q57's islands).
+TIERED_RANK_MIN_ROWS = 5_000_000
+
+
+def tiered_global_rank(
+    df: DataFrame,
+    order_cols: "list",
+    unique_cols: "list[str]",
+    out_col: str = "__r",
+    min_rows: int = TIERED_RANK_MIN_ROWS,
+) -> DataFrame:
+    """Global 1-based ROW_NUMBER with the tier decision built in: persist
+    the (slim) input, gate-count it, and rank via a plain single-partition
+    window below ``min_rows`` or :func:`with_global_rank` past it. ONE
+    copy of the dispatch both tx22 and q57 previously duplicated (round-9
+    review) — the persist means the gate count's scan is reused by the
+    rank and by whatever the caller computes downstream, and the frame is
+    enrolled in the release registry like every other cached rank input."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = register_cache(df.persist())
+    n = df.count()  # bounded: one long — the tier decision
+    if n >= min_rows:
+        return with_global_rank(
+            df, order_cols, unique_cols=unique_cols, out_col=out_col
+        )
+    order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    w = Window.orderBy(*order_exprs)
+    return df.withColumn(out_col, F.row_number().over(w))

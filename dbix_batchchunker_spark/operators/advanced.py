@@ -2042,10 +2042,7 @@ def q57_id_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return id_islands(keys, "id")
 
 
-#: tx22's tier threshold, reused: below it a single-partition ROW_NUMBER
-#: over the slim key column is one fast task; past it no single task may
-#: hold the keys.
-ISLANDS_TWO_PHASE_MIN_KEYS = 5_000_000
+from ..functions.prefix import TIERED_RANK_MIN_ROWS as ISLANDS_TWO_PHASE_MIN_KEYS  # noqa: E501 — re-export for callers
 
 
 def id_islands(
@@ -2056,25 +2053,19 @@ def id_islands(
     """(island_start, island_end, n_ids) for the maximal contiguous runs
     of ``keys[id_name]`` (assumed distinct).
 
-    Tiered rank, the tx22 stance: below ``two_phase_min_keys`` the global
-    ROW_NUMBER is a plain single-partition window (key-column-sized, one
-    fast task — measured 0.48 s vs 1.76 s for the always-two-phase form
-    at sf0.1); at or above it the rank rides
-    :func:`functions.prefix.with_global_rank` (range partition +
-    broadcast offsets) so no single task ever holds the key column."""
-    n_keys = keys.count()  # bounded: one long — the tier decision
-    if n_keys < two_phase_min_keys:
-        w = Window.orderBy(id_name)
-        ranked = keys.select(
-            F.col(id_name), F.row_number().over(w).alias("__rn")
-        )
-    else:
-        from ..functions.prefix import with_global_rank
+    The global ROW_NUMBER rides the SHARED tiered rank
+    (:func:`functions.prefix.tiered_global_rank` — one fast
+    single-partition window below the threshold, measured 0.48 s vs
+    1.76 s for the always-two-phase form at sf0.1; the range-partitioned
+    rewrite past it, so no single task ever holds the key column). The
+    helper persists the slim key frame, so the tier-gate count, the rank
+    and the islands aggregate share one scan."""
+    from ..functions.prefix import tiered_global_rank
 
-        ranked = with_global_rank(
-            keys.select(id_name), [id_name], unique_cols=[id_name],
-            out_col="__rn",
-        )
+    ranked = tiered_global_rank(
+        keys.select(id_name), [id_name], unique_cols=[id_name],
+        out_col="__rn", min_rows=two_phase_min_keys,
+    )
     return (
         ranked.select(
             F.col(id_name), (F.col(id_name) - F.col("__rn")).alias("__grp")
@@ -2090,18 +2081,43 @@ def id_islands(
     )
 
 
+#: Driver ceiling for the islands transfer: ~24 B/row via Arrow, so 1M
+#: islands is tens of MB — a CONSTANT bound independent of corpus size.
+MAX_DRIVER_ISLANDS = 1_000_000
+
+
 def ranges_from_islands(
-    keys: DataFrame, id_name: str, chunk_size: int
+    keys: DataFrame,
+    id_name: str,
+    chunk_size: int,
+    max_islands: int = MAX_DRIVER_ISLANDS,
 ) -> "list[tuple[int, int]]":
     """Chunk ranges that SKIP the id-space gaps: each island is cut into
     ``chunk_size``-wide ranges independently, so no chunk ever spans (or
     probes) empty id space — the sparse-table complement of
     ``BatchChunker.chunk_ranges``. Feed to ``ConcurrentChunker`` via a
-    DIY coderef, or iterate directly. Driver materialization is the
-    ISLANDS relation (one row per contiguous run), not the keys."""
+    DIY coderef, or iterate directly.
+
+    Driver materialization is the ISLANDS relation, whose cardinality is
+    the table's GAP STRUCTURE — small for range-deleted/compacted
+    tables, but O(keys) for adversarially sparse ones (every other id
+    missing), so the transfer is GATED at ``max_islands`` and refuses
+    its cliff (round-9 review #2): a gap-dominated table should use
+    ``BatchChunker``'s fixed ranges + histogram probe mode instead,
+    which skip empty chunks for one aggregate pass."""
+    islands = id_islands(keys, id_name)
+    # bounded: max_islands rows — the fail-fast gate IS the bound
+    head = islands.limit(max_islands + 1).collect()
+    if len(head) > max_islands:
+        raise ValueError(
+            f"ranges_from_islands: more than {max_islands} islands — the "
+            f"id space is gap-dominated, so island-wise planning would "
+            f"materialize O(keys) driver state. Use BatchChunker's fixed "
+            f"chunk_ranges with probe_mode='histogram' (empty chunks are "
+            f"skipped from one aggregate pass) for this table."
+        )
     out: "list[tuple[int, int]]" = []
-    # bounded: one row per island — gap-structure cardinality, not rows
-    for r in id_islands(keys, id_name).collect():
+    for r in head:
         s = r["island_start"]
         while s <= r["island_end"]:
             e = min(s + chunk_size - 1, r["island_end"])
@@ -2116,8 +2132,9 @@ def ranges_from_islands(
 # rounding dialects differ), so the share ships as exact BIGINT basis        #
 # points over CENTS: both engines aggregate DECIMAL(12,2), multiply to      #
 # integral cents, and divide with integer div — hash-identical by           #
-# construction, and the window reuses the nation aggregate's partitioning   #
-# (region) so the share costs no extra corpus pass.                          #
+# construction. The share window re-shuffles the AGGREGATE (25 nation      #
+# rows) onto region — an Exchange the fingerprint records, but one over    #
+# alphabet-sized data; the corpus is scanned exactly once.                   #
 # --------------------------------------------------------------------------- #
 @query(
     "q58_revenue_share",

@@ -1165,22 +1165,15 @@ def zipf_fit_over_vocab(
     .py; both tiers equality-tested against each other). The vocab is
     persisted for the gate count + rank + statistics passes and enrolled
     in the prefix-sum release registry."""
-    from pyspark.sql import Window
+    from ..functions.prefix import tiered_global_rank
 
-    from ..functions.prefix import register_cache, with_global_rank
-
-    vocab = register_cache(vocab.persist())
-    n_types = vocab.count()  # bounded: returns one long (the gate decision)
-    if n_types >= two_phase_min_types:
-        ranked = with_global_rank(
-            vocab,
-            [F.col("freq").desc(), F.col("token")],
-            unique_cols=["token"],
-            out_col="__r",
-        )
-    else:
-        w = Window.orderBy(F.col("freq").desc(), "token")
-        ranked = vocab.withColumn("__r", F.row_number().over(w))
+    ranked = tiered_global_rank(
+        vocab,
+        [F.col("freq").desc(), F.col("token")],
+        unique_cols=["token"],
+        out_col="__r",
+        min_rows=two_phase_min_types,
+    )
     lrlf = ranked.select(
         F.log(F.col("__r").cast("double")).alias("lr"),
         F.log(F.col("freq").cast("double")).alias("lf"),
@@ -1577,8 +1570,12 @@ def tx29_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # classifier quality is judged on the (tagged, detected) count matrix, not   #
 # per-row predictions. One hash aggregate over tx03's argmax projection —    #
 # output is |langs|² rows at most, so the rollup is alphabet-bounded at any  #
-# corpus size. Accuracy ships as exact BIGINT basis points (correct·10000    #
-# div row-count shares the q50/sp07 integer-ratio idiom).                     #
+# corpus size. Each cell ships its ROW-NORMALIZED share in exact BIGINT      #
+# basis points — cell·10000 div tagged-language total (a window over the    #
+# alphabet-sized aggregate, the q50/sp07 integer-ratio idiom); the diagonal  #
+# cells' shares ARE per-language recall. (The first cut divided the cell's  #
+# correct-count by the cell's own count — constant 0/10000 per cell, a      #
+# metric-free column; round-9 review #3 caught it.)                          #
 # --------------------------------------------------------------------------- #
 @query(
     "tx30_langid_confusion",
@@ -1590,8 +1587,9 @@ def tx29_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT tagged_lang, detected_lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(CASE WHEN tagged_lang = detected_lang THEN 1 ELSE 0 END)
-                * 10000 // COUNT(*) AS BIGINT) AS accuracy_bp
+           CAST(COUNT(*) * 10000
+                // SUM(COUNT(*)) OVER (PARTITION BY tagged_lang)
+             AS BIGINT) AS row_share_bp
     FROM pred
     GROUP BY tagged_lang, detected_lang
     ORDER BY tagged_lang, detected_lang
@@ -1599,14 +1597,18 @@ def tx29_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tx30_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = tx03_langid(spark, sf_dir)
+    cells = pred.groupBy("tagged_lang", "detected_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
     return (
-        pred.groupBy("tagged_lang", "detected_lang")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        cells.select(
+            "tagged_lang",
+            "detected_lang",
+            "n_docs",
             F.expr(
-                "CAST(sum(CASE WHEN tagged_lang = detected_lang "
-                "THEN 1 ELSE 0 END) * 10000 div count(1) AS BIGINT)"
-            ).alias("accuracy_bp"),
+                "CAST(n_docs * 10000 div "
+                "sum(n_docs) OVER (PARTITION BY tagged_lang) AS BIGINT)"
+            ).alias("row_share_bp"),
         )
         .orderBy("tagged_lang", "detected_lang")
     )

@@ -23,7 +23,7 @@ def test_documents_free_of_dialect_splitting_whitespace(sf_dir):
         f"""
         SELECT COUNT(*) FROM '{sf_dir}/documents.parquet'
         WHERE regexp_matches(
-            text, '[\\x{{0b}}\\x{{a0}}\\x{{1680}}\\x{{2000}}-\\x{{200a}}\\x{{2028}}\\x{{2029}}\\x{{202f}}\\x{{205f}}\\x{{3000}}]')
+            text, '[\\x{{0b}}\\x{{1c}}-\\x{{1f}}\\x{{85}}\\x{{a0}}\\x{{1680}}\\x{{2000}}-\\x{{200a}}\\x{{2028}}\\x{{2029}}\\x{{202f}}\\x{{205f}}\\x{{3000}}]')
         """
     ).fetchone()[0]
     assert n == 0, (

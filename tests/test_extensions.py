@@ -2165,3 +2165,22 @@ def test_id_islands_two_phase_tier_equals_plain(spark):
               id_islands(keys, "id", two_phase_min_keys=1).collect()]
     assert plain == forced == [(1, 3, 3), (10, 16, 7), (30, 30, 1),
                                (45, 46, 2)]
+
+
+def test_ranges_from_islands_refuses_gap_dominated_tables(spark):
+    """Round-9 review: island cardinality is O(keys) on adversarially
+    sparse tables (every other id missing), so the driver transfer is
+    gated and refuses its cliff with a pointer to histogram-probe
+    chunking."""
+    import pytest as _pytest
+
+    from dbix_batchchunker_spark.operators.advanced import (
+        ranges_from_islands,
+    )
+
+    odd = spark.range(0, 40).select((F.col("id") * 2 + 1).alias("id"))
+    with _pytest.raises(ValueError, match="gap-dominated"):
+        ranges_from_islands(odd, "id", chunk_size=5, max_islands=10)
+    # under the gate the same table works (20 singleton islands)
+    got = ranges_from_islands(odd, "id", chunk_size=5, max_islands=100)
+    assert got == [(2 * i + 1, 2 * i + 1) for i in range(40)]
