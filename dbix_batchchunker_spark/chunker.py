@@ -1187,9 +1187,15 @@ class ConcurrentChunker:
                         if bc.verbose:
                             from .progress import chunk_status_line
 
+                            # report the width the chunk was actually CUT
+                            # at (ce-cs+1), not ls.chunk_size: a mid-wave
+                            # resize changes the latter while the drained
+                            # ranges still reflect the old width (round-9
+                            # advisor; matches the targeting attribution
+                            # below)
                             bc._message(
                                 chunk_status_line(
-                                    cs, ce, "processed", None, ls.chunk_size,
+                                    cs, ce, "processed", None, ce - cs + 1,
                                     runtime=runtime,
                                     sleep=bc.sleep or 0.0, locale=bc.locale,
                                 )

@@ -109,7 +109,18 @@ def compensating_chunk_overwrite(
     * **One writer per bucket at a time**: concurrent promotes of the
       same bucket race (rmtree vs move). Aligned chunks touch disjoint
       buckets, so any per-id-range concurrency (ConcurrentChunker) is
-      safe once alignment holds."""
+      safe once alignment holds.
+    * **Emptied buckets** (round-9 advisor, medium): a delete-heavy chunk
+      can leave ZERO surviving rows in a bucket it covers; the staged
+      write then produces no ``__bucket=`` dir for it, and a
+      staged-dirs-only promote would leave the old live bucket — stale
+      rows surviving a committed delete. With ``id_range`` the promote
+      therefore CLEARS every covered live bucket that has no staged
+      replacement (recorded under ``"cleared"`` in the marker). WITHOUT
+      ``id_range`` the covering buckets are unknowable from the data
+      alone (an absent bucket is indistinguishable from one outside the
+      chunk), so an emptied bucket is NOT cleared and retains stale
+      data — pass ``id_range`` whenever deletes are possible."""
     import json
     import shutil
 
@@ -156,11 +167,28 @@ def compensating_chunk_overwrite(
         if os.path.exists(target):
             shutil.rmtree(target)
         shutil.move(os.path.join(staging, entry), target)
+    # clear covered-but-unstaged live buckets: a bucket the chunk's range
+    # covers that produced no staged dir has zero surviving rows, and its
+    # old live dir must not outlive the commit (delete-heavy chunks).
+    # Idempotent on replay: a crash after the rmtree re-stages and
+    # re-clears an already-absent dir, a no-op.
+    cleared = []
+    if id_range is not None:
+        start, end = id_range
+        for b in range((start - min_id) // bucket_width,
+                       (end - min_id) // bucket_width + 1):
+            entry = f"__bucket={b}"
+            if entry in buckets:
+                continue
+            target = os.path.join(path, entry)
+            if os.path.exists(target):
+                shutil.rmtree(target)
+                cleared.append(entry)
     # commit marker, atomically
     os.makedirs(os.path.dirname(marker), exist_ok=True)
     tmp = marker + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump({"chunk_id": chunk_id, "buckets": buckets}, fh)
+        json.dump({"chunk_id": chunk_id, "buckets": buckets, "cleared": cleared}, fh)
     os.replace(tmp, marker)
     shutil.rmtree(staging, ignore_errors=True)
     return "committed"

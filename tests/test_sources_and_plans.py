@@ -971,6 +971,56 @@ def test_compensating_chunk_overwrite_protocol(spark, tmp_path):
     }
 
 
+def test_compensating_overwrite_clears_emptied_buckets(spark, tmp_path):
+    """Round-9 advisor (medium): a delete-heavy chunk whose range covers a
+    bucket with ZERO surviving rows stages no dir for it — the promote
+    must CLEAR that live bucket, or stale rows outlive the committed
+    delete. With id_range the covering buckets are derivable, so the
+    clear is part of the commit and recorded in the marker."""
+    import json
+    import os
+
+    from dbix_batchchunker_spark.sources.parquet import (
+        compensating_chunk_overwrite,
+        read_committed,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.range(0, 30).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    compensating_chunk_overwrite(
+        base, path, "0-29", "id", bucket_width=10, id_range=(0, 29)
+    )
+
+    # re-commit chunk 10-19 with ALL its rows deleted (advisor's repro)
+    emptied = base.where((F.col("id") >= 10) & (F.col("id") < 20)).where(
+        F.lit(False)
+    )
+    assert compensating_chunk_overwrite(
+        emptied, path, "10-19", "id", bucket_width=10, id_range=(10, 19)
+    ) == "committed"
+    got = sorted(r.id for r in read_committed(spark, path).collect())
+    assert got == list(range(0, 10)) + list(range(20, 30))
+    marker = json.load(
+        open(os.path.join(path, "_commits", "chunk-10-19.json"))
+    )
+    assert marker["cleared"] == ["__bucket=1"]
+    assert marker["buckets"] == []
+
+    # mixed chunk: bucket 2 emptied, bucket 0 partially survives; bucket 1
+    # is ALREADY absent (cleared above) so only bucket 2 is removed now —
+    # "cleared" records dirs actually deleted, keeping replay idempotent
+    survivors = base.where(F.col("id") < 5)
+    assert compensating_chunk_overwrite(
+        survivors, path, "0-29b", "id", bucket_width=10, id_range=(0, 29)
+    ) == "committed"
+    got = sorted(r.id for r in read_committed(spark, path).collect())
+    assert got == list(range(0, 5))
+    marker = json.load(
+        open(os.path.join(path, "_commits", "chunk-0-29b.json"))
+    )
+    assert marker["cleared"] == ["__bucket=2"]
+
+
 def test_read_committed_range_prunes_buckets(spark, tmp_path):
     """The derived __bucket predicate must reach the scan as a
     PartitionFilter (pruned at planning time), with the id BETWEEN pushed
