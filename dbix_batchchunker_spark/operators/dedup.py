@@ -1363,9 +1363,10 @@ def dd05_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------- #
 # dd10: transitive-closure dedup with a DRIVER-RUNNABLE oracle.               #
 # --------------------------------------------------------------------------- #
-@query(
-    "dd10_jaccard_components",
-    oracle=f"""
+#: The recursive-CTE components oracle, shared VERBATIM by dd10
+#: (components_from_edges) and dd12 (components_star): both closure engines
+#: are adjudicated against the same independently-derived DuckDB answer.
+_COMPONENTS_ORACLE = f"""
     WITH RECURSIVE {_NGRAM_FEATURE_CTES},
     pairs AS ({_NGRAM_PAIR_SELECT}
     ),
@@ -1381,8 +1382,10 @@ def dd05_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT id AS doc_id, MIN(peer) AS rep_id
     FROM reach GROUP BY id ORDER BY doc_id
-    """,
-)
+    """
+
+
+@query("dd10_jaccard_components", oracle=_COMPONENTS_ORACLE)
 def dd10_jaccard_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: dd08's n-gram Jaccard pairs closed into connected
     components by :func:`components_from_edges`.
@@ -1509,3 +1512,193 @@ def dd11_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_sub", "doc_sup")
     )
+
+# --------------------------------------------------------------------------- #
+# dd12: components_star under the recursive-CTE components oracle.             #
+#                                                                             #
+# Round-9 verdict #3: the Kiveris star-contraction closure (components_star,  #
+# dd09's engine) had only pytest pins — its driver-adjudicated sibling dd10   #
+# runs components_from_edges. This registers the CONTRACTION path over the    #
+# same SQL-expressible edge set (dd08's n-gram Jaccard pairs), so DuckDB's    #
+# independent recursive-CTE closure hash-adjudicates every (doc,              #
+# component-min) label the large-star/small-star iteration produces. dd10     #
+# and dd12 share ONE oracle constant (_COMPONENTS_ORACLE, defined above       #
+# dd10) — byte-identical SQL, so the two closure engines are graded against  #
+# the same independent answer and any divergence between them is a driver-   #
+# visible hash mismatch, not just a pytest failure. Scale shape: identical   #
+# to dd09's (O(edges) per round, O(log n) rounds, no pair emission beyond    #
+# dd08's own guarded block join).                                             #
+# --------------------------------------------------------------------------- #
+@query("dd12_star_components", oracle=_COMPONENTS_ORACLE)
+def dd12_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd10's edge set closed by :func:`components_star` instead of
+    :func:`components_from_edges` — the adjudicated registration of the
+    star-contraction closure. Output contract identical to dd10
+    (doc_id, rep_id = component minimum over the dd08 near-dup graph)."""
+    pairs = dd08_ngram_jaccard_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    ids = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    return (
+        components_star(ids, edges)
+        .select(F.col("id").alias("doc_id"), "rep_id")
+        .orderBy("doc_id")
+    )
+
+# --------------------------------------------------------------------------- #
+# dd13: the minhash→band→bucket-join→verify pipeline with a CLOSED-FORM hash  #
+# family, DuckDB-adjudicated END TO END.                                      #
+#                                                                             #
+# dd03/dd06's banding rests on xxhash64, which no oracle can restate — their  #
+# recall is pinned in pytest and dd06's oracle bypasses the banding with an   #
+# all-pairs join. Swapping the hash family for one both engines compute       #
+# exactly (polynomial codepoint fold mod 1e9+7 — tx08's proven primitive —    #
+# plus affine rehashes (Aj·h+Bj) mod p with baked constants) makes EVERY      #
+# stage SQL-statable: DuckDB independently derives signatures, band buckets,  #
+# candidate pairs, and the exact-Jaccard verify, so the driver gate hash-     #
+# adjudicates the banding machinery itself (round-9 verdict #3). The Spark    #
+# side deliberately reuses the production plumbing — _candidates_from_entries #
+# for skew-proof pair emission and verify_jaccard_pairs for the exact check — #
+# so the adjudication covers the same code dd06 runs, not a parallel toy.     #
+#                                                                             #
+# Banding operating point: 4 bands × 4 rows (16 hashes) — per-pair capture    #
+# 1-(1-J⁴)⁴ ≈ 98.6% at J=0.9. The ~1.4% of true pairs the banding misses are  #
+# missed IDENTICALLY by both engines (same hashes), so the comparison stays   #
+# exact; dd06 (16×4 xxhash banding) remains the exhaustive-recall sibling.    #
+# All arithmetic stays in BIGINT: h<p and Aj<p bound Aj·h+Bj < ~1.1e18 and    #
+# the 131-multiplier bucket fold < 1.4e11 — no overflow on either engine.     #
+# --------------------------------------------------------------------------- #
+_SQLMH_MOD = 1_000_000_007
+_SQLMH_HASHES = 16
+_SQLMH_BANDS = 4
+_SQLMH_ROWS = 4
+# affine rehash constants, deterministic and baked into BOTH dialects
+_SQLMH_A = [(j * 2654435761 + 1) % _SQLMH_MOD for j in range(_SQLMH_HASHES)]
+_SQLMH_B = [(j * 40503 + 12345) % _SQLMH_MOD for j in range(_SQLMH_HASHES)]
+assert all(a != 0 for a in _SQLMH_A)
+
+_SQLMH_WORD_SQL = (
+    "list_distinct(list_transform("
+    f"list_filter(regexp_split_to_array(text, '{_WS}'), x -> x != ''), "
+    "w -> list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(regexp_extract_all(w, '[\\s\\S]'), "
+    "c -> CAST(unicode(c) AS BIGINT))), "
+    f"(a, b) -> (a * 31 + b) % {_SQLMH_MOD})))"
+)
+
+# the DuckDB band-bucket fold; must mirror the Spark fold op-for-op (the
+# leading (0*131+h1)%p step collapses to h1 since h1 < p)
+_SQLMH_BUCKET_SQL = (
+    f"(((((s[4*b + 1] * 131 + s[4*b + 2]) % {_SQLMH_MOD}) * 131 + s[4*b + 3])"
+    f" % {_SQLMH_MOD}) * 131 + s[4*b + 4]) % {_SQLMH_MOD}"
+)
+
+
+def _sqlmh_word_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, words: array<long>) — distinct tokens under the closed-form
+    polynomial fold. The select chain materializes toks first so the nested
+    higher-order functions consume a COLUMN (no CSE inside HOF lambdas)."""
+
+    def fold_word(w):
+        codes = F.transform(
+            F.regexp_extract_all(w, F.lit(r"[\s\S]"), F.lit(0)),
+            lambda c: F.ascii(c).cast("long"),
+        )
+        return F.aggregate(
+            codes,
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * 31 + c) % _SQLMH_MOD,
+        )
+
+    return (
+        _spread(docs, "doc_id", "text")
+        .select("doc_id", F.array_distinct(_tokens()).alias("toks"))
+        .select(
+            "doc_id",
+            F.array_distinct(F.transform(F.col("toks"), fold_word)).alias(
+                "words"
+            ),
+        )
+    )
+
+
+def _sqlmh_band_entries(words: DataFrame) -> DataFrame:
+    """words → 16 affine-rehash minhash aggs → (doc_id, band, bucket) rows,
+    the _band_entries shape with the closed-form bucket fold."""
+    shingled = words.select("doc_id", F.explode("words").alias("h"))
+    sig = shingled.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(_SQLMH_A[j]) * F.col("h") + F.lit(_SQLMH_B[j]))
+                % F.lit(_SQLMH_MOD)
+            ).alias(f"h{j}")
+            for j in range(_SQLMH_HASHES)
+        ]
+    )
+    def bucket(b):
+        acc = F.lit(0).cast("long")
+        for r in range(_SQLMH_ROWS):
+            acc = (acc * 131 + F.col(f"h{b * _SQLMH_ROWS + r}")) % F.lit(
+                _SQLMH_MOD
+            )
+        return acc
+
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), bucket(b).alias("bucket")
+                    )
+                    for b in range(_SQLMH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bucket")
+
+
+@query(
+    "dd13_sql_minhash_bands",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {_SQLMH_WORD_SQL} AS words FROM documents
+    ),
+    g AS (SELECT doc_id, unnest(words) AS h FROM w),
+    pj AS (
+        SELECT g.doc_id, r.j,
+               MIN(({_SQLMH_A!r}[CAST(r.j AS INT) + 1] * g.h
+                    + {_SQLMH_B!r}[CAST(r.j AS INT) + 1]) % {_SQLMH_MOD}) AS mh
+        FROM g CROSS JOIN range({_SQLMH_HASHES}) r(j)
+        GROUP BY g.doc_id, r.j
+    ),
+    sigl AS (SELECT doc_id, list(mh ORDER BY j) AS s FROM pj GROUP BY doc_id),
+    bnd AS (
+        SELECT doc_id, CAST(r.b AS INT) AS b, {_SQLMH_BUCKET_SQL} AS bucket
+        FROM sigl CROSS JOIN range({_SQLMH_BANDS}) r(b)
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bnd x JOIN bnd y
+          ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(len(list_intersect(wa.words, wb.words))
+                 / (len(wa.words) + len(wb.words)
+                    - len(list_intersect(wa.words, wb.words))), 6) AS jaccard
+    FROM cand c
+    JOIN w wa ON wa.doc_id = c.doc_a
+    JOIN w wb ON wb.doc_id = c.doc_b
+    WHERE len(list_intersect(wa.words, wb.words))
+          / (len(wa.words) + len(wb.words)
+             - len(list_intersect(wa.words, wb.words))) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dd13_sql_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = _sqlmh_word_hashes(t(spark, sf_dir, "documents")).persist()
+    from ..functions.prefix import register_cache
+
+    register_cache(words)  # outlives the lazy result; shared release path
+    candidates = _candidates_from_entries(_sqlmh_band_entries(words))
+    return verify_jaccard_pairs(candidates, words, JACCARD_THRESHOLD)

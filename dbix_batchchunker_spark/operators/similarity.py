@@ -116,11 +116,65 @@ def lsh_bucket(vec_col, planes: list[list[float]]):
     return bucket
 
 
-@query("sim02_ann_lsh")  # no oracle: rows-only check; recall tested in pytest
+def _sim02_oracle() -> str:
+    """DuckDB restatement of the multi-probe LSH search (round-9 verdict
+    #3: sim02 was rows-only — but nothing in it is RNG at query time; the
+    planes are fixed seed-42 constants, so baking their repr() into the
+    SQL lets DuckDB derive the SAME sign-bit buckets, probe sets, and
+    exact cosines). Cross-engine float safety, measured on this data:
+    ``repr`` round-trips each plane coefficient to the identical double on
+    both parsers, and min |projection| is 6.3e-6 (sf0.1) / 8.3e-4 (sf0.01)
+    — ≥10^7× the ~5e-13 worst-case summation-reorder error of a 64-term
+    double dot product, so the sign bit (all that the bucket uses) cannot
+    disagree between Spark's sequential fold and DuckDB's
+    list_dot_product. Cosine round/rank stability is sim01's argument."""
+    planes = _hyperplanes()
+
+    def lst(p):
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lst(p)}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(len(planes))]
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    bkt AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv,
+               unnest([{probes}]) AS qbucket
+        FROM bkt WHERE vec_id < {N_QUERY_VECS}
+    ),
+    scored AS (
+        SELECT p.query_id, n.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(p.qv, n.v), 6) AS cos_sim
+        FROM probes p JOIN bkt n ON n.bucket = p.qbucket
+        WHERE n.vec_id != p.query_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim
+    FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@query("sim02_ann_lsh", oracle=_sim02_oracle())
 def sim02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH: each query probes its own bucket plus every bucket at
     Hamming distance 1 (flip one sign bit) — the standard recall boost that
-    avoids adding hash tables. Probed fraction ≈ (1+planes)/2^planes."""
+    avoids adding hash tables. Probed fraction ≈ (1+planes)/2^planes.
+    Oracle-adjudicated since round 10 (see :func:`_sim02_oracle`); a
+    neighbor can match at most ONE probe bucket (each vector holds exactly
+    one bucket and the probe set's buckets are distinct), so neither side
+    needs a dedup."""
     from pyspark.sql import Window
 
     planes = _hyperplanes()

@@ -171,19 +171,20 @@ def test_adjudicated_prefix_is_the_load_bearing_fifty():
     # Every prefix slot must be oracle-gated — a rows-only query in the
     # prefix wastes an adjudication slot.
     assert all(n in o for n in prefix)
-    # The round-9 rotation (round-8 verdict "Next round #1") swapped the
-    # 12 never-driver-adjudicated round-8 additions plus the two longest
-    # waiters and the three oldest demotions into the prefix; they must
-    # hold slots until THEIR CORRECTNESS rows come back green.
+    # The round-10 rotation (round-9 verdict "Next round #1") cleared the
+    # ENTIRE never-driver-adjudicated backlog: all 36 waiters plus the 4
+    # round-10 additions hold slots until THEIR CORRECTNESS rows come back
+    # green; the chunker flagships q20-q23 hold permanent slots.
     for name in (
-        "q48_scd2_merge", "q49_zorder_key", "q50_histogram_quantile_rollup",
-        "q51_event_funnel", "q52_dense_hourly_fill",
-        "q53_null_aware_anti_shuffle", "q54_session_paths",
-        "sp07_mixture_waterfill", "sp08_epoch_plan", "tx26_token_rarity",
-        "tx15_dup_windows", "tx17_contamination_severity",
-        "q13_conditional_agg", "q14_below_avg_quantity", "q24_keyset_page",
-        # and the round-7 rotation's three must still hold theirs
-        "tx14_vocab", "sp01_mixture_sample", "q32_banded_range_join",
+        "q20_chunked_delete_survivors", "q21_chunked_groupby_combine",
+        "q22_chunked_update_overlay", "q23_chunked_update_join",
+        "q55_snapshot_diff", "q57_id_islands", "q59_segment_listagg",
+        "tx27_bpe_fixed_encode", "tx30_langid_confusion",
+        "tx31_bpe_trainer_oracle", "mm07_png_header_oracle",
+        "mm08_wav_header_oracle", "dd12_star_components",
+        "dd13_sql_minhash_bands", "sim02_ann_lsh", "sp09_stratified_split",
+        "st03_stream_dedup", "st09_stream_hourly_counts",
+        "st11_stream_session_counts",
     ):
         assert name in prefix, f"{name} lost its driver CORRECTNESS slot"
     # The demoted trio stays oracle-pinned (this file parametrizes over all
