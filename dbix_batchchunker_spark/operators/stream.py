@@ -51,7 +51,11 @@ class _state_partitions:
     trivial per-row work) went 6.6 s → 3.0 s at 8 partitions, while the
     Python-heavy applyInPandasWithState totals (1.7 → 3.1 s) and the
     session-window merge (1.9 → 5.2 s) REGRESSED — their cost is the
-    parallel per-row work 32 partitions spread out. So the knob is
+    parallel per-row work 32 partitions spread out. (Round-10 idle
+    re-measurement: the session-window merge is actually INSENSITIVE in
+    4..32 at idle — 1.31-1.68 s, shallow optimum at 16; the round-8
+    regression was full-suite memory pressure. Sweep table in
+    SCALING.md §Streaming.) So the knob is
     opt-in per drain (``n=None`` leaves the session value), and a
     deployment sizes it so per-store state fits in executor memory (the
     count is then FROZEN by the checkpoint: Spark refuses to re-shard

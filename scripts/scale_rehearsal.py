@@ -1,0 +1,214 @@
+"""One-decade scale rehearsal (round-9 verdict "Next round #6"): amplify the
+driver's sf0.1 testdata 10x into .scale/sf1 and time the flagship family
+heads at both scales, so the 100 TB posture rests on a MEASURED scaling
+exponent per family, not only on plan shape.
+
+Amplification preserves per-shard statistics instead of creating
+pathological cross-shard duplicates (a naive 10x copy makes EVERY doc a
+9-way near-dup, which would scale pair-emission operators ~100x by
+construction and measure the corpus, not the plan):
+
+* documents: 10 shards; shard k > 0 suffixes every word with ``_k`` so
+  cross-shard Jaccard is 0 while within-shard near-dup structure is
+  byte-preserved. doc_id shifts by k * (max_id + 1).
+* embeddings: shard k multiplies each vector by a deterministic per-shard
+  +/-1 dimension mask (cosines within a shard are EXACTLY preserved;
+  cross-shard cosines decorrelate to ~0). vec_id/label shift like doc_id
+  (labels stay shard-local so label-blocked operators keep block sizes).
+* events / orders / lineitem: key columns shift by k * (max + 1); value
+  columns are untouched (hour keys repeat, so time-keyed groupBys grow in
+  ROWS per key, user/order-keyed ones in KEYS — both documented below).
+
+Usage (idle container, nothing else on the CPUs):
+
+    python scripts/scale_rehearsal.py            # build (once) + run
+    python scripts/scale_rehearsal.py --rebuild  # force data rebuild
+
+Results are printed as a markdown table for SCALING.md and written to
+.scale/rehearsal.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(REPO, ".scale", "sf1")
+SHARDS = 10
+
+#: family heads (round-9 verdict list) + their claimed scaling in SCALING.md
+HEADS = [
+    ("dd03_minhash_dedup", "n log n (bucket-graph closure rounds)"),
+    ("dd06_lsh_jaccard_pairs", "n + matching pairs (emission floor)"),
+    ("sim06_ivf_near_dup", "n^2/cells within IVF cells"),
+    ("tx28_gopher_quality_rules", "n (codegen scan)"),
+    ("q51_event_funnel", "n (two-phase agg)"),
+    ("st09_stream_hourly_counts", "n + per-drain fixed cost"),
+    ("q20_chunked_delete_survivors", "n (chunked BETWEEN scans)"),
+    ("q22_chunked_update_overlay", "n"),
+]
+
+
+def _amplify(spark):
+    from pyspark.sql import functions as F
+
+    os.makedirs(DST, exist_ok=True)
+
+    def shards_union(df, build_shard):
+        out = None
+        for k in range(SHARDS):
+            s = build_shard(df, k)
+            out = s if out is None else out.unionByName(s)
+        return out
+
+    # documents ------------------------------------------------------------
+    docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+    max_doc = docs.agg(F.max("doc_id")).first()[0] + 1
+
+    def doc_shard(df, k):
+        s = df.withColumn("doc_id", F.col("doc_id") + F.lit(k * max_doc))
+        if k == 0:
+            return s
+        # suffix EVERY word -> cross-shard Jaccard 0, within-shard intact
+        return s.withColumn(
+            "text", F.regexp_replace("text", r"(\S+)", rf"$1_{k}")
+        ).withColumn("n_chars", F.length("text"))
+
+    shards_union(docs, doc_shard).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(DST, "documents.parquet")
+    )
+
+    # embeddings -----------------------------------------------------------
+    emb = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
+    max_vec = emb.agg(F.max("vec_id")).first()[0] + 1
+    n_lab = emb.agg(F.countDistinct("label")).first()[0]
+    dim = len(emb.select("embedding").first()[0])
+
+    def emb_shard(df, k):
+        s = df.withColumn("vec_id", F.col("vec_id") + F.lit(k * max_vec))
+        s = s.withColumn("label", F.col("label") + F.lit(k * n_lab))
+        if k == 0:
+            return s
+        # deterministic +/-1 mask per (shard, dim): flips decorrelate
+        # cross-shard cosines while preserving within-shard ones exactly
+        mask = F.array(
+            *[
+                F.lit(1.0 if ((k * 2654435761 + d * 40503) >> 7) % 2 == 0 else -1.0)
+                for d in range(dim)
+            ]
+        )
+        return s.withColumn(
+            "embedding",
+            F.zip_with("embedding", mask, lambda v, m: (v * m).cast("float")),
+        )
+
+    shards_union(emb, emb_shard).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(DST, "embeddings.parquet")
+    )
+
+    # events ---------------------------------------------------------------
+    from dbix_batchchunker_spark.operators.registry import t as load
+
+    ev = load(spark, SRC, "events")
+    maxes = ev.agg(
+        F.max("event_id").alias("e"), F.max("user_id").alias("u")
+    ).first()
+
+    def ev_shard(df, k):
+        return df.withColumn(
+            "event_id", F.col("event_id") + F.lit(k * (maxes["e"] + 1))
+        ).withColumn("user_id", F.col("user_id") + F.lit(k * (maxes["u"] + 1)))
+
+    shards_union(ev, ev_shard).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(DST, "events.parquet")
+    )
+
+    # orders / lineitem (chunker family) ------------------------------------
+    orders = spark.read.parquet(os.path.join(SRC, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(SRC, "lineitem.parquet"))
+    max_ord = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    max_cust = orders.agg(F.max("o_custkey")).first()[0] + 1
+
+    def ord_shard(df, k):
+        return df.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(k * max_ord)
+        ).withColumn("o_custkey", F.col("o_custkey") + F.lit(k * max_cust))
+
+    shards_union(orders, ord_shard).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(DST, "orders.parquet"))
+
+    def li_shard(df, k):
+        return df.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(k * max_ord)
+        )
+
+    shards_union(li, li_shard).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(DST, "lineitem.parquet")
+    )
+
+    # small dims some heads' sf_dir plumbing may read: copy through
+    for name in ("region", "nation", "customer", "supplier", "part"):
+        src = os.path.join(SRC, f"{name}.parquet")
+        if os.path.exists(src):
+            spark.read.parquet(src).write.mode("overwrite").parquet(
+                os.path.join(DST, f"{name}.parquet")
+            )
+
+
+def main():
+    from dbix_batchchunker_spark.functions.prefix import release_cumsum_caches
+    from dbix_batchchunker_spark.operators import registry
+    from dbix_batchchunker_spark.session import get_spark
+
+    import __spark_entry__ as E  # noqa: F401  (populates the registry)
+
+    spark = get_spark(master="local[32]", shuffle_partitions=32)
+
+    if "--rebuild" in sys.argv and os.path.isdir(DST):
+        shutil.rmtree(DST)
+    if not os.path.isdir(os.path.join(DST, "documents.parquet")):
+        print("building", DST)
+        t0 = time.monotonic()
+        _amplify(spark)
+        print(f"built in {time.monotonic() - t0:.1f}s")
+
+    results = {}
+    for name, claimed in HEADS:
+        fn = registry.QUERIES[name]
+        row = {}
+        for label, d in (("sf0.1", SRC), ("sf1", DST)):
+            # warm once at sf0.001 the way bench.py does (codegen compile)
+            fn(spark, "/root/testdata/sf0.001").count()
+            release_cumsum_caches()
+            spark.catalog.clearCache()
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.monotonic()
+                fn(spark, d).count()
+                best = min(best, time.monotonic() - t0)
+                release_cumsum_caches()
+                spark.catalog.clearCache()
+            row[label] = round(best, 2)
+        row["ratio"] = round(row["sf1"] / row["sf0.1"], 2)
+        row["claimed"] = claimed
+        results[name] = row
+        print(
+            f"| {name} | {row['sf0.1']:.2f} | {row['sf1']:.2f} "
+            f"| {row['ratio']:.1f}x | {claimed} |"
+        )
+
+    with open(os.path.join(REPO, ".scale", "rehearsal.json"), "w") as fh:
+        json.dump(results, fh, indent=1)
+    print("wrote .scale/rehearsal.json")
+
+
+if __name__ == "__main__":
+    main()
