@@ -1219,7 +1219,20 @@ def simhash_near_pairs(
     # registered so callers (bench, pipelines) can release it — the
     # round-8 form leaked this cache for the session's lifetime.
     sh = register_cache(simhash(docs).persist())
-    mask = (1 << SIMHASH_BAND_BITS) - 1
+    return _banded_hamming_pairs(
+        sh, SIMHASH_BANDS, SIMHASH_BAND_BITS, max_hamming
+    )
+
+
+def _banded_hamming_pairs(
+    sh: DataFrame, bands: int, band_bits: int, max_hamming: int
+) -> DataFrame:
+    """Banded Hamming pair emission over a (doc_id, simhash) frame — ONE
+    copy of the bucket-join/verify plumbing for dd07 (xxhash signature) and
+    dd14 (closed-form signature, where this exact code path is what the
+    DuckDB oracle adjudicates). ``sh`` should be persisted by the caller:
+    the self-join scans it from both sides."""
+    mask = (1 << band_bits) - 1
     entries = sh.select(
         "doc_id",
         "simhash",
@@ -1228,11 +1241,11 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned("simhash", b * SIMHASH_BAND_BITS)
+                        F.shiftrightunsigned("simhash", b * band_bits)
                         .bitwiseAND(F.lit(mask))
                         .alias("bucket"),
                     )
-                    for b in range(SIMHASH_BANDS)
+                    for b in range(bands)
                 ]
             )
         ).alias("bk"),
@@ -1248,9 +1261,9 @@ def simhash_near_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("long")
+            .alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
         .distinct()
@@ -1595,21 +1608,28 @@ _SQLMH_BUCKET_SQL = (
 )
 
 
+def _sqlmh_fold(w: Column) -> Column:
+    """The closed-form token hash both SQL-statable dedup siblings share:
+    polynomial codepoint fold ``(acc*31 + code) % 1e9+7`` — op-for-op the
+    DuckDB ``list_reduce`` in the dd13/dd14 oracles."""
+    codes = F.transform(
+        F.regexp_extract_all(w, F.lit(r"[\s\S]"), F.lit(0)),
+        lambda c: F.ascii(c).cast("long"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % _SQLMH_MOD,
+    )
+
+
 def _sqlmh_word_hashes(docs: DataFrame) -> DataFrame:
     """(doc_id, words: array<long>) — distinct tokens under the closed-form
     polynomial fold. The select chain materializes toks first so the nested
     higher-order functions consume a COLUMN (no CSE inside HOF lambdas)."""
 
     def fold_word(w):
-        codes = F.transform(
-            F.regexp_extract_all(w, F.lit(r"[\s\S]"), F.lit(0)),
-            lambda c: F.ascii(c).cast("long"),
-        )
-        return F.aggregate(
-            codes,
-            F.lit(0).cast("long"),
-            lambda acc, c: (acc * 31 + c) % _SQLMH_MOD,
-        )
+        return _sqlmh_fold(w)
 
     return (
         _spread(docs, "doc_id", "text")
@@ -1702,3 +1722,121 @@ def dd13_sql_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_cache(words)  # outlives the lazy result; shared release path
     candidates = _candidates_from_entries(_sqlmh_band_entries(words))
     return verify_jaccard_pairs(candidates, words, JACCARD_THRESHOLD)
+
+
+# --------------------------------------------------------------------------- #
+# dd14: SQL-statable SimHash banding — dd13's closure for the OTHER near-dup  #
+# sketch family. dd04/dd07 are rows-only because xxhash64 has no DuckDB       #
+# counterpart; swapping in the shared closed-form token fold (_sqlmh_fold)    #
+# plus 60 affine-rehash parity bits makes the ENTIRE pipeline — tf-weighted   #
+# ±1 bit votes, signature packing, banded bucket join, XOR/popcount verify —  #
+# derivable by DuckDB, so the driver gate adjudicates the same                #
+# _banded_hamming_pairs plumbing dd07 runs, not a parallel toy.               #
+#                                                                             #
+# 60 bits (not 64): bit 63 is the BIGINT sign bit, and the engines disagree   #
+# on signed-shift edge semantics — 4 bands × 15 bits sidesteps the hazard     #
+# entirely while keeping 32k buckets/band (bucket population n/32768, so the  #
+# bucket self-join stays linear-ish at gate scales; production recall work    #
+# belongs to dd07's 64-bit/16-bit-band form). Pigeonhole contract is dd07's:  #
+# Hamming ≤ bands-1 ⇒ at least one band collides ⇒ recall 1.0 at the radius. #
+# All arithmetic is BIGINT-exact on both engines: A·h+B < ~1.1e18, votes are  #
+# small ints, signature < 2^60.                                               #
+# --------------------------------------------------------------------------- #
+_SQLSH_BITS = 60
+_SQLSH_BANDS = 4
+_SQLSH_BAND_BITS = _SQLSH_BITS // _SQLSH_BANDS
+_SQLSH_A = [(j * 2654435761 + 1) % _SQLMH_MOD for j in range(_SQLSH_BITS)]
+_SQLSH_B = [(j * 40503 + 12345) % _SQLMH_MOD for j in range(_SQLSH_BITS)]
+assert all(a != 0 for a in _SQLSH_A)
+
+
+def sql_simhash(docs: DataFrame) -> DataFrame:
+    """doc_id → 60-bit closed-form simhash. Same vote algebra as
+    :func:`simhash` (±1 per token OCCURRENCE ≡ ±tf per distinct token);
+    only the bit source differs: parity of affine rehashes of the
+    polynomial fold instead of xxhash64 bit extraction."""
+    tok = _spread(docs, "doc_id", "text").select(
+        "doc_id", F.explode(_tokens()).alias("w")
+    )
+    hashed = tok.select("doc_id", _sqlmh_fold(F.col("w")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(
+                ((F.lit(_SQLSH_A[b]) * F.col("h") + F.lit(_SQLSH_B[b]))
+                 % F.lit(_SQLMH_MOD)) % 2 == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(_SQLSH_BITS)
+    ]
+    bits = hashed.groupBy("doc_id").agg(*votes)
+    sig = reduce(
+        Column.bitwiseOR,
+        [
+            F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b))
+            .otherwise(F.lit(0).cast("long"))
+            for b in range(_SQLSH_BITS)
+        ],
+    )
+    return bits.select("doc_id", sig.alias("simhash"))
+
+
+@query(
+    "dd14_sql_simhash_pairs",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(text, '{_WS}'),
+                      x -> x != '')) AS w
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(regexp_extract_all(w, '[\\s\\S]'),
+                                  c -> CAST(unicode(c) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % {_SQLMH_MOD}) AS h
+        FROM tok
+    ),
+    bits AS (
+        SELECT doc_id, CAST(r.b AS INT) AS b,
+               SUM(CASE WHEN (({_SQLSH_A!r}[CAST(r.b AS INT) + 1] * h
+                               + {_SQLSH_B!r}[CAST(r.b AS INT) + 1])
+                              % {_SQLMH_MOD}) % 2 = 1
+                        THEN 1 ELSE -1 END) AS vote
+        FROM h CROSS JOIN range({_SQLSH_BITS}) r(b)
+        GROUP BY doc_id, r.b
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN vote > 0
+                             THEN (CAST(1 AS BIGINT) << b)
+                             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
+    ),
+    bnd AS (
+        SELECT doc_id, simhash, CAST(r.k AS INT) AS band,
+               (simhash >> ({_SQLSH_BAND_BITS} * CAST(r.k AS INT)))
+               & {(1 << _SQLSH_BAND_BITS) - 1} AS bucket
+        FROM sig CROSS JOIN range({_SQLSH_BANDS}) r(k)
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               x.simhash AS sa, y.simhash AS sb
+        FROM bnd x JOIN bnd y
+          ON x.band = y.band AND x.bucket = y.bucket
+         AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= {SIMHASH_MAX_HAMMING}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dd14_sql_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.prefix import register_cache
+
+    sh = register_cache(sql_simhash(t(spark, sf_dir, "documents")).persist())
+    return _banded_hamming_pairs(
+        sh, _SQLSH_BANDS, _SQLSH_BAND_BITS, SIMHASH_MAX_HAMMING
+    ).orderBy("doc_a", "doc_b")

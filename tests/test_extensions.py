@@ -229,6 +229,44 @@ def test_simhash_banded_pairs_exact_for_hamming_bound(spark):
     assert ppairs.get((0, 1)) == 0
 
 
+def test_sql_simhash_banded_pairs_exact_for_hamming_bound(spark):
+    """dd14 contract (dd07's, under the closed-form hash family): 4×15-bit
+    banding over the 60-bit SQL-statable signature finds EVERY pair within
+    Hamming ≤ 3 and nothing beyond — brute force over the same signatures
+    is the ground truth, so this pins the _banded_hamming_pairs plumbing
+    independently of the DuckDB oracle that adjudicates it at the gate."""
+    import itertools
+
+    from dbix_batchchunker_spark.operators.dedup import (
+        _SQLSH_BAND_BITS,
+        _SQLSH_BANDS,
+        SIMHASH_MAX_HAMMING,
+        _banded_hamming_pairs,
+        sql_simhash,
+    )
+    from dbix_batchchunker_spark.operators.registry import t as load
+
+    docs = load(spark, SF_DIR, "documents")
+    sh = sql_simhash(docs).persist()
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in _banded_hamming_pairs(
+            sh, _SQLSH_BANDS, _SQLSH_BAND_BITS, SIMHASH_MAX_HAMMING
+        ).collect()
+    }
+    sig = {r.doc_id: r.simhash for r in sh.collect()}
+    sh.unpersist()
+    assert all(0 <= s < (1 << 60) for s in sig.values())
+
+    expected = {}
+    for a, b in itertools.combinations(sorted(sig), 2):
+        hd = bin(sig[a] ^ sig[b]).count("1")
+        if hd <= SIMHASH_MAX_HAMMING:
+            expected[(a, b)] = hd
+    assert got == expected
+    assert expected, "corpus should contain at least one sql-simhash near-dup"
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark):
     from dbix_batchchunker_spark.operators.similarity import (
         sim01_topk_bruteforce,
