@@ -85,7 +85,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     round 7). Everything green in r09 rotates out.
 #: Every rotated-out query stays oracle-pinned in the local gate replica
 #: (tests/test_queries_oracle.py parametrizes over every oracle —
-#: 118 as of round 10, dd14 included).
+#: 121 as of round 10: dd14, dd15, and the newly oracle-gated sim06/sim07
+#: included).
 ADJUDICATED_PREFIX = (
     # chunker flagships: permanent slots
     "q20_chunked_delete_survivors", "q21_chunked_groupby_combine",

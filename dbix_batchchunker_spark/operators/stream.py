@@ -143,7 +143,9 @@ def hourly_rollup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(path).schema
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        # no maxFilesPerTrigger: one-file-per-trigger multiplies the fixed
+        # per-micro-batch cost by the file count at scale (see st09's note;
+        # measured 34.8 s vs 1.9 s at the sf1 rehearsal for the same result)
         # testdata tables are single parquet FILES; the file-stream source
         # needs a directory-rooted GLOB (a bare file path makes it treat the
         # file itself as basePath and die with "'basePath' must be a
@@ -599,12 +601,17 @@ def st09_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
-    # glob-anchored path: see the basePath note in hourly_rollup_streamed
+    # glob-anchored path: see the basePath note in hourly_rollup_streamed.
+    # max_files_per_trigger stays UNSET: each micro-batch carries a fixed
+    # ~0.3-3 s cost (trigger planning + state-store commit), so slicing a
+    # bounded availableNow drain one file per batch multiplies that cost by
+    # the file count — the sf1 rehearsal measured 34.8 s at mfpt=1 vs 4.0 s
+    # at mfpt=8 vs 1.9 s unset for the identical final result (SCALING.md
+    # "One-decade rehearsal"). mfpt is a CHUNKING knob: size it so a batch
+    # is seconds-to-minutes of work (the reference's chunk-duration target
+    # applied to trigger sizing), never 1-file-per-trigger at scale.
     stream = normalize_event_ts(
-        stream_table(
-            spark, os.path.join(sf_dir, "events.*"),
-            schema=schema, max_files_per_trigger=1,
-        )
+        stream_table(spark, os.path.join(sf_dir, "events.*"), schema=schema)
     )
     agg = windowed_counts(
         stream, ts_col="ts", window="1 hour", watermark="2 hours"

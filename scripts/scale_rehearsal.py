@@ -170,7 +170,16 @@ def main():
 
     import __spark_entry__ as E  # noqa: F401  (populates the registry)
 
-    spark = get_spark(master="local[32]", shuffle_partitions=32)
+    # local[32] is ONE JVM: driver + all 32 executor threads share this
+    # heap, so the 10x rehearsal needs a 10x-ish heap to stand in for the
+    # per-executor memory a real cluster scales horizontally (8g default
+    # OOM'd building a broadcast mid-suite at sf1 — cumulative block-manager
+    # state, not any single plan; every head passes alone at 8g).
+    spark = get_spark(
+        master="local[32]",
+        shuffle_partitions=32,
+        extra_conf={"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "32g")},
+    )
 
     if "--rebuild" in sys.argv and os.path.isdir(DST):
         shutil.rmtree(DST)
@@ -190,10 +199,11 @@ def main():
             release_cumsum_caches()
             spark.catalog.clearCache()
             best = float("inf")
-            for _ in range(2):
+            for i in range(2):
                 t0 = time.monotonic()
                 fn(spark, d).count()
                 best = min(best, time.monotonic() - t0)
+                print(f"  {name} {label} run{i}: {time.monotonic() - t0:.2f}s", flush=True)
                 release_cumsum_caches()
                 spark.catalog.clearCache()
             row[label] = round(best, 2)
