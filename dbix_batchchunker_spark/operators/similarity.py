@@ -962,16 +962,77 @@ def sim08_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # step RAG/corpus-sampling pipelines run after ANN. Greedy selection is      #
 # inherently sequential IN k but embarrassingly parallel ACROSS queries:     #
 # one applyInPandas group per query (Arrow-batched, candidate-sized — 50     #
-# rows × 64 dims — never corpus-sized). No oracle: the sequential argmax    #
-# isn't SQL-expressible; determinism + the diversity property are pinned    #
-# against an independent numpy reference in tests/test_extensions.py.        #
+# rows × 64 dims — never corpus-sized).                                      #
+#                                                                             #
+# ORACLE-gated since round 10: the greedy loop IS SQL-statable — a DuckDB    #
+# recursive CTE carries the selected set (ids + vectors) one row per         #
+# (query, step), re-scores the un-selected candidates each step, and takes   #
+# the argmax via QUALIFY ROW_NUMBER ordered (mmr DESC, rel DESC, id ASC) —   #
+# exactly numpy argmax's first-max over the (rel desc, id asc) pre-sort.     #
+# Cross-engine float discipline (measured bit-equal at ALL three gate        #
+# scales): rel and the redundancy term are both 6-dp-quantized doubles       #
+# BEFORE the affine combination, and the oracle must write the lambda        #
+# complement as (1 - CAST(l AS DOUBLE)) because numpy's ``1 - 0.7`` is the   #
+# IEEE 0.30000000000000004 while DuckDB folds the literal ``1 - 0.7`` in     #
+# exact DECIMAL arithmetic to 0.3 (one-ulp score drift, caught by the        #
+# hash). A rank flip would need an unrounded cosine within ~1e-12 of a       #
+# 0.5e-6 rounding boundary — same safety argument as sim01's ranking.        #
 # --------------------------------------------------------------------------- #
 _MMR_CANDIDATES = 50
 _MMR_K = 10
 _MMR_LAMBDA = 0.7
 
 
-@query("sim09_mmr_rerank")  # rows-only: sequential greedy argmax per query
+@query(
+    "sim09_mmr_rerank",
+    oracle=f"""
+    WITH RECURSIVE
+    q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+    cand0 AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               CAST(e.embedding AS DOUBLE[]) AS emb,
+               ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])), 6) AS rel
+        FROM q JOIN embeddings e ON e.vec_id != q.vec_id
+    ),
+    cand AS (
+        SELECT query_id, neighbor_id, emb, rel FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS r
+            FROM cand0
+        ) WHERE r <= {_MMR_CANDIDATES}
+    ),
+    sel(query_id, step, sel_ids, sel_vecs, last_id, last_score) AS (
+        SELECT query_id, 1, [neighbor_id], [emb], neighbor_id,
+               {_MMR_LAMBDA} * rel
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS r
+            FROM cand
+        ) WHERE r = 1
+        UNION ALL
+        SELECT query_id, step + 1, list_append(sel_ids, neighbor_id),
+               list_append(sel_vecs, emb), neighbor_id, mmr
+        FROM (
+            SELECT s.query_id, s.step, s.sel_ids, s.sel_vecs,
+                   c.neighbor_id, c.emb, c.rel,
+                   {_MMR_LAMBDA} * c.rel
+                   - (1 - CAST({_MMR_LAMBDA} AS DOUBLE))
+                     * list_max(list_transform(s.sel_vecs,
+                         v -> ROUND(list_cosine_similarity(v, c.emb), 6))) AS mmr
+            FROM sel s
+            JOIN cand c ON c.query_id = s.query_id
+                        AND NOT list_contains(s.sel_ids, c.neighbor_id)
+            WHERE s.step < {_MMR_K}
+        )
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY mmr DESC, rel DESC, neighbor_id) = 1
+    )
+    SELECT query_id, last_id AS neighbor_id, CAST(step AS INT) AS mmr_rank,
+           last_score AS mmr_score
+    FROM sel ORDER BY query_id, mmr_rank
+    """,
+)
 def sim09_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from pyspark.sql import types as T
