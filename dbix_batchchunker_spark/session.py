@@ -30,23 +30,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Let AQE coalesce DOWN from a wide initial reducer count instead of
-        # being capped at shuffle_partitions: heavy shuffles get real width,
-        # small stages coalesce back to few tasks, so the knob scales with
-        # data without hurting short queries. Measured (sf0.1, min-of-2,
-        # 12-query heavy mix): 35.2 s -> 32.9 s at 256 vs unset, gains
-        # concentrated in the shuffle-bound dedup family (dd02 6.05->5.75,
-        # dd06 4.27->3.98, dd13 2.57->2.19, q23 1.97->1.71, sim03
-        # 3.66->3.29), worst regression +0.09 s on a sub-second query (AQE
-        # planning on more initial partitions). This is runtime sizing only
-        # — plan shapes, Exchange counts, and stateful-streaming state-store
-        # counts (bound to shuffle_partitions) are unchanged. At cluster
-        # scale raise it with the data (tens of thousands at 100 TB); 8x
-        # cores is the single-node sweet spot measured here.
-        .config(
-            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            str(8 * shuffle_partitions),
-        )
+        # AQE initialPartitionNum stays UNSET by default — a measured
+        # two-sided result (SCALING.md "One-decade rehearsal" follow-ups):
+        # 8x cores improved a shuffle-bound heavy mix 35.2 -> 32.9 s at
+        # sf0.1 (dd02/dd06/dd13/q23/sim03 each -6..15%), but regressed the
+        # iterative/persist-heavy pipelines ~20% (dd03 2.59 -> 3.11, dd07
+        # 2.64 -> 3.17 solo min-of-3: their many small shuffles launch 8x
+        # tasks of trivial work that AQE's byte-sized coalescing does not
+        # collapse), and the full 143-query suite read ~+5% with it on.
+        # At cluster scale DO raise it with the data (tens of thousands of
+        # initial partitions at 100 TB, where per-reducer bytes — not task
+        # launch — dominate); pass it via extra_conf per workload.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
