@@ -83,12 +83,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     adjudicated every round); the 6 remaining slots re-adjudicate the
 #:     OLDEST demotions (q02/q04/q05/q06/q10/q11, driver-green last in
 #:     round 7). Everything green in r09 rotates out. Queued for the
-#:     round-11 rotation: the round-10 LATE additions (dd14, dd15, sim06,
-#:     sim07, sim09 — all oracle-gated after this prefix was pinned).
+#:     round-11 rotation: the round-10 LATE additions (dd14, dd15,
+#:     sim06, sim07, sim09, mm02, mm03 — all oracle-gated after this
+#:     prefix was pinned).
 #: Every rotated-out query stays oracle-pinned in the local gate replica
 #: (tests/test_queries_oracle.py parametrizes over every oracle —
-#: 121 as of round 10: dd14, dd15, and the newly oracle-gated sim06/sim07
-#: included).
+#: 124 as of round 10: dd14, dd15, and the newly oracle-gated
+#: sim06/sim07/sim09/mm02/mm03 included).
 ADJUDICATED_PREFIX = (
     # chunker flagships: permanent slots
     "q20_chunked_delete_survivors", "q21_chunked_groupby_combine",

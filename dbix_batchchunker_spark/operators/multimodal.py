@@ -118,7 +118,49 @@ def decode_binary_column(
     return df.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
 
 
-@query("mm02_decode_pipeline")  # no oracle: Pandas-UDF pipeline, rows-only check
+# ORACLE-gated since round 10 (mm07's closed-form pattern applied to the
+# Arrow decode seam): the stub codec derives every output field from the
+# payload's first 8 bytes as a big-endian integer, and DuckDB can state
+# that integer exactly — hex(encode(text)) right-padded to 16 nibbles,
+# folded (acc*16 + digit) in HUGEINT (2^64-1 exceeds BIGINT). Bit-shifts
+# restate as floor-division by 256^i. The float32 feature strings are safe
+# cross-engine: the value space is exactly {k/255 : k in 0..255} and all
+# 256 DuckDB CAST(CAST(k/255.0 AS FLOAT) AS VARCHAR) strings were verified
+# equal to Spark's cast(float as string). A green row adjudicates the
+# whole mapInPandas Arrow batch path — schema, batching, byte plumbing —
+# under hash, leaving only the pluggable real codec (functions/png.py)
+# outside the oracle, where it belongs.
+@query(
+    "mm02_decode_pipeline",
+    oracle=r"""
+    WITH hx AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS payload_bytes,
+               rpad(substr(hex(encode(text)), 1, 16), 16, '0') AS hs
+        FROM documents
+    ),
+    hv AS (
+        SELECT doc_id, payload_bytes,
+               list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                   list_transform(regexp_extract_all(hs, '[\s\S]'),
+                       c -> CAST(strpos('0123456789ABCDEF', c) - 1 AS HUGEINT))),
+                   (a, b) -> a * 16 + b) AS h
+        FROM hx
+    )
+    SELECT doc_id,
+           CAST(payload_bytes AS BIGINT) AS payload_bytes,
+           CAST(64 + (h % 1920) AS INT) AS width,
+           CAST(64 + ((h // 65536) % 1080) AS INT) AS height,
+           CAST(1 + (h % 32) AS INT) AS n_frames,
+           concat_ws(',',
+               CAST(CAST((h % 256) / 255.0 AS FLOAT) AS VARCHAR),
+               CAST(CAST(((h // 256) % 256) / 255.0 AS FLOAT) AS VARCHAR),
+               CAST(CAST(((h // 65536) % 256) / 255.0 AS FLOAT) AS VARCHAR),
+               CAST(CAST(((h // 16777216) % 256) / 255.0 AS FLOAT) AS VARCHAR)
+           ) AS feature_csv
+    FROM hv ORDER BY doc_id
+    """,
+)
 def mm02_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
@@ -328,7 +370,29 @@ def resize_and_sample_stats(
     return df.mapInPandas(batches, schema=RESIZE_STATS_SCHEMA)
 
 
-@query("mm03_resize_and_sample")  # no oracle: Pandas-UDF pipeline, rows-only
+# ORACLE-gated since round 10, mm02's pattern: both fused outputs are
+# integer functions of the payload LENGTH alone — the stub resize emits
+# payload[::stride][:64] with stride = max(1, L // 64), so resized_bytes
+# = min(64, ceil(L / stride)); the frame sampler emits
+# len(range(0, max(1, L // 64), 4)) = ceil(max(1, L // 64) / 4). DuckDB
+# states both closed-form from octet_length(encode(text)), adjudicating
+# the fused one-pass mapInPandas batch shape under hash. (Empty payloads
+# raise in the stub by design; the corpus has none — verified all SFs.)
+@query(
+    "mm03_resize_and_sample",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, octet_length(encode(text)) AS L FROM documents
+    ),
+    s AS (SELECT doc_id, L, greatest(1, L // 64) AS stride FROM p)
+    SELECT doc_id,
+           CAST(8 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           CAST(least(64, (L + stride - 1) // stride) AS INT) AS resized_bytes,
+           CAST((greatest(1, L // 64) + 3) // 4 AS INT) AS n_sampled_frames
+    FROM s ORDER BY doc_id
+    """,
+)
 def mm03_resize_and_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
