@@ -1043,10 +1043,13 @@ class ConcurrentChunker:
                 from .progress import chunk_status_line
 
                 # same reference-uniform line the serial loop prints
-                # (chunk_count is unprobed here — static ranges, no COUNT)
+                # (chunk_count is unprobed here — static ranges, no COUNT).
+                # Width = end-start+1, the range's ACTUAL cut: the tail
+                # range is clamped to max_id, so bc.chunk_size would
+                # over-report it (same attribution rule as wave mode below)
                 bc._message(
                     chunk_status_line(
-                        start, end, "processed", None, bc.chunk_size,
+                        start, end, "processed", None, end - start + 1,
                         runtime=bc.time_source() - t0,
                         sleep=bc.sleep or 0.0, locale=bc.locale,
                     )

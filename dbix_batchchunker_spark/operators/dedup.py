@@ -1599,10 +1599,19 @@ _SQLMH_MOD = 1_000_000_007
 _SQLMH_HASHES = 16
 _SQLMH_BANDS = 4
 _SQLMH_ROWS = 4
-# affine rehash constants, deterministic and baked into BOTH dialects
-_SQLMH_A = [(j * 2654435761 + 1) % _SQLMH_MOD for j in range(_SQLMH_HASHES)]
-_SQLMH_B = [(j * 40503 + 12345) % _SQLMH_MOD for j in range(_SQLMH_HASHES)]
-assert all(a != 0 for a in _SQLMH_A)
+
+
+def _affine_consts(n: int) -> tuple[list[int], list[int]]:
+    """The (A_j, B_j) affine rehash constants, deterministic and baked into
+    BOTH dialects — ONE generator shared by the minhash (16) and simhash
+    (60) closed-form families so the two can never desynchronize."""
+    a = [(j * 2654435761 + 1) % _SQLMH_MOD for j in range(n)]
+    b = [(j * 40503 + 12345) % _SQLMH_MOD for j in range(n)]
+    assert all(x != 0 for x in a)
+    return a, b
+
+
+_SQLMH_A, _SQLMH_B = _affine_consts(_SQLMH_HASHES)
 
 _SQLMH_WORD_SQL = (
     "list_distinct(list_transform("
@@ -1641,17 +1650,14 @@ def _sqlmh_word_hashes(docs: DataFrame) -> DataFrame:
     polynomial fold. The select chain materializes toks first so the nested
     higher-order functions consume a COLUMN (no CSE inside HOF lambdas)."""
 
-    def fold_word(w):
-        return _sqlmh_fold(w)
-
     return (
         _spread(docs, "doc_id", "text")
         .select("doc_id", F.array_distinct(_tokens()).alias("toks"))
         .select(
             "doc_id",
-            F.array_distinct(F.transform(F.col("toks"), fold_word)).alias(
-                "words"
-            ),
+            F.array_distinct(
+                F.transform(F.col("toks"), _sqlmh_fold)
+            ).alias("words"),
         )
     )
 
@@ -1814,9 +1820,7 @@ def dd15_sql_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQLSH_BITS = 60
 _SQLSH_BANDS = 4
 _SQLSH_BAND_BITS = _SQLSH_BITS // _SQLSH_BANDS
-_SQLSH_A = [(j * 2654435761 + 1) % _SQLMH_MOD for j in range(_SQLSH_BITS)]
-_SQLSH_B = [(j * 40503 + 12345) % _SQLMH_MOD for j in range(_SQLSH_BITS)]
-assert all(a != 0 for a in _SQLSH_A)
+_SQLSH_A, _SQLSH_B = _affine_consts(_SQLSH_BITS)
 
 
 def sql_simhash(docs: DataFrame) -> DataFrame:

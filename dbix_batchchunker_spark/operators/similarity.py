@@ -219,15 +219,24 @@ def sim02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sim03: embedding near-dup pairs within label blocks                         #
 # (the embedding-cosine dedup of SURVEY.md §2.C; label is the blocking key)   #
 # --------------------------------------------------------------------------- #
-@query(
-    "sim03_embedding_near_dup",
-    oracle="""
+def _exact_label_pairs_oracle(threshold) -> str:
+    """The exact label-blocked cosine listing — ONE text shared by sim03
+    (its own contract), sim06 (whose recall-1.0 operating point must EQUAL
+    it), and sim07's closure oracle (the same listing at 0.35 is the edge
+    CTE), so the three adjudications cannot drift apart (the dd10/dd12
+    shared-constant stance)."""
+    return f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
-    """,
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= {threshold}
+    """
+
+
+@query(
+    "sim03_embedding_near_dup",
+    oracle=_exact_label_pairs_oracle(0.3),
 )
 def sim03_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").withColumn("nrm", norm(F.col("embedding")))
@@ -588,13 +597,7 @@ def ivf_near_dup_pairs(
 # (which keeps the 0.95 floor as the early local tripwire).
 @query(
     "sim06_ivf_near_dup",
-    oracle="""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
-    """,
+    oracle=_exact_label_pairs_oracle(SIM06_THRESHOLD),
 )
 def sim06_ivf_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").withColumn("nrm", norm(F.col("embedding")))
@@ -661,14 +664,9 @@ def embedding_dedup(
 # early tripwire.
 @query(
     "sim07_embedding_dedup",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE pairs AS (
-        SELECT a.vec_id AS va, b.vec_id AS vb
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                           CAST(b.embedding AS DOUBLE[])), 6)
-              >= 0.35
+        SELECT vec_a AS va, vec_b AS vb FROM ({_exact_label_pairs_oracle(SIM07_THRESHOLD)})
     ),
     adj AS (
         SELECT va AS src, vb AS dst FROM pairs

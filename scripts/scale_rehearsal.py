@@ -97,7 +97,9 @@ def _amplify(spark):
     # embeddings -----------------------------------------------------------
     emb = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
     max_vec = emb.agg(F.max("vec_id")).first()[0] + 1
-    n_lab = emb.agg(F.countDistinct("label")).first()[0]
+    # max+1 like every other key shift here — countDistinct would collide
+    # shards if labels were ever sparse or non-zero-based
+    n_lab = emb.agg(F.max("label")).first()[0] + 1
     dim = len(emb.select("embedding").first()[0])
 
     def emb_shard(df, k):
@@ -220,8 +222,9 @@ def main():
             for i in range(2):
                 t0 = time.monotonic()
                 fn(spark, d).count()
-                best = min(best, time.monotonic() - t0)
-                print(f"  {name} {label} run{i}: {time.monotonic() - t0:.2f}s", flush=True)
+                took = time.monotonic() - t0
+                best = min(best, took)
+                print(f"  {name} {label} run{i}: {took:.2f}s", flush=True)
                 release_cumsum_caches()
                 spark.catalog.clearCache()
             row[label] = round(best, 2)
