@@ -86,97 +86,63 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     round-11 rotation: the round-10 LATE additions (dd14, dd15,
 #:     sim06, sim07, sim09, mm02, mm03 — all oracle-gated after this
 #:     prefix was pinned).
+#:   round 11: CORRECTNESS_r10 = 50/50 green (all 40 first-timers
+#:     passed), so every r10 green except the permanent chunker slots
+#:     rotates out. In: the 7 queued late-r10 oracle additions — the
+#:     entire never-driver-adjudicated backlog (dd14/dd15, mm02/mm03,
+#:     sim06/sim07/sim09) — plus the round-11 additions earning
+#:     first-round driver rows (st01/st02/st04 batch-drain oracles,
+#:     tx32 trainer→encode composition, mm04 pHash oracle), so the
+#:     never-adjudicated backlog hits ZERO. Remaining slots refill from
+#:     the head of DEMOTED_FROM_PREFIX (oldest driver-green first:
+#:     q01/q03/q07/q08… last green round 9).
 #: Every rotated-out query stays oracle-pinned in the local gate replica
 #: (tests/test_queries_oracle.py parametrizes over every oracle —
-#: 124 as of round 10: dd14, dd15, and the newly oracle-gated
-#: sim06/sim07/sim09/mm02/mm03 included).
+#: 124 as of round 10, 129 after the round-11 additions).
 ADJUDICATED_PREFIX = (
     # chunker flagships: permanent slots
     "q20_chunked_delete_survivors", "q21_chunked_groupby_combine",
     "q22_chunked_update_overlay", "q23_chunked_update_join",
-    # relational waiters (never driver-adjudicated until now)
-    "q34_grouping_sets", "q35_event_gaps", "q37_topk_per_group",
-    "q39_spend_deciles", "q41_sketch_rollup", "q43_salted_hot_join",
-    "q45_unpivot_status_counts", "q46_lateral_topn_per_customer",
-    "q47_recursive_hierarchy_rollup", "q55_snapshot_diff",
-    "q56_relational_division", "q57_id_islands", "q58_revenue_share",
-    "q59_segment_listagg",
-    # text / tokenizer waiters + the round-10 trainer oracle
-    "tx19_classifier_score", "tx20_split_leakage", "tx21_variant_extract",
-    "tx22_zipf_fit", "tx23_pii_scan", "tx27_bpe_fixed_encode",
-    "tx28_gopher_quality_rules", "tx29_ngram_novelty",
-    "tx30_langid_confusion", "tx31_bpe_trainer_oracle",
-    # multimodal header oracles
-    "mm07_png_header_oracle", "mm08_wav_header_oracle",
-    # round-10 dedup/ANN adjudications (verdict #3)
-    "dd12_star_components", "dd13_sql_minhash_bands", "sim02_ann_lsh",
-    # sampling waiters
-    "sp02_weighted_sample", "sp03_temperature_sample", "sp05_pack_segments",
-    "sp06_epoch_shuffle", "sp09_stratified_split",
-    # the streaming block's first driver slots
-    "st03_stream_dedup", "st05_stream_enrich", "st06_stream_stream_join",
-    "st09_stream_hourly_counts", "st10_stream_user_counts",
-    "st11_stream_session_counts",
-    # oldest demotions, re-adjudicated (driver-green last in round 7)
-    "q02_filter_predicates", "q04_minmax_count", "q05_groupby_having",
-    "q06_view_orders_1995", "q10_set_ops", "q11_hourly_event_rollup",
+    # the 7 queued late-r10 oracle additions (verdict r10 #1)
+    "dd14_sql_simhash_pairs", "dd15_sql_minhash_components",
+    "mm02_decode_pipeline", "mm03_resize_and_sample",
+    "sim06_ivf_near_dup", "sim07_embedding_dedup", "sim09_mmr_rerank",
+    # round-11 additions: first driver rows in their debut round
+    "st01_stream_hourly_rollup", "st02_stream_user_totals",
+    "st04_stream_sessions", "tx32_bpe_train_encode",
+    "mm04_phash_near_dup",
+    # oldest demotions re-adjudicated (head of the queue; last
+    # driver-green round 9)
+    "q01_pricing_summary", "q03_revenue_by_nation", "q07_top_customers",
+    "q08_latest_event_per_user", "q09_customers_without_orders",
+    "q12_rollup_revenue", "q13_conditional_agg", "q14_below_avg_quantity",
+    "q15_asof_join", "q24_keyset_page", "q25_shipping_priority",
+    "q26_returned_items", "q27_above_avg_spenders", "q28_cube_counts",
+    "q29_fuzzy_part_names", "q30_sessionize", "q31_running_revenue",
+    "q32_banded_range_join", "q48_scd2_merge", "q49_zorder_key",
+    "q50_histogram_quantile_rollup", "q51_event_funnel",
+    "q52_dense_hourly_fill", "q53_null_aware_anti_shuffle",
+    "q54_session_paths",
+    "dd01_exact", "dd02_jaccard_pairs", "dd05_mllib_minhash",
+    "dd06_lsh_jaccard_pairs", "dd08_ngram_jaccard_pairs",
+    "mm01_binary_stats", "sim01_topk_bruteforce", "sim03_embedding_near_dup",
+    "tx02_quality_score",
 )
 
 #: Former slot-holders, first in line for re-adjudication when the
-#: rotation swings back — they head the trailing gated block so a raised
-#: driver cap would pick them up first.
+#: rotation swings back — the queue is ordered OLDEST driver-green first,
+#: so the head is always first in line when slots free up (or if the
+#: driver cap were raised).
 DEMOTED_FROM_PREFIX = (
-    # Round-10 demotions head the queue (newest demotion = most recent
-    # driver-green row, so the OLDER tail below them is still first in
-    # line when slots free up; q02/q04/q05/q06/q10/q11 left this list by
-    # rotating BACK IN this round). All 46 were driver-green in r09.
-    "q01_pricing_summary",
-    "q03_revenue_by_nation",
-    "q07_top_customers",
-    "q08_latest_event_per_user",
-    "q09_customers_without_orders",
-    "q12_rollup_revenue",
-    "q13_conditional_agg",
-    "q14_below_avg_quantity",
-    "q15_asof_join",
-    "q24_keyset_page",
-    "q25_shipping_priority",
-    "q26_returned_items",
-    "q27_above_avg_spenders",
-    "q28_cube_counts",
-    "q29_fuzzy_part_names",
-    "q30_sessionize",
-    "q31_running_revenue",
-    "q32_banded_range_join",
-    "q48_scd2_merge",
-    "q49_zorder_key",
-    "q50_histogram_quantile_rollup",
-    "q51_event_funnel",
-    "q52_dense_hourly_fill",
-    "q53_null_aware_anti_shuffle",
-    "q54_session_paths",
-    "dd01_exact",
-    "dd02_jaccard_pairs",
-    "dd05_mllib_minhash",
-    "dd06_lsh_jaccard_pairs",
-    "dd08_ngram_jaccard_pairs",
-    "mm01_binary_stats",
-    "sim01_topk_bruteforce",
-    "sim03_embedding_near_dup",
-    "tx02_quality_score",
-    "tx03_langid",
-    "tx06_pipeline_quality_dedup",
-    "tx07_bpe_token_count",
-    "tx10_decontaminate",
-    "tx11_group_sample",
-    "tx14_vocab",
-    "tx15_dup_windows",
-    "tx17_contamination_severity",
-    "tx26_token_rarity",
-    "sp01_mixture_sample",
-    "sp07_mixture_waterfill",
-    "sp08_epoch_plan",
-    # Round-9 demotions.
+    # Last driver-green round 7 (demoted round 8; the q-siblings of this
+    # batch were re-adjudicated in round 10).
+    "tx01_token_stats",
+    "tx04_fingerprint",
+    "tx05_json_extract",
+    "tx08_rolling_hash",
+    "tx09_det_split",
+    "tx12_repetition",
+    # Last driver-green round 8 (demoted round 9).
     "q16_semi_join",
     "q17_scalar_functions",
     "q18_percentiles",
@@ -192,13 +158,68 @@ DEMOTED_FROM_PREFIX = (
     "tx16_bloom_decontaminate",
     "tx18_bpe_merge_pairs",
     "sp04_sequence_packing",
-    # Round-8 demotions.
-    "tx01_token_stats",
-    "tx04_fingerprint",
-    "tx05_json_extract",
-    "tx08_rolling_hash",
-    "tx09_det_split",
-    "tx12_repetition",
+    # Last driver-green round 9 (demoted round 10; q01…tx02 from this
+    # batch rotated BACK IN this round).
+    "tx03_langid",
+    "tx06_pipeline_quality_dedup",
+    "tx07_bpe_token_count",
+    "tx10_decontaminate",
+    "tx11_group_sample",
+    "tx14_vocab",
+    "tx15_dup_windows",
+    "tx17_contamination_severity",
+    "tx26_token_rarity",
+    "sp01_mixture_sample",
+    "sp07_mixture_waterfill",
+    "sp08_epoch_plan",
+    # Last driver-green round 10 (demoted this round — all 46 r10 greens
+    # except the permanent chunker flagships).
+    "q34_grouping_sets",
+    "q35_event_gaps",
+    "q37_topk_per_group",
+    "q39_spend_deciles",
+    "q41_sketch_rollup",
+    "q43_salted_hot_join",
+    "q45_unpivot_status_counts",
+    "q46_lateral_topn_per_customer",
+    "q47_recursive_hierarchy_rollup",
+    "q55_snapshot_diff",
+    "q56_relational_division",
+    "q57_id_islands",
+    "q58_revenue_share",
+    "q59_segment_listagg",
+    "tx19_classifier_score",
+    "tx20_split_leakage",
+    "tx21_variant_extract",
+    "tx22_zipf_fit",
+    "tx23_pii_scan",
+    "tx27_bpe_fixed_encode",
+    "tx28_gopher_quality_rules",
+    "tx29_ngram_novelty",
+    "tx30_langid_confusion",
+    "tx31_bpe_trainer_oracle",
+    "mm07_png_header_oracle",
+    "mm08_wav_header_oracle",
+    "dd12_star_components",
+    "dd13_sql_minhash_bands",
+    "sim02_ann_lsh",
+    "sp02_weighted_sample",
+    "sp03_temperature_sample",
+    "sp05_pack_segments",
+    "sp06_epoch_shuffle",
+    "sp09_stratified_split",
+    "st03_stream_dedup",
+    "st05_stream_enrich",
+    "st06_stream_stream_join",
+    "st09_stream_hourly_counts",
+    "st10_stream_user_counts",
+    "st11_stream_session_counts",
+    "q02_filter_predicates",
+    "q04_minmax_count",
+    "q05_groupby_having",
+    "q06_view_orders_1995",
+    "q10_set_ops",
+    "q11_hourly_event_rollup",
 )
 
 

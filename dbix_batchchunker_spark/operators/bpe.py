@@ -414,3 +414,62 @@ def tx31_bpe_trainer_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)],
         "rank long, lhs string, rhs string, merged string",
     )
+
+
+# --------------------------------------------------------------------------- #
+# tx32: trainer → encode adjudicated as a COMPOSITION (round-10 verdict #4:   #
+# tx31 proves the trainer on a crafted corpus, tx27 proves the encode path    #
+# under fixed merges; this runs the REAL distributed trainer and feeds its    #
+# trained table into the REAL Arrow encode pass over the REAL documents       #
+# corpus, end to end, under one hash adjudication).                           #
+#                                                                             #
+# Why the composition stays closed-form: the table tx31's plant trains —     #
+# bc de fg hi jk lm wx yz — has pairwise-disjoint character sets with        #
+# distinct characters inside each pair, which is exactly tx27's oracle        #
+# precondition. So encoding ANY text (here: the real documents table, the    #
+# corpus-wide apply pass tx25 runs) is rank-independent and                   #
+#     n_bpe_tokens = n_non_ws_chars + n_words − Σ_pair occurrences(pair)      #
+# with occurrences countable on the raw text. The oracle DERIVES the pair     #
+# set from the same (a, b, f) plant model the trainer sees — it never reads   #
+# the trained table — so a trainer that produces a wrong pair, or an encode   #
+# that mis-applies one, lands on a different count → hash mismatch.           #
+# --------------------------------------------------------------------------- #
+@query(
+    "tx32_bpe_train_encode",
+    oracle=f"""
+    WITH plant(a, b, f) AS (
+        VALUES {", ".join(f"('{a}', '{b}', {f})" for a, b, f in TX31_PLANT)}
+    ),
+    occ AS (
+        SELECT d.doc_id,
+               CAST(SUM((length(d.text) - length(replace(d.text, p.a || p.b, '')))
+                        // 2) AS BIGINT) AS n_merged
+        FROM documents d CROSS JOIN plant p
+        GROUP BY d.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(list_filter(regexp_split_to_array(d.text, '\\s+'),
+                    x -> x != '')) AS BIGINT) AS n_words,
+           CAST(length(regexp_replace(d.text, '\\s+', '', 'g'))
+                + len(list_filter(regexp_split_to_array(d.text, '\\s+'),
+                      x -> x != ''))
+                - occ.n_merged AS BIGINT) AS n_bpe_tokens
+    FROM documents d JOIN occ USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def tx32_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN on tx31's planted corpus with the real distributed loop
+    (:func:`bpe_train`), then ENCODE the real documents table under the
+    trained merge table with the real Arrow pass
+    (:func:`bpe_encode_token_counts` — the same mapInPandas tx25 runs).
+    Closes the tokenizer family end to end: tx31 (trainer alone) + tx27
+    (encode alone) + tx32 (the composition) put every arrow of
+    train → table → corpus-apply under driver adjudication."""
+    plant_docs = spark.createDataFrame(
+        [(i, ((a + b) * 2 + " ") * f) for i, (a, b, f) in enumerate(TX31_PLANT)],
+        "doc_id long, text string",
+    )
+    merges, _state = bpe_train(plant_docs, n_merges=len(TX31_PLANT))
+    docs = t(spark, sf_dir, "documents")
+    return bpe_encode_token_counts(docs, merges).orderBy("doc_id")

@@ -428,20 +428,26 @@ PHASH_SCHEMA = T.StructType(
 
 
 def _byte_ahash(payload: bytes) -> int:
-    """Default stand-in codec: aHash over the raw byte stream (8×8 grid of
-    segment means, thresholded at the global mean). Swap for a pixel
-    decoder in production — the signature contract (64-bit int) is the
-    same."""
+    """Default stand-in codec: aHash over the raw byte stream (64 equal
+    zero-padded segments; bit i set iff segment i's byte sum is at least
+    the average segment sum, compared in EXACT integer arithmetic:
+    ``64*s_i >= total``). Swap for a pixel decoder in production — the
+    signature contract (64-bit int) is the same.
+
+    Integer-exact on purpose (round-10 verdict #7): the float-mean variant
+    this replaces computed ``means.mean()`` whose float64 summation order
+    no other engine reproduces bit-for-bit; with pure-BIGINT comparisons
+    the hash is closed-form statable in DuckDB, which is what puts mm04's
+    whole Arrow pipeline on the oracle track. Same aHash semantics — when
+    segment counts are equal, mean comparison IS sum comparison."""
     import numpy as np
 
     b = np.frombuffer(bytes(payload) if payload else b"\0", dtype=np.uint8)
-    # segment means via one reduceat, not 64 array_split slices (measured
-    # 3.5 s → sub-second for the sf0.1 corpus hash pass)
-    edges = (np.arange(64) * len(b)) // 64
-    sums = np.add.reduceat(b.astype(np.float64), edges)
-    counts = np.maximum(np.diff(np.append(edges, len(b))), 1)
-    means = sums / counts
-    bits = (means >= means.mean()).astype(np.uint64)
+    k = (len(b) + 63) // 64  # segment length after zero-padding
+    padded = np.zeros(64 * k, dtype=np.int64)
+    padded[: len(b)] = b
+    sums = padded.reshape(64, k).sum(axis=1)  # exact: ≤ 255·k per segment
+    bits = (64 * sums >= sums.sum()).astype(np.uint64)
     h = int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
     return h - (1 << 64) if h >= 1 << 63 else h  # two's complement → LongType
 
@@ -490,7 +496,15 @@ def phash_near_dup_pairs(
             f"guarantees exact recall only for hamming < {_PHASH_BANDS}; "
             "raise _PHASH_BANDS (narrower bands) for looser thresholds"
         )
+    from ..functions.prefix import register_cache
     from .dedup import _candidates_from_entries
+
+    # The signature frame is referenced three times below (band entries +
+    # both join-back sides); without a persist the Arrow hash pass — the
+    # expensive corpus-scale stage — recomputes per reference (the plan
+    # fingerprint showed MapInPandas ×3). Session-registered so bench/
+    # long-lived sessions can drain it (release_cumsum_caches).
+    hashed = register_cache(hashed.persist())
 
     entries = hashed.select(
         "doc_id",
@@ -520,14 +534,95 @@ def phash_near_dup_pairs(
     )
 
 
-@query("mm04_phash_near_dup")  # rows-only: mapInPandas hash pass isn't
+# ORACLE-gated since round 11 (round-10 verdict #7 — mm02's HUGEINT pattern
+# applied to the pHash pipeline): the integer-exact stub hash is a pure
+# BIGINT function of the payload bytes, so DuckDB independently derives
+# every signature (hex-pair fold → byte list → 64 segment sums →
+# 64·s_i >= total bit pack in HUGEINT → two's complement), replays the
+# 16-bit banding to generate candidates, and verifies bit_count(xor) — the
+# full hash → band → bucket-join → verify chain, including the mapInPandas
+# Arrow hash pass, under one hash adjudication. Recall at hamming<=2 is
+# EXACT by pigeonhole over the 4 bands, so banded and all-pairs answers
+# coincide by construction (the same contract the planted-payload test
+# pins); the oracle replays the banding anyway so the candidate machinery
+# is what's adjudicated, not just the final pair set.
+@query(
+    "mm04_phash_near_dup",
+    oracle=r"""
+    WITH hx AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS n,
+               hex(encode(text)) AS hs
+        FROM documents
+    ),
+    by AS (
+        SELECT doc_id, n, (n + 63) // 64 AS k,
+               list_transform(regexp_extract_all(hs, '[\s\S]{2}'),
+                   s -> CAST((strpos('0123456789ABCDEF', s[1]) - 1) * 16
+                             + strpos('0123456789ABCDEF', s[2]) - 1
+                        AS BIGINT)) AS bs
+        FROM hx
+    ),
+    tot AS (
+        SELECT doc_id, n, k, bs,
+               COALESCE(list_sum(bs), 0) AS total
+        FROM by
+    ),
+    uhash AS (
+        SELECT doc_id,
+               CASE WHEN n = 0
+                    THEN CAST('18446744073709551615' AS HUGEINT)
+                    ELSE list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                         list_transform(range(63, -1, -1),
+                             i -> CAST(CASE WHEN
+                                  64 * COALESCE(list_sum(list_slice(
+                                       bs, i * k + 1, least((i + 1) * k, n))), 0)
+                                  >= total THEN 1 ELSE 0 END AS HUGEINT))),
+                         (a, b) -> a * 2 + b)
+               END AS uh
+        FROM tot
+    ),
+    ph AS (
+        SELECT doc_id,
+               CAST(CASE WHEN uh >= CAST('9223372036854775808' AS HUGEINT)
+                         THEN uh - CAST('18446744073709551616' AS HUGEINT)
+                         ELSE uh END AS BIGINT) AS phash,
+               uh
+        FROM uhash
+    ),
+    entries AS (
+        SELECT p.doc_id, b.band,
+               CAST((p.uh // b.d) % 65536 AS BIGINT) AS bucket
+        FROM ph p CROSS JOIN (VALUES
+            (0, CAST(1 AS HUGEINT)),
+            (1, CAST(65536 AS HUGEINT)),
+            (2, CAST('4294967296' AS HUGEINT)),
+            (3, CAST('281474976710656' AS HUGEINT))) b(band, d)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM entries a JOIN entries b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(pa.phash, pb.phash)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN ph pa ON pa.doc_id = c.doc_a
+    JOIN ph pb ON pb.doc_id = c.doc_b
+    WHERE bit_count(xor(pa.phash, pb.phash)) <= 2
+    ORDER BY doc_a, doc_b
+    """,
+)
 def mm04_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # DuckDB-expressible; planted-payload semantics in tests/test_extensions.py
+    # planted-payload semantics additionally pinned in tests/test_extensions.py
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
-    return phash_near_dup_pairs(perceptual_hash_column(docs)).orderBy(
-        "doc_a", "doc_b"
+    return (
+        phash_near_dup_pairs(perceptual_hash_column(docs))
+        .withColumn("hamming", F.col("hamming").cast("long"))
+        .orderBy("doc_a", "doc_b")
     )
 
 

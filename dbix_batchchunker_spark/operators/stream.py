@@ -19,10 +19,13 @@ enrichment counts), st06 (two-sided interval-join pairs), st09
 (tumbling-window counts on an integer epoch-hour domain), st10
 (custom-stateful per-user counts) and st11 (merging session-window
 counts) sit on the driver's oracle track, each equal to its plain batch
-relation. Queries whose output carries timestamps or order-dependent
-double sums (st01/st02/st04) stay rows-only, as do the sink-layout/
-ingest-loop drains (st07/st08), with batch equivalence asserted in
-tests/test_streaming.py instead.
+relation. Since round 11 so do st01/st02/st04 themselves: timestamps
+project to epoch-micros integers and the value sums ride an exact
+FLOOR(value*100)-cents domain through the streaming state, so the VALUE
+paths — windowed sum, custom-stateful accumulation, full session rows —
+are adjudicated too, not just their counts. Only the sink-layout/
+ingest-loop drains (st07/st08) remain rows-only, with batch equivalence
+asserted in tests/test_streaming.py instead.
 """
 
 from __future__ import annotations
@@ -168,10 +171,55 @@ def hourly_rollup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("st01_stream_hourly_rollup")  # no oracle: a streaming drain isn't
+# --------------------------------------------------------------------------- #
+# st01 on the ORACLE track (round-10 verdict #3): st09 adjudicates the        #
+# windowed state operator's COUNTS; the blocker for the rest of st01 was its  #
+# order-dependent double VALUE sum and timestamp window bounds. Neither is    #
+# inherent: carry the sum as FLOOR(value*100) cents — integer addition is     #
+# associative, so micro-batch arrival order cannot perturb it — and project   #
+# the window to the epoch-hour integer (st09's rule). The timestamp-shaped    #
+# demo output remains hourly_rollup_streamed (batch equivalence pinned in     #
+# tests/test_streaming.py); the REGISTERED query is the exact-domain rollup.  #
+# --------------------------------------------------------------------------- #
+@query(
+    "st01_stream_hourly_rollup",
+    oracle="""
+    SELECT epoch_us(ts) // 3600000000 AS window_hour,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_value_cents
+    FROM events
+    GROUP BY window_hour, event_type
+    ORDER BY window_hour, event_type
+    """,
+)
 def st01_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # DuckDB-runnable; batch equivalence is pinned in tests/test_streaming.py.
-    return hourly_rollup_streamed(spark, sf_dir)
+    from ..streaming.incremental import stream_table, windowed_exact_rollup
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    # glob-anchored path + unset maxFilesPerTrigger: see st09's notes.
+    stream = normalize_event_ts(
+        stream_table(spark, os.path.join(sf_dir, "events.*"), schema=schema)
+    )
+    agg = windowed_exact_rollup(
+        stream, ts_col="ts", window="1 hour", watermark="2 hours"
+    )
+    return _drain_memory_sink(
+        agg,
+        "st01",
+        "complete",
+        lambda sink_df: sink_df.select(
+            F.expr(
+                "CAST(unix_micros(window.start) div 3600000000 AS BIGINT)"
+            ).alias("window_hour"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            "total_value_cents",
+        ).orderBy("window_hour", "event_type"),
+    )
 
 
 def user_totals_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,11 +285,70 @@ def user_totals_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
-@query("st02_stream_user_totals")  # no oracle: custom stateful streaming
+# --------------------------------------------------------------------------- #
+# st02 on the ORACLE track (round-10 verdict #3): st10 adjudicates the        #
+# custom-stateful operator's COUNT half; the VALUE half was rows-only         #
+# because the Python state accumulated a double in arrival order. The exact   #
+# sibling (running_user_totals_exact) computes value_cents Spark-side and     #
+# carries int64 cents in state, so the full applyInPandasWithState path —     #
+# Arrow state transfer, update-mode re-emission, last-emission-wins sink —    #
+# lands on the batch GROUP BY bit-for-bit. The double-shaped demo remains     #
+# user_totals_streamed (pinned to float tolerance in tests).                  #
+# --------------------------------------------------------------------------- #
+@query(
+    "st02_stream_user_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_value_cents
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
 def st02_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # drain isn't DuckDB-runnable; equality with the batch groupBy aggregate
-    # is pinned in tests/test_streaming.py.
-    return user_totals_streamed(spark, sf_dir)
+    from ..streaming.incremental import running_user_totals_exact, stream_table
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream = normalize_event_ts(
+        stream_table(spark, os.path.join(sf_dir, "events.*"), schema=schema)
+    )
+
+    latest: dict = {}
+
+    def sink(batch_df, _batch_id):
+        # Arrow-batched transfer + one bulk dict update, bounded by #users
+        # (same last-emission-wins shape as user_totals_streamed).
+        pdf = batch_df.toPandas()
+        latest.update(
+            zip(
+                pdf["user_id"].tolist(),
+                zip(pdf["n_events"].tolist(), pdf["total_value_cents"].tolist()),
+            )
+        )
+
+    ckpt = tempfile.mkdtemp(prefix="st02_ckpt_")
+    try:
+        # session-default partitions: the Arrow/pandas per-row work dominates
+        # (see _state_partitions — narrowing measured 1.7 → 3.1 s here)
+        q = (
+            running_user_totals_exact(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    rows = [(u, n, c) for u, (n, c) in sorted(latest.items())]
+    return spark.createDataFrame(
+        rows, "user_id long, n_events long, total_value_cents long"
+    ).orderBy("user_id")
 
 
 def stream_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -297,7 +404,9 @@ def st03_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_dedup_drain(spark, sf_dir)
 
 
-def stream_sessions_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_sessions_drain(
+    spark: SparkSession, sf_dir: str, exact: bool = False
+) -> DataFrame:
     """Drain ``events`` through a gap-based SESSION-window aggregation
     (``F.session_window`` — Spark's native merging-window state operator,
     the streaming counterpart of q30's batch lag-cumsum sessionization).
@@ -318,29 +427,81 @@ def stream_sessions_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_table(spark, os.path.join(sf_dir, "events.*"), schema=schema)
     )
     agg = sessionized(stream, gap="30 minutes", watermark="2 hours")
+    if exact:
+        # Integer projection for the ORACLE track: session bounds as epoch
+        # micros (the as-if-UTC instants — unix_micros is the session-tz-
+        # proof rule every batch consumer shares, see st09). session.start
+        # equals MIN(ts) by session_window construction, so the bounds plus
+        # count ARE the full session row.
+        finalize = lambda sink_df: sink_df.select(  # noqa: E731
+            "user_id",
+            F.unix_micros("session_start").alias("session_start_us"),
+            F.unix_micros("session_end").alias("session_end_us"),
+            F.col("n_events").cast("long").alias("n_events"),
+        ).orderBy("user_id", "session_start_us")
+    else:
+        finalize = lambda sink_df: sink_df.select(  # noqa: E731
+            "user_id",
+            F.col("session.start").alias("session_window_start"),
+            "n_events",
+            "session_start",
+            "session_end",
+        ).orderBy("user_id", "session_window_start")
     # arrow: ~100k (user × session) rows at sf0.1; timestamps survive
     # because the helper passes the schema explicitly.
     return _drain_memory_sink(
         agg,
         "st04",
         "complete",
-        lambda sink_df: sink_df.select(
-            "user_id",
-            F.col("session.start").alias("session_window_start"),
-            "n_events",
-            "session_start",
-            "session_end",
-        ).orderBy("user_id", "session_window_start"),
+        finalize,
         arrow=True,
     )
 
 
-@query("st04_stream_sessions")  # no oracle: a streaming session-window
+# --------------------------------------------------------------------------- #
+# st04 on the ORACLE track (round-10 verdict #3): st11 adjudicates per-user   #
+# session COUNTS; the full session rows were rows-only because their bounds   #
+# are timestamps. Projected to epoch micros they are pure BIGINTs, and        #
+# st11's lag-scan recipe extends to whole rows: a session starts where the    #
+# inter-event gap is >= 30 min (session_window's strict-overlap rule), a      #
+# running sum of the starts numbers the sessions, and per-session MIN/MAX/    #
+# COUNT reproduce (start, end, n_events) exactly. Both window clauses order   #
+# by (us, event_id) so tied timestamps can't flip a session id. The           #
+# timestamp-shaped demo remains stream_sessions_drain(exact=False), pinned    #
+# equal to the batch session_window aggregation in tests.                     #
+# --------------------------------------------------------------------------- #
+@query(
+    "st04_stream_sessions",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+    ), m AS (
+        SELECT user_id, us, event_id,
+               CASE WHEN LAG(us) OVER w IS NULL
+                         OR us - LAG(us) OVER w >= 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), s AS (
+        SELECT user_id, us,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM m
+    )
+    SELECT user_id,
+           CAST(MIN(us) AS BIGINT) AS session_start_us,
+           CAST(MAX(us) AS BIGINT) AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s
+    GROUP BY user_id, sess_id
+    ORDER BY user_id, session_start_us
+    """,
+)
 def st04_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # drain isn't DuckDB-runnable; exact equality with the BATCH
-    # session_window aggregation over the same input (same Catalyst
-    # operator) is pinned in tests/test_streaming.py.
-    return stream_sessions_drain(spark, sf_dir)
+    # exact equality with the BATCH session_window aggregation over the same
+    # input (same Catalyst operator) is additionally pinned in
+    # tests/test_streaming.py on the timestamp-shaped sibling.
+    return stream_sessions_drain(spark, sf_dir, exact=True)
 
 
 def stream_enrich_drain(spark: SparkSession, sf_dir: str) -> DataFrame:

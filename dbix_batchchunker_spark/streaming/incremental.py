@@ -95,6 +95,32 @@ def windowed_counts(
     )
 
 
+def windowed_exact_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: tuple = ("event_type",),
+) -> DataFrame:
+    """Tumbling-window rollup in EXACT integer domains: counts plus the
+    value sum carried as ``FLOOR(value*100)`` cents (BIGINT). Integer
+    addition is associative, so the micro-batch accumulation order cannot
+    perturb the result the way ``windowed_counts``'s double sum can —
+    which is what puts the VALUE path of the windowed state operator on
+    the DuckDB oracle track (st01), not just its counts (st09). FLOOR on
+    both engines (not CAST: DuckDB rounds doubles to BIGINT where Spark
+    truncates); batch and streaming share the plan."""
+    df = as_event_time(events, ts_col)
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(F.window(F.col(ts_col), window), *group_cols).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+            "total_value_cents"
+        ),
+    )
+
+
 def sessionized(
     events: DataFrame,
     ts_col: str = "ts",
@@ -146,6 +172,49 @@ def running_user_totals(
         update_totals,
         outputStructType="user_id long, n_events long, total_value double",
         stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def running_user_totals_exact(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """:func:`running_user_totals` with the value sum in an EXACT integer
+    domain: ``value_cents = FLOOR(value*100)`` is computed Spark-side (one
+    shared cross-engine arithmetic rule — see windowed_exact_rollup), and
+    the Python state accumulates int64 cents, so the per-key totals are
+    independent of micro-batch arrival order. This is what lets the
+    custom-stateful VALUE path sit on the DuckDB oracle track (st02) —
+    st10 adjudicates only the count half of the double-summing sibling."""
+    import pandas as pd  # noqa: F401 (executor-side)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    prepared = stream_df.withColumn(
+        "value_cents", F.floor(F.col("value") * 100).cast("long")
+    )
+
+    def update_totals(key, pdf_iter, state):
+        import pandas as pd
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            cents += int(pdf["value_cents"].sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value_cents": [cents],
+            }
+        )
+
+    return prepared.groupBy(key_col).applyInPandasWithState(
+        update_totals,
+        outputStructType="user_id long, n_events long, total_value_cents long",
+        stateStructType="n long, cents long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

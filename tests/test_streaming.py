@@ -165,16 +165,17 @@ def test_stateful_running_totals_across_drains(spark, tmp_path):
     assert all(abs(v[1] - v[0] * 1.5) < 1e-9 for v in latest.values())
 
 
-def test_st01_registered_stream_matches_batch_rollup(spark):
-    """The registered streaming query's drained result must equal the batch
-    windowed aggregation over the same events input — same Catalyst window
-    operator, so any divergence means the drain lost or duplicated state."""
+def test_st01_demo_stream_matches_batch_rollup(spark):
+    """The timestamp-shaped drain (hourly_rollup_streamed — the demo/library
+    surface) must equal the batch windowed aggregation over the same events
+    input — same Catalyst window operator, so any divergence means the
+    drain lost or duplicated state."""
     from dbix_batchchunker_spark.operators.registry import t
-    from dbix_batchchunker_spark.operators.stream import st01_stream_hourly_rollup
+    from dbix_batchchunker_spark.operators.stream import hourly_rollup_streamed
     from dbix_batchchunker_spark.streaming.incremental import windowed_counts
 
     sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
-    streamed = st01_stream_hourly_rollup(spark, sf_dir).collect()
+    streamed = hourly_rollup_streamed(spark, sf_dir).collect()
     batch = (
         windowed_counts(t(spark, sf_dir, "events"), ts_col="ts", window="1 hour")
         .select(
@@ -191,18 +192,49 @@ def test_st01_registered_stream_matches_batch_rollup(spark):
     assert len(streamed) > 0
 
 
-def test_st02_registered_stream_matches_batch_totals(spark):
-    """The registered stateful drain (applyInPandasWithState running totals)
-    must equal the batch per-user aggregate: counts exactly, value sums to
-    float tolerance (the state accumulates per micro-batch, so float
-    association order differs from the batch partial-agg tree)."""
+def test_st01_registered_exact_rollup_matches_batch(spark):
+    """The REGISTERED st01 (exact integer domains — the oracle-track shape)
+    must equal the batch windowed_exact_rollup projected the same way:
+    integer cents are associative, so streaming accumulation order cannot
+    perturb the sums at all."""
     from dbix_batchchunker_spark.operators.registry import t
-    from dbix_batchchunker_spark.operators.stream import st02_stream_user_totals
+    from dbix_batchchunker_spark.operators.stream import st01_stream_hourly_rollup
+    from dbix_batchchunker_spark.streaming.incremental import windowed_exact_rollup
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    streamed = st01_stream_hourly_rollup(spark, sf_dir).collect()
+    batch = (
+        windowed_exact_rollup(
+            t(spark, sf_dir, "events"), ts_col="ts", window="1 hour"
+        )
+        .select(
+            F.expr(
+                "CAST(unix_micros(window.start) div 3600000000 AS BIGINT)"
+            ).alias("window_hour"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            "total_value_cents",
+        )
+        .orderBy("window_hour", "event_type")
+        .collect()
+    )
+    assert streamed == batch
+    assert len(streamed) > 0
+
+
+def test_st02_demo_stream_matches_batch_totals(spark):
+    """The double-summing stateful drain (user_totals_streamed — the demo/
+    library surface) must equal the batch per-user aggregate: counts
+    exactly, value sums to float tolerance (the state accumulates per
+    micro-batch, so float association order differs from the batch
+    partial-agg tree)."""
+    from dbix_batchchunker_spark.operators.registry import t
+    from dbix_batchchunker_spark.operators.stream import user_totals_streamed
 
     sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
     streamed = {
         r.user_id: (r.n_events, r.total_value)
-        for r in st02_stream_user_totals(spark, sf_dir).collect()
+        for r in user_totals_streamed(spark, sf_dir).collect()
     }
     batch = {
         r.user_id: (r.n, r.tv)
@@ -215,6 +247,32 @@ def test_st02_registered_stream_matches_batch_totals(spark):
     for u, (n, tv) in batch.items():
         assert streamed[u][0] == n, u
         assert abs(streamed[u][1] - tv) < 1e-6 * max(1.0, abs(tv)), u
+
+
+def test_st02_registered_exact_totals_match_batch(spark):
+    """The REGISTERED st02 (int64 cents carried through
+    applyInPandasWithState state) must equal the batch aggregate EXACTLY —
+    no tolerance: integer accumulation is order-independent, which is the
+    whole point of the exact sibling."""
+    from dbix_batchchunker_spark.operators.registry import t
+    from dbix_batchchunker_spark.operators.stream import st02_stream_user_totals
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    streamed = [tuple(r) for r in st02_stream_user_totals(spark, sf_dir).collect()]
+    batch = [
+        tuple(r)
+        for r in t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                "total_value_cents"
+            ),
+        )
+        .orderBy("user_id")
+        .collect()
+    ]
+    assert streamed == batch and len(streamed) > 0
 
 
 def test_st03_stream_dedup_equals_batch_distinct(spark):
