@@ -516,6 +516,95 @@ SIM06_THRESHOLD = 0.3
 # (see IVF_TARGET_CELL) — the knob trades candidate volume for recall.
 SIM06_NPROBE = 8
 
+#: Probed FRACTION of the cell count that held recall 1.0 at threshold 0.3
+#: in BOTH measured decades: 8/16 at the gate scales, and 0.375·160=60 at
+#: sf1 (246 s, recall 1.0 — SCALING.md "One-decade rehearsal"), so 0.5 has
+#: measured margin. This is the fraction ``recall_target=1.0`` buys.
+_IVF_EXHAUSTIVE_FRACTION = 0.5
+#: sf1-measured (threshold 0.3, 160 cells) anchor points for partial
+#: recall: fraction 0.05 (the frozen default nprobe=8) recovered 0.775 of
+#: the exact pairs; 0.375 recovered 1.0. recall_target < 1 interpolates
+#: between them — conservative for stricter thresholds, where recall at a
+#: given fraction only rises (pairs concentrate in nearer cells).
+_IVF_RECALL_ANCHORS = ((0.775, 0.05), (1.0, 0.375))
+#: Thresholds at or below this are "low" — pairs can straddle distant
+#: cells, which is exactly the regime the sf1 rehearsal measured recall
+#: decay in (0.3-cosine pairs under a frozen probe width).
+_IVF_LOW_THRESHOLD = 0.35
+
+
+def nprobe_for_recall(
+    clusters: int,
+    threshold: float = SIM06_THRESHOLD,
+    recall_target: float | None = None,
+) -> int:
+    """Probe width for an IVF search, derived from the MEASURED
+    recall-vs-probed-fraction contract instead of a frozen count.
+
+    The round-10 sf1 rehearsal's finding (the round's one ``weak`` mark):
+    recall binds to the probed FRACTION nprobe/clusters, so a fixed
+    ``nprobe=8`` that is recall-1.0 on the 16-cell gate index silently
+    decays as the adaptive cell count grows with the corpus — 0.775
+    measured at 160 cells for 0.3-cosine pairs. This function surfaces
+    that contract in the API:
+
+    - ``recall_target=None`` (legacy): the fixed gate-adjudicated
+      SIM06_NPROBE, UNCHANGED at gate scale — but callers get a loud
+      RuntimeWarning from the pair/dedup entry points when a low
+      threshold meets a grown index (see ``_warn_if_recall_decays``).
+    - ``recall_target=1.0``: the exhaustive fraction (0.5·clusters,
+      measured recall 1.0 in both decades). Candidate volume is
+      quadratic-ish at low thresholds — the honest cost of an exhaustive
+      listing under IVF; prefer sim03's blocked-exact path when the
+      corpus is small enough to verify per label block.
+    - ``recall_target<1.0``: linear interpolation between the sf1
+      anchors, clamped to [1, exhaustive fraction]. Anchors were measured
+      at threshold 0.3; stricter thresholds reach the target with margin.
+    """
+    if recall_target is None:
+        return SIM06_NPROBE
+    if not 0.0 < recall_target <= 1.0:
+        raise ValueError(f"recall_target={recall_target}: must be in (0, 1]")
+    (r_lo, f_lo), (r_hi, f_hi) = _IVF_RECALL_ANCHORS
+    if recall_target >= r_hi:
+        frac = _IVF_EXHAUSTIVE_FRACTION
+    else:
+        t = max(0.0, (recall_target - r_lo) / (r_hi - r_lo))
+        frac = f_lo + t * (f_hi - f_lo)
+    import math
+
+    # Never below the gate-adjudicated width: on the 16-cell gate index
+    # every target maps back to the measured nprobe=8 operating point.
+    return max(SIM06_NPROBE, min(clusters, math.ceil(frac * clusters)))
+
+
+def _warn_if_recall_decays(clusters: int, nprobe: int, threshold: float) -> None:
+    """Loud tripwire for the silent-recall-decay regime: a LOW similarity
+    threshold probed at a fraction below the measured recall-1.0 point on
+    an index that has outgrown the gate geometry. The sf1 rehearsal
+    measured 0.775 recall exactly here (nprobe=8 frozen, 160 cells,
+    threshold 0.3); a 100 TB user must not get a silently different
+    answer than the gate adjudicated."""
+    import warnings
+
+    if (
+        threshold <= _IVF_LOW_THRESHOLD
+        and clusters > IVF_CLUSTERS
+        and nprobe / clusters < _IVF_EXHAUSTIVE_FRACTION
+    ):
+        warnings.warn(
+            f"IVF recall decay: nprobe={nprobe} probes "
+            f"{nprobe / clusters:.3f} of {clusters} cells, below the "
+            f"measured recall-1.0 fraction ({_IVF_EXHAUSTIVE_FRACTION}) for "
+            f"low thresholds (<= {_IVF_LOW_THRESHOLD}); sf1 measured 0.775 "
+            "recall in this regime. Pass recall_target=1.0 for the "
+            "exhaustive fraction (quadratic-ish candidates), raise the "
+            "threshold, or use the blocked-exact listing "
+            "(sim03_embedding_near_dup) if completeness is required.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
 
 def _probe_entries(emb: DataFrame, centroids: DataFrame, nprobe: int) -> DataFrame:
     """(doc_id, band=0, bucket) rows: each vector's nprobe nearest centroids
@@ -547,14 +636,27 @@ def ivf_near_dup_pairs(
     emb: DataFrame,
     threshold: float = SIM06_THRESHOLD,
     clusters: int | None = None,
-    nprobe: int = SIM06_NPROBE,
+    nprobe: int | None = None,
+    recall_target: float | None = None,
 ) -> DataFrame:
     """Same-label pairs with cosine ≥ threshold, candidates from shared IVF
     cells (multi-probe) instead of a label-block self-join. Output schema and
-    semantics match :func:`sim03_embedding_near_dup` up to IVF recall."""
+    semantics match :func:`sim03_embedding_near_dup` up to IVF recall.
+
+    ``recall_target`` sizes the probe width from the measured
+    recall-vs-probed-fraction contract (:func:`nprobe_for_recall`);
+    explicit ``nprobe`` overrides it. Leaving both unset keeps the
+    gate-adjudicated fixed width and trips a RuntimeWarning when a low
+    threshold meets an index that outgrew the gate geometry — the
+    sf1-measured silent-0.775-recall regime."""
     from .dedup import _candidates_from_entries
 
-    _, centroids = _ivf_index(emb, clusters)
+    n_cells = ivf_cluster_count(emb) if clusters is None else clusters
+    _, centroids = _ivf_index(emb, n_cells)
+    if nprobe is None:
+        nprobe = nprobe_for_recall(n_cells, threshold, recall_target)
+        if recall_target is None:
+            _warn_if_recall_decays(n_cells, nprobe, threshold)
     cand = _candidates_from_entries(_probe_entries(emb, centroids, nprobe))
     side = emb.select("vec_id", "label", "embedding", "nrm")
     a, b = side.alias("a"), side.alias("b")
@@ -626,7 +728,8 @@ def embedding_dedup(
     emb: DataFrame,
     threshold: float = SIM07_THRESHOLD,
     clusters: int | None = None,
-    nprobe: int = SIM06_NPROBE,
+    nprobe: int | None = None,
+    recall_target: float | None = None,
 ) -> DataFrame:
     """vec_id → duplicate-cluster representative (component min vec_id) with
     ``is_dup`` marking the rows a keep-one-representative filter drops.
@@ -641,7 +744,7 @@ def embedding_dedup(
     """
     from .dedup import components_from_edges
 
-    pairs = ivf_near_dup_pairs(emb, threshold, clusters, nprobe)
+    pairs = ivf_near_dup_pairs(emb, threshold, clusters, nprobe, recall_target)
     rep = components_from_edges(
         emb.select(F.col("vec_id").alias("id")),
         pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")),
