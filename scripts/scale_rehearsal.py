@@ -23,9 +23,15 @@ Usage (idle container, nothing else on the CPUs):
 
     python scripts/scale_rehearsal.py            # build (once) + run
     python scripts/scale_rehearsal.py --rebuild  # force data rebuild
+    python scripts/scale_rehearsal.py --decade2  # sf1 -> sf10 second decade
 
-Results are printed as a markdown table for SCALING.md and written to
-.scale/rehearsal.json.
+``--decade2`` (round-10 verdict #6) re-applies the same shard-preserving
+amplification to .scale/sf1 (words gain a second per-super-shard suffix, so
+cross-super-shard Jaccard stays 0; key spaces shift again) and times ONLY
+the super-linear round-10 heads (dd06 3.4x, st11 3.7x, dd13 2.4x at
+sf0.1->sf1) at sf1 vs sf10, to confirm pair-volume/session-count
+proportionality holds a second decade. Builds just the tables those heads
+read (documents, events). Results go to .scale/rehearsal_decade2.json.
 """
 
 from __future__ import annotations
@@ -63,6 +69,63 @@ HEADS = [
     ("st11_stream_session_counts", "n + session-state commit"),
     ("mm04_phash_near_dup", "n + banded Hamming candidates"),
 ]
+
+
+#: second-decade layout + the super-linear heads it re-measures
+DST2 = os.path.join(REPO, ".scale", "sf10")
+HEADS2 = [
+    ("dd06_lsh_jaccard_pairs", "n + matching pairs (emission floor)"),
+    ("dd13_sql_minhash_bands", "n + banded candidates"),
+    ("st11_stream_session_counts", "n + session-state commit"),
+]
+
+
+def _amplify_decade2(spark):
+    """sf1 -> sf10, same shard-preserving rules, documents+events only (the
+    tables HEADS2 read). Word suffixes compose (``w_k`` -> ``w_k_j``), so
+    cross-super-shard Jaccard stays 0 while every sf1 shard's internal
+    near-dup structure — already pair-volume-verified — is byte-preserved."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(DST2, exist_ok=True)
+
+    def shards_union(df, build_shard):
+        out = None
+        for k in range(SHARDS):
+            s = build_shard(df, k)
+            out = s if out is None else out.unionByName(s)
+        return out
+
+    docs = spark.read.parquet(os.path.join(DST, "documents.parquet"))
+    max_doc = docs.agg(F.max("doc_id")).first()[0] + 1
+
+    def doc_shard(df, k):
+        s = df.withColumn("doc_id", F.col("doc_id") + F.lit(k * max_doc))
+        if k == 0:
+            return s
+        return s.withColumn(
+            "text", F.regexp_replace("text", r"(\S+)", rf"$1_{k}")
+        ).withColumn("n_chars", F.length("text"))
+
+    shards_union(docs, doc_shard).repartition(64).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(DST2, "documents.parquet"))
+
+    from dbix_batchchunker_spark.operators.registry import t as load
+
+    ev = load(spark, DST, "events")
+    maxes = ev.agg(
+        F.max("event_id").alias("e"), F.max("user_id").alias("u")
+    ).first()
+
+    def ev_shard(df, k):
+        return df.withColumn(
+            "event_id", F.col("event_id") + F.lit(k * (maxes["e"] + 1))
+        ).withColumn("user_id", F.col("user_id") + F.lit(k * (maxes["u"] + 1)))
+
+    shards_union(ev, ev_shard).repartition(64).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(DST2, "events.parquet"))
 
 
 def _amplify(spark):
@@ -192,12 +255,19 @@ def main():
         extra_conf={"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "32g")},
     )
 
+    decade2 = "--decade2" in sys.argv
+
     if "--rebuild" in sys.argv and os.path.isdir(DST):
         shutil.rmtree(DST)
     if not os.path.isdir(os.path.join(DST, "documents.parquet")):
         print("building", DST)
         t0 = time.monotonic()
         _amplify(spark)
+        print(f"built in {time.monotonic() - t0:.1f}s")
+    if decade2 and not os.path.isdir(os.path.join(DST2, "documents.parquet")):
+        print("building", DST2)
+        t0 = time.monotonic()
+        _amplify_decade2(spark)
         print(f"built in {time.monotonic() - t0:.1f}s")
 
     # SPARK_GRAFT_REHEARSAL_ONLY=<regex>: time just the matching heads in a
@@ -206,14 +276,19 @@ def main():
     # in a dedicated run), so publishable numbers come from short runs.
     only = os.environ.get("SPARK_GRAFT_REHEARSAL_ONLY")
     heads = [
-        (n, c) for n, c in HEADS if not only or __import__("re").search(only, n)
+        (n, c)
+        for n, c in (HEADS2 if decade2 else HEADS)
+        if not only or __import__("re").search(only, n)
     ]
+    scales = (
+        (("sf1", DST), ("sf10", DST2)) if decade2 else (("sf0.1", SRC), ("sf1", DST))
+    )
 
     results = {}
     for name, claimed in heads:
         fn = registry.QUERIES[name]
         row = {}
-        for label, d in (("sf0.1", SRC), ("sf1", DST)):
+        for label, d in scales:
             # warm once at sf0.001 the way bench.py does (codegen compile)
             fn(spark, "/root/testdata/sf0.001").count()
             release_cumsum_caches()
@@ -228,17 +303,19 @@ def main():
                 release_cumsum_caches()
                 spark.catalog.clearCache()
             row[label] = round(best, 2)
-        row["ratio"] = round(row["sf1"] / row["sf0.1"], 2)
+        lo, hi = scales[0][0], scales[1][0]
+        row["ratio"] = round(row[hi] / row[lo], 2)
         row["claimed"] = claimed
         results[name] = row
         print(
-            f"| {name} | {row['sf0.1']:.2f} | {row['sf1']:.2f} "
+            f"| {name} | {row[lo]:.2f} | {row[hi]:.2f} "
             f"| {row['ratio']:.1f}x | {claimed} |"
         )
 
-    with open(os.path.join(REPO, ".scale", "rehearsal.json"), "w") as fh:
+    out = "rehearsal_decade2.json" if decade2 else "rehearsal.json"
+    with open(os.path.join(REPO, ".scale", out), "w") as fh:
         json.dump(results, fh, indent=1)
-    print("wrote .scale/rehearsal.json")
+    print(f"wrote .scale/{out}")
 
 
 if __name__ == "__main__":
