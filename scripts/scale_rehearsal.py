@@ -103,8 +103,16 @@ def _amplify_decade2(spark):
         s = df.withColumn("doc_id", F.col("doc_id") + F.lit(k * max_doc))
         if k == 0:
             return s
+        # A DIFFERENT separator than decade 1 (~ not _): composing "_k"
+        # suffixes collides — sf1 shard-k tokens are "w_k", and suffixing
+        # sf1-shard-0's "w" with "_k" in super-shard k reproduces the SAME
+        # string, making (super 0, shard k) an exact-dup block of
+        # (super k, shard 0). Measured before the fix: 113,897,772 dd06
+        # pairs at sf10 vs the 96,485,400 a clean x10 must give — 9 x
+        # (2 x 964,854 within-block pairs + exact-dup rows) = the excess,
+        # exactly the collision geometry. "w~j" can never equal "w_k".
         return s.withColumn(
-            "text", F.regexp_replace("text", r"(\S+)", rf"$1_{k}")
+            "text", F.regexp_replace("text", r"(\S+)", rf"$1~{k}")
         ).withColumn("n_chars", F.length("text"))
 
     shards_union(docs, doc_shard).repartition(64).write.mode(
@@ -251,8 +259,18 @@ def main():
     # state, not any single plan; every head passes alone at 8g).
     spark = get_spark(
         master="local[32]",
-        shuffle_partitions=32,
-        extra_conf={"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "32g")},
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_REHEARSAL_PARTITIONS", "32")),
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "32g"),
+            # st11's sf10 drain returns ~1 GiB of (user x session) rows
+            # through the memory sink — a DEMO-return-path bound, not the
+            # session-state operator's; raise it for the rehearsal so both
+            # scales measure the operator (production drains point
+            # writeStream at parquet/Kafka and never collect).
+            "spark.driver.maxResultSize": os.environ.get(
+                "SPARK_GRAFT_MAXRESULT", "8g"
+            ),
+        },
     )
 
     decade2 = "--decade2" in sys.argv
@@ -296,10 +314,13 @@ def main():
             best = float("inf")
             for i in range(2):
                 t0 = time.monotonic()
-                fn(spark, d).count()
+                n_rows = fn(spark, d).count()
                 took = time.monotonic() - t0
                 best = min(best, took)
-                print(f"  {name} {label} run{i}: {took:.2f}s", flush=True)
+                print(
+                    f"  {name} {label} run{i}: {took:.2f}s rows={n_rows}",
+                    flush=True,
+                )
                 release_cumsum_caches()
                 spark.catalog.clearCache()
             row[label] = round(best, 2)
