@@ -110,7 +110,7 @@ ADJUDICATED_PREFIX = (
     # round-11 additions: first driver rows in their debut round
     "st01_stream_hourly_rollup", "st02_stream_user_totals",
     "st04_stream_sessions", "tx32_bpe_train_encode",
-    "mm04_phash_near_dup",
+    "mm04_phash_near_dup", "st07_stream_incremental_packing",
     # oldest demotions re-adjudicated (head of the queue; last
     # driver-green round 9)
     "q01_pricing_summary", "q03_revenue_by_nation", "q07_top_customers",
@@ -126,7 +126,6 @@ ADJUDICATED_PREFIX = (
     "dd01_exact", "dd02_jaccard_pairs", "dd05_mllib_minhash",
     "dd06_lsh_jaccard_pairs", "dd08_ngram_jaccard_pairs",
     "mm01_binary_stats", "sim01_topk_bruteforce", "sim03_embedding_near_dup",
-    "tx02_quality_score",
 )
 
 #: Former slot-holders, first in line for re-adjudication when the
@@ -158,8 +157,10 @@ DEMOTED_FROM_PREFIX = (
     "tx16_bloom_decontaminate",
     "tx18_bpe_merge_pairs",
     "sp04_sequence_packing",
-    # Last driver-green round 9 (demoted round 10; q01…tx02 from this
-    # batch rotated BACK IN this round).
+    # Last driver-green round 9 (demoted round 10; q01…sim03 from this
+    # batch rotated BACK IN this round; tx02 ceded its slot to the st07
+    # oracle debut late in round 11).
+    "tx02_quality_score",
     "tx03_langid",
     "tx06_pipeline_quality_dedup",
     "tx07_bpe_token_count",

@@ -643,7 +643,39 @@ def st06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_stream_join_drain(spark, sf_dir)
 
 
-@query("st07_stream_incremental_packing")  # no oracle: stateful ingest loop
+#: st07 ingest geometry — shared by the query and its oracle so the
+#: closed form cannot drift from the drain parameters.
+ST07_DRAINS = 2
+ST07_BATCH_ROWS = 50
+ST07_DOC_TOKENS = 40  # the corpusfeed default: every doc is exactly 40 words
+ST07_BUDGET = 256
+
+
+# ORACLE-gated since round 11 (mm02's stated-closed-form pattern applied to
+# the ingest loop): the corpusfeed generates exactly ST07_DOC_TOKENS
+# whitespace words per doc, so after two exactly-once drains the pack
+# layout is a pure function of doc_id — start_tok = 40·i, packs =
+# floor-division by the budget — and DuckDB states it from range(). What a
+# green row adjudicates is everything that could break the equality: a
+# cursor that re-processes or skips a batch shifts/duplicates spans, a
+# packer that loses the persisted offset restarts the stream at 0, a
+# non-deterministic connector changes the doc set. The replay-idempotence
+# contract stays pinned in tests/test_streaming.py.
+@query(
+    "st07_stream_incremental_packing",
+    oracle=f"""
+    SELECT r.i AS doc_id,
+           CAST({ST07_DOC_TOKENS} AS INT) AS n_tokens,
+           CAST({ST07_DOC_TOKENS} * r.i AS BIGINT) AS start_tok,
+           CAST({ST07_DOC_TOKENS} * (r.i + 1) AS BIGINT) AS end_tok,
+           CAST(({ST07_DOC_TOKENS} * r.i) // {ST07_BUDGET} AS BIGINT)
+               AS first_pack,
+           CAST(({ST07_DOC_TOKENS} * (r.i + 1) - 1) // {ST07_BUDGET} AS BIGINT)
+               AS last_pack
+    FROM range({ST07_DRAINS * ST07_BATCH_ROWS}) r(i)
+    ORDER BY doc_id
+    """,
+)
 def st07_stream_incremental_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TWO availableNow drains of the corpusfeed connector through
     incremental sequence packing (streaming/incremental.py): the second
@@ -668,11 +700,11 @@ def st07_stream_incremental_packing(spark: SparkSession, sf_dir: str) -> DataFra
     def drain() -> None:
         feed = (
             spark.readStream.format("corpusfeed")
-            .option("batchrows", 50)
+            .option("batchrows", ST07_BATCH_ROWS)
             .load()
             .select("doc_id", F.size(_tokens_spark("text")).alias("n_tokens"))
         )
-        incremental_pack_assign(feed, out, state, ck, budget=256)
+        incremental_pack_assign(feed, out, state, ck, budget=ST07_BUDGET)
 
     drain()
     drain()

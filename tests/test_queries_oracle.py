@@ -183,7 +183,7 @@ def test_adjudicated_prefix_is_the_load_bearing_fifty():
         "sim06_ivf_near_dup", "sim07_embedding_dedup", "sim09_mmr_rerank",
         "st01_stream_hourly_rollup", "st02_stream_user_totals",
         "st04_stream_sessions", "tx32_bpe_train_encode",
-        "mm04_phash_near_dup",
+        "mm04_phash_near_dup", "st07_stream_incremental_packing",
     ):
         assert name in prefix, f"{name} lost its driver CORRECTNESS slot"
     # The demoted trio stays oracle-pinned (this file parametrizes over all
