@@ -808,7 +808,12 @@ def ivf_store(
     (sim06's own) measures ~1.0, so the store spends ×nprobe rows (16 B
     each) to keep the batch operating point. Persist both (entries
     partitioned by centroid_id so increments prune to probed cells) next
-    to the vectors frame (vec_id, label, embedding, nrm)."""
+    to the vectors frame (vec_id, label, embedding, nrm).
+
+    ``nprobe`` here is the STORED probe width — size it for the index's
+    cell count with :func:`nprobe_for_recall` (the fixed default is the
+    gate-scale operating point and decays on a grown index; see the
+    recall-contract notes there)."""
     _, centroids = _ivf_index(emb, clusters)
     entries = _probe_entries(emb, centroids, nprobe).select(
         F.col("doc_id").alias("vec_id"), F.col("bucket").alias("centroid_id")

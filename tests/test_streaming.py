@@ -165,6 +165,50 @@ def test_stateful_running_totals_across_drains(spark, tmp_path):
     assert all(abs(v[1] - v[0] * 1.5) < 1e-9 for v in latest.values())
 
 
+def test_stateful_exact_totals_across_drains(spark, tmp_path):
+    """The EXACT-cents stateful sibling (running_user_totals_exact — st02's
+    oracle-track operator) must also restore its int64 state from the
+    checkpoint across drains, and its totals are EXACT equalities, no
+    tolerance: 1.5 → FLOOR(150) cents per event."""
+    from dbix_batchchunker_spark.streaming.incremental import (
+        running_user_totals_exact,
+        stream_table,
+    )
+
+    data_dir = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ck")
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+        "id AS event_id", "id % 3 AS user_id", "CAST(1.5 AS DOUBLE) AS value"
+    )
+    mk(0, 30).write.parquet(data_dir)
+    schema = spark.read.parquet(data_dir).schema
+
+    latest = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            latest[r.user_id] = (r.n_events, r.total_value_cents)
+
+    def drain():
+        q = (
+            running_user_totals_exact(stream_table(spark, data_dir, schema))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert sum(v[0] for v in latest.values()) == 30
+
+    mk(30, 60).write.mode("append").parquet(data_dir)
+    drain()
+    assert sum(v[0] for v in latest.values()) == 60  # state accumulated
+    assert all(v[1] == v[0] * 150 for v in latest.values())  # exact cents
+
+
 def test_st01_demo_stream_matches_batch_rollup(spark):
     """The timestamp-shaped drain (hourly_rollup_streamed — the demo/library
     surface) must equal the batch windowed aggregation over the same events
