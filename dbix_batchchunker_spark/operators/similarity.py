@@ -516,6 +516,12 @@ SIM06_THRESHOLD = 0.3
 # (see IVF_TARGET_CELL) — the knob trades candidate volume for recall.
 SIM06_NPROBE = 8
 
+#: Verify-join strategy gate: broadcast the (vec_id, label, embedding,
+#: nrm) lookup while it fits comfortably in executor memory (1M × 64
+#: float32 ≈ 0.5 GB). Derived from the sf10 rehearsal's disk-wall finding
+#: — see the in-line note in ivf_near_dup_pairs.
+SIM06_BROADCAST_VECS = 1_000_000
+
 #: Probed FRACTION of the cell count that held recall 1.0 at threshold 0.3
 #: in BOTH measured decades: 8/16 at the gate scales, and 0.375·160=60 at
 #: sf1 (246 s, recall 1.0 — SCALING.md "One-decade rehearsal"), so 0.5 has
@@ -651,7 +657,13 @@ def ivf_near_dup_pairs(
     sf1-measured silent-0.775-recall regime."""
     from .dedup import _candidates_from_entries
 
-    n_cells = ivf_cluster_count(emb) if clusters is None else clusters
+    n_vecs = emb.count()  # bounded: one aggregate row; reused for cells AND
+    # the verify-join strategy below
+    n_cells = (
+        max(IVF_CLUSTERS, n_vecs // IVF_TARGET_CELL)
+        if clusters is None
+        else clusters
+    )
     _, centroids = _ivf_index(emb, n_cells)
     if nprobe is None:
         nprobe = nprobe_for_recall(n_cells, threshold, recall_target)
@@ -659,6 +671,18 @@ def ivf_near_dup_pairs(
             _warn_if_recall_decays(n_cells, nprobe, threshold)
     cand = _candidates_from_entries(_probe_entries(emb, centroids, nprobe))
     side = emb.select("vec_id", "label", "embedding", "nrm")
+    # Candidate volume is Θ(cells · (nprobe·cell_pop)²/2) — linear in n but
+    # BIG (80M at sf1, 800M at sf10), while the embedding side is n rows.
+    # Left to the 10 MB autoBroadcast threshold the verify join silently
+    # flips to sort-merge once n crosses ~40k vectors, shuffling and
+    # sorting the full candidate stream with both embedding payloads —
+    # the sf10 rehearsal measured that as a single-node DISK WALL
+    # (hundreds of GB of sort spill, SPILL_OUT_OF_MEMORY). Broadcast the
+    # embedding lookup explicitly while it fits executor memory
+    # (~0.5 GB at the gate below); past the gate a deployment co-partitions
+    # candidates and embeddings by cell instead of joining globally.
+    if n_vecs <= SIM06_BROADCAST_VECS:
+        side = F.broadcast(side)
     a, b = side.alias("a"), side.alias("b")
     cos = F.round(
         dot(F.col("a.embedding"), F.col("b.embedding"))

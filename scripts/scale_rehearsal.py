@@ -30,8 +30,9 @@ amplification to .scale/sf1 (words gain a second per-super-shard suffix, so
 cross-super-shard Jaccard stays 0; key spaces shift again) and times ONLY
 the super-linear round-10 heads (dd06 3.4x, st11 3.7x, dd13 2.4x at
 sf0.1->sf1) at sf1 vs sf10, to confirm pair-volume/session-count
-proportionality holds a second decade. Builds just the tables those heads
-read (documents, events). Results go to .scale/rehearsal_decade2.json.
+proportionality holds a second decade (plus sim06: do adaptive IVF cells
+hold near-linear another decade). Builds just the tables those heads read
+(documents, events, embeddings). Results: .scale/rehearsal_decade2.json.
 """
 
 from __future__ import annotations
@@ -77,14 +78,16 @@ HEADS2 = [
     ("dd06_lsh_jaccard_pairs", "n + matching pairs (emission floor)"),
     ("dd13_sql_minhash_bands", "n + banded candidates"),
     ("st11_stream_session_counts", "n + session-state commit"),
+    ("sim06_ivf_near_dup", "n^2/cells within IVF cells (cells scale with n)"),
 ]
 
 
 def _amplify_decade2(spark):
-    """sf1 -> sf10, same shard-preserving rules, documents+events only (the
-    tables HEADS2 read). Word suffixes compose (``w_k`` -> ``w_k_j``), so
-    cross-super-shard Jaccard stays 0 while every sf1 shard's internal
-    near-dup structure — already pair-volume-verified — is byte-preserved."""
+    """sf1 -> sf10, same shard-preserving rules, only the tables HEADS2
+    read (documents, events, embeddings; per-table idempotent). Decade-2
+    transforms use PER-DECADE-DISJOINT families (word separator ``~``,
+    a different mask multiplier) — composing identical transforms creates
+    cross-super-shard exact dups, see the in-line postmortems."""
     from pyspark.sql import functions as F
 
     os.makedirs(DST2, exist_ok=True)
@@ -95,6 +98,9 @@ def _amplify_decade2(spark):
             s = build_shard(df, k)
             out = s if out is None else out.unionByName(s)
         return out
+
+    def _missing(name):
+        return not os.path.isdir(os.path.join(DST2, f"{name}.parquet"))
 
     docs = spark.read.parquet(os.path.join(DST, "documents.parquet"))
     max_doc = docs.agg(F.max("doc_id")).first()[0] + 1
@@ -115,9 +121,10 @@ def _amplify_decade2(spark):
             "text", F.regexp_replace("text", r"(\S+)", rf"$1~{k}")
         ).withColumn("n_chars", F.length("text"))
 
-    shards_union(docs, doc_shard).repartition(64).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(DST2, "documents.parquet"))
+    if _missing("documents"):
+        shards_union(docs, doc_shard).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(DST2, "documents.parquet"))
 
     from dbix_batchchunker_spark.operators.registry import t as load
 
@@ -131,9 +138,41 @@ def _amplify_decade2(spark):
             "event_id", F.col("event_id") + F.lit(k * (maxes["e"] + 1))
         ).withColumn("user_id", F.col("user_id") + F.lit(k * (maxes["u"] + 1)))
 
-    shards_union(ev, ev_shard).repartition(64).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(DST2, "events.parquet"))
+    if _missing("events"):
+        shards_union(ev, ev_shard).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(DST2, "events.parquet"))
+
+    # embeddings: a DECADE-DISTINCT ±1 mask family (different multiplier
+    # than decade 1). Reusing decade 1's formula would make super-shard j's
+    # mask equal inner shard j's, so m_k·M_j == m_j·M_k elementwise and the
+    # (inner k, super j)/(inner j, super k) blocks become exact dups — the
+    # same composition bug the word-suffix separator fix addresses.
+    emb = spark.read.parquet(os.path.join(DST, "embeddings.parquet"))
+    max_vec = emb.agg(F.max("vec_id")).first()[0] + 1
+    n_lab = emb.agg(F.max("label")).first()[0] + 1
+    dim = len(emb.select("embedding").first()[0])
+
+    def emb_shard(df, k):
+        s = df.withColumn("vec_id", F.col("vec_id") + F.lit(k * max_vec))
+        s = s.withColumn("label", F.col("label") + F.lit(k * n_lab))
+        if k == 0:
+            return s
+        mask = F.array(
+            *[
+                F.lit(1.0 if ((k * 972663749 + d * 22695477) >> 9) % 2 == 0 else -1.0)
+                for d in range(dim)
+            ]
+        )
+        return s.withColumn(
+            "embedding",
+            F.zip_with("embedding", mask, lambda v, m: (v * m).cast("float")),
+        )
+
+    if _missing("embeddings"):
+        shards_union(emb, emb_shard).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(DST2, "embeddings.parquet"))
 
 
 def _amplify(spark):
@@ -282,7 +321,10 @@ def main():
         t0 = time.monotonic()
         _amplify(spark)
         print(f"built in {time.monotonic() - t0:.1f}s")
-    if decade2 and not os.path.isdir(os.path.join(DST2, "documents.parquet")):
+    if decade2 and any(
+        not os.path.isdir(os.path.join(DST2, f"{n}.parquet"))
+        for n in ("documents", "events", "embeddings")
+    ):
         print("building", DST2)
         t0 = time.monotonic()
         _amplify_decade2(spark)
