@@ -346,20 +346,63 @@ def _ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def _ivf_index(
-    emb: DataFrame, k: int | None = None
+#: Below this many cells the coarse quantizer stays FLAT (one n·k scoring
+#: pass) — covers every gate scale (16 cells), so the driver-adjudicated
+#: operating point, plans, and recall pins are byte-identical to the
+#: pre-two-level build. Above it the index goes TWO-LEVEL: the sf10
+#: rehearsal measured flat assignment's n·k term at 320M scored rows
+#: (×100 for ×10 data once cells scale with n — the quadratic that
+#: remains after the in-cell verify was fixed in round 10); routing
+#: through ~√k super-cells makes every coarse stage Θ(n·√k), classic
+#: hierarchical IVF (the public IVF-HNSW/two-level-PQ literature's
+#: standard answer to coarse-assignment cost).
+#: 256, not lower: the recall-vs-fraction anchors in nprobe_for_recall were
+#: MEASURED on the flat quantizer at 160 cells (sf1), so the flat path must
+#: remain literally true through that regime. Above 256 cells the index has
+#: outgrown every measured-flat anchor anyway and the n·√k routing wins.
+IVF_TWO_LEVEL_MIN_CELLS = 256
+
+#: Extra supers probed beyond the nprobe-covering count. Sweep-measured on
+#: the sf1 geometry (160 cells, k_super=12, frozen nprobe=8) against the
+#: flat probe's pair set: slack 1 → 0.630 of flat, 2 → 0.797, 3 → 0.867,
+#: 5 → 0.916, 8 → 0.944, with NO wall-time difference through the knee —
+#: 3 is the knee. recall_target widens s_super automatically through the
+#: covering count (nprobe/k_child), so callers who ask for recall get
+#: near-flat routing; the speed-leaning default stays loudly warned by
+#: _warn_if_recall_decays.
+IVF_PROBE_SUPER_SLACK = 3
+
+
+def _lloyd_step(assigned: DataFrame, *group_cols: str) -> DataFrame:
+    """One Lloyd refinement: new centroid = element-wise member mean.
+    Component means round to 6 dp — float addition order varies across
+    runs (partial-agg combine order), and un-rounded means make boundary
+    assignments, and thus the whole index, nondeterministic run-to-run."""
+    dim = EMBED_DIM
+    return (
+        assigned.groupBy(*group_cols)
+        .agg(
+            F.array(
+                *[
+                    F.round(F.avg(F.element_at("embedding", i + 1)), 6).alias(f"c{i}")
+                    for i in range(dim)
+                ]
+            ).alias("cvec")
+        )
+        .withColumn("cnrm", norm(F.col("cvec")))
+    )
+
+
+def _ivf_index_flat(
+    emb: DataFrame, k: int
 ) -> tuple[DataFrame, DataFrame]:
-    """(assignments, centroids). Seed centroids = vectors whose xxhash64 is
-    smallest (deterministic pseudo-random sample), one Lloyd refinement.
-    ``k=None`` derives the count from :func:`ivf_cluster_count` so the
-    index scales with the corpus instead of freezing at the gate-scale 16.
+    """The original single-level build: hash-smallest seeds, one n·k
+    assign, one Lloyd step, one more n·k assign.
 
     The hash itself is the centroid id: unique (distinct vec_ids) and
     deterministic, so no global row_number window is needed to number seeds —
     that unpartitioned window was the "No Partition Defined" warning source.
     """
-    if k is None:
-        k = ivf_cluster_count(emb)
     seeds = (
         emb.withColumn("h", F.xxhash64("vec_id"))
         .orderBy("h")
@@ -371,24 +414,102 @@ def _ivf_index(
         )
     )
     assigned = _ivf_assign(emb, seeds)
-    # one Lloyd step: new centroid = element-wise mean of members
-    dim = EMBED_DIM
-    # Component means are rounded to 6 dp: float addition order varies across
-    # runs (partial-agg combine order), and un-rounded means make boundary
-    # assignments — and thus the whole index — nondeterministic run-to-run.
-    refined = (
-        assigned.groupBy("centroid_id")
-        .agg(
-            F.array(
-                *[
-                    F.round(F.avg(F.element_at("embedding", i + 1)), 6).alias(f"c{i}")
-                    for i in range(dim)
-                ]
-            ).alias("cvec")
-        )
-        .withColumn("cnrm", norm(F.col("cvec")))
-    )
+    refined = _lloyd_step(assigned, "centroid_id")
     return _ivf_assign(emb, refined), refined
+
+
+def _ivf_assign_within(members: DataFrame, children: DataFrame) -> DataFrame:
+    """vec → nearest CHILD centroid, scoring only the children of the
+    vec's super-cell (equi-join on super_id instead of a cross join):
+    n·k_child scored rows, the two-level replacement for _ivf_assign's
+    n·k. Same max_by/struct tie-break determinism."""
+    scored = members.join(
+        F.broadcast(children.select("super_id", "centroid_id", "cvec", "cnrm")),
+        "super_id",
+    ).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        "centroid_id",
+        (dot(F.col("embedding"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm"))).alias(
+            "sim_to_centroid"
+        ),
+    )
+    ordkey = F.struct(
+        F.col("sim_to_centroid").alias("s"), (-F.col("centroid_id")).alias("c")
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max_by("centroid_id", ordkey).alias("centroid_id"),
+        F.any_value("embedding").alias("embedding"),
+        F.any_value("nrm").alias("nrm"),
+    )
+
+
+def _ivf_index_two_level(
+    emb: DataFrame, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """Hierarchical coarse quantizer: a flat ~√k super-cell index routes
+    each vector to one super, then child cells are seeded/refined/assigned
+    WITHIN the super (equi-joins on super_id), so no stage ever scores
+    n·k rows. Returns the same (assigned, centroids) shape as the flat
+    build; ``centroids`` carries a ``super_id`` column plus the super
+    index on the ``ivf_super`` attribute (the cumsum_cache pattern) so
+    :func:`_probe_entries` can route its probes the same way."""
+    import math
+
+    from pyspark.sql import Window
+
+    k_super = max(2, math.isqrt(k))
+    k_child = max(1, (k + k_super - 1) // k_super)
+
+    sup_assigned, sup_centroids = _ivf_index_flat(emb, k_super)
+    members = sup_assigned.withColumnRenamed("centroid_id", "super_id")
+
+    # per-super child seeds: the k_child hash-smallest members (same
+    # deterministic device as the flat seeds, scoped by super)
+    wseed = Window.partitionBy("super_id").orderBy("h", "vec_id")
+    child_seeds = (
+        members.withColumn("h", F.xxhash64("vec_id"))
+        .withColumn("rk", F.row_number().over(wseed))
+        .where(F.col("rk") <= k_child)
+        .select(
+            "super_id",
+            F.col("h").alias("centroid_id"),
+            F.col("embedding").alias("cvec"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    assigned = _ivf_assign_within(members, child_seeds)
+    # Lloyd within the child cell; the child's super is a function of its
+    # id (children never migrate supers), rejoin the stable mapping.
+    child_map = child_seeds.select("super_id", "centroid_id")
+    refined = _lloyd_step(assigned, "centroid_id").join(
+        F.broadcast(child_map), "centroid_id"
+    )
+    final = _ivf_assign_within(members, refined)
+    centroids = refined.select("centroid_id", "cvec", "cnrm", "super_id")
+    centroids.ivf_super = sup_centroids.withColumnRenamed(
+        "centroid_id", "super_id"
+    )
+    centroids.ivf_k_child = k_child
+    return final, centroids
+
+
+def _ivf_index(
+    emb: DataFrame, k: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(assignments, centroids). Seed centroids = vectors whose xxhash64 is
+    smallest (deterministic pseudo-random sample), one Lloyd refinement.
+    ``k=None`` derives the count from :func:`ivf_cluster_count` so the
+    index scales with the corpus instead of freezing at the gate-scale 16.
+    Below IVF_TWO_LEVEL_MIN_CELLS the build is the original flat one
+    (gate scales untouched); above it the coarse quantizer goes two-level
+    so assignment and probing stay Θ(n·√k)."""
+    if k is None:
+        k = ivf_cluster_count(emb)
+    if k < IVF_TWO_LEVEL_MIN_CELLS:
+        return _ivf_index_flat(emb, k)
+    return _ivf_index_two_level(emb, k)
 
 
 @query("sim04_ivf_ann")  # no oracle: IVF index isn't SQL-expressible
@@ -616,16 +737,70 @@ def _probe_entries(emb: DataFrame, centroids: DataFrame, nprobe: int) -> DataFra
     """(doc_id, band=0, bucket) rows: each vector's nprobe nearest centroids
     — the multi-probe entry frame the dedup module's skew-proof candidate
     machinery consumes. Shared by the batch (sim06) and incremental ingest
-    flows so both probe identically."""
+    flows so both probe identically.
+
+    When ``centroids`` came from the two-level build (ivf_super attribute),
+    probing routes the same way the index was built: score the √k supers,
+    keep enough nearest supers to cover nprobe children, then score only
+    those supers' children — Θ(n·√k) instead of the flat n·k cross join.
+    A centroids frame WITHOUT the attribute (e.g. reloaded from a persisted
+    ivf_store) falls back to the flat probe — correct at any size, just
+    n·k."""
+    import math
+
     from pyspark.sql import Window
 
-    scored = emb.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "centroid_id",
-        (dot(F.col("embedding"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm"))).alias(
-            "csim"
-        ),
-    )
+    supers = getattr(centroids, "ivf_super", None)
+    if supers is None:
+        scored = emb.crossJoin(F.broadcast(centroids)).select(
+            "vec_id",
+            "centroid_id",
+            (
+                dot(F.col("embedding"), F.col("cvec"))
+                / (F.col("nrm") * F.col("cnrm"))
+            ).alias("csim"),
+        )
+    else:
+        k_child = centroids.ivf_k_child
+        # Slack supers beyond the covering count: a near-boundary vector's
+        # nprobe-th cell often lives in a runner-up super. Sized by the
+        # sf1 sweep below (IVF_PROBE_SUPER_SLACK).
+        s_super = max(1, math.ceil(nprobe / k_child)) + IVF_PROBE_SUPER_SLACK
+        sup_scored = emb.crossJoin(
+            F.broadcast(supers.select("super_id", "cvec", "cnrm"))
+        ).select(
+            "vec_id",
+            "super_id",
+            (
+                dot(F.col("embedding"), F.col("cvec"))
+                / (F.col("nrm") * F.col("cnrm"))
+            ).alias("ssim"),
+        )
+        ws = Window.partitionBy("vec_id").orderBy(
+            F.col("ssim").desc(), "super_id"
+        )
+        kept = (
+            sup_scored.withColumn("rk", F.row_number().over(ws))
+            .where(F.col("rk") <= s_super)
+            .select("vec_id", "super_id")
+        )
+        scored = (
+            kept.join(emb.select("vec_id", "embedding", "nrm"), "vec_id")
+            .join(
+                F.broadcast(
+                    centroids.select("super_id", "centroid_id", "cvec", "cnrm")
+                ),
+                "super_id",
+            )
+            .select(
+                "vec_id",
+                "centroid_id",
+                (
+                    dot(F.col("embedding"), F.col("cvec"))
+                    / (F.col("nrm") * F.col("cnrm"))
+                ).alias("csim"),
+            )
+        )
     w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "centroid_id")
     return (
         scored.withColumn("rk", F.row_number().over(w))

@@ -501,6 +501,74 @@ def test_ivf_near_dup_recall_vs_exact(spark):
     assert recall >= 0.95, f"IVF near-dup recall {recall:.3f}"
 
 
+def test_two_level_ivf_recall_and_determinism(spark):
+    """Above IVF_TWO_LEVEL_MIN_CELLS the coarse quantizer goes hierarchical
+    (n·√k assignment/probing — the sf10 rehearsal measured flat's n·k term
+    at 320M scored rows). Planted well-separated label clusters: the
+    two-level candidates must still recover ≥95% of the exact same-label
+    pairs, the build must be run-to-run deterministic, and the flat path
+    below the gate must be untouched (no ivf_super attribute)."""
+    import numpy as np
+
+    from dbix_batchchunker_spark.operators.similarity import (
+        EMBED_DIM,
+        IVF_TWO_LEVEL_MIN_CELLS,
+        _ivf_index,
+        ivf_near_dup_pairs,
+        norm,
+    )
+
+    rng = np.random.default_rng(7)
+    n_labels, per_label = 400, 20
+    base = rng.normal(size=(n_labels, EMBED_DIM))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows, exact = [], set()
+    vecs = {}
+    for lab in range(n_labels):
+        members = base[lab] + 0.03 * rng.normal(size=(per_label, EMBED_DIM))
+        members /= np.linalg.norm(members, axis=1, keepdims=True)
+        for j in range(per_label):
+            vid = lab * per_label + j
+            vecs[vid] = members[j]
+            rows.append((vid, lab, [float(x) for x in members[j]]))
+    # exact same-label pairs at the 0.9 bar, with the engine's 6-dp rounding
+    for lab in range(n_labels):
+        ids = [lab * per_label + j for j in range(per_label)]
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                if round(float(vecs[a] @ vecs[b]), 6) >= 0.9:
+                    exact.add((a, b))
+    assert len(exact) > 1000  # planted clusters must actually be tight
+
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<float>"
+    ).withColumn("nrm", norm(F.col("embedding")))
+    emb = emb.persist()
+
+    k = IVF_TWO_LEVEL_MIN_CELLS  # 31 vectors/cell on 8000 — routes two-level
+    _, centroids = _ivf_index(emb, k)
+    assert getattr(centroids, "ivf_super", None) is not None  # engaged
+    # flat below the gate: attribute absent, original machinery (and the
+    # measured-flat recall anchors in nprobe_for_recall stay literally true)
+    _, flat_c = _ivf_index(emb, IVF_TWO_LEVEL_MIN_CELLS - 1)
+    assert getattr(flat_c, "ivf_super", None) is None
+
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in ivf_near_dup_pairs(emb, threshold=0.9, clusters=k).collect()
+    }
+    assert got <= {(a, b) for a, b in exact} | {(b, a) for a, b in exact}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.95, f"two-level IVF recall {recall:.3f}"
+
+    again = {
+        (r.vec_a, r.vec_b)
+        for r in ivf_near_dup_pairs(emb, threshold=0.9, clusters=k).collect()
+    }
+    assert got == again  # deterministic build + probe
+    emb.unpersist()
+
+
 def test_nprobe_for_recall_contract():
     """The recall_target knob (round-10 verdict #2 — clears the round's one
     weak mark): probe width derives from the MEASURED recall-vs-probed-
