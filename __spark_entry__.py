@@ -98,7 +98,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     q01/q03/q07/q08… last green round 9).
 #: Every rotated-out query stays oracle-pinned in the local gate replica
 #: (tests/test_queries_oracle.py parametrizes over every oracle —
-#: 124 as of round 10, 129 after the round-11 additions).
+#: 124 as of round 10, 130 after the round-11 additions — st01/st02/st04,
+#: tx32, mm04, and the late st07 ingest-loop oracle).
 ADJUDICATED_PREFIX = (
     # chunker flagships: permanent slots
     "q20_chunked_delete_survivors", "q21_chunked_groupby_combine",
