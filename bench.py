@@ -99,6 +99,38 @@ def _chunker_baseline(spark, sf_dir: str) -> dict:
     return out
 
 
+#: Idle-container reference for the contention sentinel below: min-of-3 of
+#: the fixed sentinel job on an otherwise-quiet container measured
+#: 0.116-0.178 s across quiet runs when the sentinel landed (round 12);
+#: re-record here if the container SKU changes — SCALING.md "Contention
+#: sentinel" holds the measurement log.
+SENTINEL_IDLE_S = 0.15
+#: A sentinel exceeding this multiple of idle marks the run "contended".
+#: 2.0× sits above the quiet-container sentinel band (up to ~1.5× its own
+#: floor run-to-run) while still firing on the rounds-9/11 signature
+#: (+20-30 s phantom suite regressions from co-tenant load, where the
+#: CPU-bound sentinel degrades with the queries).
+SENTINEL_CONTENDED_RATIO = 2.0
+
+
+def _sentinel_seconds(spark) -> float:
+    """Min-of-3 of a fixed CPU-bound job (64 codegen tasks over the range
+    sum — no IO, no shuffle, no Python). Deterministic work, so its wall
+    time moves ONLY with scheduler/CPU contention: twice (rounds 9 and 11)
+    the driver's bench showed +20-30 s phantom regressions that an idle
+    re-run erased, costing a judge-side re-measurement each time. Run
+    before and after the suite; either side exceeding
+    SENTINEL_CONTENDED_RATIO × SENTINEL_IDLE_S stamps the artifact
+    "contended" so a hot run self-identifies instead of reading as a code
+    regression."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.monotonic()
+        spark.range(0, 64_000_000, 1, 64).selectExpr("sum(id % 7)").collect()
+        best = min(best, time.monotonic() - t0)
+    return round(best, 3)
+
+
 def _clear_caches(spark) -> None:
     """Session-wide cache drop between timed runs, plus an explicit release
     of the prefix-sum cache registry so its handle list cannot grow for the
@@ -132,6 +164,8 @@ def main() -> None:
 
     # Warm up the JVM/codegen paths outside the timed region.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    sentinel_before = _sentinel_seconds(spark)
 
     # Round-over-round anchor: the newest BENCH_r*.json next to this script
     # provides per-query baselines so regressions show per query, not just
@@ -249,6 +283,12 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             chunker_stats = {"error": f"{type(exc).__name__}: {exc}"[:200]}
 
+    sentinel_after = _sentinel_seconds(spark)
+    contended = (
+        max(sentinel_before, sentinel_after)
+        > SENTINEL_CONTENDED_RATIO * SENTINEL_IDLE_S
+    )
+
     total = round(sum(timings.values()), 3)
     # The driver records only THE FINAL stdout line (plus a bounded tail), so
     # that line must stay compact: three rounds of BENCH_r{N}.json came back
@@ -267,6 +307,12 @@ def main() -> None:
             "_plus_stall_rescue_at_1p5x_prior"
         ),
         "warmup": f"each query once at {warm_dir} before timing",
+        "sentinel": {
+            "before_s": sentinel_before,
+            "after_s": sentinel_after,
+            "idle_s": SENTINEL_IDLE_S,
+            "contended": contended,
+        },
     }
     if errors:
         detail["errors"] = errors
@@ -289,6 +335,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_errors": len(errors),
+        "sentinel": detail["sentinel"],
         "timing": detail["timing"],
         "warmup": detail["warmup"],
         "detail": "BENCH_DETAIL.json",

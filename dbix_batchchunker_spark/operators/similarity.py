@@ -311,11 +311,15 @@ IVF_NPROBE = 3
 IVF_TARGET_CELL = 125
 
 
-def ivf_cluster_count(emb: DataFrame) -> int:
+def ivf_cluster_count(emb: DataFrame, n_vecs: int | None = None) -> int:
     """Data-adaptive cluster count: constant ~IVF_TARGET_CELL vectors per
-    cell, floored at IVF_CLUSTERS. One count() scan per index build —
+    cell, floored at IVF_CLUSTERS. ``n_vecs`` accepts a count the caller
+    already has (ivf_near_dup_pairs sizes its broadcast gate with the
+    same aggregate); otherwise one count() scan per index build —
     bounded (single aggregate row), amortized over the whole index."""
-    return max(IVF_CLUSTERS, emb.count() // IVF_TARGET_CELL)
+    if n_vecs is None:
+        n_vecs = emb.count()  # bounded: one aggregate row
+    return max(IVF_CLUSTERS, n_vecs // IVF_TARGET_CELL)
 
 
 def _ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -832,13 +836,16 @@ def ivf_near_dup_pairs(
     sf1-measured silent-0.775-recall regime."""
     from .dedup import _candidates_from_entries
 
+    # NOT persisted, by measurement: the pipeline re-scans the embedding
+    # frame per stage (seeds, assigns, probe, verify sides), but an A/B at
+    # sf0.1 put a persist() of the 4-column projection at +0.8 s on BOTH
+    # sim06 and sim07 idle min-of-3 (3.3/4.2 vs 2.4/3.4) — InMemoryRelation
+    # columnar (re)encoding of array<float> costs more than the tiny
+    # re-reads it saves; parquet scans of an n-row table are the cheap part
+    # of every stage at any n this single-join path serves.
     n_vecs = emb.count()  # bounded: one aggregate row; reused for cells AND
     # the verify-join strategy below
-    n_cells = (
-        max(IVF_CLUSTERS, n_vecs // IVF_TARGET_CELL)
-        if clusters is None
-        else clusters
-    )
+    n_cells = ivf_cluster_count(emb, n_vecs) if clusters is None else clusters
     _, centroids = _ivf_index(emb, n_cells)
     if nprobe is None:
         nprobe = nprobe_for_recall(n_cells, threshold, recall_target)
