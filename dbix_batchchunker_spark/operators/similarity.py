@@ -516,6 +516,91 @@ def _ivf_index(
     return _ivf_index_two_level(emb, k)
 
 
+class IvfIndex:
+    """Explicit handle for a (possibly two-level) IVF coarse quantizer.
+
+    The two-level build's routing state originally rode the centroids
+    DataFrame as ad-hoc Python attributes (``ivf_super``/``ivf_k_child``,
+    the cumsum_cache pattern) — but any select/persist/reload DROPS
+    Python attributes, silently flipping probes from slack-bounded
+    two-level routing to the flat n·k probe. Flat probing is always
+    CORRECT (it is the exact nprobe-nearest-cells set), but the two
+    sides of a candidate pair must probe the SAME cell sets for the same
+    geometry, so a store built two-level and reloaded flat would serve
+    asymmetric batch-vs-incremental candidates. This handle makes the
+    routing state explicit and survivable: :func:`build_ivf_index`
+    returns it, :func:`_probe_entries` accepts it, and
+    :func:`save_ivf_index` / :func:`load_ivf_index` round-trip it
+    through parquet so persisted stores probe exactly like the build.
+    """
+
+    __slots__ = ("centroids", "supers", "k_child")
+
+    def __init__(
+        self,
+        centroids: DataFrame,
+        supers: DataFrame | None = None,
+        k_child: int | None = None,
+    ) -> None:
+        self.centroids = centroids
+        self.supers = supers
+        self.k_child = k_child
+
+    @property
+    def two_level(self) -> bool:
+        return self.supers is not None
+
+
+def build_ivf_index(emb: DataFrame, clusters: int | None = None) -> IvfIndex:
+    """Public index builder: the :func:`_ivf_index` geometry wrapped in an
+    :class:`IvfIndex` handle whose two-level routing state survives
+    select/persist/reload (unlike the internal attribute-riding frames)."""
+    _, centroids = _ivf_index(emb, clusters)
+    return IvfIndex(
+        centroids,
+        getattr(centroids, "ivf_super", None),
+        getattr(centroids, "ivf_k_child", None),
+    )
+
+
+def save_ivf_index(index: IvfIndex, path: str) -> None:
+    """Persist the full routing state — centroids, and for two-level
+    indexes the super centroids + children-per-super — so
+    :func:`load_ivf_index` probes EXACTLY like the in-process build.
+    Layout: ``<path>/centroids`` parquet, ``<path>/supers`` parquet (two-
+    level only), ``<path>/meta.json`` (k_child). Centroid frames are
+    k-row small at any corpus size (√n·8 rows at the default cell
+    population), so this is a cheap driver-coordinated write."""
+    import json
+    import os
+
+    index.centroids.write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+    if index.supers is not None:
+        index.supers.write.mode("overwrite").parquet(
+            os.path.join(path, "supers")
+        )
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump({"k_child": index.k_child}, fh)
+
+
+def load_ivf_index(spark: SparkSession, path: str) -> IvfIndex:
+    """Round-trip of :func:`save_ivf_index`: a reloaded two-level index
+    routes two-level, a reloaded flat index routes flat — batch and
+    incremental probes stay symmetric across persistence."""
+    import json
+    import os
+
+    centroids = spark.read.parquet(os.path.join(path, "centroids"))
+    supers = None
+    if os.path.isdir(os.path.join(path, "supers")):
+        supers = spark.read.parquet(os.path.join(path, "supers"))
+    with open(os.path.join(path, "meta.json")) as fh:
+        k_child = json.load(fh).get("k_child")
+    return IvfIndex(centroids, supers, k_child)
+
+
 @query("sim04_ivf_ann")  # no oracle: IVF index isn't SQL-expressible
 def sim04_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -691,6 +776,14 @@ def nprobe_for_recall(
     - ``recall_target<1.0``: linear interpolation between the sf1
       anchors, clamped to [1, exhaustive fraction]. Anchors were measured
       at threshold 0.3; stricter thresholds reach the target with margin.
+
+    All anchors are FLAT-probe measurements. Above
+    IVF_TWO_LEVEL_MIN_CELLS the router honors that:
+    ``recall_target>=1.0`` routes the probe FLAT (scoring all supers'
+    children is the flat scan — the honest n·k price of the exhaustive
+    fraction), and a partial target on a two-level index warns that the
+    slack-bounded routing recovered only 0.87-0.94 of the flat pair set
+    in the sf1 sweep (see ``_probe_entries``).
     """
     if recall_target is None:
         return SIM06_NPROBE
@@ -737,24 +830,67 @@ def _warn_if_recall_decays(clusters: int, nprobe: int, threshold: float) -> None
         )
 
 
-def _probe_entries(emb: DataFrame, centroids: DataFrame, nprobe: int) -> DataFrame:
+def _probe_entries(
+    emb: DataFrame,
+    centroids: DataFrame | IvfIndex,
+    nprobe: int,
+    recall_target: float | None = None,
+) -> DataFrame:
     """(doc_id, band=0, bucket) rows: each vector's nprobe nearest centroids
     — the multi-probe entry frame the dedup module's skew-proof candidate
     machinery consumes. Shared by the batch (sim06) and incremental ingest
     flows so both probe identically.
 
-    When ``centroids`` came from the two-level build (ivf_super attribute),
-    probing routes the same way the index was built: score the √k supers,
-    keep enough nearest supers to cover nprobe children, then score only
-    those supers' children — Θ(n·√k) instead of the flat n·k cross join.
-    A centroids frame WITHOUT the attribute (e.g. reloaded from a persisted
-    ivf_store) falls back to the flat probe — correct at any size, just
-    n·k."""
+    ``centroids`` is an :class:`IvfIndex` (explicit routing state — the
+    persistable form) or a bare centroids frame from the internal build
+    (two-level state as riding attributes). For a two-level index,
+    probing routes the way the index was built: score the √k supers, keep
+    enough nearest supers to cover nprobe children (+ measured slack),
+    then score only those supers' children — Θ(n·√k) instead of the flat
+    n·k cross join. A bare frame without routing state (e.g. a centroids
+    parquet persisted WITHOUT :func:`save_ivf_index`) falls back to the
+    flat probe — correct at any size (the exact nprobe-nearest set),
+    just n·k.
+
+    ``recall_target`` keeps the recall CONTRACT honest on the two-level
+    path: the :data:`_IVF_RECALL_ANCHORS` were measured on FLAT probes,
+    while the slack-bounded super routing recovers only 0.87-0.94 of the
+    flat pair set (slack sweep, SCALING.md). A caller who asked for the
+    anchors' top measured recall therefore routes FLAT here (the n·k
+    scoring is the honest price of the exhaustive fraction); a partial
+    target on a two-level index gets a loud RuntimeWarning that the
+    routing approximates the flat-measured anchors."""
     import math
+    import warnings
 
     from pyspark.sql import Window
 
-    supers = getattr(centroids, "ivf_super", None)
+    if isinstance(centroids, IvfIndex):
+        supers = centroids.supers
+        k_child = centroids.k_child
+        centroids = centroids.centroids
+    else:
+        supers = getattr(centroids, "ivf_super", None)
+        k_child = getattr(centroids, "ivf_k_child", None)
+    if supers is not None and recall_target is not None:
+        (_, _), (r_hi, _) = _IVF_RECALL_ANCHORS
+        if recall_target >= r_hi:
+            # The exhaustive fraction's recall-1.0 measurement is a FLAT-
+            # probe fact; scoring all supers' children IS the flat scan,
+            # so skip the super stage outright instead of slack-routing.
+            supers = None
+        else:
+            warnings.warn(
+                "IVF two-level routing with a partial recall_target: the "
+                "recall anchors were measured on flat probes; the slack-"
+                f"bounded super routing (slack {IVF_PROBE_SUPER_SLACK}) "
+                "recovered 0.87-0.94 of the flat pair set in the sf1 "
+                "sweep, so the effective recall may sit below the "
+                "requested target. Pass recall_target>=1.0 for flat "
+                "routing, or raise IVF_PROBE_SUPER_SLACK.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
     if supers is None:
         scored = emb.crossJoin(F.broadcast(centroids)).select(
             "vec_id",
@@ -765,7 +901,6 @@ def _probe_entries(emb: DataFrame, centroids: DataFrame, nprobe: int) -> DataFra
             ).alias("csim"),
         )
     else:
-        k_child = centroids.ivf_k_child
         # Slack supers beyond the covering count: a near-boundary vector's
         # nprobe-th cell often lives in a runner-up super. Sized by the
         # sf1 sweep below (IVF_PROBE_SUPER_SLACK).
@@ -851,7 +986,9 @@ def ivf_near_dup_pairs(
         nprobe = nprobe_for_recall(n_cells, threshold, recall_target)
         if recall_target is None:
             _warn_if_recall_decays(n_cells, nprobe, threshold)
-    cand = _candidates_from_entries(_probe_entries(emb, centroids, nprobe))
+    cand = _candidates_from_entries(
+        _probe_entries(emb, centroids, nprobe, recall_target)
+    )
     side = emb.select("vec_id", "label", "embedding", "nrm")
     # Candidate volume is Θ(cells · (nprobe·cell_pop)²/2) — linear in n but
     # BIG (80M at sf1, 800M at sf10), while the embedding side is n rows.
@@ -1019,7 +1156,13 @@ def ivf_store(
     ``nprobe`` here is the STORED probe width — size it for the index's
     cell count with :func:`nprobe_for_recall` (the fixed default is the
     gate-scale operating point and decays on a grown index; see the
-    recall-contract notes there)."""
+    recall-contract notes there).
+
+    Persist a two-level index's ROUTING state with
+    :func:`save_ivf_index` / :func:`load_ivf_index` — a centroids frame
+    persisted bare loses the super index and reload-time increments
+    would probe flat while the stored entries were slack-routed
+    (asymmetric candidates for the same geometry)."""
     _, centroids = _ivf_index(emb, clusters)
     entries = _probe_entries(emb, centroids, nprobe).select(
         F.col("doc_id").alias("vec_id"), F.col("bucket").alias("centroid_id")

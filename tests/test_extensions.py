@@ -569,6 +569,88 @@ def test_two_level_ivf_recall_and_determinism(spark):
     emb.unpersist()
 
 
+def test_ivf_index_handle_roundtrip_and_recall_routing(spark, tmp_path):
+    """Round-12 advice items: (1) two-level routing state must survive
+    persistence — IvfIndex + save/load round-trips the super index so a
+    reloaded store probes EXACTLY like the in-process build (attribute-
+    riding frames drop it and silently flip to flat, making batch and
+    incremental candidates asymmetric for the same geometry); (2) the
+    recall contract on the two-level path — recall_target at the top
+    anchor routes the probe FLAT (the anchors are flat-probe
+    measurements), a partial target warns."""
+    import warnings
+
+    import numpy as np
+
+    from dbix_batchchunker_spark.operators.similarity import (
+        EMBED_DIM,
+        IVF_TWO_LEVEL_MIN_CELLS,
+        IvfIndex,
+        _probe_entries,
+        build_ivf_index,
+        load_ivf_index,
+        norm,
+        save_ivf_index,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    vecs = rng.normal(size=(n, EMBED_DIM))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, i % 7, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, label long, embedding array<float>",
+    ).withColumn("nrm", norm(F.col("embedding"))).persist()
+
+    k = IVF_TWO_LEVEL_MIN_CELLS  # forces the two-level build
+    idx = build_ivf_index(emb, k)
+    assert idx.two_level and idx.k_child is not None
+
+    def entry_set(index, nprobe=8, recall_target=None):
+        return {
+            (r.doc_id, r.bucket)
+            for r in _probe_entries(emb, index, nprobe, recall_target).collect()
+        }
+
+    built = entry_set(idx)
+    # handle == attribute-riding frame (same in-process routing)
+    assert built == entry_set(idx.centroids)
+
+    # persistence round-trip: the reloaded handle routes two-level and
+    # produces the identical probe set — the symmetry the advice asked for
+    path = str(tmp_path / "ivf_index")
+    save_ivf_index(idx, path)
+    loaded = load_ivf_index(spark, path)
+    assert loaded.two_level and loaded.k_child == idx.k_child
+    assert entry_set(loaded) == built
+
+    # a BARE centroids frame reloaded without the super index routes flat —
+    # correct but different; the saved handle is what restores symmetry
+    flat = IvfIndex(idx.centroids)
+    flat_entries = entry_set(flat)
+    assert flat_entries != built  # slack routing genuinely differs here
+
+    # recall contract: the top anchor is a flat-probe measurement, so
+    # recall_target at/above it must route the two-level probe FLAT
+    assert entry_set(idx, recall_target=1.0) == flat_entries
+
+    # partial target on a two-level index: loud approximation warning
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        entry_set(idx, recall_target=0.9)
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "flat probes" in str(w.message)
+        for w in caught
+    )
+    # flat index (no supers): no routing-approximation warning at any target
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        entry_set(flat, recall_target=0.9)
+    assert not any("flat probes" in str(w.message) for w in caught)
+    emb.unpersist()
+
+
 def test_nprobe_for_recall_contract():
     """The recall_target knob (round-10 verdict #2 — clears the round's one
     weak mark): probe width derives from the MEASURED recall-vs-probed-
