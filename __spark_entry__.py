@@ -96,37 +96,49 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     never-adjudicated backlog hits ZERO. Remaining slots refill from
 #:     the head of DEMOTED_FROM_PREFIX (oldest driver-green first:
 #:     q01/q03/q07/q08… last green round 9).
+#:   round 12: CORRECTNESS_r11 = 50/50 green and the never-adjudicated
+#:     backlog is zero, so the rotation swings to the OLDEST driver-green
+#:     cohorts (round-11 verdict #7): every r11 green except the
+#:     permanent chunker slots rotates out. In: the 3 round-12 oracle
+#:     debuts (st08's layout-invariant sized-sink relation, mm05's
+#:     integer-exact clip stats, mm06's stored-block payload sizes —
+#:     multimodal and streaming families now FULLY adjudicated) plus the
+#:     43 oldest demotions — the full round-7 (tx01…tx12), round-8
+#:     (q16…sp04) and round-9 (tx02…sp08) cohorts and the 9 head entries
+#:     of the round-10 cohort (q34…q47).
 #: Every rotated-out query stays oracle-pinned in the local gate replica
 #: (tests/test_queries_oracle.py parametrizes over every oracle —
-#: 124 as of round 10, 130 after the round-11 additions — st01/st02/st04,
-#: tx32, mm04, and the late st07 ingest-loop oracle).
+#: 130 after the round-11 additions, 133 with round 12's st08/mm05/mm06).
 ADJUDICATED_PREFIX = (
     # chunker flagships: permanent slots
     "q20_chunked_delete_survivors", "q21_chunked_groupby_combine",
     "q22_chunked_update_overlay", "q23_chunked_update_join",
-    # the 7 queued late-r10 oracle additions (verdict r10 #1)
-    "dd14_sql_simhash_pairs", "dd15_sql_minhash_components",
-    "mm02_decode_pipeline", "mm03_resize_and_sample",
-    "sim06_ivf_near_dup", "sim07_embedding_dedup", "sim09_mmr_rerank",
-    # round-11 additions: first driver rows in their debut round
-    "st01_stream_hourly_rollup", "st02_stream_user_totals",
-    "st04_stream_sessions", "tx32_bpe_train_encode",
-    "mm04_phash_near_dup", "st07_stream_incremental_packing",
-    # oldest demotions re-adjudicated (head of the queue; last
-    # driver-green round 9)
-    "q01_pricing_summary", "q03_revenue_by_nation", "q07_top_customers",
-    "q08_latest_event_per_user", "q09_customers_without_orders",
-    "q12_rollup_revenue", "q13_conditional_agg", "q14_below_avg_quantity",
-    "q15_asof_join", "q24_keyset_page", "q25_shipping_priority",
-    "q26_returned_items", "q27_above_avg_spenders", "q28_cube_counts",
-    "q29_fuzzy_part_names", "q30_sessionize", "q31_running_revenue",
-    "q32_banded_range_join", "q48_scd2_merge", "q49_zorder_key",
-    "q50_histogram_quantile_rollup", "q51_event_funnel",
-    "q52_dense_hourly_fill", "q53_null_aware_anti_shuffle",
-    "q54_session_paths",
-    "dd01_exact", "dd02_jaccard_pairs", "dd05_mllib_minhash",
-    "dd06_lsh_jaccard_pairs", "dd08_ngram_jaccard_pairs",
-    "mm01_binary_stats", "sim01_topk_bruteforce", "sim03_embedding_near_dup",
+    # round-12 oracle debuts: first driver rows in their debut round
+    "st08_stream_sized_sink", "mm05_wav_clip_stats",
+    "mm06_png_header_metadata",
+    # oldest demotions re-adjudicated (head of the queue):
+    # last driver-green round 7
+    "tx01_token_stats", "tx04_fingerprint", "tx05_json_extract",
+    "tx08_rolling_hash", "tx09_det_split", "tx12_repetition",
+    # last driver-green round 8
+    "q16_semi_join", "q17_scalar_functions", "q18_percentiles",
+    "q33_interval_overlap_join", "q36_pivot_event_matrix",
+    "q38_composite_keyset", "q40_null_aware_anti",
+    "q42_trailing_week_revenue", "q44_full_outer_reconcile",
+    "dd10_jaccard_components", "dd11_containment_pairs",
+    "sim08_quantized_topk", "tx16_bloom_decontaminate",
+    "tx18_bpe_merge_pairs", "sp04_sequence_packing",
+    # last driver-green round 9
+    "tx02_quality_score", "tx03_langid", "tx06_pipeline_quality_dedup",
+    "tx07_bpe_token_count", "tx10_decontaminate", "tx11_group_sample",
+    "tx14_vocab", "tx15_dup_windows", "tx17_contamination_severity",
+    "tx26_token_rarity", "sp01_mixture_sample", "sp07_mixture_waterfill",
+    "sp08_epoch_plan",
+    # last driver-green round 10 (head of that cohort)
+    "q34_grouping_sets", "q35_event_gaps", "q37_topk_per_group",
+    "q39_spend_deciles", "q41_sketch_rollup", "q43_salted_hot_join",
+    "q45_unpivot_status_counts", "q46_lateral_topn_per_customer",
+    "q47_recursive_hierarchy_rollup",
 )
 
 #: Former slot-holders, first in line for re-adjudication when the
@@ -134,57 +146,8 @@ ADJUDICATED_PREFIX = (
 #: so the head is always first in line when slots free up (or if the
 #: driver cap were raised).
 DEMOTED_FROM_PREFIX = (
-    # Last driver-green round 7 (demoted round 8; the q-siblings of this
-    # batch were re-adjudicated in round 10).
-    "tx01_token_stats",
-    "tx04_fingerprint",
-    "tx05_json_extract",
-    "tx08_rolling_hash",
-    "tx09_det_split",
-    "tx12_repetition",
-    # Last driver-green round 8 (demoted round 9).
-    "q16_semi_join",
-    "q17_scalar_functions",
-    "q18_percentiles",
-    "q33_interval_overlap_join",
-    "q36_pivot_event_matrix",
-    "q38_composite_keyset",
-    "q40_null_aware_anti",
-    "q42_trailing_week_revenue",
-    "q44_full_outer_reconcile",
-    "dd10_jaccard_components",
-    "dd11_containment_pairs",
-    "sim08_quantized_topk",
-    "tx16_bloom_decontaminate",
-    "tx18_bpe_merge_pairs",
-    "sp04_sequence_packing",
-    # Last driver-green round 9 (demoted round 10; q01…sim03 from this
-    # batch rotated BACK IN this round; tx02 ceded its slot to the st07
-    # oracle debut late in round 11).
-    "tx02_quality_score",
-    "tx03_langid",
-    "tx06_pipeline_quality_dedup",
-    "tx07_bpe_token_count",
-    "tx10_decontaminate",
-    "tx11_group_sample",
-    "tx14_vocab",
-    "tx15_dup_windows",
-    "tx17_contamination_severity",
-    "tx26_token_rarity",
-    "sp01_mixture_sample",
-    "sp07_mixture_waterfill",
-    "sp08_epoch_plan",
-    # Last driver-green round 10 (demoted this round — all 46 r10 greens
-    # except the permanent chunker flagships).
-    "q34_grouping_sets",
-    "q35_event_gaps",
-    "q37_topk_per_group",
-    "q39_spend_deciles",
-    "q41_sketch_rollup",
-    "q43_salted_hot_join",
-    "q45_unpivot_status_counts",
-    "q46_lateral_topn_per_customer",
-    "q47_recursive_hierarchy_rollup",
+    # Last driver-green round 10 (demoted round 11; the tx01…q47 head of
+    # this queue rotated BACK IN for round 12).
     "q55_snapshot_diff",
     "q56_relational_division",
     "q57_id_islands",
@@ -222,6 +185,54 @@ DEMOTED_FROM_PREFIX = (
     "q06_view_orders_1995",
     "q10_set_ops",
     "q11_hourly_event_rollup",
+    # Last driver-green round 11 (demoted this round — all 46 r11 greens
+    # except the permanent chunker flagships).
+    "dd14_sql_simhash_pairs",
+    "dd15_sql_minhash_components",
+    "mm02_decode_pipeline",
+    "mm03_resize_and_sample",
+    "sim06_ivf_near_dup",
+    "sim07_embedding_dedup",
+    "sim09_mmr_rerank",
+    "st01_stream_hourly_rollup",
+    "st02_stream_user_totals",
+    "st04_stream_sessions",
+    "tx32_bpe_train_encode",
+    "mm04_phash_near_dup",
+    "st07_stream_incremental_packing",
+    "q01_pricing_summary",
+    "q03_revenue_by_nation",
+    "q07_top_customers",
+    "q08_latest_event_per_user",
+    "q09_customers_without_orders",
+    "q12_rollup_revenue",
+    "q13_conditional_agg",
+    "q14_below_avg_quantity",
+    "q15_asof_join",
+    "q24_keyset_page",
+    "q25_shipping_priority",
+    "q26_returned_items",
+    "q27_above_avg_spenders",
+    "q28_cube_counts",
+    "q29_fuzzy_part_names",
+    "q30_sessionize",
+    "q31_running_revenue",
+    "q32_banded_range_join",
+    "q48_scd2_merge",
+    "q49_zorder_key",
+    "q50_histogram_quantile_rollup",
+    "q51_event_funnel",
+    "q52_dense_hourly_fill",
+    "q53_null_aware_anti_shuffle",
+    "q54_session_paths",
+    "dd01_exact",
+    "dd02_jaccard_pairs",
+    "dd05_mllib_minhash",
+    "dd06_lsh_jaccard_pairs",
+    "dd08_ngram_jaccard_pairs",
+    "mm01_binary_stats",
+    "sim01_topk_bruteforce",
+    "sim03_embedding_near_dup",
 )
 
 

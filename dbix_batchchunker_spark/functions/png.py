@@ -61,13 +61,21 @@ def encode_png(
     height: int,
     channels: int = 3,
     filter_type: int = 0,
+    compress_level: int = -1,
 ) -> bytes:
     """Raw 8-bit row-major pixels -> PNG bytes.
 
     ``filter_type`` applies ONE filter (0..4) to every scanline — fixtures
     use 1..4 to exercise each of the decoder's reconstruction paths (the
     known-answer vectors in tests/test_multimodal_png.py guard against a
-    matched encoder/decoder sign error cancelling out)."""
+    matched encoder/decoder sign error cancelling out).
+
+    ``compress_level`` passes through to zlib (-1 = library default).
+    Level 0 emits STORED deflate blocks, making the payload size a closed
+    form of the geometry — 11 + raw bytes of zlib for raw <= 65535, raw =
+    height·(1 + width·channels) — which is what lets mm06's oracle state
+    payload_bytes exactly; every decoder inflates stored blocks
+    identically, so nothing else changes."""
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
     stride = width * channels
     if len(pixels) != stride * height:
@@ -102,7 +110,7 @@ def encode_png(
     return (
         _SIG
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), compress_level))
         + _chunk(b"IEND", b"")
     )
 

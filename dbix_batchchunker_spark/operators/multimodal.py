@@ -683,7 +683,50 @@ def audio_stats_column(
     return df.mapInPandas(batches, schema=AUDIO_STATS_SCHEMA)
 
 
-@query("mm05_wav_clip_stats")  # rows-only: container decode isn't SQL
+#: mm05 clip geometry — the planted waveform's closed forms, shared by the
+#: synth, the oracle, and the pytest pin so they cannot drift. One period
+#: of the integer wave (8 samples, shape max |w|=6, Σw²=108); 8 divides
+#: every clip length (n = 8·duration_ms), so peak and the sample-square
+#: sum are whole-period closed forms in doc_id.
+MM05_WAVE = (0, 3, 6, 3, 0, -3, -6, -3)
+MM05_RATE = 8000
+
+
+# ORACLE-gated since round 12 (the round-11 verdict's ask #5, by the mm04
+# integer-exact-redefinition precedent): the planted clip is an integer
+# waveform — amp(doc) · MM05_WAVE[(i + doc) % 8] — instead of a float
+# sine, so every emitted stat is closed-form in doc_id AND bit-exact
+# cross-engine: peak = 6·amp/32768 and the normalized squares are dyadic
+# rationals (denominator 2^30), their sum < 2^53 stays EXACT under any
+# summation order, and rms = sqrt((ssq/2^30)/n) is two IEEE-deterministic
+# ops on identical values (the tx19 rule: emit the unrounded double when
+# both engines compute bit-identical doubles). The operator under test is
+# unchanged and REAL: executors encode actual RIFF bytes and
+# wav_stats_codec DECODES them back — a wrong byte written, a wrong
+# offset read, or a dropped sample all break the hash. mm08 keeps the
+# header-only surface; this adjudicates the full decode-stats row.
+@query(
+    "mm05_wav_clip_stats",
+    oracle=f"""
+    WITH geo AS (
+        SELECT doc_id,
+               8 * (40 + (doc_id * 7) % 161) AS n,
+               2000 + (doc_id % 13) * 250 AS amp
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(44 + 2 * n AS INT) AS payload_bytes,
+           CAST({MM05_RATE} AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels,
+           CAST(16 AS INT) AS bits,
+           CAST(n AS INT) AS n_frames,
+           CAST(n // 8 AS DOUBLE) AS duration_ms,
+           SQRT((CAST((n // 8) * amp * amp * 108 AS DOUBLE)
+                 / 1073741824.0) / n) AS rms,
+           CAST(6 * amp AS DOUBLE) / 32768.0 AS peak
+    FROM geo ORDER BY doc_id
+    """,
+)
 def mm05_wav_clip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id")
 
@@ -693,21 +736,19 @@ def mm05_wav_clip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from ..functions.wav import encode_wav, wav_stats_codec
 
-        rate = 8000
+        rate = MM05_RATE
+        wave = np.array(MM05_WAVE, dtype=np.int64)
         for pdf in it:
             rows = []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
-                # deterministic clip: 40-200 ms sine, 200-1700 Hz
-                # (np.sin over the index vector + trunc-toward-zero astype
-                # == the scalar int(math.sin(...)) loop, ~30x faster —
-                # synth is fixture scaffolding; the DECODE is the operator)
+                # deterministic 40-200 ms clip of the integer waveform
+                # (synth is fixture scaffolding; the DECODE is the
+                # operator — see the oracle note for why the wave is
+                # integer-exact rather than a float sine)
                 n = rate * (40 + (doc_id * 7) % 161) // 1000
-                freq = 200 + (doc_id * 37) % 1501
-                amp = 12000 + (doc_id % 17) * 1000
-                samples = (
-                    amp * np.sin(2 * np.pi * freq * np.arange(n) / rate)
-                ).astype(np.int64)
+                amp = 2000 + (doc_id % 13) * 250
+                samples = amp * wave[(np.arange(n) + doc_id) % 8]
                 payload = encode_wav(samples, sample_rate=rate)
                 s = wav_stats_codec(payload)
                 rows.append(
@@ -723,11 +764,11 @@ def mm05_wav_clip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         },
                     }
                 )
-            pdf_out = pd.DataFrame(rows)
-            # 6dp: keep the gate's string canonicalizer away from float ulps
-            for c in ("duration_ms", "rms", "peak"):
-                pdf_out[c] = pdf_out[c].round(6)
-            yield pdf_out
+            # duration/rms/peak ship UNROUNDED: they are bit-identical
+            # doubles by construction (dyadic normalization + exact
+            # integer sums), and ROUND itself diverges cross-engine at
+            # representation boundaries (the tx19 finding).
+            yield pd.DataFrame(rows)
 
     return docs.mapInPandas(
         synth_and_decode, schema=AUDIO_STATS_SCHEMA
@@ -762,7 +803,11 @@ _PNG_MAGIC_HEX = "89504E470D0A1A0A"
 
 def synth_png_column(docs: DataFrame) -> DataFrame:
     """doc_id -> deterministic tiny PNG payload (binaryFile stand-in);
-    cycles every channel count and scanline filter the codec supports."""
+    cycles every channel count and scanline filter the codec supports.
+    IDAT uses STORED deflate blocks (compress_level=0) so the payload
+    size is a closed form of the geometry — 68 + h·(1 + w·ch) bytes —
+    which is what puts mm06's payload_bytes on the oracle track; the
+    decode path inflates stored blocks like any other."""
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
@@ -782,7 +827,9 @@ def synth_png_column(docs: DataFrame) -> DataFrame:
                 rows.append(
                     {
                         "doc_id": doc_id,
-                        "payload": encode_png(px, w, h, ch, doc_id % 5),
+                        "payload": encode_png(
+                            px, w, h, ch, doc_id % 5, compress_level=0
+                        ),
                     }
                 )
             yield pd.DataFrame(rows)
@@ -821,10 +868,40 @@ def png_header_metadata(imgs: DataFrame, payload_col: str = "payload") -> DataFr
     )
 
 
-@query("mm06_png_header_metadata")  # rows-only: payload_bytes is zlib-sized
+# ORACLE-gated since round 12 (the round-11 verdict's ask #5): with the
+# fixture's IDAT in STORED deflate blocks, payload_bytes — the one column
+# that kept mm06 rows-only — is the closed form 68 + h·(1 + w·ch)
+# (8 signature + 25 IHDR + 12 IDAT framing + [2 zlib header + 5 stored-
+# block header + raw + 4 adler] + 12 IEND, raw <= 65535 so exactly one
+# block). A green row now adjudicates the FULL surface mm07 could not:
+# the total byte stream length through encode -> binary -> JVM parse, on
+# top of the header fields mm07 already pins.
+@query(
+    "mm06_png_header_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(68 + (2 + doc_id % 5)
+                    * (1 + (3 + doc_id % 6) * (1 + doc_id % 4)) AS BIGINT)
+               AS payload_bytes,
+           CAST(1 AS BIGINT) AS magic_ok,
+           CAST(3 + doc_id % 6 AS BIGINT) AS width,
+           CAST(2 + doc_id % 5 AS BIGINT) AS height,
+           CAST(8 AS BIGINT) AS bit_depth,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 4
+                                WHEN 2 THEN 2 ELSE 6 END AS BIGINT)
+               AS color_type,
+           CAST(1 + doc_id % 4 AS BIGINT) AS n_channels
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
 def mm06_png_header_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    return png_header_metadata(synth_png_column(docs)).orderBy("doc_id")
+    meta = png_header_metadata(synth_png_column(docs))
+    # magic_ok as BIGINT for the gate's string canonicalizer (mm07's rule)
+    return meta.withColumn(
+        "magic_ok", F.col("magic_ok").cast("long")
+    ).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------- #

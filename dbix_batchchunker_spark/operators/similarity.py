@@ -986,8 +986,30 @@ def ivf_near_dup_pairs(
         nprobe = nprobe_for_recall(n_cells, threshold, recall_target)
         if recall_target is None:
             _warn_if_recall_decays(n_cells, nprobe, threshold)
+    return verified_pairs_from_index(
+        emb, centroids, nprobe, threshold, n_vecs, recall_target
+    )
+
+
+def verified_pairs_from_index(
+    emb: DataFrame,
+    index: DataFrame | IvfIndex,
+    nprobe: int,
+    threshold: float,
+    n_vecs: int | None = None,
+    recall_target: float | None = None,
+) -> DataFrame:
+    """Probe ``index`` and exact-verify: the probe+verify tail of
+    :func:`ivf_near_dup_pairs`, factored out so a caller with an
+    already-built (or reloaded) :class:`IvfIndex` — incremental ingest,
+    recall measurement harnesses — runs the IDENTICAL candidate and
+    verify machinery the batch path runs."""
+    from .dedup import _candidates_from_entries
+
+    if n_vecs is None:
+        n_vecs = emb.count()  # bounded: one aggregate row (gate below)
     cand = _candidates_from_entries(
-        _probe_entries(emb, centroids, nprobe, recall_target)
+        _probe_entries(emb, index, nprobe, recall_target)
     )
     side = emb.select("vec_id", "label", "embedding", "nrm")
     # Candidate volume is Θ(cells · (nprobe·cell_pop)²/2) — linear in n but

@@ -719,50 +719,81 @@ def st07_stream_incremental_packing(spark: SparkSession, sf_dir: str) -> DataFra
     return spans.orderBy("doc_id")
 
 
-@query("st08_stream_sized_sink")  # no oracle: sink layout, not a relation
+#: st08 ingest geometry — shared by the query and its oracle so the
+#: closed form cannot drift from the drain parameters (st07's device).
+ST08_DRAINS = 2
+ST08_BATCH_ROWS = 50
+ST08_DOC_TOKENS = 40
+
+
+# ORACLE-gated since round 12 (the round-11 verdict's ask #4): the sink's
+# FILE layout is byte-size-dependent (write_sized_parquet splits on a
+# measured bytes/row estimate — not statable), but everything the sink
+# must not corrupt IS: after two exactly-once drains the table holds
+# exactly docs [0, drains·batch_rows), each once, in batch = doc_id //
+# batch_rows, with its text intact (token count 40 — the corpusfeed
+# closed form). A green row therefore adjudicates the layout-invariant
+# half of the sized sink end to end: the checkpoint cursor resuming drain
+# 2 where drain 1 stopped, the per-batch overwrite dirs unioning into one
+# hive-discovered table with no loss or duplication across files, and the
+# text surviving the size-targeted split/write/read-back. The per-file
+# split points and the replay-idempotence of a single batch dir stay
+# pinned in tests/test_streaming.py.
+@query(
+    "st08_stream_sized_sink",
+    oracle=f"""
+    SELECT r.i AS doc_id,
+           CAST(r.i // {ST08_BATCH_ROWS} AS BIGINT) AS batch,
+           CAST({ST08_DOC_TOKENS} AS INT) AS n_tokens
+    FROM range({ST08_DRAINS * ST08_BATCH_ROWS}) r(i)
+    ORDER BY doc_id
+    """,
+)
 def st08_stream_sized_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One availableNow drain of the corpusfeed through the SIZED parquet
+    """TWO availableNow drains of the corpusfeed through the SIZED parquet
     sink (streaming/sinks.sized_parquet_sink): streaming ingest whose
     output files are target-sized at write time — the small-files
     problem handled at the sink instead of by a nightly compactor.
     Exactly-once via per-batch overwrite dirs (same idempotency key as
-    st07's packer); replay equivalence is pinned in
-    tests/test_streaming.py. Returns per-batch file/row stats read back
-    from the written table — bounded by #batches. (sf_dir unused: the
-    feed connector generates the corpus.)"""
+    st07's packer). Returns the layout-invariant per-doc relation read
+    back from the written table (doc_id, batch, token count) — the
+    byte-size-dependent file split points are deliberately excluded
+    (see the oracle note above). (sf_dir unused: the feed connector
+    generates the corpus.)"""
     from ..sources.pydatasource import register_feed
     from ..streaming.sinks import sized_parquet_sink
+    from .text import _tokens_spark
 
     register_feed(spark)
     base = tempfile.mkdtemp(prefix="st08_")
     out = os.path.join(base, "table")
     ck = os.path.join(base, "ck")
 
-    feed = (
-        spark.readStream.format("corpusfeed")
-        .option("batchrows", 50)
-        .load()
-        .select("doc_id", "text")
-    )
-    sized_parquet_sink(feed, out, ck, target_mb=0.002)
-    stats = (
+    def drain() -> None:
+        feed = (
+            spark.readStream.format("corpusfeed")
+            .option("batchrows", ST08_BATCH_ROWS)
+            .load()
+            .select("doc_id", "text")
+        )
+        sized_parquet_sink(feed, out, ck, target_mb=0.002)
+
+    drain()
+    drain()
+    docs = (
         spark.read.option("basePath", out)
         .parquet(out)
-        .select("doc_id", F.input_file_name().alias("f"))
-        .groupBy("f")
-        .agg(
-            F.count(F.lit(1)).alias("rows_in_file"),
-            F.min("doc_id").alias("min_doc"),
-            F.max("doc_id").alias("max_doc"),
+        .select(
+            "doc_id",
+            F.col("batch").cast("long").alias("batch"),
+            F.size(_tokens_spark("text")).alias("n_tokens"),
         )
-        .drop("f")
-        .orderBy("min_doc", "max_doc", "rows_in_file")
     )
-    # Materialize before the tempdir is reclaimed (bounded: #files ~ corpus
-    # bytes / target — a handful at demo scale).
-    stats = stats.localCheckpoint(eager=True)
+    # Materialize before the tempdir is reclaimed (bounded: two
+    # batch_rows-sized drains — 100 rows at the demo geometry).
+    docs = docs.localCheckpoint(eager=True)
     shutil.rmtree(base, ignore_errors=True)
-    return stats
+    return docs.orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------- #

@@ -79,6 +79,11 @@ HEADS2 = [
     ("dd13_sql_minhash_bands", "n + banded candidates"),
     ("st11_stream_session_counts", "n + session-state commit"),
     ("sim06_ivf_near_dup", "n^2/cells within IVF cells (cells scale with n)"),
+    # round-12 widening (round-11 verdict #6): the reference's CORE loop —
+    # the chunker flagships — earn a second-decade row like the dedup and
+    # streaming heads did.
+    ("q20_chunked_delete_survivors", "n (chunked BETWEEN scans)"),
+    ("q22_chunked_update_overlay", "n"),
 ]
 
 
@@ -173,6 +178,23 @@ def _amplify_decade2(spark):
         shards_union(emb, emb_shard).repartition(64).write.mode(
             "overwrite"
         ).parquet(os.path.join(DST2, "embeddings.parquet"))
+
+    # orders: key-shift like decade 1 (the chunker flagships q20/q22 read
+    # only this table; value columns untouched, so the survivors/update
+    # predicates see 10x rows with identical selectivity).
+    orders = spark.read.parquet(os.path.join(DST, "orders.parquet"))
+    max_ord = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    max_cust = orders.agg(F.max("o_custkey")).first()[0] + 1
+
+    def ord_shard(df, k):
+        return df.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(k * max_ord)
+        ).withColumn("o_custkey", F.col("o_custkey") + F.lit(k * max_cust))
+
+    if _missing("orders"):
+        shards_union(orders, ord_shard).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(DST2, "orders.parquet"))
 
 
 def _amplify(spark):
@@ -284,6 +306,68 @@ def _amplify(spark):
             )
 
 
+def _chunker_waves(spark) -> dict:
+    """Wave-adaptive ConcurrentChunker convergence at sf1 vs sf10 (round-11
+    verdict #6: the core loop's convergence metrics had sf1 evidence
+    only). One real Spark action per chunk (filter+count over the chunk's
+    BETWEEN range), target_time feedback applied at wave barriers;
+    reports how many chunk-size adjustments the targeting needed, where
+    the last one happened, and the converged size — the second-decade
+    question is whether 10x the id span changes the convergence BEHAVIOR
+    (it must not: per-chunk runtime, not corpus size, drives the math)."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from dbix_batchchunker_spark import BatchChunker
+    from dbix_batchchunker_spark.chunker import ConcurrentChunker
+
+    out = {}
+    for label, d in (("sf1", DST), ("sf10", DST2)):
+        orders = spark.read.parquet(os.path.join(d, "orders.parquet")).select(
+            "o_orderkey", "o_totalprice"
+        )
+        sizes: list = []
+        counts: list = []
+        lock = threading.Lock()
+
+        def work(bc, cdf):
+            n = cdf.filter(F.col("o_totalprice") > 0).count()
+            with lock:
+                counts.append(n)
+                sizes.append(bc._ls.chunk_size)
+
+        bc = BatchChunker(
+            df=orders,
+            id_name="o_orderkey",
+            coderef=work,
+            chunk_size=20_000,
+            target_time=0.5,
+            sleep=0,
+        )
+        bc.calculate_ranges()
+        t0 = time.monotonic()
+        ConcurrentChunker(bc, max_in_flight=8, wave_adaptive=True).execute()
+        wall = time.monotonic() - t0
+        adjustments = sum(1 for a, b in zip(sizes, sizes[1:]) if a != b)
+        last_change = max(
+            (i + 1 for i, (a, b) in enumerate(zip(sizes, sizes[1:])) if a != b),
+            default=0,
+        )
+        row = {
+            "chunks": len(sizes),
+            "rows": sum(counts),
+            "adjustments": adjustments,
+            "last_change_chunk": last_change,
+            "final_chunk_size": sizes[-1] if sizes else None,
+            "wall_s": round(wall, 2),
+            "rows_per_s": round(sum(counts) / wall) if wall else None,
+        }
+        out[label] = row
+        print(f"chunker_waves {label}: {row}", flush=True)
+    return out
+
+
 def main():
     from dbix_batchchunker_spark.functions.prefix import release_cumsum_caches
     from dbix_batchchunker_spark.operators import registry
@@ -323,7 +407,7 @@ def main():
         print(f"built in {time.monotonic() - t0:.1f}s")
     if decade2 and any(
         not os.path.isdir(os.path.join(DST2, f"{n}.parquet"))
-        for n in ("documents", "events", "embeddings")
+        for n in ("documents", "events", "embeddings", "orders")
     ):
         print("building", DST2)
         t0 = time.monotonic()
@@ -345,6 +429,8 @@ def main():
     )
 
     results = {}
+    if decade2 and "--waves" in sys.argv:
+        results["chunker_waves"] = _chunker_waves(spark)
     for name, claimed in heads:
         fn = registry.QUERIES[name]
         row = {}
@@ -376,6 +462,10 @@ def main():
         )
 
     out = "rehearsal_decade2.json" if decade2 else "rehearsal.json"
+    if only or "--waves" in sys.argv:
+        # a filtered/waves run is not the full-suite artifact — don't
+        # clobber it (the bench BENCH_DETAIL guard, same reasoning)
+        out = out.replace(".json", "_partial.json")
     with open(os.path.join(REPO, ".scale", out), "w") as fh:
         json.dump(results, fh, indent=1)
     print(f"wrote .scale/{out}")

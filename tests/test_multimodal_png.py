@@ -299,9 +299,10 @@ def test_mm05_wav_clip_stats_end_to_end(spark):
         assert r.n_frames == expect_frames, doc_id
         assert r.sample_rate == 8000 and r.n_channels == 1 and r.bits == 16
         assert abs(r.duration_ms - 1000.0 * expect_frames / 8000) < 1e-6
-        # a sine's RMS is ~amp/sqrt(2); amplitude <= 28000 < 32768
-        assert 0.2 < r.rms < 0.95 and r.peak <= 1.0
-        assert r.payload_bytes >= 44 + 2 * expect_frames
+        # integer wave: rms = amp*sqrt(108/8)/32768, amp in [2000, 5000]
+        # -> [0.224, 0.561]; peak = 6*amp/32768 <= 0.916
+        assert 0.2 < r.rms < 0.6 and r.peak <= 1.0
+        assert r.payload_bytes == 44 + 2 * expect_frames
 
 
 def test_mm06_jvm_header_parse_matches_encoder(spark):

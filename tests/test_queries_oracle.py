@@ -171,19 +171,14 @@ def test_adjudicated_prefix_is_the_load_bearing_fifty():
     # Every prefix slot must be oracle-gated — a rows-only query in the
     # prefix wastes an adjudication slot.
     assert all(n in o for n in prefix)
-    # The round-11 rotation (round-10 verdict "Next round #1"): the 7
-    # late-r10 oracle additions plus the 5 round-11 additions hold slots
-    # until THEIR CORRECTNESS rows come back green; the chunker flagships
-    # q20-q23 hold permanent slots.
+    # The round-12 rotation (round-11 verdict #7): the 3 round-12 oracle
+    # debuts hold slots until THEIR CORRECTNESS rows come back green; the
+    # chunker flagships q20-q23 hold permanent slots.
     for name in (
         "q20_chunked_delete_survivors", "q21_chunked_groupby_combine",
         "q22_chunked_update_overlay", "q23_chunked_update_join",
-        "dd14_sql_simhash_pairs", "dd15_sql_minhash_components",
-        "mm02_decode_pipeline", "mm03_resize_and_sample",
-        "sim06_ivf_near_dup", "sim07_embedding_dedup", "sim09_mmr_rerank",
-        "st01_stream_hourly_rollup", "st02_stream_user_totals",
-        "st04_stream_sessions", "tx32_bpe_train_encode",
-        "mm04_phash_near_dup", "st07_stream_incremental_packing",
+        "st08_stream_sized_sink", "mm05_wav_clip_stats",
+        "mm06_png_header_metadata",
     ):
         assert name in prefix, f"{name} lost its driver CORRECTNESS slot"
     # The demoted trio stays oracle-pinned (this file parametrizes over all
