@@ -743,6 +743,23 @@ _IVF_EXHAUSTIVE_FRACTION = 0.5
 #: between them — conservative for stricter thresholds, where recall at a
 #: given fraction only rises (pairs concentrate in nearer cells).
 _IVF_RECALL_ANCHORS = ((0.775, 0.05), (1.0, 0.375))
+#: MEASURED anchor points for the TWO-LEVEL router (round-11 verdict #3 —
+#: recall_target above IVF_TWO_LEVEL_MIN_CELLS was an extrapolation from
+#: the flat anchors until these landed): .scale/ivf_two_level_anchors.py
+#: on the .scale/sf1 corpus (20k natural vectors, clusters=256 = the
+#: smallest two-level geometry, k_super=16/k_child=16, slack 3,
+#: threshold 0.3, exact truth = the label-blocked listing, 14,490 pairs).
+#: Probed fraction 0.05 → recall 0.7694 (flat probe at the same fraction:
+#: 0.8861 — the slack sweep's ~0.87-of-flat gap, now absolute), 0.1 →
+#: 0.9634 (flat 0.9989), 0.2 → 0.9999 (flat 1.0000). Saturation by 0.2
+#: means the exhaustive fraction stays the flat 0.5 (recall_target >= 1
+#: routes FLAT by construction — see _probe_entries). Artifact:
+#: .scale/ivf_two_level_anchors.json; table in SCALING.md.
+_IVF_TWO_LEVEL_RECALL_ANCHORS = (
+    (0.7694, 0.05),
+    (0.9634, 0.1),
+    (0.9999, 0.2),
+)
 #: Thresholds at or below this are "low" — pairs can straddle distant
 #: cells, which is exactly the regime the sf1 rehearsal measured recall
 #: decay in (0.3-cosine pairs under a frozen probe width).
@@ -777,29 +794,74 @@ def nprobe_for_recall(
       anchors, clamped to [1, exhaustive fraction]. Anchors were measured
       at threshold 0.3; stricter thresholds reach the target with margin.
 
-    All anchors are FLAT-probe measurements. Above
-    IVF_TWO_LEVEL_MIN_CELLS the router honors that:
-    ``recall_target>=1.0`` routes the probe FLAT (scoring all supers'
-    children is the flat scan — the honest n·k price of the exhaustive
-    fraction), and a partial target on a two-level index warns that the
-    slack-bounded routing recovered only 0.87-0.94 of the flat pair set
-    in the sf1 sweep (see ``_probe_entries``).
+    Anchor sets are regime-matched (round-11 verdict #3): below
+    IVF_TWO_LEVEL_MIN_CELLS partial targets interpolate the FLAT-probe
+    anchors; at or above it they interpolate
+    :data:`_IVF_TWO_LEVEL_RECALL_ANCHORS`, which were MEASURED under the
+    slack-bounded two-level router (256 cells, threshold 0.3, exact
+    truth 14,490 pairs — .scale/ivf_two_level_anchors.json), so the
+    two-level regime is measured, not extrapolated. ``recall_target >=
+    1.0`` routes the probe FLAT (scoring all supers' children is the
+    flat scan — the honest n·k price of the exhaustive fraction, whose
+    recall-1.0 is a flat measurement); a target in the unmeasured
+    (top-two-level-anchor, 1.0) sliver probes the exhaustive fraction
+    and warns.
     """
     if recall_target is None:
         return SIM06_NPROBE
     if not 0.0 < recall_target <= 1.0:
         raise ValueError(f"recall_target={recall_target}: must be in (0, 1]")
-    (r_lo, f_lo), (r_hi, f_hi) = _IVF_RECALL_ANCHORS
+    import math
+    import warnings
+
+    r_hi = _IVF_RECALL_ANCHORS[-1][0]
     if recall_target >= r_hi:
+        # the exhaustive fraction's recall-1.0 is a FLAT measurement;
+        # _probe_entries routes this case flat on a two-level index
         frac = _IVF_EXHAUSTIVE_FRACTION
     else:
-        t = max(0.0, (recall_target - r_lo) / (r_hi - r_lo))
-        frac = f_lo + t * (f_hi - f_lo)
-    import math
-
+        # pick the anchor set the router will actually serve: flat-probe
+        # anchors below the two-level gate, the MEASURED slack-routed
+        # anchors at or above it (round-11 verdict #3)
+        two_level = clusters >= IVF_TWO_LEVEL_MIN_CELLS
+        anchors = (
+            _IVF_TWO_LEVEL_RECALL_ANCHORS if two_level else _IVF_RECALL_ANCHORS
+        )
+        if two_level and recall_target > anchors[-1][0]:
+            # the (top-anchor, 1.0) sliver is unmeasured under the
+            # two-level router — probe the exhaustive fraction (recall
+            # >= the 0.9999 top anchor, monotone in fraction) and say so
+            warnings.warn(
+                f"recall_target={recall_target} exceeds the top measured "
+                f"two-level anchor ({anchors[-1][0]}); probing the "
+                "exhaustive fraction, whose two-level recall is >= that "
+                "anchor but unmeasured beyond it. Pass recall_target=1.0 "
+                "for flat routing with the measured recall-1.0 fraction.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            frac = _IVF_EXHAUSTIVE_FRACTION
+        else:
+            frac = _interp_fraction(anchors, recall_target)
     # Never below the gate-adjudicated width: on the 16-cell gate index
     # every target maps back to the measured nprobe=8 operating point.
     return max(SIM06_NPROBE, min(clusters, math.ceil(frac * clusters)))
+
+
+def _interp_fraction(
+    anchors: tuple[tuple[float, float], ...], target: float
+) -> float:
+    """Piecewise-linear (recall → probed fraction) over measured anchors;
+    targets below the first anchor clamp to its fraction (conservative:
+    never probe less than the least-measured point)."""
+    r0, f0 = anchors[0]
+    if target <= r0:
+        return f0
+    for (ra, fa), (rb, fb) in zip(anchors, anchors[1:]):
+        if target <= rb:
+            t = (target - ra) / (rb - ra)
+            return fa + t * (fb - fa)
+    return anchors[-1][1]
 
 
 def _warn_if_recall_decays(clusters: int, nprobe: int, threshold: float) -> None:
@@ -853,15 +915,13 @@ def _probe_entries(
     just n·k.
 
     ``recall_target`` keeps the recall CONTRACT honest on the two-level
-    path: the :data:`_IVF_RECALL_ANCHORS` were measured on FLAT probes,
-    while the slack-bounded super routing recovers only 0.87-0.94 of the
-    flat pair set (slack sweep, SCALING.md). A caller who asked for the
-    anchors' top measured recall therefore routes FLAT here (the n·k
-    scoring is the honest price of the exhaustive fraction); a partial
-    target on a two-level index gets a loud RuntimeWarning that the
-    routing approximates the flat-measured anchors."""
+    path: the top flat anchor (recall 1.0 at the exhaustive fraction) is
+    a FLAT-probe measurement, so a caller who asked for it routes FLAT
+    here (the n·k scoring is the honest price of the exhaustive
+    fraction). Partial targets are sized by
+    :data:`_IVF_TWO_LEVEL_RECALL_ANCHORS`, which were measured under
+    THIS slack-bounded router, so they route two-level as measured."""
     import math
-    import warnings
 
     from pyspark.sql import Window
 
@@ -873,24 +933,17 @@ def _probe_entries(
         supers = getattr(centroids, "ivf_super", None)
         k_child = getattr(centroids, "ivf_k_child", None)
     if supers is not None and recall_target is not None:
-        (_, _), (r_hi, _) = _IVF_RECALL_ANCHORS
+        r_hi = _IVF_RECALL_ANCHORS[-1][0]
         if recall_target >= r_hi:
             # The exhaustive fraction's recall-1.0 measurement is a FLAT-
             # probe fact; scoring all supers' children IS the flat scan,
             # so skip the super stage outright instead of slack-routing.
             supers = None
-        else:
-            warnings.warn(
-                "IVF two-level routing with a partial recall_target: the "
-                "recall anchors were measured on flat probes; the slack-"
-                f"bounded super routing (slack {IVF_PROBE_SUPER_SLACK}) "
-                "recovered 0.87-0.94 of the flat pair set in the sf1 "
-                "sweep, so the effective recall may sit below the "
-                "requested target. Pass recall_target>=1.0 for flat "
-                "routing, or raise IVF_PROBE_SUPER_SLACK.",
-                RuntimeWarning,
-                stacklevel=3,
-            )
+        # Partial targets need no warning here since round 12:
+        # nprobe_for_recall sizes them from _IVF_TWO_LEVEL_RECALL_ANCHORS,
+        # which were MEASURED under this slack-bounded router (an explicit
+        # nprobe passed alongside a partial recall_target bypasses that
+        # sizing and owns its own recall — see ivf_near_dup_pairs).
     if supers is None:
         scored = emb.crossJoin(F.broadcast(centroids)).select(
             "vec_id",
