@@ -310,11 +310,23 @@ def _chunker_waves(spark) -> dict:
     """Wave-adaptive ConcurrentChunker convergence at sf1 vs sf10 (round-11
     verdict #6: the core loop's convergence metrics had sf1 evidence
     only). One real Spark action per chunk (filter+count over the chunk's
-    BETWEEN range), target_time feedback applied at wave barriers;
-    reports how many chunk-size adjustments the targeting needed, where
-    the last one happened, and the converged size — the second-decade
-    question is whether 10x the id span changes the convergence BEHAVIOR
-    (it must not: per-chunk runtime, not corpus size, drives the math)."""
+    BETWEEN range), target_time feedback applied at wave barriers.
+
+    LAYOUT IS THE EXPERIMENT (found by the first attempt, round 12): on
+    the amplified orders' HASH layout (repartition(64) at the
+    amplification write) a BETWEEN chunk predicate prunes NOTHING — every
+    row group spans the full id range, every chunk is a full scan, so
+    per-chunk runtime is FLAT in chunk size and the targeting ladder can
+    never converge: measured collapse 20000 → 871 → 139 → 9 → 1 and
+    pinned at the floor, 1,256 one-row chunks in the first 120 s at sf1.
+    The reference never meets this because it assumes a PRIMARY-KEY
+    INDEX (BatchChunker.pm's BETWEEN is an index range scan = O(chunk));
+    the Spark analog of that assumption is KEY-RANGE-CLUSTERED parquet
+    (repartitionByRange + sortWithinPartitions on the chunk key), where
+    row-group min/max stats prune each chunk to O(chunk) I/O. This
+    harness measures the loop on that layout — building
+    orders_sorted.parquet per scale dir once — which is the documented
+    deployment posture for keyset chunking at 100 TB."""
     import threading
 
     from pyspark.sql import functions as F
@@ -324,7 +336,16 @@ def _chunker_waves(spark) -> dict:
 
     out = {}
     for label, d in (("sf1", DST), ("sf10", DST2)):
-        orders = spark.read.parquet(os.path.join(d, "orders.parquet")).select(
+        sorted_path = os.path.join(d, "orders_sorted.parquet")
+        if not os.path.isdir(sorted_path):
+            (
+                spark.read.parquet(os.path.join(d, "orders.parquet"))
+                .repartitionByRange(64, "o_orderkey")
+                .sortWithinPartitions("o_orderkey")
+                .write.mode("overwrite")
+                .parquet(sorted_path)
+            )
+        orders = spark.read.parquet(sorted_path).select(
             "o_orderkey", "o_totalprice"
         )
         sizes: list = []
