@@ -1612,3 +1612,98 @@ def tx30_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tagged_lang", "detected_lang")
     )
+
+
+# --------------------------------------------------------------------------- #
+# tx33: sliding-window context chunking — the RAG/context-window prep step a  #
+# training-data pipeline runs between cleaning and packing: each document     #
+# splits into token windows of WIN_SIZE with WIN_STRIDE overlap, the final    #
+# window CLAMPED to end at the document tail (start = n - W) so no token is   #
+# dropped and no window underruns W unless the whole doc is shorter. The      #
+# whole window set is built as ONE array-of-structs expression and exploded   #
+# ONCE (Generate evaluates its child once per input row — the dd08 lesson:    #
+# per-window re-tokenization is what a naive explode-then-project plan does). #
+# Oracle-exact: spans are integer closed forms of the token count, and the    #
+# boundary tokens (first/last of each window) adjudicate the actual SLICING   #
+# against DuckDB's list_extract over the shared \s+ tokenization (tx01's      #
+# parity convention), so an off-by-one in either engine's window math breaks  #
+# the hash. At 100 TB this is one Generate inside the scan stage — no         #
+# shuffle, no Python; window count per doc is n/stride-bounded.               #
+# --------------------------------------------------------------------------- #
+WIN_SIZE = 32
+WIN_STRIDE = 24
+
+
+@query(
+    "tx33_sliding_windows",
+    oracle=f"""
+    WITH tk AS (
+        SELECT doc_id, {_tokens_sql()} AS toks FROM documents
+    ),
+    geo AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               CASE WHEN len(toks) <= {WIN_SIZE} THEN 1
+                    ELSE (len(toks) - {WIN_SIZE} + {WIN_STRIDE} - 1)
+                         // {WIN_STRIDE} + 1 END AS n_win
+        FROM tk
+    ),
+    wins AS (
+        SELECT doc_id, toks, n, n_win, unnest(range(n_win)) AS win_id
+        FROM geo
+    ),
+    spans AS (
+        SELECT doc_id, toks,
+               CAST(win_id AS BIGINT) AS win_id,
+               CAST(CASE WHEN win_id = n_win - 1
+                         THEN GREATEST(n - {WIN_SIZE}, 0)
+                         ELSE win_id * {WIN_STRIDE} END AS BIGINT) AS start_tok,
+               CAST(CASE WHEN win_id = n_win - 1
+                         THEN n
+                         ELSE win_id * {WIN_STRIDE} + {WIN_SIZE} END
+                    AS BIGINT) AS end_tok
+        FROM wins
+    )
+    SELECT doc_id, win_id, start_tok, end_tok,
+           end_tok - start_tok AS win_len,
+           list_extract(toks, start_tok + 1) AS first_tok,
+           list_extract(toks, end_tok) AS last_tok
+    FROM spans ORDER BY doc_id, win_id
+    """,
+)
+def tx33_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    w, s = WIN_SIZE, WIN_STRIDE
+    # n_win - 1 (the sequence bound), stated once and reused inside the
+    # lambda for the last-window clamp test
+    wmax = f"CASE WHEN n <= {w} THEN 0 ELSE CAST((n - {w} + {s} - 1) DIV {s} AS INT) END"
+    wins = F.expr(
+        f"""
+        transform(sequence(0, {wmax}), wi -> named_struct(
+            'win_id', CAST(wi AS BIGINT),
+            'start_tok', CAST(CASE WHEN wi = ({wmax})
+                                   THEN GREATEST(n - {w}, 0)
+                                   ELSE wi * {s} END AS BIGINT),
+            'end_tok', CAST(CASE WHEN wi = ({wmax})
+                                 THEN n
+                                 ELSE wi * {s} + {w} END AS BIGINT)))
+        """
+    )
+    return (
+        docs.select("doc_id", _tokens_spark().alias("toks"))
+        .select("doc_id", "toks", F.size("toks").alias("n"))
+        .select("doc_id", "toks", F.explode(wins).alias("wspan"))
+        .select(
+            "doc_id",
+            F.col("wspan.win_id").alias("win_id"),
+            F.col("wspan.start_tok").alias("start_tok"),
+            F.col("wspan.end_tok").alias("end_tok"),
+            (F.col("wspan.end_tok") - F.col("wspan.start_tok")).alias("win_len"),
+            F.expr(
+                "try_element_at(toks, CAST(wspan.start_tok + 1 AS INT))"
+            ).alias("first_tok"),
+            F.expr("try_element_at(toks, CAST(wspan.end_tok AS INT))").alias(
+                "last_tok"
+            ),
+        )
+        .orderBy("doc_id", "win_id")
+    )
