@@ -84,6 +84,21 @@ HEADS2 = [
     # streaming heads did.
     ("q20_chunked_delete_survivors", "n (chunked BETWEEN scans)"),
     ("q22_chunked_update_overlay", "n"),
+    # round-12 widening #2: one second-decade row per remaining major
+    # family whose sf10 tables exist (documents/events/embeddings/orders)
+    ("tx28_gopher_quality_rules", "n (codegen scan)"),
+    ("q51_event_funnel", "n (two-phase agg)"),
+    # mm04 is EXCLUDED from decade 2 by measurement: its synthetic image
+    # payloads are doc_id-CYCLIC (w/h/channels repeat every lcm cycle),
+    # so a 10x corpus grows every exact-dup payload block 10x and pair
+    # volume ~100x BY FIXTURE CONSTRUCTION (sf1 already emits 4.29M
+    # pairs) — the run would measure the fixture's periodicity, not the
+    # banding plan. Real image corpora don't repeat payloads cyclically;
+    # mm04's decade-1 row (1.3x) stands as the plan evidence.
+    ("dd15_sql_minhash_components", "n log n (closed-form bucket closure)"),
+    ("sim02_ann_lsh", "n (bucket probe + rerank)"),
+    ("sp05_pack_segments", "n log n (tiered global rank)"),
+    ("tx33_sliding_windows", "n (one Generate in the scan)"),
 ]
 
 
