@@ -1340,7 +1340,7 @@ def ivf_needs_retrain(
 
 def incremental_embedding_near_dups(
     new_emb: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | IvfIndex,
     store_entries: DataFrame,
     store_vectors: DataFrame,
     threshold: float = SIM06_THRESHOLD,
@@ -1357,7 +1357,13 @@ def incremental_embedding_near_dups(
     (vec_a, vec_b, cos_sim) with vec_b always the new vector in cross
     pairs. Close the loop by appending the increment's own multi-probe
     entries (``_probe_entries`` against the same centroids) and vectors to
-    the store."""
+    the store.
+
+    ``centroids`` accepts the :class:`IvfIndex` handle — pass the
+    :func:`load_ivf_index` round-trip of the stored index so a two-level
+    store probes increments with the SAME routing the batch build used
+    (a bare centroids frame probes flat: correct, but asymmetric against
+    slack-routed stored entries)."""
     from .dedup import _candidates_from_entries
 
     from .dedup import cross_candidates
