@@ -103,14 +103,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     debuts (st08's layout-invariant sized-sink relation, mm05's
 #:     integer-exact clip stats, mm06's stored-block payload sizes —
 #:     multimodal and streaming families now FULLY adjudicated — and
-#:     tx33's sliding-window chunker, added mid-round) plus the
-#:     42 oldest demotions — the full round-7 (tx01…tx12), round-8
-#:     (q16…sp04) and round-9 (tx02…sp08) cohorts and the 8 head entries
-#:     of the round-10 cohort (q34…q46).
+#:     tx33's sliding-window chunker + tx34's span-level
+#:     decontamination, added mid-round) plus the 41 oldest demotions —
+#:     the full round-7 (tx01…tx12), round-8 (q16…sp04) and round-9
+#:     (tx02…sp08) cohorts and the 7 head entries of the round-10
+#:     cohort (q34…q45).
 #: Every rotated-out query stays oracle-pinned in the local gate replica
 #: (tests/test_queries_oracle.py parametrizes over every oracle —
-#: 130 after the round-11 additions, 134 with round 12's
-#: st08/mm05/mm06/tx33).
+#: 130 after the round-11 additions, 135 with round 12's
+#: st08/mm05/mm06/tx33/tx34).
 ADJUDICATED_PREFIX = (
     # chunker flagships: permanent slots
     "q20_chunked_delete_survivors", "q21_chunked_groupby_combine",
@@ -118,6 +119,7 @@ ADJUDICATED_PREFIX = (
     # round-12 oracle debuts: first driver rows in their debut round
     "st08_stream_sized_sink", "mm05_wav_clip_stats",
     "mm06_png_header_metadata", "tx33_sliding_windows",
+    "tx34_span_decontaminate",
     # oldest demotions re-adjudicated (head of the queue):
     # last driver-green round 7
     "tx01_token_stats", "tx04_fingerprint", "tx05_json_extract",
@@ -139,7 +141,7 @@ ADJUDICATED_PREFIX = (
     # last driver-green round 10 (head of that cohort)
     "q34_grouping_sets", "q35_event_gaps", "q37_topk_per_group",
     "q39_spend_deciles", "q41_sketch_rollup", "q43_salted_hot_join",
-    "q45_unpivot_status_counts", "q46_lateral_topn_per_customer",
+    "q45_unpivot_status_counts",
 )
 
 #: Former slot-holders, first in line for re-adjudication when the
@@ -147,8 +149,9 @@ ADJUDICATED_PREFIX = (
 #: so the head is always first in line when slots free up (or if the
 #: driver cap were raised).
 DEMOTED_FROM_PREFIX = (
-    # Last driver-green round 10 (demoted round 11; the tx01…q46 head of
+    # Last driver-green round 10 (demoted round 11; the tx01…q45 head of
     # this queue rotated BACK IN for round 12).
+    "q46_lateral_topn_per_customer",
     "q47_recursive_hierarchy_rollup",
     "q55_snapshot_diff",
     "q56_relational_division",

@@ -1707,3 +1707,122 @@ def tx33_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "win_id")
     )
+
+
+# --------------------------------------------------------------------------- #
+# tx34: SPAN-level decontamination — the surgical form of tx10. Doc-level     #
+# dropping (tx10/tx16) throws away a whole document because five tokens of   #
+# it appear in a benchmark; at 100 TB that wastes real data, so modern       #
+# pipeline decontamination cuts the MATCHED SPANS out and keeps the rest.    #
+# Machinery: positional gram matching (posexplode of the shingle array +    #
+# broadcast benchmark semi-structure), span→token coverage expansion (one    #
+# bounded explode of n indices per match), a per-doc covered-index set      #
+# (one doc_id-keyed shuffle, output bounded by matched tokens), and         #
+# reconstruction via the index-aware array filter — all JVM expressions,    #
+# no Python. Oracle-exact: coverage indices are integers and the kept text  #
+# re-joins the SAME parity-proven tokens, so a one-off in either engine's   #
+# span arithmetic breaks the hash.                                          #
+# --------------------------------------------------------------------------- #
+@query(
+    "tx34_span_decontaminate",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_tokens_sql()} AS w FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, greatest(len(w) - {_DECON_N}, 0) + 1),
+                   i -> struct_pack(p := i,
+                       gram := array_to_string(w[i + 1 : i + {_DECON_N}], ' '))
+               )) AS pg
+        FROM d
+    ),
+    hits AS (
+        SELECT doc_id, pg.p AS p FROM g
+        WHERE doc_id >= {_DECON_BENCH}
+          AND pg.gram IN (SELECT pg.gram FROM g WHERE doc_id < {_DECON_BENCH})
+    ),
+    cov AS (
+        SELECT DISTINCT doc_id, p + j AS ti
+        FROM hits, unnest(range({_DECON_N})) AS t(j)
+    ),
+    covagg AS (
+        SELECT doc_id, list(ti) AS cov FROM cov GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(d.w) AS INT) AS n_tokens,
+           CAST(COALESCE(len(covagg.cov), 0) AS INT) AS n_removed,
+           CAST(len(d.w) - COALESCE(len(covagg.cov), 0) AS INT) AS n_kept,
+           -- DuckDB's array_to_string of an EMPTY list is NULL where
+           -- Spark's concat_ws is '' — coalesce to match (fully-covered
+           -- docs keep zero tokens)
+           COALESCE(array_to_string(list_filter(
+               list_transform(range(0, len(d.w)),
+                   k -> CASE WHEN list_contains(COALESCE(covagg.cov, []), k)
+                             THEN NULL ELSE d.w[k + 1] END),
+               x -> x IS NOT NULL), ' '), '') AS kept_text
+    FROM d LEFT JOIN covagg USING (doc_id)
+    WHERE d.doc_id >= {_DECON_BENCH}
+    ORDER BY d.doc_id
+    """,
+)
+def tx34_span_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    n = _DECON_N
+    with_toks = docs.select("doc_id", _tokens_spark().alias("toks"))
+    # positional grams: (doc_id, p, gram) — the POSITION is what tx10's
+    # distinct-gram form discards and span surgery needs
+    toks = F.col("toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    pos_grams = with_toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("p"),
+                    F.concat_ws(
+                        " ",
+                        *[
+                            F.element_at(toks, (i + j + 1).cast("int"))
+                            for j in range(n)
+                        ],
+                    ).alias("gram"),
+                ),
+            )
+        ).alias("pg"),
+    ).select("doc_id", F.col("pg.p").alias("p"), F.col("pg.gram").alias("gram"))
+    bench = (
+        pos_grams.where(F.col("doc_id") < _DECON_BENCH)
+        .select("gram")
+        .distinct()
+    )
+    # matched span starts -> covered token indices (bounded: n per match)
+    covered = (
+        pos_grams.where(F.col("doc_id") >= _DECON_BENCH)
+        .join(F.broadcast(bench), "gram", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("p"), F.col("p") + n - 1)).alias("ti"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("ti").alias("cov"))
+    )
+    corpus = with_toks.where(F.col("doc_id") >= _DECON_BENCH)
+    cov = F.coalesce(F.col("cov"), F.array())
+    kept = F.filter(
+        F.col("toks"), lambda x, i: ~F.array_contains(cov, i.cast("long"))
+    )
+    return (
+        corpus.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.size(cov).alias("n_removed"),
+            (F.size("toks") - F.size(cov)).alias("n_kept"),
+            F.concat_ws(" ", kept).alias("kept_text"),
+        )
+        .orderBy("doc_id")
+    )

@@ -179,6 +179,7 @@ def test_adjudicated_prefix_is_the_load_bearing_fifty():
         "q22_chunked_update_overlay", "q23_chunked_update_join",
         "st08_stream_sized_sink", "mm05_wav_clip_stats",
         "mm06_png_header_metadata", "tx33_sliding_windows",
+        "tx34_span_decontaminate",
     ):
         assert name in prefix, f"{name} lost its driver CORRECTNESS slot"
     # The demoted trio stays oracle-pinned (this file parametrizes over all
