@@ -99,6 +99,10 @@ HEADS2 = [
     ("sim02_ann_lsh", "n (bucket probe + rerank)"),
     ("sp05_pack_segments", "n log n (tiered global rank)"),
     ("tx33_sliding_windows", "n (one Generate in the scan)"),
+    # benchmark grams stay shard-0-only under the per-shard suffixes, so
+    # the match/coverage stages hold constant and the row measures the
+    # positional-gram scan's growth
+    ("tx34_span_decontaminate", "n (positional-gram scan + bounded matches)"),
 ]
 
 
