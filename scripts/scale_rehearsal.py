@@ -83,6 +83,7 @@ HEADS2 = [
     # the chunker flagships — earn a second-decade row like the dedup and
     # streaming heads did.
     ("q20_chunked_delete_survivors", "n (chunked BETWEEN scans)"),
+    ("q21_chunked_groupby_combine", "n + driver plan-build floor"),
     ("q22_chunked_update_overlay", "n"),
     # round-12 widening #2: one second-decade row per remaining major
     # family whose sf10 tables exist (documents/events/embeddings/orders)
