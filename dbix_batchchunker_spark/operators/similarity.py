@@ -563,6 +563,17 @@ def build_ivf_index(emb: DataFrame, clusters: int | None = None) -> IvfIndex:
     )
 
 
+def _store_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM Hadoop FS API, so the
+    index store behaves identically for file://, hdfs:// and s3a:// —
+    round-12 advice: the original driver-local ``open()``/``isdir`` made
+    the round-trip work ONLY for driver-local paths, while the parquet
+    halves already went through Spark's FS layer."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
 def save_ivf_index(index: IvfIndex, path: str) -> None:
     """Persist the full routing state — centroids, and for two-level
     indexes the super centroids + children-per-super — so
@@ -570,34 +581,48 @@ def save_ivf_index(index: IvfIndex, path: str) -> None:
     Layout: ``<path>/centroids`` parquet, ``<path>/supers`` parquet (two-
     level only), ``<path>/meta.json`` (k_child). Centroid frames are
     k-row small at any corpus size (√n·8 rows at the default cell
-    population), so this is a cheap driver-coordinated write."""
+    population), so this is a cheap driver-coordinated write. All three
+    pieces go through the Hadoop FileSystem of ``path``'s scheme, so a
+    remote store (hdfs://, s3a://) round-trips like a local one."""
     import json
-    import os
 
-    index.centroids.write.mode("overwrite").parquet(
-        os.path.join(path, "centroids")
-    )
+    spark = index.centroids.sparkSession
+    index.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
     if index.supers is not None:
-        index.supers.write.mode("overwrite").parquet(
-            os.path.join(path, "supers")
-        )
-    with open(os.path.join(path, "meta.json"), "w") as fh:
-        json.dump({"k_child": index.k_child}, fh)
+        index.supers.write.mode("overwrite").parquet(f"{path}/supers")
+    fs, _ = _store_fs(spark, path)
+    meta = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/meta.json")
+    out = fs.create(meta, True)
+    try:
+        out.write(bytearray(json.dumps({"k_child": index.k_child}).encode()))
+    finally:
+        out.close()
 
 
 def load_ivf_index(spark: SparkSession, path: str) -> IvfIndex:
     """Round-trip of :func:`save_ivf_index`: a reloaded two-level index
     routes two-level, a reloaded flat index routes flat — batch and
-    incremental probes stay symmetric across persistence."""
+    incremental probes stay symmetric across persistence. Existence of
+    the ``supers`` half is decided by the store's own FileSystem (not a
+    driver-local isdir), and meta.json is REQUIRED — a store missing it
+    is not a store this layout wrote, and silently defaulting k_child
+    would flip two-level probes flat (asymmetric candidates)."""
     import json
-    import os
 
-    centroids = spark.read.parquet(os.path.join(path, "centroids"))
+    fs, _ = _store_fs(spark, path)
+    jp = spark._jvm.org.apache.hadoop.fs.Path
+    centroids = spark.read.parquet(f"{path}/centroids")
     supers = None
-    if os.path.isdir(os.path.join(path, "supers")):
-        supers = spark.read.parquet(os.path.join(path, "supers"))
-    with open(os.path.join(path, "meta.json")) as fh:
-        k_child = json.load(fh).get("k_child")
+    if fs.exists(jp(f"{path}/supers")):
+        supers = spark.read.parquet(f"{path}/supers")
+    stm = fs.open(jp(f"{path}/meta.json"))
+    try:
+        raw = bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stm)
+        )
+    finally:
+        stm.close()
+    k_child = json.loads(raw.decode()).get("k_child")
     return IvfIndex(centroids, supers, k_child)
 
 

@@ -1701,9 +1701,15 @@ def tx33_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "try_element_at(toks, CAST(wspan.start_tok + 1 AS INT))"
             ).alias("first_tok"),
-            F.expr("try_element_at(toks, CAST(wspan.end_tok AS INT))").alias(
-                "last_tok"
-            ),
+            # GREATEST(end_tok, 1): a zero-token doc has end_tok = 0 and
+            # Spark rejects element_at index 0 outright (it is an error,
+            # not an out-of-bounds NULL like DuckDB's list_extract(l, 0));
+            # index 1 on the empty array is NULL via try_element_at, which
+            # matches the oracle's NULL. For n > 0 end_tok >= 1 always, so
+            # this changes nothing on non-degenerate docs.
+            F.expr(
+                "try_element_at(toks, CAST(GREATEST(wspan.end_tok, 1) AS INT))"
+            ).alias("last_tok"),
         )
         .orderBy("doc_id", "win_id")
     )
@@ -1744,8 +1750,12 @@ def tx33_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND pg.gram IN (SELECT pg.gram FROM g WHERE doc_id < {_DECON_BENCH})
     ),
     cov AS (
-        SELECT DISTINCT doc_id, p + j AS ti
-        FROM hits, unnest(range({_DECON_N})) AS t(j)
+        -- clamp to the doc's token count: a doc shorter than the gram
+        -- width still emits one (NULL-padded) gram, and a match on it
+        -- must not cover indices past the last real token
+        SELECT DISTINCT hits.doc_id, p + j AS ti
+        FROM hits JOIN d USING (doc_id), unnest(range({_DECON_N})) AS t(j)
+        WHERE p + j < len(d.w)
     ),
     covagg AS (
         SELECT doc_id, list(ti) AS cov FROM cov GROUP BY doc_id
@@ -1777,22 +1787,29 @@ def tx34_span_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     pos_grams = with_toks.select(
         "doc_id",
+        F.size(toks).alias("nt"),
         F.explode(
             F.transform(
                 idx,
                 lambda i: F.struct(
                     i.alias("p"),
+                    # try_element_at: a doc shorter than the gram width
+                    # pads with NULLs (concat_ws skips them), matching the
+                    # oracle's short list slice; strict element_at ERRORS
+                    # past the bound instead of padding
                     F.concat_ws(
                         " ",
                         *[
-                            F.element_at(toks, (i + j + 1).cast("int"))
+                            F.try_element_at(toks, (i + j + 1).cast("int"))
                             for j in range(n)
                         ],
                     ).alias("gram"),
                 ),
             )
         ).alias("pg"),
-    ).select("doc_id", F.col("pg.p").alias("p"), F.col("pg.gram").alias("gram"))
+    ).select(
+        "doc_id", "nt", F.col("pg.p").alias("p"), F.col("pg.gram").alias("gram")
+    )
     bench = (
         pos_grams.where(F.col("doc_id") < _DECON_BENCH)
         .select("gram")
@@ -1804,7 +1821,15 @@ def tx34_span_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(bench), "gram", "left_semi")
         .select(
             "doc_id",
-            F.explode(F.sequence(F.col("p"), F.col("p") + n - 1)).alias("ti"),
+            # LEAST(nt - 1): a doc shorter than the gram width emits one
+            # NULL-padded gram; a match on it covers only the real tokens,
+            # so n_removed can never exceed n_tokens (oracle mirrors with
+            # p + j < len(w))
+            F.explode(
+                F.sequence(
+                    F.col("p"), F.least(F.col("p") + n - 1, F.col("nt") - 1)
+                )
+            ).alias("ti"),
         )
         .distinct()
         .groupBy("doc_id")

@@ -2470,3 +2470,66 @@ def test_ranges_from_islands_refuses_gap_dominated_tables(spark):
     # under the gate the same table works (20 singleton islands)
     got = ranges_from_islands(odd, "id", chunk_size=5, max_islands=100)
     assert got == [(2 * i + 1, 2 * i + 1) for i in range(40)]
+
+
+def test_tx33_tx34_degenerate_docs_match_oracle(spark, tmp_path):
+    """Round-12 advice: (a) a corpus doc SHORTER than the decontamination
+    gram width whose NULL-padded gram matches a benchmark gram must clamp
+    coverage to the real tokens (n_removed <= n_tokens, n_kept >= 0);
+    (b) a ZERO-token document must not feed element_at index 0 (a Spark
+    error, not a NULL). Both checked against the live DuckDB oracles on
+    the same parquet, so the clamp parity itself is pinned."""
+    import duckdb as _duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+    from dbix_batchchunker_spark.operators.text import (
+        tx33_sliding_windows,
+        tx34_span_decontaminate,
+    )
+
+    rows = [
+        (0, "alpha beta gamma"),                      # bench, 3 tokens (< n=5)
+        (1, "one two three four five six"),           # bench, full-width grams
+        (10, "alpha beta gamma"),                     # corpus short match
+        (11, ""),                                     # corpus zero-token doc
+        (12, "zzz one two three four five six tail"), # interior span match
+        (13, "untouched words nothing shared here"),  # clean corpus doc
+    ]
+    d = str(tmp_path / "sf_edge")
+    spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    conn = _duckdb.connect()
+    conn.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+
+    for name, fn in (
+        ("tx33_sliding_windows", tx33_sliding_windows),
+        ("tx34_span_decontaminate", tx34_span_decontaminate),
+    ):
+        sdf = fn(spark, d)
+        spark_pdf = pd.DataFrame(
+            [tuple(r) for r in sdf.collect()], columns=sdf.columns
+        )
+        duck_pdf = conn.execute(entry_mod.oracle_sql()[name]).df()
+        assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), name
+        assert len(spark_pdf) == len(duck_pdf), name
+        from tests.test_queries_oracle import _canon_pdf
+
+        assert _canon_pdf(spark_pdf) == _canon_pdf(duck_pdf), name
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.n_kept, r.kept_text)
+        for r in tx34_span_decontaminate(spark, d).collect()
+    }
+    assert got[10] == (3, 3, 0, "")          # clamped: removed == tokens
+    assert got[11] == (0, 0, 0, "")          # zero-token doc survives
+    # both bench grams of doc 1 match (p=1 and p=2), covering tokens 1..6
+    assert got[12] == (8, 6, 2, "zzz tail")
+    assert got[13][1] == 0 and got[13][3] == rows[5][1]
+    conn.close()
