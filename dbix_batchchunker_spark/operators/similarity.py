@@ -9,6 +9,7 @@ executor — sees identical planes without shipping state.
 
 from __future__ import annotations
 
+import os
 import random
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1069,6 +1070,122 @@ def ivf_near_dup_pairs(
     )
 
 
+def _verify_strategy(n_vecs: int) -> str:
+    """'broadcast' below :data:`SIM06_BROADCAST_VECS`, 'copart' above.
+    ``SPARK_GRAFT_SIM06_VERIFY`` forces either path — the rehearsal /
+    equality-test knob for exercising the past-the-gate plan at small n
+    (and the broadcast plan past the gate, for A/B)."""
+    forced = os.environ.get("SPARK_GRAFT_SIM06_VERIFY", "")
+    if forced:
+        if forced not in ("broadcast", "copart"):
+            raise ValueError(
+                f"SPARK_GRAFT_SIM06_VERIFY={forced!r}: use 'broadcast' or "
+                "'copart'"
+            )
+        return forced
+    return "broadcast" if n_vecs <= SIM06_BROADCAST_VECS else "copart"
+
+
+def _cell_candidates(entries: DataFrame) -> DataFrame:
+    """(cell, doc_a, doc_b) candidate pairs, each pair deduped to ONE cell.
+
+    The cell-blind twin is dedup._candidates_from_entries (same skew-proof
+    two-level emission; its docstring carries the measurements). Keeping
+    the generating cell costs a little dedup reach — identical member
+    lists collapse only within a cell, not across cells — but buys the
+    verify join a co-partitioning key: both docs of a pair are probe-
+    members of the pair's cell BY CONSTRUCTION, so cell-partitioned
+    embedding slices can serve both lookups without broadcasting the
+    corpus or sorting the candidate stream. The min() pins each pair to a
+    deterministic shared cell; the groupBy replaces the twin's distinct()
+    (same shuffle shape, pair-keyed)."""
+    spark = entries.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    groups = (
+        entries.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .where(F.size("docs") > 1)
+        .select(F.col("bucket").alias("cell"), "docs")
+        .distinct()
+    )
+    halves = (
+        groups.select(
+            "cell", F.posexplode("docs").alias("i", "doc_a"), "docs"
+        )
+        .select(
+            "cell",
+            "doc_a",
+            F.expr("slice(docs, i + 2, size(docs))").alias("rest"),
+        )
+        .repartition(width, "doc_a")
+    )
+    return (
+        halves.select("cell", "doc_a", F.explode("rest").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("cell").alias("cell"))
+    )
+
+
+def _copartitioned_verify(
+    emb: DataFrame, entries: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-verify candidates WITHOUT broadcasting the embedding lookup:
+    the past-the-gate plan for corpora whose (vec_id, label, embedding,
+    nrm) side outgrows executor memory (> SIM06_BROADCAST_VECS ≈ 0.5 GB).
+
+    Both verify sides hash-partition on the candidate pair's generating
+    CELL: the candidate stream once, and the cell-membership embedding
+    slices (entries ⋈ emb, n·nprobe rows) once — reused for the doc_a and
+    doc_b lookups, so the heavy stream shuffles exactly once. Each join
+    keys on (cell, doc) with a SHUFFLE_HASH hint on the membership side:
+    hashpartitioning(cell) already satisfies the (cell, doc) clustering
+    (partitioning by a subset of the join keys is Spark's subset rule),
+    so NEITHER join adds an Exchange, and the hash build per partition is
+    that partition's cell slices — n·nprobe/width rows, shrinking with
+    cluster width — instead of the whole corpus. Crucially nothing SORTS
+    the candidate stream: the sf10 rehearsal measured the default
+    sort-merge plan as a single-node disk wall (hundreds of GB of sort
+    spill) once embedding payloads ride the sort. Rows are identical to
+    the broadcast path (same candidates, same cosine expression) — pinned
+    by tests/test_extensions.py's equality test and the plan fingerprint.
+    """
+    spark = emb.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    cand = _cell_candidates(entries).repartition(width, "cell")
+    members = (
+        entries.select(F.col("bucket").alias("cell"), "doc_id")
+        .join(
+            emb.select("vec_id", "label", "embedding", "nrm"),
+            F.col("doc_id") == F.col("vec_id"),
+        )
+        .select("cell", "vec_id", "label", "embedding", "nrm")
+        .repartition(width, "cell")
+    )
+    a, b = members.alias("a"), members.alias("b")
+    cos = F.round(
+        dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    scored = (
+        cand.join(
+            a.hint("shuffle_hash"),
+            (cand.cell == F.col("a.cell")) & (cand.doc_a == F.col("a.vec_id")),
+        )
+        .join(
+            b.hint("shuffle_hash"),
+            (cand.cell == F.col("b.cell")) & (cand.doc_b == F.col("b.vec_id")),
+        )
+        .where(F.col("a.label") == F.col("b.label"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+    )
+    return scored.where(F.col("cos_sim") >= threshold)
+
+
 def verified_pairs_from_index(
     emb: DataFrame,
     index: DataFrame | IvfIndex,
@@ -1086,10 +1203,7 @@ def verified_pairs_from_index(
 
     if n_vecs is None:
         n_vecs = emb.count()  # bounded: one aggregate row (gate below)
-    cand = _candidates_from_entries(
-        _probe_entries(emb, index, nprobe, recall_target)
-    )
-    side = emb.select("vec_id", "label", "embedding", "nrm")
+    entries = _probe_entries(emb, index, nprobe, recall_target)
     # Candidate volume is Θ(cells · (nprobe·cell_pop)²/2) — linear in n but
     # BIG (80M at sf1, 800M at sf10), while the embedding side is n rows.
     # Left to the 10 MB autoBroadcast threshold the verify join silently
@@ -1098,10 +1212,13 @@ def verified_pairs_from_index(
     # the sf10 rehearsal measured that as a single-node DISK WALL
     # (hundreds of GB of sort spill, SPILL_OUT_OF_MEMORY). Broadcast the
     # embedding lookup explicitly while it fits executor memory
-    # (~0.5 GB at the gate below); past the gate a deployment co-partitions
-    # candidates and embeddings by cell instead of joining globally.
-    if n_vecs <= SIM06_BROADCAST_VECS:
-        side = F.broadcast(side)
+    # (~0.5 GB at the gate); past the gate, route to the cell-
+    # co-partitioned verify, which never broadcasts the corpus and never
+    # sorts the candidate stream.
+    if _verify_strategy(n_vecs) == "copart":
+        return _copartitioned_verify(emb, entries, threshold)
+    cand = _candidates_from_entries(entries)
+    side = F.broadcast(emb.select("vec_id", "label", "embedding", "nrm"))
     a, b = side.alias("a"), side.alias("b")
     cos = F.round(
         dot(F.col("a.embedding"), F.col("b.embedding"))

@@ -2533,3 +2533,61 @@ def test_tx33_tx34_degenerate_docs_match_oracle(spark, tmp_path):
     assert got[12] == (8, 6, 2, "zzz tail")
     assert got[13][1] == 0 and got[13][3] == rows[5][1]
     conn.close()
+
+
+def test_sim06_copartitioned_verify_matches_broadcast_and_never_sorts(
+    spark, monkeypatch
+):
+    """Round-12 verdict #1: past SIM06_BROADCAST_VECS the verify join must
+    co-partition by the candidate's generating cell instead of
+    broadcasting the corpus — and it must produce the IDENTICAL pair
+    listing. Equality is pinned at two gate scales; the plan shape is
+    pinned directly (2 ShuffledHashJoins keyed through hashpartitioning
+    on cell, ZERO SortMergeJoins — the sf10 disk wall was the candidate
+    stream riding a sort with embedding payloads)."""
+    import re
+
+    from dbix_batchchunker_spark.functions.vectors import norm
+    from dbix_batchchunker_spark.operators.registry import t
+    from dbix_batchchunker_spark.operators.similarity import (
+        ivf_near_dup_pairs,
+    )
+    from dbix_batchchunker_spark.plans.explain import formatted_plan
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = t(spark, sf, "embeddings").withColumn(
+            "nrm", norm(F.col("embedding"))
+        )
+        monkeypatch.setenv("SPARK_GRAFT_SIM06_VERIFY", "broadcast")
+        base = sorted(tuple(r) for r in ivf_near_dup_pairs(emb).collect())
+        monkeypatch.setenv("SPARK_GRAFT_SIM06_VERIFY", "copart")
+        cop = ivf_near_dup_pairs(emb)
+        assert sorted(tuple(r) for r in cop.collect()) == base, sf
+
+    plan = formatted_plan(cop)
+    shj = len(re.findall(r"\(\d+\) ShuffledHashJoin\s*\n", plan))
+    smj = len(re.findall(r"\(\d+\) SortMergeJoin\s*\n", plan))
+    cell_exch = len(re.findall(r"Arguments: hashpartitioning\(cell", plan))
+    # >= 2: the two verify joins; the members-build join (entries ⋈ emb)
+    # may also legitimately plan shuffled-hash depending on session conf
+    assert shj >= 2, f"verify joins must be shuffled-hash, got {shj}"
+    assert smj == 0, "a SortMergeJoin here re-opens the sf10 sort-spill wall"
+    assert cell_exch >= 2, "both verify sides must partition by cell"
+
+
+def test_sim06_verify_strategy_gate(monkeypatch):
+    from dbix_batchchunker_spark.operators.similarity import (
+        SIM06_BROADCAST_VECS,
+        _verify_strategy,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_SIM06_VERIFY", raising=False)
+    assert _verify_strategy(SIM06_BROADCAST_VECS) == "broadcast"
+    assert _verify_strategy(SIM06_BROADCAST_VECS + 1) == "copart"
+    monkeypatch.setenv("SPARK_GRAFT_SIM06_VERIFY", "copart")
+    assert _verify_strategy(10) == "copart"
+    monkeypatch.setenv("SPARK_GRAFT_SIM06_VERIFY", "bogus")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="broadcast"):
+        _verify_strategy(10)
