@@ -131,6 +131,167 @@ def _sentinel_seconds(spark) -> float:
     return round(best, 3)
 
 
+#: Module-name prefixes swapped between A/B variants — everything this
+#: repo owns; pyspark/py4j and the JVM stay shared (that is the point:
+#: one JVM, one scheduler, interleaved runs).
+_AB_PREFIXES = ("dbix_batchchunker_spark", "__spark_entry__")
+
+
+class _AbVariant:
+    """One side of an A/B comparison: a repo root plus its private slice
+    of sys.modules. ``activate()`` swaps this variant's modules in and the
+    other's out, so function-level relative imports (which resolve through
+    sys.modules BY NAME at call time) can never silently cross variants —
+    the failure mode that rules out simply importing both trees."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self.modules: dict = {}
+        self.queries = None
+
+    def activate(self) -> None:
+        for name in [m for m in sys.modules if m.startswith(_AB_PREFIXES)]:
+            del sys.modules[name]
+        sys.modules.update(self.modules)
+        for root in list(sys.path):
+            if os.path.isdir(os.path.join(root, "dbix_batchchunker_spark")):
+                sys.path.remove(root)
+        sys.path.insert(0, self.root)
+
+    def load(self):
+        self.activate()
+        import importlib
+
+        entry = importlib.import_module("__spark_entry__")
+        self.queries = entry.queries()
+        self.modules = {
+            m: mod
+            for m, mod in sys.modules.items()
+            if m.startswith(_AB_PREFIXES)
+        }
+        return self.queries
+
+
+def _ab_main(ref: str) -> None:
+    """Same-session A/B attribution: interleave the WORKING TREE against a
+    git ref, per query, in ONE JVM (SPARK_GRAFT_BENCH_AB=<ref>, round-12
+    verdict #5). The sentinel catches container-level contention but not
+    per-query jitter (r12: +15 s spread across ~20 queries with quiet
+    sentinels on both ends), so cross-run deltas over-report regressions;
+    alternating cur/ref attempts of each query back-to-back inside one
+    scheduler session makes the delta mechanical — environment noise hits
+    both sides of every attempt pair. Combine with
+    SPARK_GRAFT_BENCH_ONLY=<regex> to focus a family. Prints one JSON
+    line; never writes BENCH_DETAIL.json (not a full-suite artifact)."""
+    import subprocess
+    import tempfile
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    wt = tempfile.mkdtemp(prefix="bench_ab_")
+    subprocess.run(
+        ["git", "-C", here, "worktree", "add", "--detach", wt, ref],
+        check=True,
+        capture_output=True,
+    )
+    try:
+        _ab_run(here, wt, ref)
+    finally:
+        subprocess.run(
+            ["git", "-C", here, "worktree", "remove", "--force", wt],
+            check=False,
+            capture_output=True,
+        )
+
+
+def _ab_run(here: str, wt: str, ref: str) -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    warm_dir = os.environ.get(
+        "SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001"
+    )
+    runs = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+
+    cur, old = _AbVariant(here), _AbVariant(wt)
+    cur.load()
+    # The session comes from the CURRENT tree (sessions carry no query
+    # logic; get_spark config drift between variants would show up here).
+    from dbix_batchchunker_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench-ab",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    old.load()
+
+    names = sorted(
+        n
+        for n in cur.queries
+        if n in old.queries and (not only or re.search(only, n))
+    )
+    skipped = sorted(
+        set(cur.queries) - set(old.queries)
+        if not only
+        else {
+            n
+            for n in set(cur.queries) - set(old.queries)
+            if re.search(only, n)
+        }
+    )
+    results: dict[str, dict] = {}
+    for name in names:
+        best = {"cur": float("inf"), "ref": float("inf")}
+        try:
+            for variant, tag in ((cur, "cur"), (old, "ref")):
+                variant.activate()
+                variant.queries[name](spark, warm_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                _clear_caches(spark)
+            for _ in range(runs):
+                # cur/ref adjacency is the instrument: a stall hits the
+                # pair, not one side
+                for variant, tag in ((cur, "cur"), (old, "ref")):
+                    variant.activate()
+                    t0 = time.monotonic()
+                    variant.queries[name](spark, sf_dir).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    best[tag] = min(best[tag], time.monotonic() - t0)
+                    _clear_caches(spark)
+        except Exception as exc:  # noqa: BLE001
+            results[name] = {
+                "error": f"{type(exc).__name__}: {exc}".splitlines()[0][:200]
+            }
+            _clear_caches(spark)
+            continue
+        results[name] = {
+            "cur_s": round(best["cur"], 3),
+            "ref_s": round(best["ref"], 3),
+            "delta_s": round(best["cur"] - best["ref"], 3),
+        }
+        print(
+            f"# {name}: cur {best['cur']:.3f}s vs {ref} {best['ref']:.3f}s "
+            f"({best['cur'] - best['ref']:+.3f}s)",
+            file=sys.stderr,
+        )
+    timed = [r for r in results.values() if "delta_s" in r]
+    out = {
+        "metric": "ab_delta_seconds",
+        "value": round(sum(r["delta_s"] for r in timed), 3),
+        "unit": "sec",
+        "ref": ref,
+        "sf": sf_dir,
+        "runs": runs,
+        "interleaving": "cur/ref alternate per attempt, min-of-runs each",
+        "queries": results,
+    }
+    if skipped:
+        out["only_in_current"] = skipped
+    print(json.dumps(out))
+
+
 def _clear_caches(spark) -> None:
     """Session-wide cache drop between timed runs, plus an explicit release
     of the prefix-sum cache registry so its handle list cannot grow for the
@@ -144,6 +305,10 @@ def _clear_caches(spark) -> None:
 
 
 def main() -> None:
+    ab_ref = os.environ.get("SPARK_GRAFT_BENCH_AB")
+    if ab_ref:
+        _ab_main(ab_ref)
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
