@@ -1542,6 +1542,84 @@ def incremental_embedding_near_dups(
 
 
 # --------------------------------------------------------------------------- #
+# sim11: the PERSISTED-STORE incremental ingest, oracle-adjudicated.          #
+# Round-12 verdict #7: the IvfIndex round-trip + incremental probing was      #
+# example-only. The st07 planting device, applied to vectors: the arriving   #
+# increment is EXACT COPIES of a deterministic corpus slice (vec_id % 17 ==  #
+# 3, ids shifted by 1e9). A copy's centroid distances equal its source's,   #
+# so it probes the SAME cells through whatever routing state the RELOADED   #
+# index carries — and every pair's recovery condition (probe-set            #
+# intersection) is exactly sim06's, so recall inherits sim06's measured     #
+# 1.0 operating point while the oracle states the full touching-pair set    #
+# in exact SQL over the embeddings table. The query round-trips the index   #
+# through save_ivf_index/load_ivf_index ON EVERY RUN: a round-trip that     #
+# loses or mangles routing state probes different cells and breaks the     #
+# hash. Cross pairs are normalized to (least, greatest) so the oracle      #
+# needs no old-vs-new column convention.                                   #
+# --------------------------------------------------------------------------- #
+SIM11_INC_MOD = 17
+SIM11_INC_RES = 3
+SIM11_INC_OFFSET = 1_000_000_000
+
+
+@query(
+    "sim11_incremental_store_pairs",
+    oracle=f"""
+    WITH inc AS (
+        SELECT vec_id + {SIM11_INC_OFFSET} AS vec_id, label, embedding
+        FROM embeddings WHERE vec_id % {SIM11_INC_MOD} = {SIM11_INC_RES}
+    ),
+    touching AS (
+        SELECT c.vec_id AS x, i.vec_id AS y,
+               ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                            CAST(i.embedding AS DOUBLE[])),
+                     6) AS cos_sim
+        FROM embeddings c JOIN inc i ON c.label = i.label
+        UNION ALL
+        SELECT a.vec_id AS x, b.vec_id AS y,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])),
+                     6) AS cos_sim
+        FROM inc a JOIN inc b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT LEAST(x, y) AS vec_a, GREATEST(x, y) AS vec_b, cos_sim
+    FROM touching WHERE cos_sim >= {SIM06_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """,
+)
+def sim11_incremental_store_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
+    index = build_ivf_index(emb)
+    store_path = tempfile.mkdtemp(prefix="sim11_ivf_")
+    save_ivf_index(index, store_path)
+    loaded = load_ivf_index(spark, store_path)
+    store_entries = _probe_entries(emb, loaded, SIM06_NPROBE).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("bucket").alias("centroid_id"),
+    )
+    new_emb = emb.where(
+        F.col("vec_id") % SIM11_INC_MOD == SIM11_INC_RES
+    ).select(
+        (F.col("vec_id") + SIM11_INC_OFFSET).alias("vec_id"),
+        "label",
+        "embedding",
+        "nrm",
+    )
+    pairs = incremental_embedding_near_dups(
+        new_emb, loaded, store_entries, emb
+    )
+    return pairs.select(
+        F.least("vec_a", "vec_b").alias("vec_a"),
+        F.greatest("vec_a", "vec_b").alias("vec_b"),
+        "cos_sim",
+    ).orderBy("vec_a", "vec_b")
+
+
+# --------------------------------------------------------------------------- #
 # sim08: int8-QUANTIZED brute-force top-k — the memory-bandwidth path.        #
 #                                                                             #
 # Scalar quantization (the SQ in FAISS's IVF-SQ, Jégou et al., "Product      #

@@ -2591,3 +2591,81 @@ def test_sim06_verify_strategy_gate(monkeypatch):
 
     with _pytest.raises(ValueError, match="broadcast"):
         _verify_strategy(10)
+
+
+def test_sim11_two_level_store_roundtrip_probes_identically(spark, tmp_path):
+    """sim11's gate runs adjudicate the FLAT store round-trip (gate-scale
+    cell counts sit under IVF_TWO_LEVEL_MIN_CELLS); this pins the
+    TWO-LEVEL half: at a forced 256-cell geometry the reloaded index must
+    carry the routing state (supers + k_child), probe entry-for-entry like
+    the in-memory build, and the incremental pair listing over a planted
+    copy increment must match the in-memory run exactly — including every
+    (source, copy) self-pair, whose recovery is routing-independent
+    (identical vectors probe identical cells)."""
+    from dbix_batchchunker_spark.functions.vectors import norm
+    from dbix_batchchunker_spark.operators.registry import t
+    from dbix_batchchunker_spark.operators.similarity import (
+        SIM06_NPROBE,
+        SIM11_INC_MOD,
+        SIM11_INC_OFFSET,
+        SIM11_INC_RES,
+        _probe_entries,
+        build_ivf_index,
+        incremental_embedding_near_dups,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = t(spark, "/root/testdata/sf0.01", "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
+    index = build_ivf_index(emb, clusters=256)
+    assert index.two_level, "256 cells must build two-level"
+    path = str(tmp_path / "store")
+    save_ivf_index(index, path)
+    loaded = load_ivf_index(spark, path)
+    assert loaded.two_level and loaded.k_child == index.k_child
+
+    probe_mem = sorted(
+        tuple(r) for r in _probe_entries(emb, index, SIM06_NPROBE).collect()
+    )
+    probe_load = sorted(
+        tuple(r) for r in _probe_entries(emb, loaded, SIM06_NPROBE).collect()
+    )
+    assert probe_mem == probe_load, "reload changed the probed cell sets"
+
+    store_entries = _probe_entries(emb, loaded, SIM06_NPROBE).select(
+        F.col("doc_id").alias("vec_id"), F.col("bucket").alias("centroid_id")
+    )
+    new_emb = emb.where(
+        F.col("vec_id") % SIM11_INC_MOD == SIM11_INC_RES
+    ).select(
+        (F.col("vec_id") + SIM11_INC_OFFSET).alias("vec_id"),
+        "label",
+        "embedding",
+        "nrm",
+    )
+    got_loaded = sorted(
+        tuple(r)
+        for r in incremental_embedding_near_dups(
+            new_emb, loaded, store_entries, emb
+        ).collect()
+    )
+    got_mem = sorted(
+        tuple(r)
+        for r in incremental_embedding_near_dups(
+            new_emb, index, store_entries, emb
+        ).collect()
+    )
+    assert got_loaded == got_mem
+
+    src_ids = {
+        r.vec_id
+        for r in emb.where(
+            F.col("vec_id") % SIM11_INC_MOD == SIM11_INC_RES
+        )
+        .select("vec_id")
+        .collect()
+    }
+    self_pairs = {(a, b) for a, b, _ in got_loaded if b - SIM11_INC_OFFSET == a}
+    assert self_pairs == {(i, i + SIM11_INC_OFFSET) for i in src_ids}
