@@ -1280,6 +1280,106 @@ def tx23_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# tx13v: the REDACTION REWRITE itself under the hash (round-12 verdict #6).   #
+# tx23 adjudicates the portable-subset scan and aggregate redacted lengths,   #
+# but on this word-soup corpus the hit totals are structurally ZERO, so the   #
+# rewrite rode the hash only as identity. tx13v plants one deterministic PII  #
+# string per document — family chosen by doc_id % 4, digits/local-part        #
+# closed-form in doc_id, built with the same lpad/concat arithmetic in both   #
+# engines — then emits the per-doc REDACTED TEXT, so every document's         #
+# replacement (match extent, token substitution, chain order, and the \b     #
+# boundary behavior on real hits, which tx23's zero-hit totals never          #
+# exercised) is value-hashed against DuckDB. The production lookaround scrub  #
+# stays tx13 (rows-only, Java-dialect); this is its RE2/ASCII-safe            #
+# adjudicated sibling.                                                        #
+# --------------------------------------------------------------------------- #
+def _plant_sql() -> str:
+    """DuckDB side of the planted document: text || ' ' || one PII string."""
+    return """text || ' ' || CASE doc_id % 4
+        WHEN 0 THEN 'u' || CAST(doc_id AS VARCHAR) || '@ex'
+                    || CAST(doc_id % 7 AS VARCHAR) || '.com'
+        WHEN 1 THEN '555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                    || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        WHEN 2 THEN lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                    || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        ELSE CAST(doc_id % 256 AS VARCHAR) || '.'
+             || CAST(doc_id % 250 AS VARCHAR) || '.'
+             || CAST(doc_id % 100 AS VARCHAR) || '.'
+             || CAST(doc_id % 254 AS VARCHAR)
+    END"""
+
+
+def _plant_spark():
+    did = F.col("doc_id")
+
+    def pad(expr, n):
+        return F.lpad(expr.cast("string"), n, "0")
+
+    email = F.concat(
+        F.lit("u"), did.cast("string"), F.lit("@ex"),
+        (did % 7).cast("string"), F.lit(".com"),
+    )
+    phone = F.concat(
+        F.lit("555-"), pad(did % 1000, 3), F.lit("-"), pad(did % 10000, 4)
+    )
+    ssn = F.concat(
+        pad(did % 1000, 3), F.lit("-"), pad(did % 100, 2), F.lit("-"),
+        pad(did % 10000, 4),
+    )
+    ip = F.concat(
+        (did % 256).cast("string"), F.lit("."),
+        (did % 250).cast("string"), F.lit("."),
+        (did % 100).cast("string"), F.lit("."),
+        (did % 254).cast("string"),
+    )
+    fam = (
+        F.when(did % 4 == 0, email)
+        .when(did % 4 == 1, phone)
+        .when(did % 4 == 2, ssn)
+        .otherwise(ip)
+    )
+    return F.concat(F.col("text"), F.lit(" "), fam)
+
+
+@query(
+    "tx13v_pii_redact_portable",
+    oracle=f"""
+    WITH planted AS (
+        SELECT doc_id, {_plant_sql()} AS ptext FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(ptext, '{PII_PATTERNS_PORTABLE["email"][0]}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(ptext, '{PII_PATTERNS_PORTABLE["phone"][0]}')) AS INT) AS n_phone,
+           CAST(len(regexp_extract_all(ptext, '{PII_PATTERNS_PORTABLE["ssn"][0]}')) AS INT) AS n_ssn,
+           CAST(len(regexp_extract_all(ptext, '{PII_PATTERNS_PORTABLE["ipv4"][0]}')) AS INT) AS n_ipv4,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               ptext,
+               '{PII_PATTERNS_PORTABLE["email"][0]}', '<EMAIL>', 'g'),
+               '{PII_PATTERNS_PORTABLE["phone"][0]}', '<PHONE>', 'g'),
+               '{PII_PATTERNS_PORTABLE["ssn"][0]}', '<SSN>', 'g'),
+               '{PII_PATTERNS_PORTABLE["ipv4"][0]}', '<IP>', 'g') AS redacted
+    FROM planted ORDER BY doc_id
+    """,
+)
+def tx13v_pii_redact_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", _plant_spark().alias("ptext")
+    )
+    scanned = redact_pii_portable(
+        scan_pii(docs, text_col="ptext"), text_col="ptext"
+    )
+    return scanned.select(
+        "doc_id",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+        F.col("n_ssn").cast("int").alias("n_ssn"),
+        F.col("n_ipv4").cast("int").alias("n_ipv4"),
+        "redacted",
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------- #
 # tx26: TOKEN RARITY profile — the inverse-document-frequency signal quality  #
 # filters rank on, kept in exact integers so the gate adjudicates it          #
 # bit-for-bit (log-space idf is a per-row monotone map the consumer applies;  #
