@@ -108,6 +108,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     the full round-7 (tx01…tx12), round-8 (q16…sp04) and round-9
 #:     (tx02…sp08) cohorts and the 7 head entries of the round-10
 #:     cohort (q34…q45).
+#:   round 13: CORRECTNESS_r12 = 50/50 green, so the r12 cohort (its 3
+#:     debuts included) rotates out. In: the 2 round-13 oracle debuts
+#:     (sim11's persisted-store incremental ingest, tx13v's planted-PII
+#:     redaction rewrite) plus 44 from the demotion queue head — the
+#:     ENTIRE remaining round-10 cohort (q46…q11, 39 queries, demoted
+#:     since round 11) and the first 5 of the round-11 cohort
+#:     (dd14/dd15/mm02/mm03/sim06). Queue head for round 14: sim07….
 #: Every rotated-out query stays oracle-pinned in the local gate replica
 #: (tests/test_queries_oracle.py parametrizes over every oracle —
 #: 130 after the round-11 additions, 135 with round 12's
@@ -116,32 +123,28 @@ ADJUDICATED_PREFIX = (
     # chunker flagships: permanent slots
     "q20_chunked_delete_survivors", "q21_chunked_groupby_combine",
     "q22_chunked_update_overlay", "q23_chunked_update_join",
-    # round-12 oracle debuts: first driver rows in their debut round
-    "st08_stream_sized_sink", "mm05_wav_clip_stats",
-    "mm06_png_header_metadata", "tx33_sliding_windows",
-    "tx34_span_decontaminate",
+    # round-13 oracle debuts: first driver rows in their debut round
+    "sim11_incremental_store_pairs", "tx13v_pii_redact_portable",
     # oldest demotions re-adjudicated (head of the queue):
-    # last driver-green round 7
-    "tx01_token_stats", "tx04_fingerprint", "tx05_json_extract",
-    "tx08_rolling_hash", "tx09_det_split", "tx12_repetition",
-    # last driver-green round 8
-    "q16_semi_join", "q17_scalar_functions", "q18_percentiles",
-    "q33_interval_overlap_join", "q36_pivot_event_matrix",
-    "q38_composite_keyset", "q40_null_aware_anti",
-    "q42_trailing_week_revenue", "q44_full_outer_reconcile",
-    "dd10_jaccard_components", "dd11_containment_pairs",
-    "sim08_quantized_topk", "tx16_bloom_decontaminate",
-    "tx18_bpe_merge_pairs", "sp04_sequence_packing",
-    # last driver-green round 9
-    "tx02_quality_score", "tx03_langid", "tx06_pipeline_quality_dedup",
-    "tx07_bpe_token_count", "tx10_decontaminate", "tx11_group_sample",
-    "tx14_vocab", "tx15_dup_windows", "tx17_contamination_severity",
-    "tx26_token_rarity", "sp01_mixture_sample", "sp07_mixture_waterfill",
-    "sp08_epoch_plan",
-    # last driver-green round 10 (head of that cohort)
-    "q34_grouping_sets", "q35_event_gaps", "q37_topk_per_group",
-    "q39_spend_deciles", "q41_sketch_rollup", "q43_salted_hot_join",
-    "q45_unpivot_status_counts",
+    # last driver-green round 10 (the tail of that cohort)
+    "q46_lateral_topn_per_customer", "q47_recursive_hierarchy_rollup",
+    "q55_snapshot_diff", "q56_relational_division", "q57_id_islands",
+    "q58_revenue_share", "q59_segment_listagg", "tx19_classifier_score",
+    "tx20_split_leakage", "tx21_variant_extract", "tx22_zipf_fit",
+    "tx23_pii_scan", "tx27_bpe_fixed_encode", "tx28_gopher_quality_rules",
+    "tx29_ngram_novelty", "tx30_langid_confusion", "tx31_bpe_trainer_oracle",
+    "mm07_png_header_oracle", "mm08_wav_header_oracle",
+    "dd12_star_components", "dd13_sql_minhash_bands", "sim02_ann_lsh",
+    "sp02_weighted_sample", "sp03_temperature_sample", "sp05_pack_segments",
+    "sp06_epoch_shuffle", "sp09_stratified_split", "st03_stream_dedup",
+    "st05_stream_enrich", "st06_stream_stream_join",
+    "st09_stream_hourly_counts", "st10_stream_user_counts",
+    "st11_stream_session_counts", "q02_filter_predicates",
+    "q04_minmax_count", "q05_groupby_having", "q06_view_orders_1995",
+    "q10_set_ops", "q11_hourly_event_rollup",
+    # last driver-green round 11 (head of that cohort)
+    "dd14_sql_simhash_pairs", "dd15_sql_minhash_components",
+    "mm02_decode_pipeline", "mm03_resize_and_sample", "sim06_ivf_near_dup",
 )
 
 #: Former slot-holders, first in line for re-adjudication when the
@@ -149,95 +152,44 @@ ADJUDICATED_PREFIX = (
 #: so the head is always first in line when slots free up (or if the
 #: driver cap were raised).
 DEMOTED_FROM_PREFIX = (
-    # Last driver-green round 10 (demoted round 11; the tx01…q45 head of
-    # this queue rotated BACK IN for round 12).
-    "q46_lateral_topn_per_customer",
-    "q47_recursive_hierarchy_rollup",
-    "q55_snapshot_diff",
-    "q56_relational_division",
-    "q57_id_islands",
-    "q58_revenue_share",
-    "q59_segment_listagg",
-    "tx19_classifier_score",
-    "tx20_split_leakage",
-    "tx21_variant_extract",
-    "tx22_zipf_fit",
-    "tx23_pii_scan",
-    "tx27_bpe_fixed_encode",
-    "tx28_gopher_quality_rules",
-    "tx29_ngram_novelty",
-    "tx30_langid_confusion",
-    "tx31_bpe_trainer_oracle",
-    "mm07_png_header_oracle",
-    "mm08_wav_header_oracle",
-    "dd12_star_components",
-    "dd13_sql_minhash_bands",
-    "sim02_ann_lsh",
-    "sp02_weighted_sample",
-    "sp03_temperature_sample",
-    "sp05_pack_segments",
-    "sp06_epoch_shuffle",
-    "sp09_stratified_split",
-    "st03_stream_dedup",
-    "st05_stream_enrich",
-    "st06_stream_stream_join",
-    "st09_stream_hourly_counts",
-    "st10_stream_user_counts",
-    "st11_stream_session_counts",
-    "q02_filter_predicates",
-    "q04_minmax_count",
-    "q05_groupby_having",
-    "q06_view_orders_1995",
-    "q10_set_ops",
-    "q11_hourly_event_rollup",
-    # Last driver-green round 11 (demoted this round — all 46 r11 greens
-    # except the permanent chunker flagships).
-    "dd14_sql_simhash_pairs",
-    "dd15_sql_minhash_components",
-    "mm02_decode_pipeline",
-    "mm03_resize_and_sample",
-    "sim06_ivf_near_dup",
-    "sim07_embedding_dedup",
-    "sim09_mmr_rerank",
-    "st01_stream_hourly_rollup",
-    "st02_stream_user_totals",
-    "st04_stream_sessions",
-    "tx32_bpe_train_encode",
-    "mm04_phash_near_dup",
-    "st07_stream_incremental_packing",
-    "q01_pricing_summary",
-    "q03_revenue_by_nation",
-    "q07_top_customers",
-    "q08_latest_event_per_user",
-    "q09_customers_without_orders",
-    "q12_rollup_revenue",
-    "q13_conditional_agg",
-    "q14_below_avg_quantity",
-    "q15_asof_join",
-    "q24_keyset_page",
-    "q25_shipping_priority",
-    "q26_returned_items",
-    "q27_above_avg_spenders",
-    "q28_cube_counts",
-    "q29_fuzzy_part_names",
-    "q30_sessionize",
-    "q31_running_revenue",
-    "q32_banded_range_join",
-    "q48_scd2_merge",
-    "q49_zorder_key",
-    "q50_histogram_quantile_rollup",
-    "q51_event_funnel",
-    "q52_dense_hourly_fill",
-    "q53_null_aware_anti_shuffle",
-    "q54_session_paths",
-    "dd01_exact",
-    "dd02_jaccard_pairs",
-    "dd05_mllib_minhash",
-    "dd06_lsh_jaccard_pairs",
-    "dd08_ngram_jaccard_pairs",
-    "mm01_binary_stats",
-    "sim01_topk_bruteforce",
+    # Last driver-green round 11 (remainder of that cohort).
+    "sim07_embedding_dedup", "sim09_mmr_rerank", "st01_stream_hourly_rollup",
+    "st02_stream_user_totals", "st04_stream_sessions",
+    "tx32_bpe_train_encode", "mm04_phash_near_dup",
+    "st07_stream_incremental_packing", "q01_pricing_summary",
+    "q03_revenue_by_nation", "q07_top_customers",
+    "q08_latest_event_per_user", "q09_customers_without_orders",
+    "q12_rollup_revenue", "q13_conditional_agg", "q14_below_avg_quantity",
+    "q15_asof_join", "q24_keyset_page", "q25_shipping_priority",
+    "q26_returned_items", "q27_above_avg_spenders", "q28_cube_counts",
+    "q29_fuzzy_part_names", "q30_sessionize", "q31_running_revenue",
+    "q32_banded_range_join", "q48_scd2_merge", "q49_zorder_key",
+    "q50_histogram_quantile_rollup", "q51_event_funnel",
+    "q52_dense_hourly_fill", "q53_null_aware_anti_shuffle",
+    "q54_session_paths", "dd01_exact", "dd02_jaccard_pairs",
+    "dd05_mllib_minhash", "dd06_lsh_jaccard_pairs",
+    "dd08_ngram_jaccard_pairs", "mm01_binary_stats", "sim01_topk_bruteforce",
     "sim03_embedding_near_dup",
+    # Last driver-green round 12 (demoted this round -- all 46 r12 greens
+    # except the permanent chunker flagships; round-12 debuts first).
+    "st08_stream_sized_sink", "mm05_wav_clip_stats",
+    "mm06_png_header_metadata", "tx33_sliding_windows",
+    "tx34_span_decontaminate", "tx01_token_stats", "tx04_fingerprint",
+    "tx05_json_extract", "tx08_rolling_hash", "tx09_det_split",
+    "tx12_repetition", "q16_semi_join", "q17_scalar_functions",
+    "q18_percentiles", "q33_interval_overlap_join", "q36_pivot_event_matrix",
+    "q38_composite_keyset", "q40_null_aware_anti",
+    "q42_trailing_week_revenue", "q44_full_outer_reconcile",
+    "dd10_jaccard_components", "dd11_containment_pairs",
+    "sim08_quantized_topk", "tx16_bloom_decontaminate",
+    "tx18_bpe_merge_pairs", "sp04_sequence_packing", "tx02_quality_score",
+    "tx03_langid", "tx06_pipeline_quality_dedup", "tx07_bpe_token_count",
+    "tx10_decontaminate", "tx11_group_sample", "tx14_vocab",
+    "tx15_dup_windows", "tx17_contamination_severity", "tx26_token_rarity",
+    "sp01_mixture_sample", "sp07_mixture_waterfill", "sp08_epoch_plan",
+    "q34_grouping_sets", "q35_event_gaps", "q37_topk_per_group",
+    "q39_spend_deciles", "q41_sketch_rollup", "q43_salted_hot_join",
+    "q45_unpivot_status_counts",
 )
 
 

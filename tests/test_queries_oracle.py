@@ -171,15 +171,13 @@ def test_adjudicated_prefix_is_the_load_bearing_fifty():
     # Every prefix slot must be oracle-gated — a rows-only query in the
     # prefix wastes an adjudication slot.
     assert all(n in o for n in prefix)
-    # The round-12 rotation (round-11 verdict #7): the 3 round-12 oracle
+    # The round-13 rotation (round-12 verdict #4): the round-13 oracle
     # debuts hold slots until THEIR CORRECTNESS rows come back green; the
     # chunker flagships q20-q23 hold permanent slots.
     for name in (
         "q20_chunked_delete_survivors", "q21_chunked_groupby_combine",
         "q22_chunked_update_overlay", "q23_chunked_update_join",
-        "st08_stream_sized_sink", "mm05_wav_clip_stats",
-        "mm06_png_header_metadata", "tx33_sliding_windows",
-        "tx34_span_decontaminate",
+        "sim11_incremental_store_pairs", "tx13v_pii_redact_portable",
     ):
         assert name in prefix, f"{name} lost its driver CORRECTNESS slot"
     # The demoted trio stays oracle-pinned (this file parametrizes over all
