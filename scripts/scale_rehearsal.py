@@ -85,6 +85,10 @@ HEADS2 = [
     ("q20_chunked_delete_survivors", "n (chunked BETWEEN scans)"),
     ("q21_chunked_groupby_combine", "n + driver plan-build floor"),
     ("q22_chunked_update_overlay", "n"),
+    # round-13 (round-12 verdict #3): the UPDATE...JOIN flagship — the
+    # reference's marquee example (BatchChunker.pm:121-130) — was the only
+    # permanent-slot query without an sf10 row
+    ("q23_chunked_update_join", "n (chunked BETWEEN scans + broadcast dim join)"),
     # round-12 widening #2: one second-decade row per remaining major
     # family whose sf10 tables exist (documents/events/embeddings/orders)
     ("tx28_gopher_quality_rules", "n (codegen scan)"),
@@ -215,6 +219,22 @@ def _amplify_decade2(spark):
         shards_union(orders, ord_shard).repartition(64).write.mode(
             "overwrite"
         ).parquet(os.path.join(DST2, "orders.parquet"))
+
+    # lineitem: q23's fact side. l_orderkey shifts by the SAME k*max_ord
+    # as orders so the chunked UPDATE...JOIN sees each shard's deprecated
+    # keys land on that shard's lineitems — 10x rows, identical per-shard
+    # join selectivity.
+    li = spark.read.parquet(os.path.join(DST, "lineitem.parquet"))
+
+    def li_shard(df, k):
+        return df.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(k * max_ord)
+        )
+
+    if _missing("lineitem"):
+        shards_union(li, li_shard).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(DST2, "lineitem.parquet"))
 
 
 def _amplify(spark):
@@ -448,7 +468,7 @@ def main():
         print(f"built in {time.monotonic() - t0:.1f}s")
     if decade2 and any(
         not os.path.isdir(os.path.join(DST2, f"{n}.parquet"))
-        for n in ("documents", "events", "embeddings", "orders")
+        for n in ("documents", "events", "embeddings", "orders", "lineitem")
     ):
         print("building", DST2)
         t0 = time.monotonic()
