@@ -769,23 +769,37 @@ _IVF_EXHAUSTIVE_FRACTION = 0.5
 #: between them — conservative for stricter thresholds, where recall at a
 #: given fraction only rises (pairs concentrate in nearer cells).
 _IVF_RECALL_ANCHORS = ((0.775, 0.05), (1.0, 0.375))
-#: MEASURED anchor points for the TWO-LEVEL router (round-11 verdict #3 —
-#: recall_target above IVF_TWO_LEVEL_MIN_CELLS was an extrapolation from
-#: the flat anchors until these landed): .scale/ivf_two_level_anchors.py
-#: on the .scale/sf1 corpus (20k natural vectors, clusters=256 = the
-#: smallest two-level geometry, k_super=16/k_child=16, slack 3,
-#: threshold 0.3, exact truth = the label-blocked listing, 14,490 pairs).
-#: Probed fraction 0.05 → recall 0.7694 (flat probe at the same fraction:
-#: 0.8861 — the slack sweep's ~0.87-of-flat gap, now absolute), 0.1 →
-#: 0.9634 (flat 0.9989), 0.2 → 0.9999 (flat 1.0000). Saturation by 0.2
-#: means the exhaustive fraction stays the flat 0.5 (recall_target >= 1
-#: routes FLAT by construction — see _probe_entries). Artifact:
-#: .scale/ivf_two_level_anchors.json; table in SCALING.md.
+#: MEASURED anchor points for the TWO-LEVEL router, now at TWO geometries
+#: on the same .scale/sf1 corpus (20k natural vectors, slack 3, threshold
+#: 0.3, exact truth = the label-blocked listing, 14,490 pairs):
+#:
+#:   256 cells (k_super 16 — the smallest two-level shape, round 12):
+#:     fraction 0.05 → 0.7694 (flat 0.8861), 0.1 → 0.9634 (flat 0.9989),
+#:     0.2 → 0.9999 (flat 1.0000); .scale/ivf_two_level_anchors.json
+#:   1600 cells (k_super 40 — the sf10 adaptive shape, round 13, round-12
+#:     verdict #2): fraction 0.05 → 0.8255 (flat at 0.05 is ALREADY
+#:     1.0000 at this granularity), 0.1 → 0.9618; fraction 0.2 not run —
+#:     p²n²/2k candidate arithmetic puts it at ~12.8G raw pairs for a
+#:     point both geometries show saturated; .scale/ivf_second_geometry.json
+#:
+#: The curve TRANSFERS across the measured decade of cell counts: at 0.1
+#: the two geometries agree within 0.0016 recall, and at 0.05 the finer
+#: geometry is strictly better. The interpolation set below is the
+#: POINTWISE MINIMUM across measured geometries, so a served fraction
+#: never under-probes ANY measured shape (0.9618 is the 1600-cell value;
+#: the rest are the 256-cell floor). Saturation by 0.2 means the
+#: exhaustive fraction stays the flat 0.5 (recall_target >= 1 routes FLAT
+#: by construction — see _probe_entries). Table in SCALING.md.
 _IVF_TWO_LEVEL_RECALL_ANCHORS = (
     (0.7694, 0.05),
-    (0.9634, 0.1),
+    (0.9618, 0.1),
     (0.9999, 0.2),
 )
+#: The 1600-cell measured points verbatim (recall, fraction) — pinned by
+#: tests/test_extensions.py: the serving anchors must reach each of these
+#: recalls at no more than its measured fraction.
+_IVF_TWO_LEVEL_G2_POINTS = ((0.8255, 0.05), (0.9618, 0.1))
+_IVF_TWO_LEVEL_G2_CLUSTERS = 1600
 #: Thresholds at or below this are "low" — pairs can straddle distant
 #: cells, which is exactly the regime the sf1 rehearsal measured recall
 #: decay in (0.3-cosine pairs under a frozen probe width).

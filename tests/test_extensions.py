@@ -649,10 +649,12 @@ def test_two_level_recall_anchors_measured():
     """The two-level regime's recall_target is MEASURED, not extrapolated
     (round-11 verdict #3): partial targets above IVF_TWO_LEVEL_MIN_CELLS
     interpolate the anchors measured under the slack-bounded router at
-    256 cells (recall 0.7694@0.05, 0.9634@0.1, 0.9999@0.2 of 14,490
-    exact pairs — .scale/ivf_two_level_anchors.json), the flat regime's
-    sizing is byte-identical to pre-round-12, and the one remaining
-    unmeasured sliver (top anchor, 1.0) warns."""
+    TWO geometries (256 cells r12, 1600 cells r13 — the serving set is
+    their pointwise minimum: 0.7694@0.05, 0.9618@0.1, 0.9999@0.2 of
+    14,490 exact pairs; .scale/ivf_two_level_anchors.json and
+    .scale/ivf_second_geometry.json), the flat regime's sizing is
+    byte-identical to pre-round-12, and the one remaining unmeasured
+    sliver (top anchor, 1.0) warns."""
     import math
     import warnings
 
@@ -668,15 +670,15 @@ def test_two_level_recall_anchors_measured():
     # count just below the gate uses the FLAT anchors
     assert nprobe_for_recall(IVF_TWO_LEVEL_MIN_CELLS - 1, SIM06_THRESHOLD, 0.9) == 59
 
-    # two-level regime: 0.9 sits between the 0.7694@0.05 and 0.9634@0.1
-    # measured anchors -> fraction 0.05 + 0.6732*0.05 = 0.08366
+    # two-level regime: 0.9 sits between the 0.7694@0.05 and 0.9618@0.1
+    # serving anchors
     k = 1600  # the sf10 geometry (200k vectors / 125 per cell)
-    t = (0.9 - 0.7694) / (0.9634 - 0.7694)
+    t = (0.9 - 0.7694) / (0.9618 - 0.7694)
     expect = math.ceil((0.05 + t * 0.05) * k)
-    assert nprobe_for_recall(k, SIM06_THRESHOLD, 0.9) == expect == 134
+    assert nprobe_for_recall(k, SIM06_THRESHOLD, 0.9) == expect == 135
 
     # a target at a measured anchor returns that anchor's fraction
-    assert nprobe_for_recall(k, SIM06_THRESHOLD, 0.9634) == math.ceil(0.1 * k)
+    assert nprobe_for_recall(k, SIM06_THRESHOLD, 0.9618) == math.ceil(0.1 * k)
 
     # below the least-measured point: conservative clamp to its fraction
     assert nprobe_for_recall(k, SIM06_THRESHOLD, 0.5) == math.ceil(0.05 * k)
@@ -700,6 +702,26 @@ def test_two_level_recall_anchors_measured():
     # anchors must stay sorted by recall (the interpolation's contract)
     rs = [r for r, _ in _IVF_TWO_LEVEL_RECALL_ANCHORS]
     assert rs == sorted(rs)
+
+    # SECOND-GEOMETRY pin (round-12 verdict #2): at the 1600-cell/k_super
+    # 40 shape the serving anchors must reach each MEASURED recall at no
+    # more than its measured fraction — i.e. the interpolation never
+    # under-probes the second geometry. (At 0.05 the measured 0.8255
+    # exceeds the 256-cell floor, so the serving curve over-probes there;
+    # at 0.1 the serving anchor IS the 1600-cell measurement.)
+    from dbix_batchchunker_spark.operators.similarity import (
+        _IVF_TWO_LEVEL_G2_CLUSTERS,
+        _IVF_TWO_LEVEL_G2_POINTS,
+    )
+
+    for recall, fraction in _IVF_TWO_LEVEL_G2_POINTS:
+        served = nprobe_for_recall(
+            _IVF_TWO_LEVEL_G2_CLUSTERS, SIM06_THRESHOLD, recall
+        )
+        assert served >= math.ceil(fraction * _IVF_TWO_LEVEL_G2_CLUSTERS), (
+            f"recall_target={recall}: served nprobe {served} under-probes "
+            f"the measured 1600-cell point at fraction {fraction}"
+        )
 
 
 def test_nprobe_for_recall_contract():
