@@ -1017,7 +1017,16 @@ def _probe_entries(
             .select("vec_id", "super_id")
         )
         scored = (
-            kept.join(emb.select("vec_id", "embedding", "nrm"), "vec_id")
+            # SHUFFLE_HASH: left alone this joins sort-merge, sorting the
+            # embedding payloads (sf10 plan audit, round 13); the hash
+            # build is n/width embeddings per partition — the same memory
+            # class as the verify join's cell slices — and nothing sorts
+            kept.join(
+                emb.select("vec_id", "embedding", "nrm").hint(
+                    "shuffle_hash"
+                ),
+                "vec_id",
+            )
             .join(
                 F.broadcast(
                     centroids.select("super_id", "centroid_id", "cvec", "cnrm")
@@ -1169,7 +1178,12 @@ def _copartitioned_verify(
     members = (
         entries.select(F.col("bucket").alias("cell"), "doc_id")
         .join(
-            emb.select("vec_id", "label", "embedding", "nrm"),
+            # SHUFFLE_HASH for the same reason as the probe's vec join:
+            # the n-row embedding side hash-builds per partition instead
+            # of riding a payload sort (sf10 plan audit, round 13)
+            emb.select("vec_id", "label", "embedding", "nrm").hint(
+                "shuffle_hash"
+            ),
             F.col("doc_id") == F.col("vec_id"),
         )
         .select("cell", "vec_id", "label", "embedding", "nrm")
@@ -1534,7 +1548,16 @@ def incremental_embedding_near_dups(
         ["bucket"],
     )
     side_cols = ("vec_id", "label", "embedding", "nrm")
-    vecs = store_vectors.select(*side_cols).unionByName(new_emb.select(*side_cols))
+    # SHUFFLE_HASH: the lookup side is corpus-scale (store + increment),
+    # so neither a broadcast (outgrows executor memory past
+    # SIM06_BROADCAST_VECS) nor the default sort-merge (sorts embedding
+    # payloads — the sf10 disk-wall shape) is right; the hash build per
+    # partition is n/width vectors and the candidate stream never sorts.
+    vecs = (
+        store_vectors.select(*side_cols)
+        .unionByName(new_emb.select(*side_cols))
+        .hint("shuffle_hash")
+    )
     a, b = vecs.alias("a"), vecs.alias("b")
     cand = within.unionByName(cross)
     cos = F.round(
