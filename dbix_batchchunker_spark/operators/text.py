@@ -1909,6 +1909,12 @@ def tx34_span_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pg"),
     ).select(
         "doc_id", "nt", F.col("pg.p").alias("p"), F.col("pg.gram").alias("gram")
+    ).where(
+        # a zero-token doc's padded gram is '' in Spark (concat_ws skips
+        # NULLs) but NULL in DuckDB's slice — drop it on THIS side so an
+        # empty-vs-empty match can never diverge cross-engine; any doc
+        # with >= 1 token grams identically in both dialects
+        F.col("nt") > 0
     )
     bench = (
         pos_grams.where(F.col("doc_id") < _DECON_BENCH)
@@ -1942,6 +1948,140 @@ def tx34_span_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         corpus.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.size(cov).alias("n_removed"),
+            (F.size("toks") - F.size(cov)).alias("n_kept"),
+            F.concat_ws(" ", kept).alias("kept_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+# --------------------------------------------------------------------------- #
+# tx35: EXACT SUBSTRING DEDUP with span removal — the Lee et al. ("Dedupli-   #
+# cating Training Data Makes Language Models Better", 2022) operation tx15    #
+# only MEASURES: any token span duplicating one that first occurred in an     #
+# EARLIER document is cut out; the first corpus occurrence keeps its text.    #
+# Machinery is tx34's positional-gram surgery pointed at the corpus itself:   #
+# the per-gram MIN(doc_id) table (the gram-frequency table every substring-   #
+# dedup pipeline builds; Heaps-bounded but corpus-scale, so it stays a        #
+# shuffle join — never a broadcast), a first_doc < doc_id hit filter, the     #
+# clamped coverage explode, and index-aware reconstruction. All JVM; the      #
+# kept_text of every document rides the oracle hash. Doc-id order as the     #
+# keep-priority makes the result deterministic under any execution order —   #
+# the property a distributed dedup MUST have (a "first seen at runtime"      #
+# rule would be racy).                                                        #
+# --------------------------------------------------------------------------- #
+_SSD_N = 4  # span gram width; 4 gives real coverage on the gate corpus
+            # (233 of 500 sf0.01 docs carry an earlier-doc dup gram)
+
+
+@query(
+    "tx35_substring_dedup",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_tokens_sql()} AS w FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, greatest(len(w) - {_SSD_N}, 0) + 1),
+                   i -> struct_pack(p := i,
+                       gram := array_to_string(w[i + 1 : i + {_SSD_N}], ' '))
+               )) AS pg
+        FROM d WHERE len(w) > 0
+    ),
+    firsts AS (
+        SELECT pg.gram AS gram, MIN(doc_id) AS first_doc FROM g GROUP BY 1
+    ),
+    hits AS (
+        SELECT g.doc_id AS doc_id, pg.p AS p
+        FROM g JOIN firsts ON pg.gram = firsts.gram
+        WHERE firsts.first_doc < g.doc_id
+    ),
+    cov AS (
+        SELECT DISTINCT hits.doc_id, p + j AS ti
+        FROM hits JOIN d USING (doc_id), unnest(range({_SSD_N})) AS t(j)
+        WHERE p + j < len(d.w)
+    ),
+    covagg AS (
+        SELECT doc_id, list(ti) AS cov FROM cov GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(d.w) AS INT) AS n_tokens,
+           CAST(COALESCE(len(covagg.cov), 0) AS INT) AS n_removed,
+           CAST(len(d.w) - COALESCE(len(covagg.cov), 0) AS INT) AS n_kept,
+           COALESCE(array_to_string(list_filter(
+               list_transform(range(0, len(d.w)),
+                   k -> CASE WHEN list_contains(COALESCE(covagg.cov, []), k)
+                             THEN NULL ELSE d.w[k + 1] END),
+               x -> x IS NOT NULL), ' '), '') AS kept_text
+    FROM d LEFT JOIN covagg USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def tx35_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    n = _SSD_N
+    with_toks = docs.select("doc_id", _tokens_spark().alias("toks"))
+    toks = F.col("toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    pos_grams = (
+        with_toks.select(
+            "doc_id",
+            F.size(toks).alias("nt"),
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        i.alias("p"),
+                        F.concat_ws(
+                            " ",
+                            *[
+                                F.try_element_at(toks, (i + j + 1).cast("int"))
+                                for j in range(n)
+                            ],
+                        ).alias("gram"),
+                    ),
+                )
+            ).alias("pg"),
+        )
+        .select(
+            "doc_id",
+            "nt",
+            F.col("pg.p").alias("p"),
+            F.col("pg.gram").alias("gram"),
+        )
+        # zero-token docs gram as '' here but NULL in the oracle's slice
+        # dialect — exclude them on this side too (the tx34 rule)
+        .where(F.col("nt") > 0)
+    )
+    # the gram-frequency table: corpus-scale, map-side-combined MIN — a
+    # shuffle join on gram, deliberately NOT broadcast (Heaps-bounded but
+    # huge at 100 TB)
+    firsts = pos_grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    covered = (
+        pos_grams.join(firsts, "gram")
+        .where(F.col("doc_id") > F.col("first_doc"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("p"), F.least(F.col("p") + n - 1, F.col("nt") - 1)
+                )
+            ).alias("ti"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("ti").alias("cov"))
+    )
+    cov = F.coalesce(F.col("cov"), F.array())
+    kept = F.filter(
+        F.col("toks"), lambda x, i: ~F.array_contains(cov, i.cast("long"))
+    )
+    return (
+        with_toks.join(covered, "doc_id", "left")
         .select(
             "doc_id",
             F.size("toks").alias("n_tokens"),

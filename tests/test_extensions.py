@@ -2691,3 +2691,58 @@ def test_sim11_two_level_store_roundtrip_probes_identically(spark, tmp_path):
     }
     self_pairs = {(a, b) for a, b, _ in got_loaded if b - SIM11_INC_OFFSET == a}
     assert self_pairs == {(i, i + SIM11_INC_OFFSET) for i in src_ids}
+
+
+def test_tx35_substring_dedup_first_occurrence_wins(spark, tmp_path):
+    """Planted semantics: a 4+-token span repeated from an earlier doc is
+    cut from every LATER doc while the first occurrence keeps its text;
+    shorter overlaps and unique text survive. Cross-checked against the
+    live DuckDB oracle on the same parquet."""
+    import duckdb as _duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+    from dbix_batchchunker_spark.operators.text import tx35_substring_dedup
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon"),        # first occurrence
+        (1, "zzz alpha beta gamma delta tail words"), # dup span tokens 1..4
+        (2, "alpha beta gamma"),                      # 3-gram only: survives
+        (3, "unique text with nothing shared at all"),
+        (4, "alpha beta gamma delta"),                # exact 4-gram dup
+    ]
+    d = str(tmp_path / "sf_ssd")
+    spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    got = {
+        r.doc_id: (r.n_removed, r.kept_text)
+        for r in tx35_substring_dedup(spark, d).collect()
+    }
+    assert got[0] == (0, rows[0][1])            # first occurrence intact
+    # doc 1: grams at p=1 (alpha..delta) and p=2 (beta..epsilon? no -- its
+    # tokens 2..5 are "beta gamma delta tail", not an earlier gram), so
+    # coverage is tokens 1..4
+    assert got[1] == (4, "zzz tail words")
+    assert got[2] == (0, rows[2][1])            # below the gram width
+    assert got[3] == (0, rows[3][1])
+    assert got[4] == (4, "")                    # fully covered
+
+    conn = _duckdb.connect()
+    conn.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    sdf = tx35_substring_dedup(spark, d)
+    spark_pdf = pd.DataFrame(
+        [tuple(r) for r in sdf.collect()], columns=sdf.columns
+    )
+    duck_pdf = conn.execute(
+        entry_mod.oracle_sql()["tx35_substring_dedup"]
+    ).df()
+    from tests.test_queries_oracle import _canon_pdf
+
+    assert _canon_pdf(spark_pdf) == _canon_pdf(duck_pdf)
+    conn.close()
