@@ -2022,8 +2022,14 @@ _SSD_N = 4  # span gram width; 4 gives real coverage on the gate corpus
     """,
 )
 def tx35_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    n = _SSD_N
+    return dedup_substring_spans(t(spark, sf_dir, "documents"))
+
+
+def dedup_substring_spans(docs: DataFrame, n: int = _SSD_N) -> DataFrame:
+    """tx35's body as a composable stage: (doc_id, n_tokens, n_removed,
+    n_kept, kept_text) with every span duplicating an earlier document's
+    n-gram cut out. Drop-in between near-dup removal and decontamination
+    in a pipeline (examples/training_pipeline.py)."""
     with_toks = docs.select("doc_id", _tokens_spark().alias("toks"))
     toks = F.col("toks")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))

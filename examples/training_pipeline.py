@@ -12,15 +12,20 @@ corpus before tokenization:
                             mostly shared with OTHER docs — the
                             memorization signal document-level dedup
                             misses when documents only partially overlap)
-  5. decontamination       (tx10: drop docs sharing a word 5-gram with the
+  5. substring-span dedup  (tx35: cut token spans whose 4-grams first
+                            occurred in an EARLIER doc — the surgical
+                            Lee-et-al form; the doc keeps its unique text
+                            where step 4 would have dropped or kept it
+                            whole)
+  6. decontamination       (tx10: drop docs sharing a word 5-gram with the
                             held-out benchmark set)
-  6. mixture sampling      (sp01: per-language hash keep-rates — the
+  7. mixture sampling      (sp01: per-language hash keep-rates — the
                             corpus-composition knob; deterministic, so
                             re-weighting one language leaves the others
                             byte-identical)
-  7. deterministic split   (tx09: md5-hash train/val/test — reproducible
+  8. deterministic split   (tx09: md5-hash train/val/test — reproducible
                             across engines, runs, and cluster sizes)
-  8. write                 parquet partitioned by split (each split prunes
+  9. write                 parquet partitioned by split (each split prunes
                             to its own directory for downstream readers)
 
 The embedding modality gets the same treatment via sim07
@@ -81,14 +86,33 @@ def main() -> None:
     survivors = docs.join(reps.select("doc_id"), "doc_id", "left_semi")
     window_ok = dup_window_stats(survivors).where(F.col("shared_ratio") <= 0.5)
 
-    # 5. decontamination — tx10 returns the CONTAMINATED doc_ids (share a
+    # 5. substring-span dedup — the SURGICAL pass after the document-level
+    #    ones: spans whose 4-grams first occurred in an earlier surviving
+    #    doc are cut, the rest of the doc is kept (tx35; doc-id order is
+    #    the keep-priority, so the result is deterministic under any
+    #    execution order). Run on the window_ok SURVIVORS for the same
+    #    reason step 4 runs on dd03's: against the raw corpus, kept
+    #    representatives would see their removed copies' grams and lose
+    #    their own text.
+    from dbix_batchchunker_spark.operators.text import dedup_substring_spans
+
+    span_kept = dedup_substring_spans(
+        docs.join(window_ok.select("doc_id"), "doc_id", "left_semi")
+    ).where(F.col("n_kept") > 0)
+    docs = (
+        docs.join(span_kept.select("doc_id", "kept_text"), "doc_id")
+        .drop("text")
+        .withColumnRenamed("kept_text", "text")
+    )
+
+    # 6. decontamination — tx10 returns the CONTAMINATED doc_ids (share a
     #    word 5-gram with the benchmark docs); anti-join them away
     contaminated = QUERIES["tx10_decontaminate"](spark, sf_dir)
 
-    # 6. mixture — per-language keep-rates reweight the corpus composition
+    # 7. mixture — per-language keep-rates reweight the corpus composition
     mixture = QUERIES["sp01_mixture_sample"](spark, sf_dir)
 
-    # 7. deterministic split assignment
+    # 8. deterministic split assignment
     split = QUERIES["tx09_det_split"](spark, sf_dir)
 
     clean = (
@@ -100,7 +124,7 @@ def main() -> None:
         .join(split, "doc_id")
     )
 
-    # 8. learned-quality gate — linearized classifier inference (tx19):
+    # 9. learned-quality gate — linearized classifier inference (tx19):
     #    weights folded into codegen. The demo corpus is synthetic word
     #    salad, so instead of tx19's absolute keep threshold (tuned for
     #    prose) the pipeline keeps the TOP HALF by logit — the percentile
@@ -121,7 +145,7 @@ def main() -> None:
         "doc_id", "left_semi",
     )
 
-    # 9. one partitioned write; downstream readers of split=train prune the
+    # 10. one partitioned write; downstream readers of split=train prune the
     #    other directories at the source. The write goes through the
     #    maintenance layer: files come out ~target-sized (never
     #    one-per-shuffle-partition), and each split's files are laid out
@@ -137,7 +161,7 @@ def main() -> None:
         )
     clean.unpersist()
 
-    # 10. sequence packing — the trainer-ready manifest: each train doc's
+    # 11. sequence packing — the trainer-ready manifest: each train doc's
     #     slice of the concatenated token stream, cut into fixed-budget
     #     packs (two-phase prefix sum, no single-partition window)
     from dbix_batchchunker_spark.operators.sampling import (
