@@ -2025,15 +2025,16 @@ def tx35_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_substring_spans(t(spark, sf_dir, "documents"))
 
 
-def dedup_substring_spans(docs: DataFrame, n: int = _SSD_N) -> DataFrame:
-    """tx35's body as a composable stage: (doc_id, n_tokens, n_removed,
-    n_kept, kept_text) with every span duplicating an earlier document's
-    n-gram cut out. Drop-in between near-dup removal and decontamination
-    in a pipeline (examples/training_pipeline.py)."""
+def _positional_grams(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, nt, p, gram): every document's positional n-grams, built
+    as ONE transform expression and exploded once. Zero-token docs are
+    excluded — their padded gram is '' in Spark (concat_ws skips NULLs)
+    but NULL in the oracle's slice dialect (the tx34 rule). Shared by
+    tx35's batch form and tx36's incremental form."""
     with_toks = docs.select("doc_id", _tokens_spark().alias("toks"))
     toks = F.col("toks")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    pos_grams = (
+    return (
         with_toks.select(
             "doc_id",
             F.size(toks).alias("nt"),
@@ -2059,10 +2060,17 @@ def dedup_substring_spans(docs: DataFrame, n: int = _SSD_N) -> DataFrame:
             F.col("pg.p").alias("p"),
             F.col("pg.gram").alias("gram"),
         )
-        # zero-token docs gram as '' here but NULL in the oracle's slice
-        # dialect — exclude them on this side too (the tx34 rule)
         .where(F.col("nt") > 0)
     )
+
+
+def dedup_substring_spans(docs: DataFrame, n: int = _SSD_N) -> DataFrame:
+    """tx35's body as a composable stage: (doc_id, n_tokens, n_removed,
+    n_kept, kept_text) with every span duplicating an earlier document's
+    n-gram cut out. Drop-in between near-dup removal and decontamination
+    in a pipeline (examples/training_pipeline.py)."""
+    with_toks = docs.select("doc_id", _tokens_spark().alias("toks"))
+    pos_grams = _positional_grams(docs, n)
     # the gram-frequency table: corpus-scale, map-side-combined MIN — a
     # shuffle join on gram, deliberately NOT broadcast (Heaps-bounded but
     # huge at 100 TB)
@@ -2097,3 +2105,136 @@ def dedup_substring_spans(docs: DataFrame, n: int = _SSD_N) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+# --------------------------------------------------------------------------- #
+# tx36: INCREMENTAL substring dedup — tx35's ingest form. A live pipeline     #
+# doesn't re-scan the corpus per batch: it keeps a GRAM STORE (the distinct   #
+# n-grams of everything already ingested) and cuts each arriving batch's      #
+# spans against (a) the store and (b) earlier documents in the same batch.    #
+# The store side is one left-semi join against the distinct-gram table (at    #
+# 100 TB that table is the pipeline's persistent artifact, Heaps-bounded,     #
+# bucket-able by gram hash); the within-batch half reuses tx35's             #
+# first-occurrence rule. Adjudicated with sim11's planting device: the       #
+# increment is a deterministic corpus slice (doc_id % 5 == 4), the store is  #
+# the rest, so the oracle states both halves in plain SQL — store docs rank  #
+# before every increment doc, increment docs rank by doc_id.                 #
+# --------------------------------------------------------------------------- #
+_TX36_MOD, _TX36_RES = 5, 4  # increment = doc_id % 5 == 4
+
+
+def incremental_substring_dedup(
+    new_docs: DataFrame, gram_store: DataFrame, n: int = _SSD_N
+) -> DataFrame:
+    """(doc_id, n_tokens, n_removed, n_kept, kept_text) for the ARRIVING
+    batch: spans whose n-grams exist in ``gram_store`` (one column,
+    ``gram`` — the distinct grams of the already-ingested corpus) or in an
+    earlier same-batch document are cut. Close the loop by unioning the
+    batch's own distinct grams into the store afterward. Store-side
+    lookup is a semi join (never a broadcast: the store is corpus-scale);
+    the within-batch rule is tx35's MIN(doc_id) table over the batch."""
+    pos = _positional_grams(new_docs, n)
+    firsts = pos.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    store_hits = pos.join(gram_store.select("gram"), "gram", "left_semi")
+    batch_hits = (
+        pos.join(firsts, "gram")
+        .where(F.col("doc_id") > F.col("first_doc"))
+        .select("doc_id", "nt", "p")
+    )
+    hits = store_hits.select("doc_id", "nt", "p").unionByName(batch_hits)
+    covered = (
+        hits.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("p"), F.least(F.col("p") + n - 1, F.col("nt") - 1)
+                )
+            ).alias("ti"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("ti").alias("cov"))
+    )
+    with_toks = new_docs.select("doc_id", _tokens_spark().alias("toks"))
+    cov = F.coalesce(F.col("cov"), F.array())
+    kept = F.filter(
+        F.col("toks"), lambda x, i: ~F.array_contains(cov, i.cast("long"))
+    )
+    return (
+        with_toks.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.size(cov).alias("n_removed"),
+            (F.size("toks") - F.size(cov)).alias("n_kept"),
+            F.concat_ws(" ", kept).alias("kept_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "tx36_incremental_substring_dedup",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_tokens_sql()} AS w FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, greatest(len(w) - {_SSD_N}, 0) + 1),
+                   i -> struct_pack(p := i,
+                       gram := array_to_string(w[i + 1 : i + {_SSD_N}], ' '))
+               )) AS pg
+        FROM d WHERE len(w) > 0
+    ),
+    store_grams AS (
+        SELECT DISTINCT pg.gram AS gram FROM g
+        WHERE doc_id % {_TX36_MOD} != {_TX36_RES}
+    ),
+    inc AS (
+        SELECT doc_id, pg.p AS p, pg.gram AS gram FROM g
+        WHERE doc_id % {_TX36_MOD} = {_TX36_RES}
+    ),
+    firsts AS (
+        SELECT gram, MIN(doc_id) AS first_doc FROM inc GROUP BY gram
+    ),
+    hits AS (
+        SELECT doc_id, p FROM inc
+        WHERE gram IN (SELECT gram FROM store_grams)
+        UNION ALL
+        SELECT inc.doc_id, inc.p FROM inc JOIN firsts USING (gram)
+        WHERE firsts.first_doc < inc.doc_id
+    ),
+    cov AS (
+        SELECT DISTINCT hits.doc_id, p + j AS ti
+        FROM hits JOIN d USING (doc_id), unnest(range({_SSD_N})) AS t(j)
+        WHERE p + j < len(d.w)
+    ),
+    covagg AS (
+        SELECT doc_id, list(ti) AS cov FROM cov GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(d.w) AS INT) AS n_tokens,
+           CAST(COALESCE(len(covagg.cov), 0) AS INT) AS n_removed,
+           CAST(len(d.w) - COALESCE(len(covagg.cov), 0) AS INT) AS n_kept,
+           COALESCE(array_to_string(list_filter(
+               list_transform(range(0, len(d.w)),
+                   k -> CASE WHEN list_contains(COALESCE(covagg.cov, []), k)
+                             THEN NULL ELSE d.w[k + 1] END),
+               x -> x IS NOT NULL), ' '), '') AS kept_text
+    FROM d LEFT JOIN covagg USING (doc_id)
+    WHERE d.doc_id % {_TX36_MOD} = {_TX36_RES}
+    ORDER BY d.doc_id
+    """,
+)
+def tx36_incremental_substring_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    is_inc = F.col("doc_id") % _TX36_MOD == _TX36_RES
+    store_grams = (
+        _positional_grams(docs.where(~is_inc), _SSD_N)
+        .select("gram")
+        .distinct()
+    )
+    return incremental_substring_dedup(docs.where(is_inc), store_grams)

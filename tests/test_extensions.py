@@ -2746,3 +2746,34 @@ def test_tx35_substring_dedup_first_occurrence_wins(spark, tmp_path):
 
     assert _canon_pdf(spark_pdf) == _canon_pdf(duck_pdf)
     conn.close()
+
+
+def test_tx36_incremental_priority_store_then_batch_order(spark):
+    """incremental_substring_dedup's keep-priority: the gram STORE always
+    wins over the batch, and within the batch earlier doc_id wins —
+    ingest-order determinism, the property that makes incremental output
+    equal a batch re-run over store+increment."""
+    from dbix_batchchunker_spark.operators.text import (
+        _positional_grams,
+        incremental_substring_dedup,
+    )
+
+    store_docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    store_grams = _positional_grams(store_docs, 4).select("gram").distinct()
+    batch = spark.createDataFrame(
+        [
+            (100, "zzz alpha beta gamma delta yyy"),  # store hit, span cut
+            (101, "fresh unique words one two three"),  # first in batch
+            (102, "fresh unique words one two three"),  # within-batch dup
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_removed, r.kept_text)
+        for r in incremental_substring_dedup(batch, store_grams).collect()
+    }
+    assert got[100] == (4, "zzz yyy")
+    assert got[101] == (0, "fresh unique words one two three")
+    assert got[102] == (6, "")
