@@ -114,6 +114,34 @@ def main() -> None:
     n_after = spark.read.parquet(words_path + "_compacted").count()
     print(f"compacted store: {total} -> {n_after} docs (5 purged)")
 
+    # --- the SUBSTRING modality of the same loop (round 13) ---------------
+    # Document-level dedup above drops whole near-dup docs; the gram store
+    # cuts duplicated SPANS from what survives (tx36). Same append-only
+    # lifecycle: one distinct-gram table on disk, each increment semi-joins
+    # against it, survivors' grams append back.
+    from dbix_batchchunker_spark.operators.text import (
+        _positional_grams,
+        incremental_substring_dedup,
+    )
+
+    grams_path = os.path.join(store_dir, "grams")
+    _positional_grams(corpus, 4).select("gram").distinct().write.mode(
+        "overwrite"
+    ).parquet(grams_path)
+    gram_store = spark.read.parquet(grams_path)
+    cut = incremental_substring_dedup(survivors, gram_store)
+    n_cut = cut.where(F.col("n_removed") > 0).count()
+    print(f"gram store: {n_cut} surviving increment docs had spans cut")
+    # close the loop: the increment's own distinct grams join the store
+    _positional_grams(
+        cut.where(F.col("n_kept") > 0).select(
+            "doc_id", F.col("kept_text").alias("text")
+        ),
+        4,
+    ).select("gram").distinct().join(
+        gram_store, "gram", "left_anti"
+    ).write.mode("append").parquet(grams_path)
+
     if len(sys.argv) <= 2:
         shutil.rmtree(store_dir, ignore_errors=True)
 
