@@ -108,6 +108,10 @@ HEADS2 = [
     # the match/coverage stages hold constant and the row measures the
     # positional-gram scan's growth
     ("tx34_span_decontaminate", "n (positional-gram scan + bounded matches)"),
+    # round-13: the substring-dedup rewrite — gram-frequency table scales
+    # with token volume; amplification suffixes keep dup structure
+    # within-shard, so n_removed must scale exactly x10
+    ("tx35_substring_dedup", "n (gram table + hits bounded by dup volume)"),
 ]
 
 
