@@ -2777,3 +2777,51 @@ def test_tx36_incremental_priority_store_then_batch_order(spark):
     assert got[100] == (4, "zzz yyy")
     assert got[101] == (0, "fresh unique words one two three")
     assert got[102] == (6, "")
+
+
+@pytest.mark.parametrize("seed", [11, 23, 37, 59, 71])
+def test_gram_surgery_fuzz_parity(spark, tmp_path, seed):
+    """Randomized cross-engine parity net for the positional-gram family
+    (tx34/tx35/tx36): tiny-vocabulary corpora with doc lengths 0..8 —
+    the regime that maximizes padded-gram, clamp, and empty-doc edges
+    (the round-12 advice bugs were exactly this class). Every query runs
+    against its LIVE DuckDB oracle on the same parquet."""
+    import random as _random
+
+    import duckdb as _duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+
+    rng = _random.Random(seed)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 8))))
+        for i in range(40)
+    ]
+    d = str(tmp_path / f"fuzz{seed}")
+    spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    conn = _duckdb.connect()
+    conn.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    from tests.test_queries_oracle import _canon_pdf
+
+    queries = entry_mod.queries()
+    for name in (
+        "tx34_span_decontaminate",
+        "tx35_substring_dedup",
+        "tx36_incremental_substring_dedup",
+    ):
+        sdf = queries[name](spark, d)
+        spark_pdf = pd.DataFrame(
+            [tuple(r) for r in sdf.collect()], columns=sdf.columns
+        )
+        duck_pdf = conn.execute(entry_mod.oracle_sql()[name]).df()
+        assert len(spark_pdf) == len(duck_pdf), (name, seed)
+        assert _canon_pdf(spark_pdf) == _canon_pdf(duck_pdf), (name, seed)
+    conn.close()
