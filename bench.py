@@ -249,10 +249,14 @@ def _ab_run(here: str, wt: str, ref: str) -> None:
                     "noop"
                 ).mode("overwrite").save()
                 _clear_caches(spark)
-            for _ in range(runs):
+            for r in range(runs):
                 # cur/ref adjacency is the instrument: a stall hits the
-                # pair, not one side
-                for variant, tag in ((cur, "cur"), (old, "ref")):
+                # pair, not one side. ALTERNATE which side leads per
+                # attempt — a fixed leader would eat any systematic
+                # first-runner penalty (post-clearCache re-reads, GC)
+                # and read as a one-sided regression.
+                pair = ((cur, "cur"), (old, "ref"))
+                for variant, tag in (pair if r % 2 == 0 else pair[::-1]):
                     variant.activate()
                     t0 = time.monotonic()
                     variant.queries[name](spark, sf_dir).write.format(
@@ -284,7 +288,7 @@ def _ab_run(here: str, wt: str, ref: str) -> None:
         "ref": ref,
         "sf": sf_dir,
         "runs": runs,
-        "interleaving": "cur/ref alternate per attempt, min-of-runs each",
+        "interleaving": "cur/ref alternate per attempt, leader alternates, min-of-runs each",
         "queries": results,
     }
     if skipped:
