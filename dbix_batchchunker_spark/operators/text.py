@@ -687,11 +687,16 @@ _WINDOW_K = 8
     WITH d AS (
         SELECT doc_id, {_tokens_sql()} AS toks FROM documents
     ), w AS (
+        -- len > 0: a zero-token doc has NO windows on the Spark side
+        -- (explode of the empty shingle array drops the row), while the
+        -- slice dialect here would emit one NULL window and a phantom
+        -- row (caught by the round-13 fuzz net; unreachable on the gate
+        -- corpus, which has no empty documents)
         SELECT doc_id,
                list_distinct(list_transform(
                    range(1, greatest(len(toks) - {_WINDOW_K - 1}, 1) + 1),
                    i -> array_to_string(toks[i:i+{_WINDOW_K - 1}], ' '))) AS wins
-        FROM d
+        FROM d WHERE len(toks) > 0
     ), e AS (
         SELECT doc_id, unnest(wins) AS win FROM w
     ), shared AS (
@@ -719,8 +724,10 @@ def dup_window_stats(docs: DataFrame, k: int = _WINDOW_K) -> DataFrame:
     the shuffle as xxhash64 longs; the DuckDB oracle carries the window
     STRINGS, so agreement also re-verifies the hash-equality argument at
     the whole-query level (collision probability ~n²/2⁶⁴). Short docs
-    (< k tokens) emit their single truncated window on both sides —
-    the dd08 slice-equivalence contract.
+    (1 ≤ tokens < k) emit their single truncated window on both sides —
+    the dd08 slice-equivalence contract; ZERO-token docs emit no row at
+    all (their padded '' windows would cross-match between empty docs —
+    round-13 fuzz finding).
     """
     from pyspark.sql import Window
 
@@ -729,6 +736,11 @@ def dup_window_stats(docs: DataFrame, k: int = _WINDOW_K) -> DataFrame:
     wins = (
         _spread(docs, "doc_id", "text")
         .select("doc_id", _tokens_spark().alias("toks"))
+        # a zero-token doc would emit one '' window here (the padded
+        # shingle) and '' windows CROSS-MATCH between empty docs — drop
+        # them, mirroring the oracle's len > 0 (round-13 fuzz finding;
+        # no windows means no row, not a phantom shared window)
+        .where(F.size("toks") > 0)
         .select("doc_id", _shingles_of(F.col("toks"), k).alias("wins"))
         .select(
             "doc_id",

@@ -2813,6 +2813,11 @@ def test_gram_surgery_fuzz_parity(spark, tmp_path, seed):
 
     queries = entry_mod.queries()
     for name in (
+        "tx01_token_stats",
+        "tx04_fingerprint",
+        "tx12_repetition",
+        "tx15_dup_windows",
+        "tx33_sliding_windows",
         "tx34_span_decontaminate",
         "tx35_substring_dedup",
         "tx36_incremental_substring_dedup",
