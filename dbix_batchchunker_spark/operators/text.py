@@ -425,12 +425,25 @@ def _decon_grams(docs: DataFrame) -> DataFrame:
     shingles = F.array_distinct(
         F.transform(
             idx,
+            # try_element_at: strict element_at made any document shorter
+            # than the gram width a hard ERROR (round-13 fuzz finding —
+            # unreachable on the gate corpus, guaranteed reachable on a
+            # real one); the padded short gram it yields instead equals
+            # the oracle's short slice (concat_ws skips the NULLs)
             lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+                " ",
+                *[
+                    F.try_element_at(toks, (i + j + 1).cast("int"))
+                    for j in range(n)
+                ],
             ),
         )
     )
-    return with_toks.select("doc_id", F.explode(shingles).alias("gram"))
+    # zero-token docs: '' gram here vs NULL in the oracle slice dialect —
+    # no tokens means no grams on both sides (the tx34 rule)
+    return with_toks.where(F.size(toks) > 0).select(
+        "doc_id", F.explode(shingles).alias("gram")
+    )
 
 
 @query("tx10_decontaminate", oracle=_DECON_ORACLE)

@@ -2814,13 +2814,22 @@ def test_gram_surgery_fuzz_parity(spark, tmp_path, seed):
     queries = entry_mod.queries()
     for name in (
         "tx01_token_stats",
+        "tx02_quality_score",
         "tx04_fingerprint",
+        "tx09_det_split",
+        "tx10_decontaminate",
         "tx12_repetition",
         "tx15_dup_windows",
+        "tx16_bloom_decontaminate",
+        "tx17_contamination_severity",
+        "tx26_token_rarity",
         "tx33_sliding_windows",
         "tx34_span_decontaminate",
         "tx35_substring_dedup",
         "tx36_incremental_substring_dedup",
+        "dd13_sql_minhash_bands",
+        "dd14_sql_simhash_pairs",
+        "dd15_sql_minhash_components",
     ):
         sdf = queries[name](spark, d)
         spark_pdf = pd.DataFrame(
