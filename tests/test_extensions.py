@@ -2813,8 +2813,15 @@ def test_gram_surgery_fuzz_parity(spark, tmp_path, seed):
 
     queries = entry_mod.queries()
     for name in (
+        "dd01_exact",
+        "dd08_ngram_jaccard_pairs",
         "tx01_token_stats",
         "tx02_quality_score",
+        "tx03_langid",
+        "tx07_bpe_token_count",
+        "tx13v_pii_redact_portable",
+        "tx19_classifier_score",
+        "tx28_gopher_quality_rules",
         "tx04_fingerprint",
         "tx09_det_split",
         "tx10_decontaminate",
