@@ -2846,3 +2846,57 @@ def test_gram_surgery_fuzz_parity(spark, tmp_path, seed):
         assert len(spark_pdf) == len(duck_pdf), (name, seed)
         assert _canon_pdf(spark_pdf) == _canon_pdf(duck_pdf), (name, seed)
     conn.close()
+
+
+@pytest.mark.parametrize("seed", [5, 17, 29])
+def test_similarity_exact_fuzz_parity(spark, tmp_path, seed):
+    """Randomized parity net for the EXACT similarity listings (sim01
+    brute-force top-k, sim03 exact label pairs, sim08 quantized top-k):
+    random float32 vectors at a small dim (wider cosine spread than the
+    gate corpus) with repeated labels. Exact listings must hash-match on
+    ANY data — this re-verifies the bit-identical-cosine argument (same
+    IEEE op sequence in both engines) off the gate distribution. The
+    recall-dependent IVF queries are deliberately excluded: their
+    operating points are measured on the gate geometry, not universal."""
+    import random as _random
+    import struct as _struct
+
+    import duckdb as _duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+
+    rng = _random.Random(seed)
+
+    def f32(x):
+        return _struct.unpack("f", _struct.pack("f", x))[0]
+
+    rows = [
+        (i, [f32(rng.uniform(-1, 1)) for _ in range(16)], i % 7)
+        for i in range(60)
+    ]
+    d = str(tmp_path / f"efz{seed}")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+    conn = _duckdb.connect()
+    conn.execute(
+        f"CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    from tests.test_queries_oracle import _canon_pdf
+
+    queries = entry_mod.queries()
+    for name in (
+        "sim01_topk_bruteforce",
+        "sim03_embedding_near_dup",
+        "sim08_quantized_topk",
+    ):
+        sdf = queries[name](spark, d)
+        spark_pdf = pd.DataFrame(
+            [tuple(r) for r in sdf.collect()], columns=sdf.columns
+        )
+        duck_pdf = conn.execute(entry_mod.oracle_sql()[name]).df()
+        assert len(spark_pdf) == len(duck_pdf), (name, seed)
+        assert _canon_pdf(spark_pdf) == _canon_pdf(duck_pdf), (name, seed)
+    conn.close()
