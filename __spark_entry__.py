@@ -114,8 +114,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     redaction rewrite) plus 44 from the demotion queue head — the
 #:     ENTIRE remaining round-10 cohort (q46…q11, 39 queries, demoted
 #:     since round 11) and the first 5 of the round-11 cohort
-#:     (dd14/dd15/mm02 — mm03 and sim06 ceded their slots to the
-#:     mid-round tx35/tx36 debuts). Queue head for round 14: mm03,
+#:     (dd14/dd15 — mm02/mm03/sim06 ceded their slots to the mid-round
+#:     tx35/tx36/st12 debuts). Queue head for round 14: mm02, mm03,
 #:     sim06, sim07….
 #: Every rotated-out query stays oracle-pinned in the local gate replica
 #: (tests/test_queries_oracle.py parametrizes over every oracle —
@@ -128,6 +128,7 @@ ADJUDICATED_PREFIX = (
     # round-13 oracle debuts: first driver rows in their debut round
     "sim11_incremental_store_pairs", "tx13v_pii_redact_portable",
     "tx35_substring_dedup", "tx36_incremental_substring_dedup",
+    "st12_stream_gram_store_ingest",
     # oldest demotions re-adjudicated (head of the queue):
     # last driver-green round 10 (the tail of that cohort)
     "q46_lateral_topn_per_customer", "q47_recursive_hierarchy_rollup",
@@ -147,7 +148,6 @@ ADJUDICATED_PREFIX = (
     "q10_set_ops", "q11_hourly_event_rollup",
     # last driver-green round 11 (head of that cohort)
     "dd14_sql_simhash_pairs", "dd15_sql_minhash_components",
-    "mm02_decode_pipeline",
 )
 
 #: Former slot-holders, first in line for re-adjudication when the
@@ -155,10 +155,11 @@ ADJUDICATED_PREFIX = (
 #: so the head is always first in line when slots free up (or if the
 #: driver cap were raised).
 DEMOTED_FROM_PREFIX = (
-    # Last driver-green round 11 (remainder of that cohort). sim06 and
-    # mm03 were seated for round 13, then ceded their slots to the
-    # mid-round tx35/tx36 debuts — they return to the queue head with
-    # their cohort.
+    # Last driver-green round 11 (remainder of that cohort). sim06,
+    # mm03 and mm02 were seated for round 13, then ceded their slots to
+    # the mid-round tx35/tx36/st12 debuts — they return to the queue
+    # head with their cohort.
+    "mm02_decode_pipeline",
     "mm03_resize_and_sample",
     "sim06_ivf_near_dup",
     "sim07_embedding_dedup", "sim09_mmr_rerank", "st01_stream_hourly_rollup",

@@ -916,3 +916,115 @@ def st11_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sessions"))
         .orderBy("user_id")
     )
+
+
+#: st12 ingest geometry — shared by the query and its oracle (st07's
+#: device). Gram width 6 is measured collision-free on the corpusfeed:
+#: zero natural cross-doc duplicate 6-grams among the first 200 docs
+#: (deterministic corpus, so a fixed fact), while the planted copies
+#: duplicate ENTIRE documents — so n_removed is exactly 40 for a copy
+#: and exactly 0 otherwise, a pure function of doc_id.
+ST12_DRAINS = 2
+ST12_BATCH_ROWS = 50
+ST12_DOC_TOKENS = 40
+ST12_GRAM_N = 6
+ST12_PLANT_MOD = 5
+
+
+# ORACLE-gated from birth (round 13): the streaming form of the tx36
+# substring-dedup ingest loop. The corpusfeed's planted-duplicate mode
+# re-serves an earlier document's text for every doc_id ≡ 4 (mod 5) —
+# source id-4 in the first drain (the WITHIN-batch first-occurrence
+# rule), id-50 in the second (the PERSISTED gram store, written by drain
+# one and read back across the restart). What a green row adjudicates:
+# the checkpoint cursor feeding each doc exactly once across two
+# separate availableNow drains, the gram store surviving the parquet
+# round-trip between drains (a lost store batch flips a second-drain
+# copy's n_removed from 40 to 0), the per-batch overwrite dirs unioning
+# into one table with no loss or duplication, and the dedup joins
+# themselves. kept_text is deliberately NOT in the relation — the
+# corpusfeed's LCG word streams are not SQL-statable; the integer halves
+# are (the st03/st05 projection rule).
+@query(
+    "st12_stream_gram_store_ingest",
+    oracle=f"""
+    SELECT r.i AS doc_id,
+           CAST(r.i // {ST12_BATCH_ROWS} AS BIGINT) AS batch,
+           CAST({ST12_DOC_TOKENS} AS INT) AS n_tokens,
+           CAST(CASE WHEN r.i % {ST12_PLANT_MOD} = {ST12_PLANT_MOD - 1}
+                     THEN {ST12_DOC_TOKENS} ELSE 0 END AS INT) AS n_removed,
+           CAST(CASE WHEN r.i % {ST12_PLANT_MOD} = {ST12_PLANT_MOD - 1}
+                     THEN 0 ELSE {ST12_DOC_TOKENS} END AS INT) AS n_kept
+    FROM range({ST12_DRAINS * ST12_BATCH_ROWS}) r(i)
+    ORDER BY doc_id
+    """,
+)
+def st12_stream_gram_store_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TWO availableNow drains of the planted-duplicate corpusfeed through
+    the incremental substring-dedup ingest loop (tx36's machinery as a
+    stream): per micro-batch, spans duplicating the persisted gram store
+    or an earlier same-batch document are cut, kept docs land in a
+    per-batch overwrite dir (exactly-once under replay), and the batch's
+    new distinct grams append to the store for every later batch to probe.
+    (sf_dir unused: the feed connector generates the corpus.)"""
+    from ..sources.pydatasource import register_feed
+    from ..streaming.incremental import process_available
+    from .text import (
+        _positional_grams,
+        incremental_substring_dedup,
+    )
+
+    register_feed(spark)
+    base = tempfile.mkdtemp(prefix="st12_")
+    out = os.path.join(base, "docs")
+    store = os.path.join(base, "grams")
+    ck = os.path.join(base, "ck")
+    # seed an empty store so the first batch's semi join has a table
+    spark.createDataFrame([], "gram string").write.parquet(
+        os.path.join(store, "seed")
+    )
+
+    def ingest(batch_df: DataFrame, bid: int) -> None:
+        docs = batch_df.select("doc_id", "text")
+        gram_store = spark.read.parquet(os.path.join(store, "*")).select(
+            "gram"
+        )
+        res = incremental_substring_dedup(
+            docs, gram_store, n=ST12_GRAM_N
+        ).withColumn("batch", F.lit(int(bid)).cast("long"))
+        res.write.mode("overwrite").parquet(os.path.join(out, f"b{bid}"))
+        # the store extension derives from the COMMITTED output (re-read,
+        # not recomputed), so a replayed batch re-derives the identical
+        # gram set into the same overwrite dir
+        kept = (
+            spark.read.parquet(os.path.join(out, f"b{bid}"))
+            .where(F.col("n_kept") > 0)
+            .select("doc_id", F.col("kept_text").alias("text"))
+        )
+        _positional_grams(kept, ST12_GRAM_N).select("gram").distinct().write.mode(
+            "overwrite"
+        ).parquet(os.path.join(store, f"b{bid}"))
+
+    def drain() -> None:
+        feed = (
+            spark.readStream.format("corpusfeed")
+            .option("batchrows", ST12_BATCH_ROWS)
+            .option("doctokens", ST12_DOC_TOKENS)
+            .option("plantmod", ST12_PLANT_MOD)
+            .option("plantspan", ST12_BATCH_ROWS)
+            .load()
+        )
+        process_available(feed, ingest, ck)
+
+    for _ in range(ST12_DRAINS):
+        drain()
+    result = spark.read.parquet(os.path.join(out, "*")).select(
+        "doc_id", "batch", "n_tokens", "n_removed", "n_kept"
+    )
+    # Materialize before the tempdir goes (bounded: 100 rows — the st07
+    # demo-geometry rule)
+    result = result.localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return result.orderBy("doc_id")

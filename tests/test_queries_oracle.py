@@ -179,6 +179,7 @@ def test_adjudicated_prefix_is_the_load_bearing_fifty():
         "q22_chunked_update_overlay", "q23_chunked_update_join",
         "sim11_incremental_store_pairs", "tx13v_pii_redact_portable",
         "tx35_substring_dedup", "tx36_incremental_substring_dedup",
+        "st12_stream_gram_store_ingest",
     ):
         assert name in prefix, f"{name} lost its driver CORRECTNESS slot"
     # The demoted trio stays oracle-pinned (this file parametrizes over all
