@@ -2156,7 +2156,14 @@ def incremental_substring_dedup(
     earlier same-batch document are cut. Close the loop by unioning the
     batch's own distinct grams into the store afterward. Store-side
     lookup is a semi join (never a broadcast: the store is corpus-scale);
-    the within-batch rule is tx35's MIN(doc_id) table over the batch."""
+    the within-batch rule is tx35's MIN(doc_id) table over the batch.
+
+    The distinct-gram store is APPEND-ONLY: purging a document (DMCA,
+    quality) cannot un-claim its grams from this layout — a
+    deletion-capable store keeps (gram, doc_id) postings and compacts
+    like compact_near_dup_store does for the minhash store, at ~n_grams
+    storage instead of n_distinct_grams. Choose by whether the corpus
+    has a purge path."""
     pos = _positional_grams(new_docs, n)
     firsts = pos.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     store_hits = pos.join(gram_store.select("gram"), "gram", "left_semi")
