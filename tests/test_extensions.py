@@ -2900,3 +2900,95 @@ def test_similarity_exact_fuzz_parity(spark, tmp_path, seed):
         assert len(spark_pdf) == len(duck_pdf), (name, seed)
         assert _canon_pdf(spark_pdf) == _canon_pdf(duck_pdf), (name, seed)
     conn.close()
+
+
+@pytest.mark.parametrize("seed", [7, 41, 83])
+def test_money_relational_fuzz_parity(spark, tmp_path, seed):
+    """Randomized parity net for the money/decimal relational family — the
+    oldest cross-engine bug source (round 1's SUM-dtype mismatch, the
+    HUGEINT casts, the decimal-from-base-columns rule). Random TPC-H-ish
+    tables with exact 2-decimal money doubles (randint cents / 100),
+    random dates spanning every query's filter window, and skewed keys;
+    seven money-bearing queries run against their live DuckDB oracles."""
+    import datetime as _dt
+    import random as _random
+
+    import duckdb as _duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+
+    rng = _random.Random(seed)
+
+    def money(lo, hi):
+        return rng.randint(lo * 100, hi * 100) / 100.0
+
+    def day(y0=1992, y1=1998):
+        base = _dt.datetime(y0, 1, 1)
+        span = (_dt.datetime(y1, 12, 31) - base).days
+        return base + _dt.timedelta(days=rng.randint(0, span))
+
+    d = str(tmp_path / f"mfz{seed}")
+    region = [(i, f"R{i}") for i in range(3)]
+    nation = [(i, f"N{i}", i % 3) for i in range(8)]
+    customer = [
+        (i, f"C{i}", rng.randrange(8), money(-900, 9000),
+         rng.choice(["BUILDING", "AUTOMOBILE", "MACHINERY"]))
+        for i in range(40)
+    ]
+    orders = [
+        (i, rng.randrange(40), rng.choice("OFP"), money(1, 400000),
+         day(), rng.choice(["1-URGENT", "3-MEDIUM", "5-LOW"]))
+        for i in range(200)
+    ]
+    lineitem = [
+        (rng.randrange(200), rng.randrange(50), rng.randrange(20), ln,
+         float(rng.randint(1, 50)), money(100, 90000),
+         rng.randint(0, 10) / 100.0, rng.randint(0, 8) / 100.0,
+         rng.choice("RAN"), rng.choice("OF"), day())
+        for i in range(500) for ln in [rng.randint(1, 7)]
+    ]
+    for name, rows, schema in (
+        ("region", region, "r_regionkey int, r_name string"),
+        ("nation", nation, "n_nationkey int, n_name string, n_regionkey int"),
+        ("customer", customer,
+         "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+         "c_mktsegment string"),
+        ("orders", orders,
+         "o_orderkey long, o_custkey long, o_orderstatus string, "
+         "o_totalprice double, o_orderdate timestamp, o_orderpriority string"),
+        ("lineitem", lineitem,
+         "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+         "l_quantity double, l_extendedprice double, l_discount double, "
+         "l_tax double, l_returnflag string, l_linestatus string, "
+         "l_shipdate timestamp"),
+    ):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{d}/{name}.parquet"
+        )
+    conn = _duckdb.connect()
+    for name in ("region", "nation", "customer", "orders", "lineitem"):
+        conn.execute(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{d}/{name}.parquet/*.parquet')"
+        )
+    from tests.test_queries_oracle import _canon_pdf
+
+    queries = entry_mod.queries()
+    for name in (
+        "q01_pricing_summary",
+        "q03_revenue_by_nation",
+        "q12_rollup_revenue",
+        "q13_conditional_agg",
+        "q26_returned_items",
+        "q31_running_revenue",
+        "q58_revenue_share",
+    ):
+        sdf = queries[name](spark, d)
+        spark_pdf = pd.DataFrame(
+            [tuple(r) for r in sdf.collect()], columns=sdf.columns
+        )
+        duck_pdf = conn.execute(entry_mod.oracle_sql()[name]).df()
+        assert len(spark_pdf) == len(duck_pdf), (name, seed)
+        assert _canon_pdf(spark_pdf) == _canon_pdf(duck_pdf), (name, seed)
+    conn.close()
