@@ -2992,3 +2992,66 @@ def test_money_relational_fuzz_parity(spark, tmp_path, seed):
         assert len(spark_pdf) == len(duck_pdf), (name, seed)
         assert _canon_pdf(spark_pdf) == _canon_pdf(duck_pdf), (name, seed)
     conn.close()
+
+
+@pytest.mark.parametrize("seed", [13, 47, 97])
+def test_events_window_fuzz_parity(spark, tmp_path, seed):
+    """Randomized parity net for the events/windowing family — LAG/LEAD
+    sessionization, greedy funnel anchors, dense time grids, latest-per-
+    key: the dialect surface where tie-breaks and timestamp handling
+    live. Random microsecond timestamps over a multi-day span with few
+    users (forcing real session/funnel structure), the five corpus event
+    types, and exact-2-decimal values."""
+    import datetime as _dt
+    import random as _random
+
+    import duckdb as _duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+
+    rng = _random.Random(seed)
+    base = _dt.datetime(2024, 1, 1)
+    types = ["signup", "click", "error", "view", "purchase"]
+    rows = [
+        (
+            i,
+            base + _dt.timedelta(microseconds=rng.randrange(4 * 86_400_000_000)),
+            rng.randrange(6),
+            rng.choice(types),
+            rng.randint(0, 50000) / 100.0,
+            '{"k": %d}' % rng.randint(0, 99),
+        )
+        for i in range(300)
+    ]
+    d = str(tmp_path / f"evfz{seed}")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(f"{d}/events.parquet")
+    conn = _duckdb.connect()
+    conn.execute(
+        f"CREATE VIEW events AS "
+        f"SELECT * FROM read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    from tests.test_queries_oracle import _canon_pdf
+
+    queries = entry_mod.queries()
+    for name in (
+        "q08_latest_event_per_user",
+        "q11_hourly_event_rollup",
+        "q30_sessionize",
+        "q35_event_gaps",
+        "q51_event_funnel",
+        "q52_dense_hourly_fill",
+        "q54_session_paths",
+    ):
+        sdf = queries[name](spark, d)
+        spark_pdf = pd.DataFrame(
+            [tuple(r) for r in sdf.collect()], columns=sdf.columns
+        )
+        duck_pdf = conn.execute(entry_mod.oracle_sql()[name]).df()
+        assert len(spark_pdf) == len(duck_pdf), (name, seed)
+        assert _canon_pdf(spark_pdf) == _canon_pdf(duck_pdf), (name, seed)
+    conn.close()
