@@ -136,6 +136,22 @@ def _sentinel_seconds(spark) -> float:
 #: one JVM, one scheduler, interleaved runs).
 _AB_PREFIXES = ("dbix_batchchunker_spark", "__spark_entry__")
 
+#: KNOWN LIMIT of the sys.modules swap (round-13 advisor, low): it
+#: isolates the DRIVER only. Executor Python workers resolve modules via
+#: the JVM's original PYTHONPATH, so any code that runs IN a Python
+#: worker — a registered Python data source (corpusfeed), a pandas/Arrow
+#: UDF, applyInPandas state — executes the CURRENT tree's worker code on
+#: BOTH sides of the A/B. Deltas for such queries attribute only the
+#: driver-side plan-building half; the worker half is held constant.
+#: Detection below is two-pronged: a plan scan of the returned frame for
+#: Python-eval operators, plus this name list for streaming queries whose
+#: Python path runs inside the drain (invisible in the returned plan).
+#: Extend the list when adding corpusfeed/pandas-UDF streaming queries.
+_AB_PYWORKER_STREAMING = (
+    "st07_stream_incremental_packing",
+    "st12_stream_gram_store_ingest",
+)
+
 
 class _AbVariant:
     """One side of an A/B comparison: a repo root plus its private slice
@@ -239,15 +255,28 @@ def _ab_run(here: str, wt: str, ref: str) -> None:
             if re.search(only, n)
         }
     )
+    pyworker_re = re.compile(
+        r"ArrowEvalPython|BatchEvalPython|PythonDataSource"
+        r"|FlatMapGroupsInPandas|MapInPandas|PythonMapInArrow"
+    )
     results: dict[str, dict] = {}
     for name in names:
         best = {"cur": float("inf"), "ref": float("inf")}
+        pyworker = name in _AB_PYWORKER_STREAMING
         try:
             for variant, tag in ((cur, "cur"), (old, "ref")):
                 variant.activate()
-                variant.queries[name](spark, warm_dir).write.format(
-                    "noop"
-                ).mode("overwrite").save()
+                frame = variant.queries[name](spark, warm_dir)
+                if tag == "cur" and not pyworker:
+                    try:
+                        pyworker = bool(
+                            pyworker_re.search(
+                                frame._jdf.queryExecution().toString()
+                            )
+                        )
+                    except Exception:  # noqa: BLE001 — detection only
+                        pass
+                frame.write.format("noop").mode("overwrite").save()
                 _clear_caches(spark)
             for r in range(runs):
                 # cur/ref adjacency is the instrument: a stall hits the
@@ -275,6 +304,14 @@ def _ab_run(here: str, wt: str, ref: str) -> None:
             "ref_s": round(best["ref"], 3),
             "delta_s": round(best["cur"] - best["ref"], 3),
         }
+        if pyworker:
+            results[name]["python_worker_current_tree"] = True
+            print(
+                f"# WARNING {name}: Python-worker code (data source / "
+                "pandas UDF) executes the CURRENT tree on both sides — "
+                "delta attributes driver-side plan changes only",
+                file=sys.stderr,
+            )
         print(
             f"# {name}: cur {best['cur']:.3f}s vs {ref} {best['ref']:.3f}s "
             f"({best['cur'] - best['ref']:+.3f}s)",

@@ -1649,11 +1649,20 @@ def sim11_incremental_store_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     pairs = incremental_embedding_near_dups(
         new_emb, loaded, store_entries, emb
     )
-    return pairs.select(
+    result = pairs.select(
         F.least("vec_a", "vec_b").alias("vec_a"),
         F.greatest("vec_a", "vec_b").alias("vec_b"),
         "cos_sim",
     ).orderBy("vec_a", "vec_b")
+    # The loaded index reads the mkdtemp store lazily, so materialize the
+    # (threshold-bounded pair set) result BEFORE removing the store —
+    # round-13 advisor: without the rmtree every bench/correctness run
+    # leaked a parquet index store into /tmp.
+    result = result.localCheckpoint(eager=True)
+    import shutil
+
+    shutil.rmtree(store_path, ignore_errors=True)
+    return result
 
 
 # --------------------------------------------------------------------------- #

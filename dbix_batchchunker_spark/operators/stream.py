@@ -931,6 +931,23 @@ ST12_GRAM_N = 6
 ST12_PLANT_MOD = 5
 
 
+def _pre_batch_store_dirs(store: str, bid: int) -> "list[str]":
+    """The gram-store dirs a batch may read: seed + batches STRICTLY
+    earlier. Replay safety (round-13 advisor, medium): a foreachBatch
+    replay after the store write but BEFORE the checkpoint commit finds
+    the batch's own b{bid} dir in store/* — reading it would count the
+    batch's own grams as "already ingested", cut every doc, and commit a
+    DIFFERENT output than the first attempt. Restricting the read to the
+    pre-batch store makes the replayed batch see exactly what the crashed
+    attempt saw."""
+    return [
+        os.path.join(store, d)
+        for d in sorted(os.listdir(store))
+        if d == "seed" or (d.startswith("b") and d[1:].isdigit()
+                           and int(d[1:]) < bid)
+    ]
+
+
 # ORACLE-gated from birth (round 13): the streaming form of the tx36
 # substring-dedup ingest loop. The corpusfeed's planted-duplicate mode
 # re-serves an earlier document's text for every doc_id ≡ 4 (mod 5) —
@@ -988,9 +1005,9 @@ def st12_stream_gram_store_ingest(
 
     def ingest(batch_df: DataFrame, bid: int) -> None:
         docs = batch_df.select("doc_id", "text")
-        gram_store = spark.read.parquet(os.path.join(store, "*")).select(
-            "gram"
-        )
+        gram_store = spark.read.parquet(
+            *_pre_batch_store_dirs(store, bid)
+        ).select("gram")
         res = incremental_substring_dedup(
             docs, gram_store, n=ST12_GRAM_N
         ).withColumn("batch", F.lit(int(bid)).cast("long"))

@@ -129,18 +129,26 @@ def main() -> None:
         "overwrite"
     ).parquet(grams_path)
     gram_store = spark.read.parquet(grams_path)
-    cut = incremental_substring_dedup(survivors, gram_store)
-    n_cut = cut.where(F.col("n_removed") > 0).count()
+    span_cut = incremental_substring_dedup(survivors, gram_store)
+    n_cut = span_cut.where(F.col("n_removed") > 0).count()
     print(f"gram store: {n_cut} surviving increment docs had spans cut")
-    # close the loop: the increment's own distinct grams join the store
-    _positional_grams(
-        cut.where(F.col("n_kept") > 0).select(
-            "doc_id", F.col("kept_text").alias("text")
-        ),
-        4,
-    ).select("gram").distinct().join(
-        gram_store, "gram", "left_anti"
-    ).write.mode("append").parquet(grams_path)
+    # close the loop: the increment's own distinct grams join the store.
+    # Materialize the delta BEFORE appending — the left_anti reads
+    # grams_path lazily, and appending to a dir a running job is still
+    # listing is timing-dependent (round-13 advisor).
+    gram_delta = (
+        _positional_grams(
+            span_cut.where(F.col("n_kept") > 0).select(
+                "doc_id", F.col("kept_text").alias("text")
+            ),
+            4,
+        )
+        .select("gram")
+        .distinct()
+        .join(gram_store, "gram", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    gram_delta.write.mode("append").parquet(grams_path)
 
     if len(sys.argv) <= 2:
         shutil.rmtree(store_dir, ignore_errors=True)

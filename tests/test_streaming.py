@@ -841,3 +841,42 @@ def test_incremental_pack_state_is_batch_bounded_not_row_bounded(spark, tmp_path
     # 20x the rows may not move the carried state by more than int-width
     # digit drift
     assert abs(sizes["large"] - sizes["small"]) < 64, sizes
+
+
+def test_pre_batch_store_dirs_exclude_own_and_later_batches(tmp_path):
+    """Replay safety (round-13 advisor, medium): a replayed batch must
+    read exactly the PRE-batch gram store — its own b{bid} dir (present
+    when the crash fell between the store write and the checkpoint
+    commit) and any later dirs are excluded, as are non-batch artifacts."""
+    from dbix_batchchunker_spark.operators.stream import (
+        _pre_batch_store_dirs,
+    )
+
+    store = tmp_path / "grams"
+    store.mkdir()
+    for d in ("seed", "b0", "b1", "b2", "b10", "_tmp", "bx"):
+        (store / d).mkdir()
+    got = _pre_batch_store_dirs(str(store), 2)
+    names = sorted(os.path.basename(p) for p in got)
+    assert names == ["b0", "b1", "seed"], names
+    # bid=0 (first batch, replayed after its own store write): seed only
+    assert [os.path.basename(p)
+            for p in _pre_batch_store_dirs(str(store), 0)] == ["seed"]
+
+
+def test_corpusfeed_rejects_nonterminating_plant_options(spark):
+    """plantmod=1 (or a negative span) would hang resolve()'s source walk
+    (round-13 advisor) — the reader must refuse at construction."""
+    import pytest as _pytest
+
+    from dbix_batchchunker_spark.sources.pydatasource import (
+        _FeedStreamReader,
+    )
+
+    with _pytest.raises(ValueError, match="plantmod"):
+        _FeedStreamReader({"plantmod": "1"})
+    with _pytest.raises(ValueError, match="plantspan"):
+        _FeedStreamReader({"plantmod": "5", "plantspan": "-1"})
+    # the documented geometries still construct
+    _FeedStreamReader({"plantmod": "0"})
+    _FeedStreamReader({"plantmod": "5", "plantspan": "100"})
