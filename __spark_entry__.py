@@ -25,6 +25,7 @@ from dbix_batchchunker_spark.operators import (  # noqa: F401
     bpe,
     chunked,
     dedup,
+    gram_store,
     multimodal,
     relational,
     similarity,

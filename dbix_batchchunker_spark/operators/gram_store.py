@@ -1,0 +1,429 @@
+"""Deletion-capable, BUCKETED gram-postings store — the persistent artifact
+of the exact-substring-dedup ingest loop (tx36/st12) with the two lifecycle
+properties the round-13 verdict asked for:
+
+* **Bounded per-batch shuffle work** (verdict #1): the store is an external
+  parquet table CLUSTERED BY (gram) — every store-side operation the ingest
+  loop runs per batch (the distinct-gram projection, the probe semi join)
+  consumes the bucketed scan's hashpartitioning(gram, n_buckets) directly,
+  so NO store-side Exchange ever appears in a batch's plan. Only the
+  arriving batch shuffles (once, batch-sized), which is the whole point of
+  chunked processing (reference: BatchChunker.pm:70-178 — per-chunk work
+  must not grow with table age).
+* **Deletion capability** (verdict #2): rows are (gram, doc_id) POSTINGS,
+  not bare distinct grams, so purging a document un-claims exactly its
+  grams (a gram stays live while ANY live doc claims it). Purges are cheap
+  tombstones applied as a broadcast anti-join at read; ``compact()`` folds
+  them in and rewrites the store (precedent: compact_near_dup_store,
+  dedup.py).
+
+Storage layout: ``PARTITIONED BY (batch)`` on top of the bucketing —
+partition ``batch=k`` holds the grams batch ``k``'s kept docs claimed, so
+
+* a batch's write is an idempotent DYNAMIC PARTITION OVERWRITE of its own
+  partition (exactly-once under foreachBatch replay, st08's rule);
+* a replayed batch reads the exact pre-batch store via the partition
+  filter ``batch < bid`` — metadata-level pruning, the stronger form of
+  the round-13 advisor's st12 replay fix;
+* ``compact()`` folds everything live into the reserved base partition
+  ``batch = -1`` (always < any real batch id), bounding file count
+  (verdict #3).
+
+Cost honesty at 100 TB: with no index, any probe still SCANS the store
+once per batch (single column, dictionary-encoded parquet, gram-sorted
+files ⇒ row-group pruning headroom); what bucketing removes is the
+corpus-scale SHUFFLE+SORT that grows the per-batch network/disk bill with
+corpus AGE. The decade rehearsal row in SCALING.md measures exactly that
+split.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import query, t
+from .text import (
+    _SSD_N,
+    _apply_span_removal,
+    _positional_grams,
+    _tokens_sql,
+)
+
+#: Reserved partition compact() folds into — strictly below every real
+#: batch id, so ``batch < bid`` pre-batch reads always include the base.
+COMPACT_PARTITION = -1
+
+
+class GramPostingsStore:
+    """Lifecycle owner of one postings table. ``name`` is the catalog
+    table name (in-memory catalog: per-session; ``register()`` re-attaches
+    an existing on-disk store in a fresh session), ``path`` the external
+    location — any Hadoop-FS scheme (file://, hdfs://, s3a://), all
+    maintenance IO goes through the path's own FileSystem (the IVF-store
+    rule, similarity.py)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str,
+        path: str,
+        n_buckets: int = 16,
+    ) -> None:
+        self.spark = spark
+        self.name = name
+        self.path = path
+        self.n_buckets = n_buckets
+        self.tombstone_path = path + "__tombstones"
+        self.staging_path = path + "__compact_staging"
+
+    # -- creation / registration ------------------------------------------
+
+    _DDL = (
+        "CREATE TABLE {name} (gram STRING, doc_id BIGINT, batch BIGINT) "
+        "USING PARQUET PARTITIONED BY (batch) "
+        "CLUSTERED BY (gram) SORTED BY (gram) INTO {nb} BUCKETS "
+        "LOCATION '{path}'"
+    )
+
+    def create(self) -> "GramPostingsStore":
+        """Create the (empty) table; fails if the name is taken."""
+        self.spark.sql(
+            self._DDL.format(name=self.name, nb=self.n_buckets, path=self.path)
+        )
+        return self
+
+    def register(self) -> "GramPostingsStore":
+        """Attach an EXISTING on-disk store in a fresh session (the
+        in-memory catalog does not persist): re-issue the DDL over the
+        same location, then recover the partition list from the
+        directory layout. NOTE: a crash mid-``compact()`` can leave
+        already-folded partition dirs on disk; recovering them here
+        resurrects duplicate postings — harmless for gram semantics
+        (``live_grams`` is distinct; compaction's fold is distinct) and
+        healed by the next ``compact()``."""
+        self.spark.sql(
+            self._DDL.format(name=self.name, nb=self.n_buckets, path=self.path)
+        )
+        self.spark.catalog.recoverPartitions(self.name)
+        return self
+
+    def drop(self) -> None:
+        """Drop the catalog entry (external: files stay)."""
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.name}")
+
+    # -- reads --------------------------------------------------------------
+
+    def postings(self) -> DataFrame:
+        return self.spark.table(self.name)
+
+    def _tombstones(self) -> "DataFrame | None":
+        fs, jp = self._fs(self.tombstone_path)
+        if not fs.exists(jp):
+            return None
+        return self.spark.read.parquet(self.tombstone_path).select("doc_id")
+
+    def live_postings(self, before_batch: "int | None" = None) -> DataFrame:
+        """(gram, doc_id, batch) minus tombstoned docs. ``before_batch``
+        restricts to partitions strictly earlier — metadata-level pruning,
+        which is what makes a foreachBatch REPLAY read exactly the
+        pre-batch store even though the crashed attempt already wrote the
+        batch's own partition. The tombstone anti-join is a broadcast
+        (purge lists are bounded between compactions), so the bucketed
+        scan's partitioning survives to downstream consumers."""
+        df = self.postings()
+        if before_batch is not None:
+            df = df.where(F.col("batch") < before_batch)
+        tomb = self._tombstones()
+        if tomb is not None:
+            df = df.join(F.broadcast(tomb), "doc_id", "left_anti")
+        return df
+
+    def live_grams(self, before_batch: "int | None" = None) -> DataFrame:
+        """Distinct live grams. Zero-Exchange by construction: the
+        bucketed scan already provides hashpartitioning(gram, n_buckets),
+        the broadcast anti-join preserves it, and the distinct's
+        HashAggregate consumes it in place (plan pinned in
+        tests/test_plan_fingerprints.py)."""
+        return self.live_postings(before_batch).select("gram").distinct()
+
+    # -- writes --------------------------------------------------------------
+
+    def _insert(self, postings: DataFrame) -> None:
+        """insertInto with per-bucket file discipline: pre-partition by
+        gram with the bucket count (repartition's Murmur3 == the bucket
+        hash) so each task owns exactly one bucket — one file per bucket
+        per partition, not one per (task × bucket). Column order is
+        positional for insertInto: (gram, doc_id, batch)."""
+        conf = "spark.sql.sources.partitionOverwriteMode"
+        prev = self.spark.conf.get(conf, None)
+        self.spark.conf.set(conf, "dynamic")
+        try:
+            (
+                postings.select("gram", "doc_id", "batch")
+                .repartition(self.n_buckets, F.col("gram"))
+                .sortWithinPartitions("gram")
+                .write.mode("overwrite")
+                .insertInto(self.name)
+            )
+        finally:
+            if prev is not None:
+                self.spark.conf.set(conf, prev)
+
+    def add_postings(self, kept_docs: DataFrame, bid: int, n: int = _SSD_N) -> None:
+        """Claim a batch's grams: (doc_id, text) → distinct (gram, doc_id)
+        postings → DYNAMIC OVERWRITE of partition ``batch=bid``. Replay of
+        the same batch rewrites the same partition with the same rows —
+        idempotent, the exactly-once half of the ingest loop."""
+        postings = (
+            _positional_grams(kept_docs, n)
+            .select("gram", "doc_id")
+            .distinct()
+            .withColumn("batch", F.lit(int(bid)).cast("long"))
+        )
+        self._insert(postings)
+
+    def purge(self, doc_ids: DataFrame) -> None:
+        """Tombstone documents (first column = doc id): they stop claiming
+        grams at the NEXT read. Cheap (no store rewrite); ``compact()``
+        makes the deletion physical."""
+        d = doc_ids.select(
+            F.col(doc_ids.columns[0]).cast("long").alias("doc_id")
+        ).distinct()
+        d.write.mode("append").parquet(self.tombstone_path)
+
+    def compact(self) -> None:
+        """Fold the live postings into the base partition ``batch=-1``,
+        drop every real batch partition, clear tombstones. Idempotent /
+        crash-repairable by RE-RUNNING: the fold is distinct (a crash
+        between the base insert and the partition drops leaves duplicated
+        postings, which the re-run's distinct collapses), tombstones are
+        reapplied for as long as the tombstone dir survives, and each
+        drop is a no-op once applied. One writer at a time (the ingest
+        loop's own discipline — run between drains, like the reference's
+        between-chunk maintenance window)."""
+        base = (
+            self.live_postings()
+            .select("gram", "doc_id")
+            .distinct()
+            .withColumn(
+                "batch", F.lit(COMPACT_PARTITION).cast("long")
+            )
+        )
+        # stage DURABLY before touching the table: the staged parquet (not
+        # executor-local storage) is what makes the fold re-runnable after
+        # a crash mid-swap
+        base.write.mode("overwrite").parquet(self.staging_path)
+        self._insert(self.spark.read.parquet(self.staging_path))
+        # one row per partition — bounded driver materialization
+        parts = [
+            int(r[0].split("=", 1)[1])
+            for r in self.spark.sql(f"SHOW PARTITIONS {self.name}").collect()
+        ]
+        for p in sorted(parts):
+            if p == COMPACT_PARTITION:
+                continue
+            self.spark.sql(
+                f"ALTER TABLE {self.name} DROP IF EXISTS PARTITION (batch={p})"
+            )
+            # external table: DROP PARTITION is metadata-only — delete the
+            # files through the path's own FileSystem or register() would
+            # resurrect them
+            self._fs_delete(os.path.join(self.path, f"batch={p}"))
+        self._fs_delete(self.tombstone_path)
+        self._fs_delete(self.staging_path)
+        self.spark.catalog.refreshTable(self.name)
+
+    # -- probe ----------------------------------------------------------------
+
+    def probe_hits(
+        self, pos: DataFrame, before_batch: "int | None" = None
+    ) -> DataFrame:
+        """Positional-gram rows (doc_id, nt, p, gram) whose gram is LIVE in
+        the store — with zero store-side Exchange at ANY store size:
+
+        1. ``present`` = live grams ∩ batch grams, a SHUFFLE_HASH left-semi
+           that STREAMS the bucketed store scan against a hash table built
+           from the batch's (small, once-shuffled) distinct grams — no
+           store shuffle, no store sort, and the output is bounded by the
+           BATCH's gram count, never the store's;
+        2. the hits are then a broadcast semi join of ``pos`` against
+           ``present`` — bounded for the same reason.
+
+        This inverts the naive ``pos ⋉ store`` (which would shuffle or
+        hash-build the corpus-scale side) into two joins whose build sides
+        are both batch-bounded — the store is only ever STREAMED."""
+        # repartition straight to the bucket count so the batch side
+        # shuffles ONCE: the distinct's HashAggregate and the SHJ both
+        # consume hashpartitioning(gram, n_buckets) in place (measured:
+        # 2 batch-side Exchanges → 1)
+        batch_grams = (
+            pos.select("gram")
+            .repartition(self.n_buckets, F.col("gram"))
+            .distinct()
+        )
+        present = self.live_grams(before_batch).join(
+            batch_grams.hint("shuffle_hash"), "gram", "left_semi"
+        )
+        return pos.join(F.broadcast(present), "gram", "left_semi")
+
+    def ingest_batch(
+        self, docs: DataFrame, bid: int, n: int = _SSD_N
+    ) -> DataFrame:
+        """One batch through the full loop: cut spans duplicating the live
+        pre-batch store or an earlier same-batch doc (tx36 semantics),
+        claim the kept docs' grams as partition ``batch=bid``, return the
+        per-doc result (doc_id, n_tokens, n_removed, n_kept, kept_text).
+
+        The returned frame is MATERIALIZED (localCheckpoint) before the
+        postings write so the claim derives from the same computation the
+        caller persists — and so a caller's later re-read cannot race the
+        store append."""
+        pos = _positional_grams(docs, n)
+        store_hits = self.probe_hits(pos, before_batch=bid).select(
+            "doc_id", "nt", "p"
+        )
+        firsts = pos.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+        batch_hits = (
+            pos.join(firsts, "gram")
+            .where(F.col("doc_id") > F.col("first_doc"))
+            .select("doc_id", "nt", "p")
+        )
+        result = _apply_span_removal(
+            docs, store_hits.unionByName(batch_hits), n
+        )
+        # bounded: one row per batch doc — the batch is the bounded unit
+        result = result.localCheckpoint(eager=True)
+        kept = result.where(F.col("n_kept") > 0).select(
+            "doc_id", F.col("kept_text").alias("text")
+        )
+        self.add_postings(kept, bid, n)
+        return result
+
+    # -- Hadoop FS helpers ------------------------------------------------------
+
+    def _fs(self, path: str):
+        jpath = self.spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, jpath
+
+    def _fs_delete(self, path: str) -> None:
+        fs, jpath = self._fs(path)
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
+
+
+def temp_store(
+    spark: SparkSession, prefix: str, n_buckets: int = 16
+) -> GramPostingsStore:
+    """A throwaway store (unique table name + mkdtemp path) for queries
+    and tests; callers localCheckpoint their result, then ``cleanup()``."""
+    path = os.path.join(
+        tempfile.mkdtemp(prefix=prefix), "postings"
+    )
+    name = f"{prefix}{uuid.uuid4().hex[:10]}"
+    return GramPostingsStore(spark, name, path, n_buckets).create()
+
+
+def cleanup_store(store: GramPostingsStore) -> None:
+    import shutil
+
+    store.drop()
+    shutil.rmtree(os.path.dirname(store.path), ignore_errors=True)
+
+
+# --------------------------------------------------------------------------- #
+# tx37: substring dedup against a PURGED + COMPACTED postings store — the    #
+# deletion story tx36's append-only distinct-gram layout cannot express      #
+# (its own docstring said so; round-13 verdict #2). The store ingests the    #
+# corpus slice doc_id % 5 != 4 as postings, a deterministic subset           #
+# (doc_id % 20 == 0) is purged and the store compacted, then the increment  #
+# (doc_id % 5 == 4) is ingested through the bucketed probe. A purged doc    #
+# un-claims exactly the grams no OTHER live doc claims — the oracle states  #
+# the surviving gram set in plain SQL by rebuilding it from the live docs.  #
+# What a green row adjudicates beyond tx36: tombstone anti-join semantics,  #
+# the physical fold (results are read AFTER compact, so a compact that      #
+# dropped live postings or retained purged ones would flip n_removed), and  #
+# the zero-store-Exchange probe path (probe_hits) end to end.               #
+# --------------------------------------------------------------------------- #
+_TX37_MOD, _TX37_RES = 5, 4       # increment = doc_id % 5 == 4 (tx36's split)
+_TX37_PURGE_MOD = 20              # purged store docs: doc_id % 20 == 0
+
+
+@query(
+    "tx37_purged_store_dedup",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_tokens_sql()} AS w FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, greatest(len(w) - {_SSD_N}, 0) + 1),
+                   i -> struct_pack(p := i,
+                       gram := array_to_string(w[i + 1 : i + {_SSD_N}], ' '))
+               )) AS pg
+        FROM d WHERE len(w) > 0
+    ),
+    store_grams AS (
+        SELECT DISTINCT pg.gram AS gram FROM g
+        WHERE doc_id % {_TX37_MOD} != {_TX37_RES}
+          AND doc_id % {_TX37_PURGE_MOD} != 0
+    ),
+    inc AS (
+        SELECT doc_id, pg.p AS p, pg.gram AS gram FROM g
+        WHERE doc_id % {_TX37_MOD} = {_TX37_RES}
+    ),
+    firsts AS (
+        SELECT gram, MIN(doc_id) AS first_doc FROM inc GROUP BY gram
+    ),
+    hits AS (
+        SELECT doc_id, p FROM inc
+        WHERE gram IN (SELECT gram FROM store_grams)
+        UNION ALL
+        SELECT inc.doc_id, inc.p FROM inc JOIN firsts USING (gram)
+        WHERE firsts.first_doc < inc.doc_id
+    ),
+    cov AS (
+        SELECT DISTINCT hits.doc_id, p + j AS ti
+        FROM hits JOIN d USING (doc_id), unnest(range({_SSD_N})) AS t(j)
+        WHERE p + j < len(d.w)
+    ),
+    covagg AS (
+        SELECT doc_id, list(ti) AS cov FROM cov GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(d.w) AS INT) AS n_tokens,
+           CAST(COALESCE(len(covagg.cov), 0) AS INT) AS n_removed,
+           CAST(len(d.w) - COALESCE(len(covagg.cov), 0) AS INT) AS n_kept,
+           COALESCE(array_to_string(list_filter(
+               list_transform(range(0, len(d.w)),
+                   k -> CASE WHEN list_contains(COALESCE(covagg.cov, []), k)
+                             THEN NULL ELSE d.w[k + 1] END),
+               x -> x IS NOT NULL), ' '), '') AS kept_text
+    FROM d LEFT JOIN covagg USING (doc_id)
+    WHERE d.doc_id % {_TX37_MOD} = {_TX37_RES}
+    ORDER BY d.doc_id
+    """,
+)
+def tx37_purged_store_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    is_inc = F.col("doc_id") % _TX37_MOD == _TX37_RES
+    store = temp_store(spark, "gs_tx37_")
+    try:
+        # batch 0: the existing corpus claims its grams as postings
+        # (FULL docs — mirrors tx36's store = grams of the raw corpus)
+        store.add_postings(docs.where(~is_inc), bid=0)
+        store.purge(
+            docs.where(~is_inc)
+            .where(F.col("doc_id") % _TX37_PURGE_MOD == 0)
+            .select("doc_id")
+        )
+        store.compact()
+        return store.ingest_batch(docs.where(is_inc), bid=1)
+    finally:
+        cleanup_store(store)

@@ -2089,21 +2089,14 @@ def _positional_grams(docs: DataFrame, n: int) -> DataFrame:
     )
 
 
-def dedup_substring_spans(docs: DataFrame, n: int = _SSD_N) -> DataFrame:
-    """tx35's body as a composable stage: (doc_id, n_tokens, n_removed,
-    n_kept, kept_text) with every span duplicating an earlier document's
-    n-gram cut out. Drop-in between near-dup removal and decontamination
-    in a pipeline (examples/training_pipeline.py)."""
-    with_toks = docs.select("doc_id", _tokens_spark().alias("toks"))
-    pos_grams = _positional_grams(docs, n)
-    # the gram-frequency table: corpus-scale, map-side-combined MIN — a
-    # shuffle join on gram, deliberately NOT broadcast (Heaps-bounded but
-    # huge at 100 TB)
-    firsts = pos_grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+def _apply_span_removal(docs: DataFrame, hits: DataFrame, n: int) -> DataFrame:
+    """(doc_id, n_tokens, n_removed, n_kept, kept_text) from a frame of
+    span HITS (doc_id, nt, p — each an n-gram start position to cut):
+    tx34's clamped coverage explode + index-aware reconstruction, shared
+    by tx35's batch form, tx36's incremental form, and the postings-store
+    ingest (gram_store.py)."""
     covered = (
-        pos_grams.join(firsts, "gram")
-        .where(F.col("doc_id") > F.col("first_doc"))
-        .select(
+        hits.select(
             "doc_id",
             F.explode(
                 F.sequence(
@@ -2115,6 +2108,7 @@ def dedup_substring_spans(docs: DataFrame, n: int = _SSD_N) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.collect_set("ti").alias("cov"))
     )
+    with_toks = docs.select("doc_id", _tokens_spark().alias("toks"))
     cov = F.coalesce(F.col("cov"), F.array())
     kept = F.filter(
         F.col("toks"), lambda x, i: ~F.array_contains(cov, i.cast("long"))
@@ -2130,6 +2124,24 @@ def dedup_substring_spans(docs: DataFrame, n: int = _SSD_N) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def dedup_substring_spans(docs: DataFrame, n: int = _SSD_N) -> DataFrame:
+    """tx35's body as a composable stage: (doc_id, n_tokens, n_removed,
+    n_kept, kept_text) with every span duplicating an earlier document's
+    n-gram cut out. Drop-in between near-dup removal and decontamination
+    in a pipeline (examples/training_pipeline.py)."""
+    pos_grams = _positional_grams(docs, n)
+    # the gram-frequency table: corpus-scale, map-side-combined MIN — a
+    # shuffle join on gram, deliberately NOT broadcast (Heaps-bounded but
+    # huge at 100 TB)
+    firsts = pos_grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    hits = (
+        pos_grams.join(firsts, "gram")
+        .where(F.col("doc_id") > F.col("first_doc"))
+        .select("doc_id", "nt", "p")
+    )
+    return _apply_span_removal(docs, hits, n)
 
 # --------------------------------------------------------------------------- #
 # tx36: INCREMENTAL substring dedup — tx35's ingest form. A live pipeline     #
@@ -2173,35 +2185,7 @@ def incremental_substring_dedup(
         .select("doc_id", "nt", "p")
     )
     hits = store_hits.select("doc_id", "nt", "p").unionByName(batch_hits)
-    covered = (
-        hits.select(
-            "doc_id",
-            F.explode(
-                F.sequence(
-                    F.col("p"), F.least(F.col("p") + n - 1, F.col("nt") - 1)
-                )
-            ).alias("ti"),
-        )
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.collect_set("ti").alias("cov"))
-    )
-    with_toks = new_docs.select("doc_id", _tokens_spark().alias("toks"))
-    cov = F.coalesce(F.col("cov"), F.array())
-    kept = F.filter(
-        F.col("toks"), lambda x, i: ~F.array_contains(cov, i.cast("long"))
-    )
-    return (
-        with_toks.join(covered, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.size("toks").alias("n_tokens"),
-            F.size(cov).alias("n_removed"),
-            (F.size("toks") - F.size(cov)).alias("n_kept"),
-            F.concat_ws(" ", kept).alias("kept_text"),
-        )
-        .orderBy("doc_id")
-    )
+    return _apply_span_removal(new_docs, hits, n)
 
 
 @query(

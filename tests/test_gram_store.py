@@ -1,0 +1,238 @@
+"""GramPostingsStore lifecycle net: the bucketed, deletion-capable gram
+store (round-13 verdict #1/#2/#3) — plan shape, purge/compact round-trip,
+replay idempotency, crash repair, re-registration, file discipline."""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbix_batchchunker_spark.operators.gram_store import (
+    COMPACT_PARTITION,
+    GramPostingsStore,
+    cleanup_store,
+    temp_store,
+)
+from dbix_batchchunker_spark.operators.text import (
+    _positional_grams,
+    incremental_substring_dedup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from dbix_batchchunker_spark.session import get_spark
+
+    return get_spark(master="local[4]", shuffle_partitions=8)
+
+
+@pytest.fixture()
+def docs(spark):
+    from dbix_batchchunker_spark.operators.registry import t
+
+    return t(spark, SF, "documents").select("doc_id", "text")
+
+
+def _executed(df) -> str:
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _n_shuffles(plan: str) -> int:
+    return len(re.findall(r"Exchange hashpartitioning", plan))
+
+
+def test_live_grams_plan_zero_store_exchange(spark, docs):
+    """The verdict-#1 done-criterion: the store side of every per-batch
+    read is Exchange-FREE — bucketed scan feeds the tombstone anti-join
+    and the distinct in place."""
+    store = temp_store(spark, "gs_t1_")
+    try:
+        store.add_postings(docs.where("doc_id % 5 != 4"), bid=0)
+        store.purge(docs.where("doc_id % 20 == 0").select("doc_id"))
+        plan = _executed(store.live_grams(before_batch=1))
+        assert "Bucketed: true" in plan
+        assert _n_shuffles(plan) == 0, plan
+    finally:
+        cleanup_store(store)
+
+
+def test_probe_plan_streams_store_single_batch_shuffle(spark, docs):
+    """probe_hits: exactly ONE shuffle (the batch side, to the bucket
+    count), SHJ streaming the store scan — never a sort-merge join, never
+    a store-side Exchange, at any store size by construction."""
+    store = temp_store(spark, "gs_t2_")
+    try:
+        store.add_postings(docs.where("doc_id % 5 != 4"), bid=0)
+        pos = _positional_grams(docs.where("doc_id % 5 = 4"), 4)
+        plan = _executed(store.probe_hits(pos, before_batch=1))
+        assert "Bucketed: true" in plan
+        assert "ShuffledHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert _n_shuffles(plan) == 1, plan
+    finally:
+        cleanup_store(store)
+
+
+def test_purge_compact_equals_rebuild_from_live_docs(spark, docs):
+    """Deletion exactness: ingest → purge → compact must equal a store
+    REBUILT from only the live docs — grams co-claimed by a live doc
+    survive, exclusively-claimed grams vanish, and the increment dedups
+    identically through either store (the compact_near_dup_store
+    round-trip property, ported to the gram modality)."""
+    live_pred = "doc_id % 5 != 4 AND doc_id % 20 != 0"
+    store = temp_store(spark, "gs_t3_")
+    try:
+        store.add_postings(docs.where("doc_id % 5 != 4"), bid=0)
+        store.purge(docs.where("doc_id % 20 == 0").select("doc_id"))
+        store.compact()
+        got = sorted(
+            r.gram for r in store.live_grams().collect()
+        )  # bounded: distinct grams of the sf0.001 gate corpus
+        want = sorted(
+            r.gram
+            for r in _positional_grams(docs.where(live_pred), 4)
+            .select("gram")
+            .distinct()
+            .collect()
+        )  # bounded: same gate-scale gram set
+        assert got == want
+        # post-compact layout: only the base partition remains
+        parts = [
+            int(r[0].split("=", 1)[1])
+            for r in spark.sql(f"SHOW PARTITIONS {store.name}").collect()
+        ]
+        assert parts == [COMPACT_PARTITION]
+        # and the increment dedups identically through the compacted store
+        inc = docs.where("doc_id % 5 = 4")
+        via_store = store.ingest_batch(inc, bid=1).drop("kept_text")
+        rebuilt = incremental_substring_dedup(
+            inc,
+            _positional_grams(docs.where(live_pred), 4)
+            .select("gram")
+            .distinct(),
+        ).drop("kept_text")
+        assert via_store.exceptAll(rebuilt).count() == 0
+        assert rebuilt.exceptAll(via_store).count() == 0
+    finally:
+        cleanup_store(store)
+
+
+def test_add_postings_replay_is_idempotent(spark, docs):
+    """Dynamic partition overwrite: re-running a batch's claim rewrites
+    the same partition with the same rows — the exactly-once half."""
+    store = temp_store(spark, "gs_t4_")
+    try:
+        batch = docs.where("doc_id % 7 = 0")
+        store.add_postings(batch, bid=0)
+        first = store.postings().count()
+        store.add_postings(batch, bid=0)  # replay
+        assert store.postings().count() == first
+    finally:
+        cleanup_store(store)
+
+
+def test_ingest_replay_reads_pre_batch_store(spark, docs):
+    """The round-13 advisor's replay hazard, closed at the metadata level:
+    a replayed ingest_batch (own partition ALREADY written by the crashed
+    attempt) must produce the identical result — the partition filter
+    batch < bid excludes the batch's own claims."""
+    store = temp_store(spark, "gs_t5_")
+    try:
+        store.add_postings(docs.where("doc_id % 5 != 4"), bid=0)
+        inc = docs.where("doc_id % 5 = 4")
+        first = store.ingest_batch(inc, bid=1).orderBy("doc_id").collect()
+        # bounded: one row per gate-corpus increment doc
+        replay = store.ingest_batch(inc, bid=1).orderBy("doc_id").collect()
+        assert first == replay
+        # a doc with removals must exist or the assertion is vacuous
+        assert any(r.n_removed > 0 for r in first)
+    finally:
+        cleanup_store(store)
+
+
+def test_compact_crash_repair_by_rerun(spark, docs):
+    """compact()'s documented idempotence: a crash between the base fold
+    and the partition drops leaves batch=-1 ∪ old partitions (duplicated
+    postings); RE-RUNNING compact converges to the clean base."""
+    store = temp_store(spark, "gs_t6_")
+    try:
+        store.add_postings(docs.where("doc_id % 5 != 4"), bid=0)
+        store.purge(docs.where("doc_id % 20 == 0").select("doc_id"))
+        clean = sorted(
+            r.gram
+            for r in _positional_grams(
+                docs.where("doc_id % 5 != 4 AND doc_id % 20 != 0"), 4
+            )
+            .select("gram")
+            .distinct()
+            .collect()
+        )  # bounded: gate-scale distinct gram set
+        # simulate the torn compact: fold into the base partition but
+        # "crash" before dropping the old partitions or the tombstones
+        base = (
+            store.live_postings()
+            .select("gram", "doc_id")
+            .distinct()
+            .withColumn("batch", F.lit(COMPACT_PARTITION).cast("long"))
+        )
+        store._insert(base)
+        parts = [
+            int(r[0].split("=", 1)[1])
+            for r in spark.sql(f"SHOW PARTITIONS {store.name}").collect()
+        ]
+        assert sorted(parts) == [COMPACT_PARTITION, 0]  # torn state on disk
+        # repair = re-run
+        store.compact()
+        parts = [
+            int(r[0].split("=", 1)[1])
+            for r in spark.sql(f"SHOW PARTITIONS {store.name}").collect()
+        ]
+        assert parts == [COMPACT_PARTITION]
+        got = sorted(r.gram for r in store.live_grams().collect())  # bounded
+        assert got == clean
+        # tombstones drained
+        assert store._tombstones() is None
+    finally:
+        cleanup_store(store)
+
+
+def test_register_reattaches_existing_store(spark, docs):
+    """Cross-session story: a fresh table name over the same path sees
+    the same live grams (partition recovery + bucket spec from DDL),
+    and its probe still plans the bucketed scan."""
+    store = temp_store(spark, "gs_t7_")
+    try:
+        store.add_postings(docs.where("doc_id % 3 = 0"), bid=0)
+        store.add_postings(docs.where("doc_id % 3 = 1"), bid=1)
+        n = store.live_grams().count()
+        re_store = GramPostingsStore(
+            spark, store.name + "_re", store.path, store.n_buckets
+        ).register()
+        assert re_store.live_grams().count() == n
+        plan = _executed(re_store.live_grams())
+        assert "Bucketed: true" in plan and _n_shuffles(plan) == 0
+        re_store.drop()
+    finally:
+        cleanup_store(store)
+
+
+def test_one_file_per_bucket_per_partition(spark, docs):
+    """File discipline (verdict #3's small-file concern at the store
+    layer): each batch partition holds exactly n_buckets parquet files."""
+    store = temp_store(spark, "gs_t8_", n_buckets=4)
+    try:
+        store.add_postings(docs.where("doc_id % 5 != 4"), bid=0)
+        files = [
+            f
+            for f in os.listdir(os.path.join(store.path, "batch=0"))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 4, files
+    finally:
+        cleanup_store(store)
