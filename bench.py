@@ -150,6 +150,7 @@ _AB_PREFIXES = ("dbix_batchchunker_spark", "__spark_entry__")
 _AB_PYWORKER_STREAMING = (
     "st07_stream_incremental_packing",
     "st12_stream_gram_store_ingest",
+    "st13_stream_purged_store_ingest",
 )
 
 

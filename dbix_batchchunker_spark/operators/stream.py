@@ -1045,3 +1045,188 @@ def st12_stream_gram_store_ingest(
     result = result.localCheckpoint(eager=True)
     shutil.rmtree(base, ignore_errors=True)
     return result.orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------- #
+# Versioned output folding for per-batch ingest sinks (round-13 verdict #3). #
+# The exactly-once ingest loop writes one overwrite dir per micro-batch      #
+# (out/b0, out/b1, …) — replay-safe, but file count grows with stream AGE.   #
+# fold_outputs() bin-packs every batch dir below a high-water mark into ONE  #
+# sized parquet dir whose NAME carries the mark (compacted_v{upto}); the     #
+# dir's _SUCCESS is the commit marker, so the fold is idempotent under       #
+# crash/replay (a re-run of a committed fold only sweeps leftovers), and     #
+# readers never double-count: they take the newest committed fold plus the  #
+# batch dirs AT OR ABOVE its mark, ignoring folded-but-unswept b dirs.      #
+# --------------------------------------------------------------------------- #
+
+
+def _committed_folds(out: str) -> "list[int]":
+    """Versions of committed fold dirs (ascending). Commit = _SUCCESS."""
+    if not os.path.isdir(out):
+        return []
+    vs = []
+    for d in os.listdir(out):
+        if d.startswith("compacted_v") and d[11:].isdigit() and os.path.exists(
+            os.path.join(out, d, "_SUCCESS")
+        ):
+            vs.append(int(d[11:]))
+    return sorted(vs)
+
+
+def _batch_dirs(out: str) -> "dict[int, str]":
+    return {
+        int(d[1:]): os.path.join(out, d)
+        for d in os.listdir(out)
+        if d.startswith("b") and d[1:].isdigit()
+    }
+
+
+def fold_outputs(
+    spark: SparkSession, out: str, upto: int, target_mb: float = 128.0
+) -> None:
+    """Fold batch dirs ``b{i}`` for i < ``upto`` (plus any prior fold) into
+    ``compacted_v{upto}`` at ~target_mb files, then sweep the folded
+    sources. Run from the ingest loop's maintenance window (between
+    drains / every K batches — the reference's between-chunk idle time).
+    Safe orderings only: the versioned dir is WRITTEN AND COMMITTED before
+    anything is deleted, a torn write is healed by the re-run's overwrite,
+    and a crash after commit leaves only sweepable leftovers that readers
+    already ignore."""
+    from ..sources.maintenance import write_sized_parquet
+
+    folds = _committed_folds(out)
+    done = folds[-1] if folds else 0
+    if upto > done:
+        srcs = [os.path.join(out, f"compacted_v{done}")] if done else []
+        srcs += [
+            p for i, p in sorted(_batch_dirs(out).items()) if done <= i < upto
+        ]
+        if srcs:
+            write_sized_parquet(
+                spark.read.parquet(*srcs),
+                os.path.join(out, f"compacted_v{upto}"),
+                target_mb,
+            )
+            folds = _committed_folds(out)
+    # sweep everything a committed fold covers (also heals prior crashes)
+    done = folds[-1] if folds else 0
+    for v in folds[:-1]:
+        shutil.rmtree(os.path.join(out, f"compacted_v{v}"), ignore_errors=True)
+    for i, p in _batch_dirs(out).items():
+        if i < done:
+            shutil.rmtree(p, ignore_errors=True)
+
+
+def read_outputs(spark: SparkSession, out: str) -> DataFrame:
+    """The ingest sink's table: newest committed fold + batch dirs at or
+    above its mark (folded-but-unswept dirs are excluded by the version
+    arithmetic, so a crashed sweep can never double-count)."""
+    folds = _committed_folds(out)
+    done = folds[-1] if folds else 0
+    dirs = [os.path.join(out, f"compacted_v{done}")] if done else []
+    dirs += [p for i, p in sorted(_batch_dirs(out).items()) if i >= done]
+    return spark.read.parquet(*dirs)
+
+
+ST13_DRAINS = 2
+ST13_BATCH_ROWS = 50
+ST13_DOC_TOKENS = 40
+ST13_GRAM_N = 6
+ST13_PLANT_MOD = 5
+ST13_PURGE_STRIDE = 10
+
+
+# ORACLE-gated from birth (round 14): st12's ingest loop re-seated on the
+# DELETION-CAPABLE bucketed postings store (gram_store.py), with the store
+# purged + compacted and the output dirs folded INSIDE the between-drain
+# maintenance window. Planting geometry (R=50, mod 5, span R): drain-2
+# copy j ∈ {54,59,…,99} resolves transitively to source j-54 ∈ {0,5,…,45}.
+# Between drains the sources ≡ 0 (mod 10) are purged and the store
+# compacted, so drain-2 copies split in half: j % 10 == 4 → source purged,
+# its grams un-claimed, n_removed flips 40 → 0 (the round-13 verdict-#2
+# adjudication device, inverted st12); j % 10 == 9 → source LIVE and
+# probed through the compacted base partition, n_removed stays 40 — which
+# is what proves compaction RETAINED the live half, not just dropped the
+# purged one. The fold means drain-2's batch also replays correctly
+# against a table that is now one compacted dir + its own overwrite dir.
+@query(
+    "st13_stream_purged_store_ingest",
+    oracle=f"""
+    SELECT r.i AS doc_id,
+           CAST(r.i // {ST13_BATCH_ROWS} AS BIGINT) AS batch,
+           CAST({ST13_DOC_TOKENS} AS INT) AS n_tokens,
+           CAST(CASE
+                WHEN r.i % {ST13_PLANT_MOD} != {ST13_PLANT_MOD - 1} THEN 0
+                WHEN r.i < {ST13_BATCH_ROWS} THEN {ST13_DOC_TOKENS}
+                WHEN r.i % {ST13_PURGE_STRIDE} = {ST13_PLANT_MOD - 1} THEN 0
+                ELSE {ST13_DOC_TOKENS} END AS INT) AS n_removed,
+           CAST({ST13_DOC_TOKENS} - CASE
+                WHEN r.i % {ST13_PLANT_MOD} != {ST13_PLANT_MOD - 1} THEN 0
+                WHEN r.i < {ST13_BATCH_ROWS} THEN {ST13_DOC_TOKENS}
+                WHEN r.i % {ST13_PURGE_STRIDE} = {ST13_PLANT_MOD - 1} THEN 0
+                ELSE {ST13_DOC_TOKENS} END AS INT) AS n_kept
+    FROM range({ST13_DRAINS * ST13_BATCH_ROWS}) r(i)
+    ORDER BY doc_id
+    """,
+)
+def st13_stream_purged_store_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TWO availableNow drains of the planted-duplicate corpusfeed through
+    the POSTINGS-store ingest loop, with the full maintenance window
+    exercised between them: purge (tombstone) the sources of drain-2's
+    planted copies at stride 10, compact the store (fold to the base
+    partition, physical delete), and fold drain-1's output dir into a
+    sized parquet (fold_outputs). (sf_dir unused: the feed generates the
+    corpus.)"""
+    from ..sources.pydatasource import register_feed
+    from ..streaming.incremental import process_available
+    from .gram_store import GramPostingsStore
+
+    register_feed(spark)
+    base = tempfile.mkdtemp(prefix="st13_")
+    out = os.path.join(base, "docs")
+    ck = os.path.join(base, "ck")
+    store = GramPostingsStore(
+        spark,
+        f"gs_st13_{uuid.uuid4().hex[:10]}",
+        os.path.join(base, "postings"),
+    ).create()
+
+    def ingest(batch_df: DataFrame, bid: int) -> None:
+        docs = batch_df.select("doc_id", "text")
+        res = store.ingest_batch(docs, bid, n=ST13_GRAM_N).withColumn(
+            "batch", F.lit(int(bid)).cast("long")
+        )
+        res.write.mode("overwrite").parquet(os.path.join(out, f"b{bid}"))
+
+    def drain() -> None:
+        feed = (
+            spark.readStream.format("corpusfeed")
+            .option("batchrows", ST13_BATCH_ROWS)
+            .option("doctokens", ST13_DOC_TOKENS)
+            .option("plantmod", ST13_PLANT_MOD)
+            .option("plantspan", ST13_BATCH_ROWS)
+            .load()
+        )
+        process_available(feed, ingest, ck)
+
+    drain()
+    # -- maintenance window (between-chunk idle, reference discipline) ----
+    store.purge(
+        spark.range(0, ST13_BATCH_ROWS, ST13_PURGE_STRIDE).select(
+            F.col("id").alias("doc_id")
+        )
+    )
+    store.compact()
+    fold_outputs(spark, out, upto=1)
+    drain()
+    result = read_outputs(spark, out).select(
+        "doc_id", "batch", "n_tokens", "n_removed", "n_kept"
+    )
+    # Materialize before the tempdir goes (bounded: 100 rows — the st07
+    # demo-geometry rule)
+    result = result.localCheckpoint(eager=True)
+    store.drop()
+    shutil.rmtree(base, ignore_errors=True)
+    return result.orderBy("doc_id")
