@@ -1558,8 +1558,18 @@ def incremental_embedding_near_dups(
         .unionByName(new_emb.select(*side_cols))
         .hint("shuffle_hash")
     )
+    return _verify_same_label_cos(within.unionByName(cross), vecs, threshold)
+
+
+def _verify_same_label_cos(
+    cand: DataFrame, vecs: DataFrame, threshold: float
+) -> DataFrame:
+    """Cosine-verify (doc_a, doc_b) candidates against a (vec_id, label,
+    embedding, nrm) lookup side — the precision-exact tail shared by the
+    incremental probe and the persisted-store pair listing. Callers pick
+    the lookup join strategy by hinting ``vecs`` (SHUFFLE_HASH for
+    corpus-scale sides — the round-13 embedding-payload SMJ rule)."""
     a, b = vecs.alias("a"), vecs.alias("b")
-    cand = within.unionByName(cross)
     cos = F.round(
         dot(F.col("a.embedding"), F.col("b.embedding"))
         / (F.col("a.nrm") * F.col("b.nrm")),
@@ -1576,6 +1586,55 @@ def incremental_embedding_near_dups(
         )
     )
     return scored.where(F.col("cos_sim") >= threshold)
+
+
+def compact_embedding_store(
+    store_entries: DataFrame,
+    store_vectors: DataFrame,
+    deleted_ids: DataFrame,
+) -> "tuple[DataFrame, DataFrame]":
+    """Embedding-store deletion (round-13 verdict #7): drop purged vectors
+    from BOTH store halves — posting entries and the vector table — with
+    one broadcast anti-join each (the compact_near_dup_store contract,
+    dedup.py: per-vector state, so removal is exact — no re-clustering,
+    no neighbor effects; the centroids stay valid because they are
+    trained routing state, not membership state). ``deleted_ids``' first
+    column is the vec id."""
+    d = deleted_ids.select(
+        F.col(deleted_ids.columns[0]).alias("vec_id")
+    ).distinct()
+    return (
+        store_entries.join(F.broadcast(d), "vec_id", "left_anti"),
+        store_vectors.join(F.broadcast(d), "vec_id", "left_anti"),
+    )
+
+
+def store_near_dup_pairs(
+    store_entries: DataFrame,
+    store_vectors: DataFrame,
+    threshold: float = SIM06_THRESHOLD,
+) -> DataFrame:
+    """Full same-label near-dup pair listing of a PERSISTED store from its
+    posting lists alone — no re-index, no re-probe: vectors sharing any
+    stored cell entry are candidates (each vector carries its nprobe
+    multi-probe entries, so shared-entry candidacy is a SUPERSET of the
+    batch flow's query→cell candidates — recall ≥ the sim06 operating
+    point the entries were written at), then cosine-verified. This is the
+    post-compaction audit pass: run it after compact_embedding_store to
+    state what the live store now pairs."""
+    from .dedup import _candidates_from_entries
+
+    cand = _candidates_from_entries(
+        store_entries.select(
+            F.col("vec_id").alias("doc_id"),
+            F.lit(0).alias("band"),
+            F.col("centroid_id").alias("bucket"),
+        )
+    )
+    vecs = store_vectors.select(
+        "vec_id", "label", "embedding", "nrm"
+    ).hint("shuffle_hash")
+    return _verify_same_label_cos(cand, vecs, threshold)
 
 
 # --------------------------------------------------------------------------- #
@@ -1663,6 +1722,74 @@ def sim11_incremental_store_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
 
     shutil.rmtree(store_path, ignore_errors=True)
     return result
+
+
+# --------------------------------------------------------------------------- #
+# sim12: PURGE + COMPACT of the persisted embedding store, adjudicated —     #
+# sim11's planting device INVERTED (round-13 verdict #7). The increment      #
+# (exact copies of the vec_id % 17 == 3 slice, ids +1e9) is ingested into   #
+# the store — entries and vectors appended, sim11's close-the-loop step —   #
+# then the ORIGINALS of that slice are purged and the store compacted       #
+# (compact_embedding_store). The adjudicated output is the live store's     #
+# full pair listing from its posting lists alone (store_near_dup_pairs):    #
+# a purged vector appearing in ANY pair, or a surviving pair lost, breaks   #
+# the hash — deletion exactness AND retention through compaction in one     #
+# relation. Recall: every live vector carries its nprobe probe entries,     #
+# copies probe exactly their sources' cells, so shared-entry candidacy is   #
+# a superset of sim06's adjudicated recall-1.0 candidate set on this        #
+# geometry; the oracle states the live pair set in exact SQL.               #
+# --------------------------------------------------------------------------- #
+
+
+@query(
+    "sim12_purged_store_pairs",
+    oracle=f"""
+    WITH live AS (
+        SELECT vec_id, label, embedding FROM embeddings
+        WHERE vec_id % {SIM11_INC_MOD} != {SIM11_INC_RES}
+        UNION ALL
+        SELECT vec_id + {SIM11_INC_OFFSET} AS vec_id, label, embedding
+        FROM embeddings WHERE vec_id % {SIM11_INC_MOD} = {SIM11_INC_RES}
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])),
+                 6) AS cos_sim
+    FROM live a JOIN live b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])),
+                6) >= {SIM06_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """,
+)
+def sim12_purged_store_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
+    index = build_ivf_index(emb)
+    is_slice = F.col("vec_id") % SIM11_INC_MOD == SIM11_INC_RES
+    copies = emb.where(is_slice).select(
+        (F.col("vec_id") + SIM11_INC_OFFSET).alias("vec_id"),
+        "label",
+        "embedding",
+        "nrm",
+    )
+    store_vectors = emb.select(
+        "vec_id", "label", "embedding", "nrm"
+    ).unionByName(copies)
+    # one probe pass over corpus ∪ copies (not one each): copies probe
+    # identical cells either way, and the probe is the expensive stage
+    store_entries = _probe_entries(
+        store_vectors, index, SIM06_NPROBE
+    ).select(
+        F.col("doc_id").alias("vec_id"), F.col("bucket").alias("centroid_id")
+    )
+    entries_live, vectors_live = compact_embedding_store(
+        store_entries, store_vectors, emb.where(is_slice).select("vec_id")
+    )
+    return store_near_dup_pairs(entries_live, vectors_live).orderBy(
+        "vec_a", "vec_b"
+    )
 
 
 # --------------------------------------------------------------------------- #
