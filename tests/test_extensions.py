@@ -3055,3 +3055,87 @@ def test_events_window_fuzz_parity(spark, tmp_path, seed):
         assert len(spark_pdf) == len(duck_pdf), (name, seed)
         assert _canon_pdf(spark_pdf) == _canon_pdf(duck_pdf), (name, seed)
     conn.close()
+
+
+@pytest.mark.parametrize("seed", [19, 53, 101])
+def test_chunked_dml_fuzz_parity(spark, tmp_path, seed):
+    """Randomized parity net for the chunked-DML flagships (q20–q23) and
+    the maintenance/versioning family (q48/q49/q55) — round-13 verdict
+    #4. Key layouts are the shapes the reference's own tests stress
+    (t/lib/CDTest.pm:231 "These gaps are intentional"; t/big-id.t:26-45):
+    a dense low cluster, a strided mid cluster after a large gap, and a
+    sparse huge-id tail — so the 16-chunk loop sees EMPTY chunks, one-row
+    chunks, and span arithmetic in the 10^12 range, against live DuckDB
+    on the same random tables."""
+    import datetime as _dt
+    import random as _random
+
+    import duckdb as _duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+
+    rng = _random.Random(seed)
+
+    def money(lo, hi):
+        return rng.randint(lo * 100, hi * 100) / 100.0
+
+    def day():
+        base = _dt.datetime(1995, 1, 1)  # straddles q48's 1999 cutoff
+        return base + _dt.timedelta(days=rng.randint(0, 8 * 365))
+
+    keys = set(range(1, rng.randint(20, 60)))
+    base_key = rng.randint(5_000, 50_000)
+    stride = rng.randint(1, 7)
+    keys.update(base_key + i * stride for i in range(rng.randint(10, 40)))
+    for _ in range(rng.randint(1, 5)):
+        keys.add(rng.randint(10**9, 10**12))
+    keys = sorted(keys)
+
+    orders = [
+        (k, rng.randrange(40), rng.choice("OFP"), money(1, 400000),
+         day(), rng.choice(["1-URGENT", "3-MEDIUM", "5-LOW"]))
+        for k in keys
+    ]
+    lineitem = [
+        (rng.choice(keys), ln, rng.choice("RAN"))
+        for _ in range(rng.randint(50, 150))
+        for ln in [rng.randint(1, 7)]
+    ]
+    d = str(tmp_path / f"cfz{seed}")
+    for name, rows, schema in (
+        ("orders", orders,
+         "o_orderkey long, o_custkey long, o_orderstatus string, "
+         "o_totalprice double, o_orderdate timestamp, o_orderpriority string"),
+        ("lineitem", lineitem,
+         "l_orderkey long, l_linenumber int, l_returnflag string"),
+    ):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{d}/{name}.parquet"
+        )
+    conn = _duckdb.connect()
+    for name in ("orders", "lineitem"):
+        conn.execute(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{d}/{name}.parquet/*.parquet')"
+        )
+    from tests.test_queries_oracle import _canon_pdf
+
+    queries = entry_mod.queries()
+    for name in (
+        "q20_chunked_delete_survivors",
+        "q21_chunked_groupby_combine",
+        "q22_chunked_update_overlay",
+        "q23_chunked_update_join",
+        "q48_scd2_merge",
+        "q49_zorder_key",
+        "q55_snapshot_diff",
+    ):
+        sdf = queries[name](spark, d)
+        spark_pdf = pd.DataFrame(
+            [tuple(r) for r in sdf.collect()], columns=sdf.columns
+        )
+        duck_pdf = conn.execute(entry_mod.oracle_sql()[name]).df()
+        assert len(spark_pdf) == len(duck_pdf), (name, seed)
+        assert _canon_pdf(spark_pdf) == _canon_pdf(duck_pdf), (name, seed)
+    conn.close()
