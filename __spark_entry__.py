@@ -118,51 +118,29 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     (dd14/dd15 — mm02/mm03/sim06 ceded their slots to the mid-round
 #:     tx35/tx36/st12 debuts). Queue head for round 14: mm02, mm03,
 #:     sim06, sim07….
+#:   round 14: CORRECTNESS_r13 = 50/50 green, so the full r13 cohort (its
+#:     5 debuts included) rotates out. In: the 3 round-14 oracle debuts
+#:     (tx37's purged+compacted postings-store dedup, st13's streaming
+#:     ingest on the postings store with mid-stream purge/compact, sim12's
+#:     embedding-store purge/compact adjudication — the deletion/compaction
+#:     lifecycle family, driver-adjudicated in its debut round) plus the
+#:     first 43 of the demotion queue: the round-11 cohort head recorded
+#:     last round (mm02, mm03, sim06, sim07, sim09, st01…) through sim01 —
+#:     sim03 stays at the queue head for round 15.
 #: Every rotated-out query stays oracle-pinned in the local gate replica
 #: (tests/test_queries_oracle.py parametrizes over every oracle —
-#: 130 after the round-11 additions, 135 with round 12's
-#: st08/mm05/mm06/tx33/tx34).
+#: 143 after the round-14 additions: tx37/st13/sim12).
 ADJUDICATED_PREFIX = (
     # chunker flagships: permanent slots
     "q20_chunked_delete_survivors", "q21_chunked_groupby_combine",
     "q22_chunked_update_overlay", "q23_chunked_update_join",
-    # round-13 oracle debuts: first driver rows in their debut round
-    "sim11_incremental_store_pairs", "tx13v_pii_redact_portable",
-    "tx35_substring_dedup", "tx36_incremental_substring_dedup",
-    "st12_stream_gram_store_ingest",
+    # round-14 oracle debuts: first driver rows in their debut round
+    "tx37_purged_store_dedup", "st13_stream_purged_store_ingest",
+    "sim12_purged_store_pairs",
     # oldest demotions re-adjudicated (head of the queue):
-    # last driver-green round 10 (the tail of that cohort)
-    "q46_lateral_topn_per_customer", "q47_recursive_hierarchy_rollup",
-    "q55_snapshot_diff", "q56_relational_division", "q57_id_islands",
-    "q58_revenue_share", "q59_segment_listagg", "tx19_classifier_score",
-    "tx20_split_leakage", "tx21_variant_extract", "tx22_zipf_fit",
-    "tx23_pii_scan", "tx27_bpe_fixed_encode", "tx28_gopher_quality_rules",
-    "tx29_ngram_novelty", "tx30_langid_confusion", "tx31_bpe_trainer_oracle",
-    "mm07_png_header_oracle", "mm08_wav_header_oracle",
-    "dd12_star_components", "dd13_sql_minhash_bands", "sim02_ann_lsh",
-    "sp02_weighted_sample", "sp03_temperature_sample", "sp05_pack_segments",
-    "sp06_epoch_shuffle", "sp09_stratified_split", "st03_stream_dedup",
-    "st05_stream_enrich", "st06_stream_stream_join",
-    "st09_stream_hourly_counts", "st10_stream_user_counts",
-    "st11_stream_session_counts", "q02_filter_predicates",
-    "q04_minmax_count", "q05_groupby_having", "q06_view_orders_1995",
-    "q10_set_ops", "q11_hourly_event_rollup",
-    # last driver-green round 11 (head of that cohort)
-    "dd14_sql_simhash_pairs", "dd15_sql_minhash_components",
-)
-
-#: Former slot-holders, first in line for re-adjudication when the
-#: rotation swings back — the queue is ordered OLDEST driver-green first,
-#: so the head is always first in line when slots free up (or if the
-#: driver cap were raised).
-DEMOTED_FROM_PREFIX = (
-    # Last driver-green round 11 (remainder of that cohort). sim06,
-    # mm03 and mm02 were seated for round 13, then ceded their slots to
-    # the mid-round tx35/tx36/st12 debuts — they return to the queue
-    # head with their cohort.
-    "mm02_decode_pipeline",
-    "mm03_resize_and_sample",
-    "sim06_ivf_near_dup",
+    # last driver-green round 11 (the remainder of that cohort; mm02/mm03/
+    # sim06 were seated for r13 then ceded their slots to mid-round debuts)
+    "mm02_decode_pipeline", "mm03_resize_and_sample", "sim06_ivf_near_dup",
     "sim07_embedding_dedup", "sim09_mmr_rerank", "st01_stream_hourly_rollup",
     "st02_stream_user_totals", "st04_stream_sessions",
     "tx32_bpe_train_encode", "mm04_phash_near_dup",
@@ -179,6 +157,15 @@ DEMOTED_FROM_PREFIX = (
     "q54_session_paths", "dd01_exact", "dd02_jaccard_pairs",
     "dd05_mllib_minhash", "dd06_lsh_jaccard_pairs",
     "dd08_ngram_jaccard_pairs", "mm01_binary_stats", "sim01_topk_bruteforce",
+)
+
+#: Former slot-holders, first in line for re-adjudication when the
+#: rotation swings back — the queue is ordered OLDEST driver-green first,
+#: so the head is always first in line when slots free up (or if the
+#: driver cap were raised).
+DEMOTED_FROM_PREFIX = (
+    # Last driver-green round 11 (the single remaining entry of that
+    # cohort — the 43 ahead of it were seated for round 14).
     "sim03_embedding_near_dup",
     # Last driver-green round 12 (demoted this round -- all 46 r12 greens
     # except the permanent chunker flagships; round-12 debuts first).
@@ -200,6 +187,27 @@ DEMOTED_FROM_PREFIX = (
     "q34_grouping_sets", "q35_event_gaps", "q37_topk_per_group",
     "q39_spend_deciles", "q41_sketch_rollup", "q43_salted_hot_join",
     "q45_unpivot_status_counts",
+    # Last driver-green round 13 (demoted this round — all 46 r13 greens
+    # except the permanent chunker flagships; round-13 debuts first).
+    "sim11_incremental_store_pairs", "tx13v_pii_redact_portable",
+    "tx35_substring_dedup", "tx36_incremental_substring_dedup",
+    "st12_stream_gram_store_ingest", "q46_lateral_topn_per_customer",
+    "q47_recursive_hierarchy_rollup", "q55_snapshot_diff",
+    "q56_relational_division", "q57_id_islands", "q58_revenue_share",
+    "q59_segment_listagg", "tx19_classifier_score", "tx20_split_leakage",
+    "tx21_variant_extract", "tx22_zipf_fit", "tx23_pii_scan",
+    "tx27_bpe_fixed_encode", "tx28_gopher_quality_rules",
+    "tx29_ngram_novelty", "tx30_langid_confusion", "tx31_bpe_trainer_oracle",
+    "mm07_png_header_oracle", "mm08_wav_header_oracle",
+    "dd12_star_components", "dd13_sql_minhash_bands", "sim02_ann_lsh",
+    "sp02_weighted_sample", "sp03_temperature_sample", "sp05_pack_segments",
+    "sp06_epoch_shuffle", "sp09_stratified_split", "st03_stream_dedup",
+    "st05_stream_enrich", "st06_stream_stream_join",
+    "st09_stream_hourly_counts", "st10_stream_user_counts",
+    "st11_stream_session_counts", "q02_filter_predicates",
+    "q04_minmax_count", "q05_groupby_having", "q06_view_orders_1995",
+    "q10_set_ops", "q11_hourly_event_rollup",
+    "dd14_sql_simhash_pairs", "dd15_sql_minhash_components",
 )
 
 

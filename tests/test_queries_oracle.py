@@ -171,15 +171,14 @@ def test_adjudicated_prefix_is_the_load_bearing_fifty():
     # Every prefix slot must be oracle-gated — a rows-only query in the
     # prefix wastes an adjudication slot.
     assert all(n in o for n in prefix)
-    # The round-13 rotation (round-12 verdict #4): the round-13 oracle
+    # The round-14 rotation (round-13 verdict #5): the round-14 oracle
     # debuts hold slots until THEIR CORRECTNESS rows come back green; the
     # chunker flagships q20-q23 hold permanent slots.
     for name in (
         "q20_chunked_delete_survivors", "q21_chunked_groupby_combine",
         "q22_chunked_update_overlay", "q23_chunked_update_join",
-        "sim11_incremental_store_pairs", "tx13v_pii_redact_portable",
-        "tx35_substring_dedup", "tx36_incremental_substring_dedup",
-        "st12_stream_gram_store_ingest",
+        "tx37_purged_store_dedup", "st13_stream_purged_store_ingest",
+        "sim12_purged_store_pairs",
     ):
         assert name in prefix, f"{name} lost its driver CORRECTNESS slot"
     # The demoted trio stays oracle-pinned (this file parametrizes over all
