@@ -119,14 +119,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     tx35/tx36/st12 debuts). Queue head for round 14: mm02, mm03,
 #:     sim06, sim07….
 #:   round 14: CORRECTNESS_r13 = 50/50 green, so the full r13 cohort (its
-#:     5 debuts included) rotates out. In: the 3 round-14 oracle debuts
+#:     5 debuts included) rotates out. In: the 4 round-14 oracle debuts
 #:     (tx37's purged+compacted postings-store dedup, st13's streaming
 #:     ingest on the postings store with mid-stream purge/compact, sim12's
 #:     embedding-store purge/compact adjudication — the deletion/compaction
-#:     lifecycle family, driver-adjudicated in its debut round) plus the
-#:     first 43 of the demotion queue: the round-11 cohort head recorded
-#:     last round (mm02, mm03, sim06, sim07, sim09, st01…) through sim01 —
-#:     sim03 stays at the queue head for round 15.
+#:     lifecycle family — plus the mid-round tx38, BatchChunker driving the
+#:     postings-store ingest; sim01 ceded its slot back to the queue head,
+#:     the tx35/tx36/st12 precedent) plus the first 42 of the demotion
+#:     queue: the round-11 cohort head recorded last round (mm02, mm03,
+#:     sim06, sim07, sim09, st01…) through mm01 — sim01/sim03 head the
+#:     queue for round 15.
 #: Every rotated-out query stays oracle-pinned in the local gate replica
 #: (tests/test_queries_oracle.py parametrizes over every oracle —
 #: 143 after the round-14 additions: tx37/st13/sim12).
@@ -135,8 +137,11 @@ ADJUDICATED_PREFIX = (
     "q20_chunked_delete_survivors", "q21_chunked_groupby_combine",
     "q22_chunked_update_overlay", "q23_chunked_update_join",
     # round-14 oracle debuts: first driver rows in their debut round
+    # (tx38 added mid-round: BatchChunker driving the postings-store
+    # ingest — sim01 ceded its slot back to the queue head, the
+    # tx35/tx36/st12 precedent)
     "tx37_purged_store_dedup", "st13_stream_purged_store_ingest",
-    "sim12_purged_store_pairs",
+    "sim12_purged_store_pairs", "tx38_chunked_corpus_ingest",
     # oldest demotions re-adjudicated (head of the queue):
     # last driver-green round 11 (the remainder of that cohort; mm02/mm03/
     # sim06 were seated for r13 then ceded their slots to mid-round debuts)
@@ -156,7 +161,7 @@ ADJUDICATED_PREFIX = (
     "q52_dense_hourly_fill", "q53_null_aware_anti_shuffle",
     "q54_session_paths", "dd01_exact", "dd02_jaccard_pairs",
     "dd05_mllib_minhash", "dd06_lsh_jaccard_pairs",
-    "dd08_ngram_jaccard_pairs", "mm01_binary_stats", "sim01_topk_bruteforce",
+    "dd08_ngram_jaccard_pairs", "mm01_binary_stats",
 )
 
 #: Former slot-holders, first in line for re-adjudication when the
@@ -164,8 +169,10 @@ ADJUDICATED_PREFIX = (
 #: so the head is always first in line when slots free up (or if the
 #: driver cap were raised).
 DEMOTED_FROM_PREFIX = (
-    # Last driver-green round 11 (the single remaining entry of that
-    # cohort — the 43 ahead of it were seated for round 14).
+    # Last driver-green round 11 (the remaining entries of that cohort —
+    # the 43 ahead were seated for round 14, then sim01 ceded its slot
+    # to the mid-round tx38 debut and returns to the queue head).
+    "sim01_topk_bruteforce",
     "sim03_embedding_near_dup",
     # Last driver-green round 12 (demoted this round -- all 46 r12 greens
     # except the permanent chunker flagships; round-12 debuts first).

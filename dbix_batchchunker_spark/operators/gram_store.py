@@ -244,13 +244,19 @@ class GramPostingsStore:
         self, pos: DataFrame, before_batch: "int | None" = None
     ) -> DataFrame:
         """Positional-gram rows (doc_id, nt, p, gram) whose gram is LIVE in
-        the store — with zero store-side Exchange at ANY store size:
+        the store — with zero store-side Exchange AND zero store-side
+        aggregation at ANY store size:
 
-        1. ``present`` = live grams ∩ batch grams, a SHUFFLE_HASH left-semi
-           that STREAMS the bucketed store scan against a hash table built
-           from the batch's (small, once-shuffled) distinct grams — no
-           store shuffle, no store sort, and the output is bounded by the
-           BATCH's gram count, never the store's;
+        1. ``present`` = live POSTINGS ⋉ batch grams, a SHUFFLE_HASH
+           left-semi that STREAMS the bucketed store scan against a hash
+           table built from the batch's (small, once-shuffled) distinct
+           grams — no store shuffle, no store sort, and the output is
+           bounded by the postings matching the BATCH, never the store —
+           then a distinct over those batch-bounded survivors (the
+           decade rehearsal caught the previous ``live_grams ⋉ batch``
+           order running a CORPUS-scale distinct before the join:
+           Exchange-free but still a per-batch hash build over every
+           posting, growing 2.5×/decade; join-below-distinct is flat);
         2. the hits are then a broadcast semi join of ``pos`` against
            ``present`` — bounded for the same reason.
 
@@ -266,8 +272,11 @@ class GramPostingsStore:
             .repartition(self.n_buckets, F.col("gram"))
             .distinct()
         )
-        present = self.live_grams(before_batch).join(
-            batch_grams.hint("shuffle_hash"), "gram", "left_semi"
+        present = (
+            self.live_postings(before_batch)
+            .select("gram")
+            .join(batch_grams.hint("shuffle_hash"), "gram", "left_semi")
+            .distinct()
         )
         return pos.join(F.broadcast(present), "gram", "left_semi")
 
@@ -425,5 +434,132 @@ def tx37_purged_store_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         store.compact()
         return store.ingest_batch(docs.where(is_inc), bid=1)
+    finally:
+        cleanup_store(store)
+
+
+# --------------------------------------------------------------------------- #
+# tx38: the reference's core chunk loop DRIVING the postings-store ingest —  #
+# BatchChunker keyset-chunks the corpus by doc_id (BatchChunker.pm:70-178's   #
+# bounded-per-chunk discipline) and each chunk flows through                  #
+# ingest_batch(bid=k), the 100 TB corpus-onboarding story end to end. The     #
+# planted corpus makes the result CHUNK-INVARIANT and closed-form: base docs  #
+# (doc_id % 5 != 4) get per-doc-unique vocab (token suffix '#'||doc_id), so   #
+# no accidental cross-doc gram ever collides and every base doc is kept in    #
+# full; copy docs (doc_id % 5 == 4, source doc_id-4 — always ≡ 0 mod 5, so    #
+# never itself a copy: no removal chains) repeat the SOURCE's suffixed        #
+# tokens, so every copy is fully removed through exactly one of the two       #
+# rules — the within-batch MIN(doc_id) rule when source and copy share a     #
+# chunk, the store probe when the source's chunk came earlier. Either way    #
+# n_removed = n_tokens (when ≥ gram width), so the oracle needs no model of   #
+# where the chunk boundaries fall. What a green row adjudicates beyond        #
+# tx37/st13: the BatchChunker loop itself feeding the store (a skipped,      #
+# doubled, or mis-bounded chunk flips rows), monotone store growth across    #
+# many batches, and both dedup rules selected by data, not by test wiring.   #
+# --------------------------------------------------------------------------- #
+_TX38_MOD, _TX38_RES, _TX38_DIST = 5, 4, 4
+
+
+def _tx38_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import _tokens_spark
+
+    base = t(spark, sf_dir, "documents").select(
+        "doc_id", _tokens_spark("text").alias("rawv")
+    )
+    src = base.select(
+        F.col("doc_id").alias("src_id"), F.col("rawv").alias("src_rawv")
+    )
+    return base.join(
+        src,
+        (F.col("doc_id") % _TX38_MOD == _TX38_RES)
+        & (F.col("src_id") == F.col("doc_id") - _TX38_DIST),
+        "left",
+    ).select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.coalesce("src_rawv", "rawv"),
+                lambda x: F.concat(
+                    x,
+                    F.lit("#"),
+                    F.coalesce(F.col("src_id"), F.col("doc_id")).cast(
+                        "string"
+                    ),
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+
+
+@query(
+    "tx38_chunked_corpus_ingest",
+    oracle=f"""
+    WITH d0 AS (
+        SELECT doc_id, {_tokens_sql()} AS rawv FROM documents
+    ),
+    p AS (
+        SELECT c.doc_id,
+               list_transform(
+                   COALESCE(s.rawv, c.rawv),
+                   t -> t || '#' ||
+                        CAST(COALESCE(s.doc_id, c.doc_id) AS VARCHAR)
+               ) AS w,
+               s.doc_id IS NOT NULL AS is_copy
+        FROM d0 c LEFT JOIN d0 s
+          ON c.doc_id % {_TX38_MOD} = {_TX38_RES}
+         AND s.doc_id = c.doc_id - {_TX38_DIST}
+    )
+    SELECT doc_id,
+           CAST(len(w) AS INT) AS n_tokens,
+           -- a copy is removed IN FULL whenever it has ANY gram: sub-width
+           -- docs emit one truncated gram (the range(0, greatest(len-n,0)+1)
+           -- clamp), identical to the source's — caught by the fuzz net's
+           -- doc-length-0..8 corpora, invisible to the long-doc gate corpus
+           CAST(CASE WHEN is_copy AND len(w) > 0
+                     THEN len(w) ELSE 0 END AS INT) AS n_removed,
+           CAST(CASE WHEN is_copy AND len(w) > 0
+                     THEN 0 ELSE len(w) END AS INT) AS n_kept,
+           CASE WHEN is_copy AND len(w) > 0
+                THEN '' ELSE COALESCE(array_to_string(w, ' '), '')
+           END AS kept_text
+    FROM p
+    ORDER BY doc_id
+    """,
+)
+def tx38_chunked_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from ..chunker import BatchChunker
+    from .chunked import _span_chunks
+
+    planted = _tx38_planted(spark, sf_dir)
+    store = temp_store(spark, "gs_tx38_")
+    parts: "list[DataFrame]" = []
+    try:
+
+        def ingest_chunk(bc: BatchChunker, chunk_df: DataFrame) -> None:
+            # bid = 1-based chunk ordinal: ingest_batch probes batch < bid,
+            # i.e. exactly the chunks the loop already committed
+            parts.append(store.ingest_batch(chunk_df, bid=len(parts) + 1))
+
+        chunk_size, mn, mx = _span_chunks(
+            planted, "doc_id", target_chunks=5, floor=1
+        )
+        BatchChunker(
+            df=planted,
+            id_name="doc_id",
+            coderef=ingest_chunk,
+            chunk_size=chunk_size,
+            min_id=mn,
+            max_id=mx,
+            target_time=0,
+            min_chunk_percent=0,
+            sleep=0,
+            verbose=False,
+        ).execute()
+        # parts are localCheckpoint'ed by ingest_batch (bounded: one row
+        # per corpus doc), so the union survives the store cleanup below
+        return reduce(DataFrame.unionByName, parts).orderBy("doc_id")
     finally:
         cleanup_store(store)

@@ -2834,6 +2834,14 @@ def test_gram_surgery_fuzz_parity(spark, tmp_path, seed):
         "tx34_span_decontaminate",
         "tx35_substring_dedup",
         "tx36_incremental_substring_dedup",
+        # round-14 postings-store lifecycle on random heavy-collision
+        # corpora: tx37 exercises purge/compact + the bucketed probe where
+        # the tiny vocab makes nearly every gram multi-claimed (the
+        # regime where a wrong tombstone anti-join or a compact() that
+        # over/under-folds flips rows); tx38 exercises the BatchChunker
+        # loop over random doc-length layouts including empty docs.
+        "tx37_purged_store_dedup",
+        "tx38_chunked_corpus_ingest",
         "dd13_sql_minhash_bands",
         "dd14_sql_simhash_pairs",
         "dd15_sql_minhash_components",
