@@ -35,6 +35,22 @@ files ⇒ row-group pruning headroom); what bucketing removes is the
 corpus-scale SHUFFLE+SORT that grows the per-batch network/disk bill with
 corpus AGE. The decade rehearsal row in SCALING.md measures exactly that
 split.
+
+Gram-frequency skew: natural-language gram frequencies are Zipfian, so a
+stop-word gram ("of the and the") can carry millions of postings, all
+hashing to ONE bucket. The READ paths are skew-immune by construction —
+probes STREAM the store (no shuffle, no build over store rows) and the
+post-join distinct collapses a hot gram to one row — so skew surfaces
+only as bucket-file size variance at write/compact time, bounded by
+``repartition(n_buckets, gram)``'s task granularity. If write-side skew
+ever dominates a maintenance window, cap postings per gram at K ≥ 2 when
+claiming (keep the K smallest doc_ids): dedup semantics are unchanged (a
+gram is live iff ANY claim is live, and a hot gram's K claims never all
+purge in practice); the tradeoff — purging ALL K claimants kills a gram
+a (K+1)th live doc still duplicates, i.e. fails toward UNDER-removal —
+is deliberate and documented rather than implemented, because it trades
+deletion precision for write balance and no measured workload here
+needs it.
 """
 
 from __future__ import annotations
@@ -533,7 +549,10 @@ def tx38_chunked_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..chunker import BatchChunker
     from .chunked import _span_chunks
 
-    planted = _tx38_planted(spark, sf_dir)
+    # The planted corpus is the FIXTURE (in production this is a real
+    # table); materialize it once or every chunk's BETWEEN filter re-runs
+    # the construction self-join. Bounded: one row per corpus doc.
+    planted = _tx38_planted(spark, sf_dir).localCheckpoint(eager=True)
     store = temp_store(spark, "gs_tx38_")
     parts: "list[DataFrame]" = []
     try:
