@@ -125,6 +125,13 @@ class GramPostingsStore:
         self.spark.sql(
             self._DDL.format(name=self.name, nb=self.n_buckets, path=self.path)
         )
+        # An EMPTY store may have no location dir yet (external CREATE
+        # TABLE does not mkdir; nothing was ever inserted) —
+        # recoverPartitions throws FileNotFoundException on it. Found by
+        # the randomized lifecycle fuzz (re-register before first ingest).
+        fs, jp = self._fs(self.path)
+        if not fs.exists(jp):
+            fs.mkdirs(jp)
         self.spark.catalog.recoverPartitions(self.name)
         return self
 
@@ -206,7 +213,15 @@ class GramPostingsStore:
     def purge(self, doc_ids: DataFrame) -> None:
         """Tombstone documents (first column = doc id): they stop claiming
         grams at the NEXT read. Cheap (no store rewrite); ``compact()``
-        makes the deletion physical."""
+        makes the deletion physical.
+
+        Contract (pinned by the randomized lifecycle fuzz): a tombstone
+        suppresses ALL claims under that doc_id — including postings
+        ingested AFTER the purge — until ``compact()`` folds the deletion
+        in and clears the tombstones. Re-ingesting a purged doc_id before
+        the next compaction is therefore unsupported; this is the keyset
+        discipline the whole engine already assumes (ids are never
+        reused, BatchChunker.pm's cursor monotonicity)."""
         d = doc_ids.select(
             F.col(doc_ids.columns[0]).cast("long").alias("doc_id")
         ).distinct()

@@ -236,3 +236,81 @@ def test_one_file_per_bucket_per_partition(spark, docs):
         assert len(files) == 4, files
     finally:
         cleanup_store(store)
+
+
+@pytest.mark.parametrize("seed", [13, 47, 88, 101, 222])
+def test_randomized_lifecycle_matches_model(spark, seed):
+    """Randomized lifecycle fuzz (the round-13 lesson applied to the
+    store itself): a seeded sequence of add_postings / purge / compact /
+    re-register ops, checked after EVERY op against a pure-Python
+    postings model — live_grams must equal { gram : some live doc claims
+    it } no matter how the ops interleave. Catches the ordering classes
+    the fixed-scenario tests can't reach: purge after compact before the
+    next compact, double purge, purge of never-ingested or already-purged
+    docs, empty batches, re-registration mid-sequence with tombstones
+    outstanding."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    store = temp_store(spark, f"gs_fz{seed}_", n_buckets=4)
+    model: dict[int, set] = {}  # doc_id -> claimed gram set (live docs)
+    purged: set = set()  # tombstoned ids: suppress ALL claims til compact
+    next_doc, next_bid = 0, 0
+    try:
+        for _step in range(10):
+            op = rng.choice(["add", "add", "purge", "compact", "reregister"])
+            if op == "add":
+                rows, grams = [], {}
+                for _ in range(rng.randint(0, 6)):
+                    toks = [
+                        rng.choice(vocab) for _ in range(rng.randint(0, 7))
+                    ]
+                    rows.append((next_doc, " ".join(toks)))
+                    if toks:  # sub-width docs emit one truncated gram
+                        grams[next_doc] = {
+                            " ".join(toks[i : i + 4])
+                            for i in range(max(len(toks) - 4, 0) + 1)
+                        }
+                    next_doc += 1
+                df = spark.createDataFrame(
+                    rows or [(None, None)], "doc_id long, text string"
+                )
+                if not rows:
+                    df = df.where("doc_id is not null")
+                store.add_postings(df, bid=next_bid)
+                # purge contract: an outstanding tombstone suppresses even
+                # later-ingested claims under that id until compact()
+                model.update(
+                    {i: g for i, g in grams.items() if i not in purged}
+                )
+                next_bid += 1
+            elif op == "purge":
+                # mix of live, already-purged, and never-ingested ids
+                ids = [
+                    rng.randrange(0, max(next_doc, 1) + 3)
+                    for _ in range(rng.randint(0, 4))
+                ]
+                store.purge(
+                    spark.createDataFrame(
+                        [(i,) for i in ids] or [(None,)], "doc_id long"
+                    ).where("doc_id is not null")
+                )
+                for i in ids:
+                    model.pop(i, None)
+                purged.update(ids)
+            elif op == "compact":
+                store.compact()
+                purged.clear()
+            else:
+                store.drop()
+                store = GramPostingsStore(
+                    spark, store.name, store.path, store.n_buckets
+                ).register()
+            got = sorted(
+                r.gram for r in store.live_grams().collect()
+            )  # bounded: tiny-vocab fuzz corpus
+            want = sorted(set().union(*model.values()) if model else set())
+            assert got == want, (seed, _step, op)
+    finally:
+        cleanup_store(store)
