@@ -174,6 +174,40 @@ class GramPostingsStore:
         tests/test_plan_fingerprints.py)."""
         return self.live_postings(before_batch).select("gram").distinct()
 
+    def stats(self) -> DataFrame:
+        """One-row accounting frame — the numbers an operator alerts on
+        (tombstone backlog ⇒ schedule a compact; live/total posting ratio
+        ⇒ space reclaimable). ONE pass over the store: tombstones mark
+        rows via a broadcast left join, then a single aggregate carries
+        every count (the distincts expand inside one Expand+HashAggregate,
+        not separate jobs). A maintenance-window query, not a per-batch
+        one — it scans the whole store, by design."""
+        p = self.postings()
+        tomb = self._tombstones()
+        if tomb is None:
+            marked = p.withColumn("dead", F.lit(False))
+        else:
+            marked = p.join(
+                F.broadcast(tomb.withColumn("dead", F.lit(True))),
+                "doc_id",
+                "left",
+            ).withColumn("dead", F.coalesce("dead", F.lit(False)))
+        live = ~F.col("dead")
+        return marked.agg(
+            F.count(F.lit(1)).alias("n_postings_total"),
+            F.sum(F.when(live, 1).otherwise(0)).alias("n_postings_live"),
+            F.countDistinct("gram").alias("n_grams_total"),
+            F.countDistinct(F.when(live, F.col("gram"))).alias(
+                "n_grams_live"
+            ),
+            F.countDistinct(F.when(live, F.col("doc_id"))).alias(
+                "n_docs_live"
+            ),
+            F.countDistinct(F.when(F.col("dead"), F.col("doc_id"))).alias(
+                "n_docs_tombstoned"
+            ),
+        )
+
     # -- writes --------------------------------------------------------------
 
     def _insert(self, postings: DataFrame) -> None:
@@ -595,5 +629,63 @@ def tx38_chunked_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # parts are localCheckpoint'ed by ingest_batch (bounded: one row
         # per corpus doc), so the union survives the store cleanup below
         return reduce(DataFrame.unionByName, parts).orderBy("doc_id")
+    finally:
+        cleanup_store(store)
+
+
+# --------------------------------------------------------------------------- #
+# q60: store accounting — the observability surface a production operator    #
+# alerts on (tombstone backlog => schedule a compact; live/total posting     #
+# ratio => reclaimable space). The store ingests the corpus slice            #
+# doc_id % 5 != 4 as postings, the slice doc_id % 20 == 0 is tombstoned      #
+# (NOT compacted — the point is accounting of the in-between state), and     #
+# stats() reports one integer-exact row. The oracle rebuilds the postings    #
+# relation from the corpus in SQL and restates every count, so a green row   #
+# adjudicates the tombstone-marking join and each aggregate's null/distinct  #
+# semantics — the arithmetic that decides real maintenance actions.          #
+# --------------------------------------------------------------------------- #
+@query(
+    "q60_store_accounting",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_tokens_sql()} AS w FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, greatest(len(w) - {_SSD_N}, 0) + 1),
+                   i -> array_to_string(w[i + 1 : i + {_SSD_N}], ' ')
+               )) AS gram
+        FROM d WHERE len(w) > 0
+    ),
+    post AS (
+        SELECT DISTINCT gram, doc_id FROM g WHERE doc_id % 5 != 4
+    ),
+    m AS (
+        SELECT gram, doc_id, doc_id % 20 = 0 AS dead FROM post
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_postings_total,
+           CAST(SUM(CASE WHEN NOT dead THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_postings_live,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_grams_total,
+           CAST(COUNT(DISTINCT CASE WHEN NOT dead THEN gram END) AS BIGINT)
+               AS n_grams_live,
+           CAST(COUNT(DISTINCT CASE WHEN NOT dead THEN doc_id END) AS BIGINT)
+               AS n_docs_live,
+           CAST(COUNT(DISTINCT CASE WHEN dead THEN doc_id END) AS BIGINT)
+               AS n_docs_tombstoned
+    FROM m
+    """,
+)
+def q60_store_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    store = temp_store(spark, "gs_q60_")
+    try:
+        store.add_postings(docs.where(F.col("doc_id") % 5 != 4), bid=0)
+        store.purge(
+            docs.where(F.col("doc_id") % 20 == 0).select("doc_id")
+        )
+        # bounded: stats() is a single row
+        return store.stats().localCheckpoint(eager=True)
     finally:
         cleanup_store(store)
