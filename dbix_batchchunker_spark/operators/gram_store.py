@@ -42,7 +42,12 @@ hashing to ONE bucket. The READ paths are skew-immune by construction —
 probes STREAM the store (no shuffle, no build over store rows) and the
 post-join distinct collapses a hot gram to one row — so skew surfaces
 only as bucket-file size variance at write/compact time, bounded by
-``repartition(n_buckets, gram)``'s task granularity. If write-side skew
+``repartition(n_buckets, gram)``'s task granularity. MEASURED (10M
+postings, 20% on ONE hot gram, 16 buckets, local[32]): the skewed write
+is FASTER than uniform (3.3 s vs 6.9 s — ``sortWithinPartitions`` groups
+the hot gram and dictionary/RLE collapse the run), and skew survives
+only as 4.3× max/median bucket-file size — a single mildly-long read
+task, not a wall. If write-side skew
 ever dominates a maintenance window, cap postings per gram at K ≥ 2 when
 claiming (keep the K smallest doc_ids): dedup semantics are unchanged (a
 gram is live iff ANY claim is live, and a hot gram's K claims never all

@@ -985,7 +985,12 @@ def st12_stream_gram_store_ingest(
     or an earlier same-batch document are cut, kept docs land in a
     per-batch overwrite dir (exactly-once under replay), and the batch's
     new distinct grams append to the store for every later batch to probe.
-    (sf_dir unused: the feed connector generates the corpus.)"""
+    (sf_dir unused: the feed connector generates the corpus.)
+
+    Round-13 contract, kept adjudicated as-is; st13 below is the SAME
+    loop re-seated on the round-14 bucketed postings store, which is
+    what a persisted deployment should use (flat per-batch probes,
+    purge/compact — gram_store.py, SCALING.md)."""
     from ..sources.pydatasource import register_feed
     from ..streaming.incremental import process_available
     from .text import (

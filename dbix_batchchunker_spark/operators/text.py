@@ -2246,6 +2246,12 @@ def incremental_substring_dedup(
 def tx36_incremental_substring_dedup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    """Round-13 contract, kept adjudicated as-is. For PERSISTED stores the
+    round-14 GramPostingsStore (operators/gram_store.py) supersedes this
+    distinct-gram layout: bucketed (flat per-batch probes across a store
+    decade vs 1.24-1.6x here — SCALING.md), deletion-capable, compactable.
+    This in-memory-frame form remains the right tool when the "store" is
+    itself a transient frame (a single backfill's earlier slice)."""
     docs = t(spark, sf_dir, "documents")
     is_inc = F.col("doc_id") % _TX36_MOD == _TX36_RES
     store_grams = (
