@@ -123,13 +123,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     (tx37's purged+compacted postings-store dedup, st13's streaming
 #:     ingest on the postings store with mid-stream purge/compact, sim12's
 #:     embedding-store purge/compact adjudication — the deletion/compaction
-#:     lifecycle family — plus the mid-round tx38, BatchChunker driving the
-#:     postings-store ingest, and q60, the store-accounting observability
-#:     row; mm01/sim01 ceded their slots back to the queue head, the
-#:     tx35/tx36/st12 precedent) plus the first 41 of the demotion
-#:     queue: the round-11 cohort head recorded last round (mm02, mm03,
-#:     sim06, sim07, sim09, st01…) through dd08 — mm01/sim01/sim03 head
-#:     the queue for round 15.
+#:     lifecycle family — plus the mid-round debuts: tx38, BatchChunker
+#:     driving the postings-store ingest; q60, the store-accounting
+#:     observability row; tx40, the wave-parallel onboarding composition
+#:     through ConcurrentChunker. dd08/mm01/sim01 ceded their slots back
+#:     to the queue head, the tx35/tx36/st12 precedent) plus the first 40
+#:     of the demotion queue: the round-11 cohort head recorded last round
+#:     (mm02, mm03, sim06, sim07, sim09, st01…) through dd06 —
+#:     dd08/mm01/sim01/sim03 head the queue for round 15.
 #: Every rotated-out query stays oracle-pinned in the local gate replica
 #: (tests/test_queries_oracle.py parametrizes over every oracle —
 #: 143 after the round-14 additions: tx37/st13/sim12).
@@ -143,7 +144,7 @@ ADJUDICATED_PREFIX = (
     # tx35/tx36/st12 precedent)
     "tx37_purged_store_dedup", "st13_stream_purged_store_ingest",
     "sim12_purged_store_pairs", "tx38_chunked_corpus_ingest",
-    "q60_store_accounting",
+    "q60_store_accounting", "tx40_concurrent_corpus_ingest",
     # oldest demotions re-adjudicated (head of the queue):
     # last driver-green round 11 (the remainder of that cohort; mm02/mm03/
     # sim06 were seated for r13 then ceded their slots to mid-round debuts)
@@ -163,7 +164,6 @@ ADJUDICATED_PREFIX = (
     "q52_dense_hourly_fill", "q53_null_aware_anti_shuffle",
     "q54_session_paths", "dd01_exact", "dd02_jaccard_pairs",
     "dd05_mllib_minhash", "dd06_lsh_jaccard_pairs",
-    "dd08_ngram_jaccard_pairs",
 )
 
 #: Former slot-holders, first in line for re-adjudication when the
@@ -172,8 +172,10 @@ ADJUDICATED_PREFIX = (
 #: driver cap were raised).
 DEMOTED_FROM_PREFIX = (
     # Last driver-green round 11 (the remaining entries of that cohort —
-    # the 43 ahead were seated for round 14, then mm01/sim01 ceded their
-    # slots to the mid-round tx38/q60 debuts and return to the queue head).
+    # the 43 ahead were seated for round 14, then dd08/mm01/sim01 ceded
+    # their slots to the mid-round tx38/q60/tx40 debuts and return to the
+    # queue head).
+    "dd08_ngram_jaccard_pairs",
     "mm01_binary_stats",
     "sim01_topk_bruteforce",
     "sim03_embedding_near_dup",

@@ -351,21 +351,32 @@ class GramPostingsStore:
         return pos.join(F.broadcast(present), "gram", "left_semi")
 
     def ingest_batch(
-        self, docs: DataFrame, bid: int, n: int = _SSD_N
+        self,
+        docs: DataFrame,
+        bid: int,
+        n: int = _SSD_N,
+        probe_before: "int | None" = None,
     ) -> DataFrame:
         """One batch through the full loop: cut spans duplicating the live
         pre-batch store or an earlier same-batch doc (tx36 semantics),
         claim the kept docs' grams as partition ``batch=bid``, return the
         per-doc result (doc_id, n_tokens, n_removed, n_kept, kept_text).
 
+        ``probe_before`` overrides the store view the probe reads (default
+        ``bid`` — everything committed before this batch). Concurrent
+        onboarding (tx40) sets it to the WAVE start so every in-flight
+        chunk probes the same store snapshot instead of racing each
+        other's claims.
+
         The returned frame is MATERIALIZED (localCheckpoint) before the
         postings write so the claim derives from the same computation the
         caller persists — and so a caller's later re-read cannot race the
         store append."""
         pos = _positional_grams(docs, n)
-        store_hits = self.probe_hits(pos, before_batch=bid).select(
-            "doc_id", "nt", "p"
-        )
+        store_hits = self.probe_hits(
+            pos,
+            before_batch=bid if probe_before is None else probe_before,
+        ).select("doc_id", "nt", "p")
         firsts = pos.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
         batch_hits = (
             pos.join(firsts, "gram")
@@ -562,9 +573,10 @@ def _tx38_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "tx38_chunked_corpus_ingest",
-    oracle=f"""
+#: Shared by tx38 (serial chunk loop) and tx40 (concurrent + reconcile):
+#: the planted corpus makes BOTH compositions' results equal to this one
+#: closed form, independent of chunk boundaries or execution order.
+_PLANTED_INGEST_ORACLE = f"""
     WITH d0 AS (
         SELECT doc_id, {_tokens_sql()} AS rawv FROM documents
     ),
@@ -595,8 +607,10 @@ def _tx38_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
            END AS kept_text
     FROM p
     ORDER BY doc_id
-    """,
-)
+    """
+
+
+@query("tx38_chunked_corpus_ingest", oracle=_PLANTED_INGEST_ORACLE)
 def tx38_chunked_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
@@ -635,6 +649,124 @@ def tx38_chunked_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per corpus doc), so the union survives the store cleanup below
         return reduce(DataFrame.unionByName, parts).orderBy("doc_id")
     finally:
+        cleanup_store(store)
+
+
+# --------------------------------------------------------------------------- #
+# tx40: WAVE-PARALLEL corpus onboarding — tx38's loop through               #
+# ConcurrentChunker, the composition a 1000-executor cluster actually      #
+# wants (a strictly serial chunk loop leaves the cluster idle between      #
+# chunk jobs; the reference cannot offer this — one Perl process). The     #
+# order-dependence problem: concurrent chunks cannot see each other's      #
+# claims, so cross-chunk duplicates survive phase 1. The composition:      #
+#                                                                          #
+#   phase 1 (parallel) — every chunk probes the SAME pre-wave store        #
+#     snapshot (probe_before=1: empty here) + the within-chunk             #
+#     MIN(doc_id) rule; claims land in per-chunk partitions (disjoint      #
+#     dynamic overwrites — safe concurrently);                             #
+#   phase 2 (reconcile) — ONE tx35-style batch pass over the phase-1      #
+#     SURVIVORS' kept text catches everything cross-chunk.                 #
+#                                                                          #
+# Stale claims from docs phase 2 cut are REDUNDANT, not wrong: a cut      #
+# doc's kept-text grams duplicated its source's, which the (fully-kept)    #
+# source still claims — later batches dedup identically.                  #
+#                                                                          #
+# Equality with the serial loop holds when no duplicate's source is       #
+# itself cut (chain-free corpora — the planted family here, where the     #
+# oracle is closed-form). On CHAINED corpora phase 2 is the tx35 batch    #
+# rule over phase-1 survivors, which can cut a span the serial loop kept  #
+# (its earlier occurrence was itself removed mid-chunk) — the             #
+# conservative direction for dedup; documented, not hidden.               #
+# --------------------------------------------------------------------------- #
+@query("tx40_concurrent_corpus_ingest", oracle=_PLANTED_INGEST_ORACLE)
+def tx40_concurrent_corpus_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from functools import reduce
+
+    from ..chunker import BatchChunker, ConcurrentChunker
+    from .chunked import _span_chunks
+
+    planted = _tx38_planted(spark, sf_dir).localCheckpoint(eager=True)
+    store = temp_store(spark, "gs_tx40_")
+    parts: "list[DataFrame]" = []
+    chunk_size, mn, mx = _span_chunks(
+        planted, "doc_id", target_chunks=5, floor=1
+    )
+    conf = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf, None)
+    # set ONCE for the whole wave: _insert's per-call set/restore is not
+    # atomic across max_in_flight workers (T2's set can race T1's restore)
+    spark.conf.set(conf, "dynamic")
+    try:
+
+        def ingest_chunk(bc: BatchChunker, chunk_df: DataFrame) -> None:
+            # deterministic per-chunk bid from the id range (a shared
+            # counter would race across workers); probe_before=1 pins
+            # every chunk to the same pre-wave (empty) store snapshot.
+            # bounded: one MIN row over an already-checkpointed chunk
+            start = chunk_df.agg(F.min("doc_id")).collect()[0][0]
+            bid = 1 + (int(start) - mn) // chunk_size
+            parts.append(
+                store.ingest_batch(chunk_df, bid=bid, probe_before=1)
+            )
+
+        ConcurrentChunker(
+            BatchChunker(
+                df=planted,
+                id_name="doc_id",
+                coderef=ingest_chunk,
+                chunk_size=chunk_size,
+                min_id=mn,
+                max_id=mx,
+                target_time=0,
+                min_chunk_percent=0,
+                sleep=0,
+                verbose=False,
+            ),
+            max_in_flight=4,
+        ).execute()
+        phase1 = reduce(DataFrame.unionByName, parts)
+        # phase 2: cross-chunk reconcile over the survivors' kept text
+        kept = phase1.where(F.col("n_kept") > 0).select(
+            "doc_id", F.col("kept_text").alias("text")
+        )
+        pos = _positional_grams(kept, _SSD_N)
+        firsts = pos.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+        hits = (
+            pos.join(firsts, "gram")
+            .where(F.col("doc_id") > F.col("first_doc"))
+            .select("doc_id", "nt", "p")
+        )
+        rec = _apply_span_removal(kept, hits, _SSD_N).select(
+            "doc_id",
+            F.col("n_removed").alias("rec_removed"),
+            F.col("n_kept").alias("rec_kept"),
+            F.col("kept_text").alias("rec_text"),
+        )
+        return (
+            phase1.join(rec, "doc_id", "left")
+            .select(
+                "doc_id",
+                "n_tokens",
+                (
+                    F.col("n_removed")
+                    + F.coalesce(F.col("rec_removed"), F.lit(0))
+                )
+                .cast("int")
+                .alias("n_removed"),
+                F.coalesce(F.col("rec_kept"), F.col("n_kept"))
+                .cast("int")
+                .alias("n_kept"),
+                F.coalesce(F.col("rec_text"), F.col("kept_text")).alias(
+                    "kept_text"
+                ),
+            )
+            .orderBy("doc_id")
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set(conf, prev)
         cleanup_store(store)
 
 

@@ -2842,6 +2842,7 @@ def test_gram_surgery_fuzz_parity(spark, tmp_path, seed):
         # loop over random doc-length layouts including empty docs.
         "tx37_purged_store_dedup",
         "tx38_chunked_corpus_ingest",
+        "tx40_concurrent_corpus_ingest",
         "q60_store_accounting",
         "dd13_sql_minhash_bands",
         "dd14_sql_simhash_pairs",
