@@ -133,7 +133,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     dd08/mm01/sim01/sim03 head the queue for round 15.
 #: Every rotated-out query stays oracle-pinned in the local gate replica
 #: (tests/test_queries_oracle.py parametrizes over every oracle —
-#: 143 after the round-14 additions: tx37/st13/sim12).
+#: 146 after the round-14 additions: tx37/st13/sim12 + the mid-round
+#: tx38/q60/tx40).
 ADJUDICATED_PREFIX = (
     # chunker flagships: permanent slots
     "q20_chunked_delete_survivors", "q21_chunked_groupby_combine",
