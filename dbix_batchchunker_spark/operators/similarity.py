@@ -1588,6 +1588,17 @@ def _verify_same_label_cos(
     return scored.where(F.col("cos_sim") >= threshold)
 
 
+#: Broadcast ceiling for the deletion anti-joins below, in purged vec_ids.
+#: 2M ids ≈ 16 MB broadcast — far past any between-compaction purge list
+#: the ingest discipline plans for. Past it (a mass takedown), the
+#: anti-joins degrade to SHUFFLE_HASH: one extra shuffle of each store
+#: half for that compaction, bounded-memory, instead of a driver OOM
+#: (round-14 verdict #3 — the same valve as the gram store's
+#: TOMBSTONE_BROADCAST_MAX_BYTES, sized in rows here because deleted_ids
+#: is an in-flight frame, not a persisted dir with free FS metadata).
+DELETE_BROADCAST_MAX_IDS = 2_000_000
+
+
 def compact_embedding_store(
     store_entries: DataFrame,
     store_vectors: DataFrame,
@@ -1595,17 +1606,26 @@ def compact_embedding_store(
 ) -> "tuple[DataFrame, DataFrame]":
     """Embedding-store deletion (round-13 verdict #7): drop purged vectors
     from BOTH store halves — posting entries and the vector table — with
-    one broadcast anti-join each (the compact_near_dup_store contract,
-    dedup.py: per-vector state, so removal is exact — no re-clustering,
-    no neighbor effects; the centroids stay valid because they are
-    trained routing state, not membership state). ``deleted_ids``' first
-    column is the vec id."""
+    one anti-join each (the compact_near_dup_store contract, dedup.py:
+    per-vector state, so removal is exact — no re-clustering, no neighbor
+    effects; the centroids stay valid because they are trained routing
+    state, not membership state). ``deleted_ids``' first column is the
+    vec id. The anti-joins broadcast below DELETE_BROADCAST_MAX_IDS and
+    fall back to shuffle hash joins above it — a mass purge degrades to
+    one extra shuffle per store half, never a driver OOM."""
     d = deleted_ids.select(
         F.col(deleted_ids.columns[0]).alias("vec_id")
     ).distinct()
+    # bounded size probe: one job that stops at the threshold — cheap when
+    # the purge list is small (the common case), capped when it is not
+    huge = (
+        d.limit(DELETE_BROADCAST_MAX_IDS + 1).count()
+        > DELETE_BROADCAST_MAX_IDS
+    )
+    side = d.hint("shuffle_hash") if huge else F.broadcast(d)
     return (
-        store_entries.join(F.broadcast(d), "vec_id", "left_anti"),
-        store_vectors.join(F.broadcast(d), "vec_id", "left_anti"),
+        store_entries.join(side, "vec_id", "left_anti"),
+        store_vectors.join(side, "vec_id", "left_anti"),
     )
 
 

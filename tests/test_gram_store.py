@@ -238,6 +238,112 @@ def test_one_file_per_bucket_per_partition(spark, docs):
         cleanup_store(store)
 
 
+def test_stats_empty_store_and_double_purge(spark, docs):
+    """Round-14 advisor pair: (a) stats() on a FRESH store must report
+    non-null zero bigints (F.sum over zero rows is NULL without the
+    coalesce); (b) a doc purged in two separate purge() calls appears
+    twice in the tombstone dir — the marking join must not fan its
+    postings out (verified-live bug: 6 reported vs 4 stored)."""
+    store = temp_store(spark, "gs_t9_")
+    try:
+        row = store.stats().collect()[0]  # bounded: one accounting row
+        assert row.asDict() == {
+            "n_postings_total": 0,
+            "n_postings_live": 0,
+            "n_grams_total": 0,
+            "n_grams_live": 0,
+            "n_docs_live": 0,
+            "n_docs_tombstoned": 0,
+        }
+        store.add_postings(docs.where("doc_id % 5 = 0"), bid=0)
+        stored = store.postings().count()
+        one = docs.where("doc_id % 25 = 0").select("doc_id")
+        store.purge(one)
+        store.purge(one)  # second call re-appends the same ids
+        row = store.stats().collect()[0]  # bounded: one accounting row
+        assert row.n_postings_total == stored
+        assert row.n_postings_live == store.live_postings().count()
+    finally:
+        cleanup_store(store)
+
+
+def test_tombstone_backlog_shuffle_fallback(spark, docs, monkeypatch):
+    """Round-14 verdict #3: past TOMBSTONE_BROADCAST_MAX_BYTES the
+    tombstone anti-join must degrade to a SHUFFLE_HASH join (bounded
+    memory) instead of broadcasting an arbitrarily large purge list, and
+    needs_compact() must report the same condition — with identical
+    results through either plan."""
+    from dbix_batchchunker_spark.operators import gram_store as gs_mod
+
+    store = temp_store(spark, "gs_t10_")
+    try:
+        store.add_postings(docs.where("doc_id % 5 != 4"), bid=0)
+        store.purge(docs.where("doc_id % 20 == 0").select("doc_id"))
+        assert not store.needs_compact()
+        via_broadcast = sorted(
+            r.gram for r in store.live_grams().collect()
+        )  # bounded: gate-scale distinct gram set
+        plan = _executed(store.live_grams())
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+        # force the backlog over the ceiling: every byte counts as huge
+        monkeypatch.setattr(gs_mod, "TOMBSTONE_BROADCAST_MAX_BYTES", 1)
+        assert store.needs_compact()
+        plan = _executed(store.live_grams())
+        assert "ShuffledHashJoin" in plan and "LeftAnti" in plan
+        assert "BroadcastHashJoin" not in plan
+        got = sorted(
+            r.gram for r in store.live_grams().collect()
+        )  # bounded: same gate-scale set
+        assert got == via_broadcast
+        # stats' marking join degrades the same way, same numbers
+        row = store.stats().collect()[0]  # bounded: one row
+        assert row.n_postings_live == len(
+            store.live_postings().collect()
+        )  # bounded: gate-scale postings
+    finally:
+        cleanup_store(store)
+
+
+def test_compact_lease_refuses_second_writer(spark, docs):
+    """Round-14 verdict #8: single-writer compaction is enforced by an
+    atomically-created lease file, not docstring discipline — a second
+    compact, an ingest, or a purge racing a held lease refuses LOUDLY;
+    break_lease()/compact(force=True) is the documented crash repair."""
+    from dbix_batchchunker_spark.operators.gram_store import (
+        StoreMaintenanceLockError,
+    )
+
+    store = temp_store(spark, "gs_t11_")
+    try:
+        store.add_postings(docs.where("doc_id % 5 != 4"), bid=0)
+        # a SECOND handle on the same path (another session/process in
+        # production) holds the lease, as a crashed compact would
+        other = GramPostingsStore(
+            spark, store.name + "_w2", store.path, store.n_buckets
+        )
+        other._acquire_lease()
+        with pytest.raises(StoreMaintenanceLockError):
+            store.compact()
+        with pytest.raises(StoreMaintenanceLockError):
+            store.add_postings(docs.where("doc_id % 5 = 4"), bid=1)
+        with pytest.raises(StoreMaintenanceLockError):
+            store.purge(docs.limit(1).select("doc_id"))
+        # crash repair path 1: break, then compact normally
+        store.break_lease()
+        store.purge(docs.where("doc_id % 20 == 0").select("doc_id"))
+        store.compact()
+        assert store._tombstones() is None
+        # crash repair path 2: a stale lease + force=True in one call
+        other._acquire_lease()
+        store.compact(force=True)
+        # the lease is released after a successful compact
+        fs, jp = store._fs(store.lease_path)
+        assert not fs.exists(jp)
+    finally:
+        cleanup_store(store)
+
+
 @pytest.mark.parametrize("seed", [13, 47, 88, 101, 222])
 def test_randomized_lifecycle_matches_model(spark, seed):
     """Randomized lifecycle fuzz (the round-13 lesson applied to the
@@ -248,13 +354,17 @@ def test_randomized_lifecycle_matches_model(spark, seed):
     the fixed-scenario tests can't reach: purge after compact before the
     next compact, double purge, purge of never-ingested or already-purged
     docs, empty batches, re-registration mid-sequence with tombstones
-    outstanding."""
+    outstanding. Round-15 strengthening: after every op, stats()' full
+    accounting row is ALSO checked against the model (live AND
+    dead-but-stored postings) — the integer surface the round-14 advisor
+    caught over-counting under double purge."""
     import random as _random
 
     rng = _random.Random(seed)
     vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
     store = temp_store(spark, f"gs_fz{seed}_", n_buckets=4)
     model: dict[int, set] = {}  # doc_id -> claimed gram set (live docs)
+    dead: dict[int, set] = {}  # tombstoned docs whose postings still stored
     purged: set = set()  # tombstoned ids: suppress ALL claims til compact
     next_doc, next_bid = 0, 0
     try:
@@ -280,10 +390,10 @@ def test_randomized_lifecycle_matches_model(spark, seed):
                     df = df.where("doc_id is not null")
                 store.add_postings(df, bid=next_bid)
                 # purge contract: an outstanding tombstone suppresses even
-                # later-ingested claims under that id until compact()
-                model.update(
-                    {i: g for i, g in grams.items() if i not in purged}
-                )
+                # later-ingested claims under that id until compact() —
+                # the postings are STORED (dead) either way
+                for i, g in grams.items():
+                    (dead if i in purged else model)[i] = g
                 next_bid += 1
             elif op == "purge":
                 # mix of live, already-purged, and never-ingested ids
@@ -297,11 +407,13 @@ def test_randomized_lifecycle_matches_model(spark, seed):
                     ).where("doc_id is not null")
                 )
                 for i in ids:
-                    model.pop(i, None)
+                    if i in model:
+                        dead[i] = model.pop(i)
                 purged.update(ids)
             elif op == "compact":
                 store.compact()
                 purged.clear()
+                dead.clear()  # physical deletion
             else:
                 store.drop()
                 store = GramPostingsStore(
@@ -310,7 +422,21 @@ def test_randomized_lifecycle_matches_model(spark, seed):
             got = sorted(
                 r.gram for r in store.live_grams().collect()
             )  # bounded: tiny-vocab fuzz corpus
-            want = sorted(set().union(*model.values()) if model else set())
-            assert got == want, (seed, _step, op)
+            live_grams = set().union(*model.values()) if model else set()
+            assert got == sorted(live_grams), (seed, _step, op)
+            row = store.stats().collect()[0]  # bounded: one accounting row
+            all_grams = live_grams.union(
+                *dead.values()
+            ) if dead else live_grams
+            want_stats = {
+                "n_postings_total": sum(len(g) for g in model.values())
+                + sum(len(g) for g in dead.values()),
+                "n_postings_live": sum(len(g) for g in model.values()),
+                "n_grams_total": len(all_grams),
+                "n_grams_live": len(live_grams),
+                "n_docs_live": len(model),
+                "n_docs_tombstoned": len(dead),
+            }
+            assert row.asDict() == want_stats, (seed, _step, op)
     finally:
         cleanup_store(store)
