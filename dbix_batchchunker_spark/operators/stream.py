@@ -931,7 +931,9 @@ ST12_GRAM_N = 6
 ST12_PLANT_MOD = 5
 
 
-def _pre_batch_store_dirs(store: str, bid: int) -> "list[str]":
+def _pre_batch_store_dirs(
+    store: str, bid: int, spark: "SparkSession | None" = None
+) -> "list[str]":
     """The gram-store dirs a batch may read: seed + batches STRICTLY
     earlier. Replay safety (round-13 advisor, medium): a foreachBatch
     replay after the store write but BEFORE the checkpoint commit finds
@@ -939,10 +941,16 @@ def _pre_batch_store_dirs(store: str, bid: int) -> "list[str]":
     batch's own grams as "already ingested", cut every doc, and commit a
     DIFFERENT output than the first attempt. Restricting the read to the
     pre-batch store makes the replayed batch see exactly what the crashed
-    attempt saw."""
+    attempt saw. Listing goes through the path's own FileSystem when a
+    session is passed (the fold-path rule below); the os.listdir fallback
+    stays for session-less unit tests on local paths."""
+    if spark is not None:
+        names = sorted(_out_names(spark, store))
+    else:
+        names = sorted(os.listdir(store))
     return [
         os.path.join(store, d)
-        for d in sorted(os.listdir(store))
+        for d in names
         if d == "seed" or (d.startswith("b") and d[1:].isdigit()
                            and int(d[1:]) < bid)
     ]
@@ -1011,7 +1019,7 @@ def st12_stream_gram_store_ingest(
     def ingest(batch_df: DataFrame, bid: int) -> None:
         docs = batch_df.select("doc_id", "text")
         gram_store = spark.read.parquet(
-            *_pre_batch_store_dirs(store, bid)
+            *_pre_batch_store_dirs(store, bid, spark)
         ).select("gram")
         res = incremental_substring_dedup(
             docs, gram_store, n=ST12_GRAM_N
@@ -1065,23 +1073,53 @@ def st12_stream_gram_store_ingest(
 # --------------------------------------------------------------------------- #
 
 
-def _committed_folds(out: str) -> "list[int]":
-    """Versions of committed fold dirs (ascending). Commit = _SUCCESS."""
-    if not os.path.isdir(out):
+def _out_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path``'s own scheme. The fold/read
+    maintenance IO below runs through this — NOT os.listdir/shutil — so
+    the ingest sink round-trips on hdfs:// and s3a:// exactly like the
+    gram and IVF stores do (round-14 verdict #1: this was the last repo
+    component pinned to the driver's local disk)."""
+    jp = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jp.getFileSystem(spark._jsc.hadoopConfiguration()), jp
+
+
+def _out_names(spark: SparkSession, out: str) -> "list[str]":
+    """Child names of ``out`` (empty if it does not exist yet)."""
+    fs, jp = _out_fs(spark, out)
+    if not fs.exists(jp):
         return []
+    return [st.getPath().getName() for st in fs.listStatus(jp)]
+
+
+def _fs_rm(spark: SparkSession, path: str) -> None:
+    """Best-effort recursive delete (the sweep half of the fold: a failed
+    sweep leaves only leftovers that readers already ignore)."""
+    try:
+        fs, jp = _out_fs(spark, path)
+        if fs.exists(jp):
+            fs.delete(jp, True)
+    except Exception:  # noqa: BLE001 — sweep is advisory, like rmtree(ignore_errors=True)
+        pass
+
+
+def _committed_folds(spark: SparkSession, out: str) -> "list[int]":
+    """Versions of committed fold dirs (ascending). Commit = _SUCCESS."""
+    fs, _ = _out_fs(spark, out)
     vs = []
-    for d in os.listdir(out):
-        if d.startswith("compacted_v") and d[11:].isdigit() and os.path.exists(
-            os.path.join(out, d, "_SUCCESS")
+    for d in _out_names(spark, out):
+        if d.startswith("compacted_v") and d[11:].isdigit() and fs.exists(
+            spark._jvm.org.apache.hadoop.fs.Path(
+                os.path.join(out, d, "_SUCCESS")
+            )
         ):
             vs.append(int(d[11:]))
     return sorted(vs)
 
 
-def _batch_dirs(out: str) -> "dict[int, str]":
+def _batch_dirs(spark: SparkSession, out: str) -> "dict[int, str]":
     return {
         int(d[1:]): os.path.join(out, d)
-        for d in os.listdir(out)
+        for d in _out_names(spark, out)
         if d.startswith("b") and d[1:].isdigit()
     }
 
@@ -1096,15 +1134,18 @@ def fold_outputs(
     Safe orderings only: the versioned dir is WRITTEN AND COMMITTED before
     anything is deleted, a torn write is healed by the re-run's overwrite,
     and a crash after commit leaves only sweepable leftovers that readers
-    already ignore."""
+    already ignore. All IO goes through ``out``'s own Hadoop FileSystem —
+    the output dirs of a real ingest loop live on object storage."""
     from ..sources.maintenance import write_sized_parquet
 
-    folds = _committed_folds(out)
+    folds = _committed_folds(spark, out)
     done = folds[-1] if folds else 0
     if upto > done:
         srcs = [os.path.join(out, f"compacted_v{done}")] if done else []
         srcs += [
-            p for i, p in sorted(_batch_dirs(out).items()) if done <= i < upto
+            p
+            for i, p in sorted(_batch_dirs(spark, out).items())
+            if done <= i < upto
         ]
         if srcs:
             write_sized_parquet(
@@ -1112,24 +1153,26 @@ def fold_outputs(
                 os.path.join(out, f"compacted_v{upto}"),
                 target_mb,
             )
-            folds = _committed_folds(out)
+            folds = _committed_folds(spark, out)
     # sweep everything a committed fold covers (also heals prior crashes)
     done = folds[-1] if folds else 0
     for v in folds[:-1]:
-        shutil.rmtree(os.path.join(out, f"compacted_v{v}"), ignore_errors=True)
-    for i, p in _batch_dirs(out).items():
+        _fs_rm(spark, os.path.join(out, f"compacted_v{v}"))
+    for i, p in _batch_dirs(spark, out).items():
         if i < done:
-            shutil.rmtree(p, ignore_errors=True)
+            _fs_rm(spark, p)
 
 
 def read_outputs(spark: SparkSession, out: str) -> DataFrame:
     """The ingest sink's table: newest committed fold + batch dirs at or
     above its mark (folded-but-unswept dirs are excluded by the version
     arithmetic, so a crashed sweep can never double-count)."""
-    folds = _committed_folds(out)
+    folds = _committed_folds(spark, out)
     done = folds[-1] if folds else 0
     dirs = [os.path.join(out, f"compacted_v{done}")] if done else []
-    dirs += [p for i, p in sorted(_batch_dirs(out).items()) if i >= done]
+    dirs += [
+        p for i, p in sorted(_batch_dirs(spark, out).items()) if i >= done
+    ]
     return spark.read.parquet(*dirs)
 
 

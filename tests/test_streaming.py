@@ -953,3 +953,46 @@ def test_fold_outputs_idempotent_and_crash_repairable(spark, tmp_path):
     fold_outputs(spark, out, upto=2)
     got = sorted(r.doc_id for r in read_outputs(spark, out).collect())
     assert got == [0, 1, 2, 3]
+
+
+def test_fold_outputs_through_filesystem_api_uri(spark, tmp_path):
+    """Round-14 verdict #1 done-criterion: the whole fold → crash →
+    re-run → read cycle driven through an EXPLICIT file:// URI — the
+    os.listdir/shutil implementation raised FileNotFoundError on any
+    scheme-qualified path, which is what every hdfs:///s3a:// output is.
+    Every maintenance decision (committed-fold discovery, batch-dir
+    listing, sweep) must resolve through the path's own Hadoop
+    FileSystem."""
+    from dbix_batchchunker_spark.operators.stream import (
+        fold_outputs,
+        read_outputs,
+    )
+
+    local = tmp_path / "docs"
+    out = f"file://{local}"
+    for bid in range(4):
+        spark.createDataFrame(
+            [(bid, bid)], "doc_id long, batch long"
+        ).write.mode("overwrite").parquet(f"{out}/b{bid}")
+    fold_outputs(spark, out, upto=2)
+    assert (local / "compacted_v2" / "_SUCCESS").exists()
+    assert not (local / "b0").exists()  # swept through the FS API
+    # crash mid-sweep: a folded batch dir resurfaces next to the fold
+    spark.createDataFrame([(0, 0)], "doc_id long, batch long").write.mode(
+        "overwrite"
+    ).parquet(f"{out}/b0")
+    got = sorted(
+        r.doc_id for r in read_outputs(spark, out).collect()
+    )  # bounded: 4 synthetic rows
+    assert got == [0, 1, 2, 3]  # leftover ignored by version arithmetic
+    # re-run = repair, then fold the rest and read the final table
+    fold_outputs(spark, out, upto=2)
+    assert not (local / "b0").exists()
+    fold_outputs(spark, out, upto=4)
+    assert sorted(
+        d.name for d in local.iterdir()
+    ) == ["compacted_v4"]  # everything folded, old fold + b dirs swept
+    got = sorted(
+        r.doc_id for r in read_outputs(spark, out).collect()
+    )  # bounded: 4 synthetic rows
+    assert got == [0, 1, 2, 3]
