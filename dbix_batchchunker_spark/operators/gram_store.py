@@ -747,44 +747,62 @@ _PLANTED_INGEST_ORACLE = f"""
     """
 
 
-@query("tx38_chunked_corpus_ingest", oracle=_PLANTED_INGEST_ORACLE)
-def tx38_chunked_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def onboard_corpus_serial(
+    docs: DataFrame,
+    store: GramPostingsStore,
+    target_chunks: int = 5,
+    n: int = _SSD_N,
+) -> DataFrame:
+    """The SERIAL corpus-onboarding composition (tx38's machinery as a
+    reusable operator): BatchChunker keyset-chunks ``docs`` by doc_id
+    (BatchChunker.pm:70-178's bounded-per-chunk discipline) and each
+    chunk flows through ``store.ingest_batch(bid=k)`` — every chunk
+    probes exactly the chunks the loop already committed. ``docs`` must
+    already be materialized (the BETWEEN filter re-runs its lineage per
+    chunk otherwise). Returns the per-doc result union."""
     from functools import reduce
 
     from ..chunker import BatchChunker
     from .chunked import _span_chunks
 
+    parts: "list[DataFrame]" = []
+
+    def ingest_chunk(bc: BatchChunker, chunk_df: DataFrame) -> None:
+        # bid = 1-based chunk ordinal: ingest_batch probes batch < bid,
+        # i.e. exactly the chunks the loop already committed
+        parts.append(
+            store.ingest_batch(chunk_df, bid=len(parts) + 1, n=n)
+        )
+
+    chunk_size, mn, mx = _span_chunks(
+        docs, "doc_id", target_chunks=target_chunks, floor=1
+    )
+    BatchChunker(
+        df=docs,
+        id_name="doc_id",
+        coderef=ingest_chunk,
+        chunk_size=chunk_size,
+        min_id=mn,
+        max_id=mx,
+        target_time=0,
+        min_chunk_percent=0,
+        sleep=0,
+        verbose=False,
+    ).execute()
+    # parts are localCheckpoint'ed by ingest_batch (bounded: one row per
+    # corpus doc), so the union survives a store cleanup after the return
+    return reduce(DataFrame.unionByName, parts)
+
+
+@query("tx38_chunked_corpus_ingest", oracle=_PLANTED_INGEST_ORACLE)
+def tx38_chunked_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The planted corpus is the FIXTURE (in production this is a real
     # table); materialize it once or every chunk's BETWEEN filter re-runs
     # the construction self-join. Bounded: one row per corpus doc.
     planted = _tx38_planted(spark, sf_dir).localCheckpoint(eager=True)
     store = temp_store(spark, "gs_tx38_")
-    parts: "list[DataFrame]" = []
     try:
-
-        def ingest_chunk(bc: BatchChunker, chunk_df: DataFrame) -> None:
-            # bid = 1-based chunk ordinal: ingest_batch probes batch < bid,
-            # i.e. exactly the chunks the loop already committed
-            parts.append(store.ingest_batch(chunk_df, bid=len(parts) + 1))
-
-        chunk_size, mn, mx = _span_chunks(
-            planted, "doc_id", target_chunks=5, floor=1
-        )
-        BatchChunker(
-            df=planted,
-            id_name="doc_id",
-            coderef=ingest_chunk,
-            chunk_size=chunk_size,
-            min_id=mn,
-            max_id=mx,
-            target_time=0,
-            min_chunk_percent=0,
-            sleep=0,
-            verbose=False,
-        ).execute()
-        # parts are localCheckpoint'ed by ingest_batch (bounded: one row
-        # per corpus doc), so the union survives the store cleanup below
-        return reduce(DataFrame.unionByName, parts).orderBy("doc_id")
+        return onboard_corpus_serial(planted, store).orderBy("doc_id")
     finally:
         cleanup_store(store)
 
@@ -810,25 +828,48 @@ def tx38_chunked_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                                                                          #
 # Equality with the serial loop holds when no duplicate's source is       #
 # itself cut (chain-free corpora — the planted family here, where the     #
-# oracle is closed-form). On CHAINED corpora phase 2 is the tx35 batch    #
-# rule over phase-1 survivors, which can cut a span the serial loop kept  #
-# (its earlier occurrence was itself removed mid-chunk) — the             #
-# conservative direction for dedup; documented, not hidden.               #
+# oracle is closed-form). On CHAINED corpora the compositions DIVERGE,    #
+# and — round-15 fuzz finding, correcting the round-14 docstring that     #
+# claimed over-removal only — in BOTH directions: phase 2 (the tx35      #
+# batch rule over phase-1 survivors) usually cuts MORE (a span whose     #
+# earlier occurrence the serial loop had already removed mid-chunk), but  #
+# it can also cut LESS, because serial claims are frozen per batch and   #
+# include SEAM grams created by span surgery — a later doc's serial      #
+# removal can hinge on a claimant the wave composition removes           #
+# entirely, losing the claim (measured ≈560 docs/14 seeds: 10 over,      #
+# 2 under). The pinned contract (tests/test_gram_store.py                #
+# test_wave_vs_serial_onboarding_contract): exact equality on chain-free #
+# corpora; order-independence (max_in_flight-invariant results) always;  #
+# divergence confined to docs of derivation depth >= 2. Corpora with     #
+# removal chains that must match the serial semantics exactly should     #
+# run onboard_corpus_serial.                                             #
 # --------------------------------------------------------------------------- #
-@query("tx40_concurrent_corpus_ingest", oracle=_PLANTED_INGEST_ORACLE)
-def tx40_concurrent_corpus_ingest(
-    spark: SparkSession, sf_dir: str
+def onboard_corpus_wave(
+    docs: DataFrame,
+    store: GramPostingsStore,
+    target_chunks: int = 5,
+    n: int = _SSD_N,
+    max_in_flight: int = 4,
 ) -> DataFrame:
+    """The WAVE-PARALLEL corpus-onboarding composition (tx40's machinery
+    as a reusable operator): ConcurrentChunker runs every chunk's
+    ``ingest_batch`` against the SAME pre-wave store snapshot
+    (``probe_before=1``) with claims landing in disjoint per-chunk
+    partitions, then ONE tx35-style cross-chunk reconcile pass over the
+    phase-1 survivors' kept text. ``docs`` must already be materialized.
+    Semantics vs the serial loop: equal on chain-free corpora; on removal
+    chains the compositions DIVERGE per-span in either direction — pinned
+    by tests/test_gram_store.py's wave-vs-serial fuzz net; see the tx40
+    block comment for the full contract."""
     from functools import reduce
 
     from ..chunker import BatchChunker, ConcurrentChunker
     from .chunked import _span_chunks
 
-    planted = _tx38_planted(spark, sf_dir).localCheckpoint(eager=True)
-    store = temp_store(spark, "gs_tx40_")
+    spark = docs.sparkSession
     parts: "list[DataFrame]" = []
     chunk_size, mn, mx = _span_chunks(
-        planted, "doc_id", target_chunks=5, floor=1
+        docs, "doc_id", target_chunks=target_chunks, floor=1
     )
     conf = "spark.sql.sources.partitionOverwriteMode"
     prev = spark.conf.get(conf, None)
@@ -859,16 +900,16 @@ def tx40_concurrent_corpus_ingest(
                 bc._ls.chunk_size if bc._ls is not None else bc.chunk_size
             )
             assert stride == chunk_size, (
-                "tx40 bid formula assumes a fixed chunk stride"
+                "wave bid formula assumes a fixed chunk stride"
             )
             bid = 1 + (int(start) - mn) // chunk_size
             parts.append(
-                store.ingest_batch(chunk_df, bid=bid, probe_before=1)
+                store.ingest_batch(chunk_df, bid=bid, probe_before=1, n=n)
             )
 
         ConcurrentChunker(
             BatchChunker(
-                df=planted,
+                df=docs,
                 id_name="doc_id",
                 coderef=ingest_chunk,
                 chunk_size=chunk_size,
@@ -879,45 +920,41 @@ def tx40_concurrent_corpus_ingest(
                 sleep=0,
                 verbose=False,
             ),
-            max_in_flight=4,
+            max_in_flight=max_in_flight,
         ).execute()
         phase1 = reduce(DataFrame.unionByName, parts)
         # phase 2: cross-chunk reconcile over the survivors' kept text
         kept = phase1.where(F.col("n_kept") > 0).select(
             "doc_id", F.col("kept_text").alias("text")
         )
-        pos = _positional_grams(kept, _SSD_N)
+        pos = _positional_grams(kept, n)
         firsts = pos.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
         hits = (
             pos.join(firsts, "gram")
             .where(F.col("doc_id") > F.col("first_doc"))
             .select("doc_id", "nt", "p")
         )
-        rec = _apply_span_removal(kept, hits, _SSD_N).select(
+        rec = _apply_span_removal(kept, hits, n).select(
             "doc_id",
             F.col("n_removed").alias("rec_removed"),
             F.col("n_kept").alias("rec_kept"),
             F.col("kept_text").alias("rec_text"),
         )
-        return (
-            phase1.join(rec, "doc_id", "left")
-            .select(
-                "doc_id",
-                "n_tokens",
-                (
-                    F.col("n_removed")
-                    + F.coalesce(F.col("rec_removed"), F.lit(0))
-                )
-                .cast("int")
-                .alias("n_removed"),
-                F.coalesce(F.col("rec_kept"), F.col("n_kept"))
-                .cast("int")
-                .alias("n_kept"),
-                F.coalesce(F.col("rec_text"), F.col("kept_text")).alias(
-                    "kept_text"
-                ),
+        return phase1.join(rec, "doc_id", "left").select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("n_removed")
+                + F.coalesce(F.col("rec_removed"), F.lit(0))
             )
-            .orderBy("doc_id")
+            .cast("int")
+            .alias("n_removed"),
+            F.coalesce(F.col("rec_kept"), F.col("n_kept"))
+            .cast("int")
+            .alias("n_kept"),
+            F.coalesce(F.col("rec_text"), F.col("kept_text")).alias(
+                "kept_text"
+            ),
         )
     finally:
         # restore-or-UNSET (round-14 advisor): prev is None when the conf
@@ -927,6 +964,20 @@ def tx40_concurrent_corpus_ingest(
             spark.conf.set(conf, prev)
         else:
             spark.conf.unset(conf)
+
+
+@query("tx40_concurrent_corpus_ingest", oracle=_PLANTED_INGEST_ORACLE)
+def tx40_concurrent_corpus_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    planted = _tx38_planted(spark, sf_dir).localCheckpoint(eager=True)
+    store = temp_store(spark, "gs_tx40_")
+    try:
+        # the returned frame derives ONLY from the checkpointed phase-1
+        # parts (the reconcile re-grams their kept text), so it stays
+        # valid after the store cleanup below
+        return onboard_corpus_wave(planted, store).orderBy("doc_id")
+    finally:
         cleanup_store(store)
 
 

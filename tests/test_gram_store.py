@@ -344,6 +344,130 @@ def test_compact_lease_refuses_second_writer(spark, docs):
         cleanup_store(store)
 
 
+GRAM_N = 4
+
+
+def _gen_onboard_corpus(rng, n_docs: int, allow_chains: bool):
+    """Random corpus with CONTROLLED collisions: every doc's own tokens
+    carry a doc-unique suffix, so the only cross-doc duplicate content is
+    what the generator plants (exact copies and partial copies — a source
+    doc embedded in fresh per-doc context). With ``allow_chains`` sources
+    may themselves be derived docs (copy-of-a-copy, copy-of-a-partial):
+    the removal-chain corpora whose wave-vs-serial behavior the planted
+    tx38/tx40 oracle corpus cannot reach (it is chain-free by
+    construction — round-14 verdict gap #2). Returns (doc_id -> tokens,
+    doc_id -> derivation depth); occasional doc_id gaps exercise the
+    empty-chunk path."""
+    docs: dict[int, list] = {}
+    depth: dict[int, int] = {}
+    ids: list[int] = []
+    did = 0
+    for _ in range(n_docs):
+        pool = [
+            i
+            for i in ids
+            if len(docs[i]) >= GRAM_N and (allow_chains or depth[i] == 0)
+        ]
+        r = rng.random()
+        if r < 0.45 or not pool:
+            toks = [f"t{k}x{did}" for k in range(rng.randint(0, 10))]
+            d = 0
+        else:
+            src = rng.choice(pool)
+            d = depth[src] + 1
+            if r < 0.75:
+                toks = list(docs[src])  # exact copy
+            else:  # partial: source embedded in fresh unique context
+                toks = (
+                    [f"p{k}x{did}" for k in range(rng.randint(0, 3))]
+                    + list(docs[src])
+                    + [f"q{k}x{did}" for k in range(rng.randint(0, 3))]
+                )
+        if rng.random() < 0.15:
+            did += rng.randint(1, 12)
+        docs[did] = toks
+        depth[did] = d
+        ids.append(did)
+        did += 1
+    return docs, depth
+
+
+def _onboard(spark, docs: dict, mode: str, tag: str, **kw):
+    from dbix_batchchunker_spark.operators.gram_store import (
+        onboard_corpus_serial,
+        onboard_corpus_wave,
+    )
+
+    df = spark.createDataFrame(
+        sorted((i, " ".join(t)) for i, t in docs.items()),
+        "doc_id long, text string",
+    ).localCheckpoint(eager=True)
+    store = temp_store(spark, f"gs_wf{tag}_", n_buckets=4)
+    try:
+        fn = (
+            onboard_corpus_serial if mode == "serial" else onboard_corpus_wave
+        )
+        out = fn(df, store, target_chunks=4, n=GRAM_N, **kw)
+        return {
+            r.doc_id: (r.n_tokens, r.n_removed, r.n_kept, r.kept_text)
+            for r in out.collect()  # bounded: one row per fuzz-corpus doc
+        }
+    finally:
+        cleanup_store(store)
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_wave_vs_serial_onboarding_contract(spark, seed):
+    """Pin the wave composition's REAL contract against the serial loop
+    on randomized corpora (round-14 verdict gap #2 — the adjudicated
+    oracle corpus is chain-free by construction, so the chained behavior
+    was documented but never executed). What this net established — and
+    what it CORRECTED: the round-14 docstring claimed chains only ever
+    over-remove ("the conservative direction"); fuzzing found BOTH
+    directions (≈560 docs/14 seeds: 10 over-removals, 2 UNDER-removals).
+    Mechanism of the under-removal: serial claims derive from each doc's
+    kept text AT ITS BATCH TIME — including seam grams created by span
+    surgery — and a later doc's removal can depend on a claimant the
+    wave composition removes entirely, losing the claim. The pinned
+    contract is therefore:
+
+    (a) chain-free corpora (every duplicate's source is an underived
+        doc): wave == serial EXACTLY, all columns — the premise tx40's
+        closed-form oracle rests on;
+    (b) chained corpora: wave is ORDER-INDEPENDENT — identical results
+        at max_in_flight 1 and 4 (phase 1 probes a pinned snapshot;
+        phase 2 is deterministic), i.e. a well-defined semantics of its
+        own, not a race;
+    (c) chained corpora: divergence vs serial is CONFINED to docs of
+        derivation depth >= 2 — depth-0/1 docs (bases, direct copies and
+        direct partials of bases) match serial row-for-row;
+    (d) either composition's rows are structurally sound
+        (n_removed + n_kept == n_tokens, same doc set)."""
+    import random as _random
+
+    rng = _random.Random(seed)
+
+    # (a) chain-free: exact equality
+    docs, _ = _gen_onboard_corpus(rng, 30, allow_chains=False)
+    s = _onboard(spark, docs, "serial", f"a{seed}s")
+    w = _onboard(spark, docs, "wave", f"a{seed}w")
+    assert s == w
+
+    # (b)(c)(d) chained
+    docs, depth = _gen_onboard_corpus(rng, 35, allow_chains=True)
+    s = _onboard(spark, docs, "serial", f"c{seed}s")
+    w = _onboard(spark, docs, "wave", f"c{seed}w")
+    w1 = _onboard(spark, docs, "wave", f"c{seed}w1", max_in_flight=1)
+    assert w == w1  # (b) order independence
+    assert set(s) == set(w) == set(docs)  # (d) same doc set
+    for i in docs:
+        assert s[i][0] == w[i][0] == len(docs[i])
+        assert s[i][1] + s[i][2] == s[i][0]
+        assert w[i][1] + w[i][2] == w[i][0]
+        if depth[i] <= 1:
+            assert s[i] == w[i], (seed, i, depth[i])  # (c)
+
+
 @pytest.mark.parametrize("seed", [13, 47, 88, 101, 222])
 def test_randomized_lifecycle_matches_model(spark, seed):
     """Randomized lifecycle fuzz (the round-13 lesson applied to the
