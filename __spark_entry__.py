@@ -131,57 +131,29 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     of the demotion queue: the round-11 cohort head recorded last round
 #:     (mm02, mm03, sim06, sim07, sim09, st01…) through dd06 —
 #:     dd08/mm01/sim01/sim03 head the queue for round 15.
+#:   round 15: CORRECTNESS_r14 = 50/50 green, so the full r14 cohort (its
+#:     6 debuts included) rotates out. In: the round-15 oracle debut (q61,
+#:     store accounting at the lifecycle edges — fresh-store zeros and
+#:     overlapping double purges, the round-14 advisor's findings made a
+#:     driver row) plus the recorded queue head (dd08/mm01/sim01/sim03,
+#:     which ceded their r14 seats to mid-round debuts) and the first 41
+#:     of the round-12 demotion cohort (st08…q35). q37/q39/q41/q43/q45
+#:     head the queue for round 16.
 #: Every rotated-out query stays oracle-pinned in the local gate replica
 #: (tests/test_queries_oracle.py parametrizes over every oracle —
-#: 146 after the round-14 additions: tx37/st13/sim12 + the mid-round
-#: tx38/q60/tx40).
+#: 147 after the round-15 addition: q61).
 ADJUDICATED_PREFIX = (
     # chunker flagships: permanent slots
     "q20_chunked_delete_survivors", "q21_chunked_groupby_combine",
     "q22_chunked_update_overlay", "q23_chunked_update_join",
-    # round-14 oracle debuts: first driver rows in their debut round
-    # (tx38 added mid-round: BatchChunker driving the postings-store
-    # ingest — sim01 ceded its slot back to the queue head, the
-    # tx35/tx36/st12 precedent)
-    "tx37_purged_store_dedup", "st13_stream_purged_store_ingest",
-    "sim12_purged_store_pairs", "tx38_chunked_corpus_ingest",
-    "q60_store_accounting", "tx40_concurrent_corpus_ingest",
-    # oldest demotions re-adjudicated (head of the queue):
-    # last driver-green round 11 (the remainder of that cohort; mm02/mm03/
-    # sim06 were seated for r13 then ceded their slots to mid-round debuts)
-    "mm02_decode_pipeline", "mm03_resize_and_sample", "sim06_ivf_near_dup",
-    "sim07_embedding_dedup", "sim09_mmr_rerank", "st01_stream_hourly_rollup",
-    "st02_stream_user_totals", "st04_stream_sessions",
-    "tx32_bpe_train_encode", "mm04_phash_near_dup",
-    "st07_stream_incremental_packing", "q01_pricing_summary",
-    "q03_revenue_by_nation", "q07_top_customers",
-    "q08_latest_event_per_user", "q09_customers_without_orders",
-    "q12_rollup_revenue", "q13_conditional_agg", "q14_below_avg_quantity",
-    "q15_asof_join", "q24_keyset_page", "q25_shipping_priority",
-    "q26_returned_items", "q27_above_avg_spenders", "q28_cube_counts",
-    "q29_fuzzy_part_names", "q30_sessionize", "q31_running_revenue",
-    "q32_banded_range_join", "q48_scd2_merge", "q49_zorder_key",
-    "q50_histogram_quantile_rollup", "q51_event_funnel",
-    "q52_dense_hourly_fill", "q53_null_aware_anti_shuffle",
-    "q54_session_paths", "dd01_exact", "dd02_jaccard_pairs",
-    "dd05_mllib_minhash", "dd06_lsh_jaccard_pairs",
-)
-
-#: Former slot-holders, first in line for re-adjudication when the
-#: rotation swings back — the queue is ordered OLDEST driver-green first,
-#: so the head is always first in line when slots free up (or if the
-#: driver cap were raised).
-DEMOTED_FROM_PREFIX = (
-    # Last driver-green round 11 (the remaining entries of that cohort —
-    # the 43 ahead were seated for round 14, then dd08/mm01/sim01 ceded
-    # their slots to the mid-round tx38/q60/tx40 debuts and return to the
-    # queue head).
-    "dd08_ngram_jaccard_pairs",
-    "mm01_binary_stats",
-    "sim01_topk_bruteforce",
-    "sim03_embedding_near_dup",
-    # Last driver-green round 12 (demoted this round -- all 46 r12 greens
-    # except the permanent chunker flagships; round-12 debuts first).
+    # round-15 oracle debut: first driver row in its debut round
+    "q61_store_purge_accounting",
+    # oldest demotions re-adjudicated (head of the queue): the four that
+    # ceded their round-14 seats to mid-round debuts…
+    "dd08_ngram_jaccard_pairs", "mm01_binary_stats",
+    "sim01_topk_bruteforce", "sim03_embedding_near_dup",
+    # …then the round-12 cohort (last driver-green round 12), oldest
+    # first: its 5 round-12 debuts, then the re-adjudication block
     "st08_stream_sized_sink", "mm05_wav_clip_stats",
     "mm06_png_header_metadata", "tx33_sliding_windows",
     "tx34_span_decontaminate", "tx01_token_stats", "tx04_fingerprint",
@@ -197,11 +169,21 @@ DEMOTED_FROM_PREFIX = (
     "tx10_decontaminate", "tx11_group_sample", "tx14_vocab",
     "tx15_dup_windows", "tx17_contamination_severity", "tx26_token_rarity",
     "sp01_mixture_sample", "sp07_mixture_waterfill", "sp08_epoch_plan",
-    "q34_grouping_sets", "q35_event_gaps", "q37_topk_per_group",
+    "q34_grouping_sets", "q35_event_gaps",
+)
+
+#: Former slot-holders, first in line for re-adjudication when the
+#: rotation swings back — the queue is ordered OLDEST driver-green first,
+#: so the head is always first in line when slots free up (or if the
+#: driver cap were raised).
+DEMOTED_FROM_PREFIX = (
+    # Last driver-green round 12 (the 5 remaining entries of that cohort —
+    # the 41 ahead were re-seated for round 15).
+    "q37_topk_per_group",
     "q39_spend_deciles", "q41_sketch_rollup", "q43_salted_hot_join",
     "q45_unpivot_status_counts",
-    # Last driver-green round 13 (demoted this round — all 46 r13 greens
-    # except the permanent chunker flagships; round-13 debuts first).
+    # Last driver-green round 13 (all 46 r13 greens except the permanent
+    # chunker flagships; round-13 debuts first).
     "sim11_incremental_store_pairs", "tx13v_pii_redact_portable",
     "tx35_substring_dedup", "tx36_incremental_substring_dedup",
     "st12_stream_gram_store_ingest", "q46_lateral_topn_per_customer",
@@ -221,6 +203,27 @@ DEMOTED_FROM_PREFIX = (
     "q04_minmax_count", "q05_groupby_having", "q06_view_orders_1995",
     "q10_set_ops", "q11_hourly_event_rollup",
     "dd14_sql_simhash_pairs", "dd15_sql_minhash_components",
+    # Last driver-green round 14 (demoted this round — all 46 r14 greens
+    # except the permanent chunker flagships; round-14 debuts first).
+    "tx37_purged_store_dedup", "st13_stream_purged_store_ingest",
+    "sim12_purged_store_pairs", "tx38_chunked_corpus_ingest",
+    "q60_store_accounting", "tx40_concurrent_corpus_ingest",
+    "mm02_decode_pipeline", "mm03_resize_and_sample", "sim06_ivf_near_dup",
+    "sim07_embedding_dedup", "sim09_mmr_rerank", "st01_stream_hourly_rollup",
+    "st02_stream_user_totals", "st04_stream_sessions",
+    "tx32_bpe_train_encode", "mm04_phash_near_dup",
+    "st07_stream_incremental_packing", "q01_pricing_summary",
+    "q03_revenue_by_nation", "q07_top_customers",
+    "q08_latest_event_per_user", "q09_customers_without_orders",
+    "q12_rollup_revenue", "q13_conditional_agg", "q14_below_avg_quantity",
+    "q15_asof_join", "q24_keyset_page", "q25_shipping_priority",
+    "q26_returned_items", "q27_above_avg_spenders", "q28_cube_counts",
+    "q29_fuzzy_part_names", "q30_sessionize", "q31_running_revenue",
+    "q32_banded_range_join", "q48_scd2_merge", "q49_zorder_key",
+    "q50_histogram_quantile_rollup", "q51_event_funnel",
+    "q52_dense_hourly_fill", "q53_null_aware_anti_shuffle",
+    "q54_session_paths", "dd01_exact", "dd02_jaccard_pairs",
+    "dd05_mllib_minhash", "dd06_lsh_jaccard_pairs",
 )
 
 

@@ -153,6 +153,17 @@ _AB_PYWORKER_STREAMING = (
     "st13_stream_purged_store_ingest",
 )
 
+#: COMPARISON-ONLY queries, excluded from the full-suite bench artifact
+#: (round-14 verdict #6). st12 is the round-13 UNBUCKETED gram-store
+#: ingest, retained as the measured-worse "old" arm of the store-decade
+#: comparison (SCALING.md) and kept oracle-green in the local gate
+#: replica (tests/test_queries_oracle.py) — but timing it every round
+#: (~6.3 s of committed-write floors) buys no signal: st13 times the
+#: SAME loop re-seated on the bucketed postings store, which is what a
+#: deployment runs. Still timeable explicitly via
+#: SPARK_GRAFT_BENCH_ONLY=st12.
+_BENCH_COMPARISON_ONLY = ("st12_stream_gram_store_ingest",)
+
 
 class _AbVariant:
     """One side of an A/B comparison: a repo root plus its private slice
@@ -416,7 +427,11 @@ def main() -> None:
     # Iteration aid: SPARK_GRAFT_BENCH_ONLY=<regex> times just the matching
     # queries (full-suite totals are only comparable without it).
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
-    names = [n for n in sorted(queries) if not only or re.search(only, n)]
+    names = [
+        n
+        for n in sorted(queries)
+        if (re.search(only, n) if only else n not in _BENCH_COMPARISON_ONLY)
+    ]
     for name in names:
         try:
             queries[name](spark, warm_dir).write.format("noop").mode(

@@ -1037,3 +1037,90 @@ def q60_store_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         return store.stats().localCheckpoint(eager=True)
     finally:
         cleanup_store(store)
+
+
+# --------------------------------------------------------------------------- #
+# q61: store accounting at the lifecycle EDGES the round-14 advisor caught    #
+# q60's single-purge geometry missing: (a) a FRESH store — the first store    #
+# an operator ever polls — must report non-null zero bigints (F.sum over     #
+# zero rows is NULL without the coalesce); (b) OVERLAPPING purge calls —     #
+# doc_id % 15 == 0 then doc_id % 10 == 0, overlapping at % 30 — append the   #
+# overlap twice to the tombstone dir, and the marking join must count each   #
+# posting once (verified-live round-14 bug: duplicated tombstones fanned a   #
+# doc's postings out, 6 reported vs 4 stored). The oracle restates both      #
+# rows in plain SQL: a constant zero row and the two-predicate-union dead    #
+# marking over the rebuilt postings relation.                                #
+# --------------------------------------------------------------------------- #
+@query(
+    "q61_store_purge_accounting",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_tokens_sql()} AS w FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, greatest(len(w) - {_SSD_N}, 0) + 1),
+                   i -> array_to_string(w[i + 1 : i + {_SSD_N}], ' ')
+               )) AS gram
+        FROM d WHERE len(w) > 0
+    ),
+    post AS (
+        SELECT DISTINCT gram, doc_id FROM g WHERE doc_id % 3 != 2
+    ),
+    m AS (
+        SELECT gram, doc_id,
+               (doc_id % 15 = 0 OR doc_id % 10 = 0) AS dead
+        FROM post
+    )
+    SELECT 'double_purged' AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n_postings_total,
+           CAST(SUM(CASE WHEN NOT dead THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_postings_live,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_grams_total,
+           CAST(COUNT(DISTINCT CASE WHEN NOT dead THEN gram END) AS BIGINT)
+               AS n_grams_live,
+           CAST(COUNT(DISTINCT CASE WHEN NOT dead THEN doc_id END) AS BIGINT)
+               AS n_docs_live,
+           CAST(COUNT(DISTINCT CASE WHEN dead THEN doc_id END) AS BIGINT)
+               AS n_docs_tombstoned
+    FROM m
+    UNION ALL
+    SELECT 'empty', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT)
+    ORDER BY phase
+    """,
+)
+def q61_store_purge_accounting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    fresh = temp_store(spark, "gs_q61e_")
+    store = temp_store(spark, "gs_q61_")
+    try:
+        store.add_postings(docs.where(F.col("doc_id") % 3 != 2), bid=0)
+        # two SEPARATE purge calls with overlapping id sets (% 30 both):
+        # the overlap lands twice in the tombstone dir
+        store.purge(docs.where(F.col("doc_id") % 15 == 0).select("doc_id"))
+        store.purge(docs.where(F.col("doc_id") % 10 == 0).select("doc_id"))
+        result = (
+            store.stats()
+            .withColumn("phase", F.lit("double_purged"))
+            .unionByName(fresh.stats().withColumn("phase", F.lit("empty")))
+            .select(
+                "phase",
+                "n_postings_total",
+                "n_postings_live",
+                "n_grams_total",
+                "n_grams_live",
+                "n_docs_live",
+                "n_docs_tombstoned",
+            )
+            .orderBy("phase")
+        )
+        # bounded: two accounting rows
+        return result.localCheckpoint(eager=True)
+    finally:
+        cleanup_store(fresh)
+        cleanup_store(store)

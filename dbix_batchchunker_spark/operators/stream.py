@@ -998,7 +998,14 @@ def st12_stream_gram_store_ingest(
     Round-13 contract, kept adjudicated as-is; st13 below is the SAME
     loop re-seated on the round-14 bucketed postings store, which is
     what a persisted deployment should use (flat per-batch probes,
-    purge/compact — gram_store.py, SCALING.md)."""
+    purge/compact — gram_store.py, SCALING.md).
+
+    COMPARISON-ONLY since round 15 (round-14 verdict #6): this is the
+    measured-worse "old" arm of the store-decade comparison (probe
+    1.24-1.6×/decade vs the bucketed store's 0.94×) — kept oracle-green
+    in the local gate replica as the contract anchor, but excluded from
+    the per-round bench artifact (bench.py _BENCH_COMPARISON_ONLY); st13
+    times the same loop on the deployment-grade store."""
     from ..sources.pydatasource import register_feed
     from ..streaming.incremental import process_available
     from .text import (

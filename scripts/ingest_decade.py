@@ -226,6 +226,69 @@ def main():
             f"probe={probe_sums} new={new_sums}"
         )
         removed, kept = next(iter(old_sums))
+
+        # ---- onboarding arm (round-14 verdict #5): the SAME corpus split
+        # into chunks and onboarded INTO the existing store, serial
+        # (tx38's BatchChunker loop) vs wave-parallel (tx40's
+        # ConcurrentChunker + reconcile). This corpus is CHAIN-FREE (the
+        # copies' sources live in the STORE, not the batch), so the two
+        # compositions must agree exactly — and match the single-batch
+        # invariant above. Claims land in partitions >= 1; probes read
+        # batch < bid (serial) / < 1 (wave), so interleaved attempts
+        # cannot contaminate each other, and the partitions are dropped
+        # afterwards to restore the cached store. Wave phase 1 is eager
+        # (ingest_batch checkpoints), the reconcile join is lazy — timing
+        # the construction vs the aggregate splits the two phases.
+        from dbix_batchchunker_spark.operators.gram_store import (
+            onboard_corpus_serial,
+            onboard_corpus_wave,
+        )
+
+        ONBOARD_CHUNKS = 6
+
+        def run_serial_onboard():
+            return _agg(
+                onboard_corpus_serial(
+                    batch, store, target_chunks=ONBOARD_CHUNKS
+                )
+            ), None
+
+        def run_wave_onboard():
+            t0 = time.monotonic()
+            out = onboard_corpus_wave(
+                batch, store, target_chunks=ONBOARD_CHUNKS, max_in_flight=4
+            )
+            phase1_s = time.monotonic() - t0
+            return _agg(out), phase1_s
+
+        serial_times, wave_times, phase1_times = [], [], []
+        serial_sums, wave_sums = set(), set()
+        for _ in range(ATTEMPTS):
+            for times, sums, fn in (
+                (serial_times, serial_sums, run_serial_onboard),
+                (wave_times, wave_sums, run_wave_onboard),
+            ):
+                t0 = time.monotonic()
+                s, phase1_s = fn()
+                times.append(time.monotonic() - t0)
+                sums.add(s)
+                if phase1_s is not None:
+                    phase1_times.append(phase1_s)
+        assert serial_sums == wave_sums == old_sums, (
+            f"onboard semantics drift at {tag}: serial={serial_sums} "
+            f"wave={wave_sums} single-batch={old_sums}"
+        )
+        # restore the cached store: drop every onboarded partition
+        for r in spark.sql(f"SHOW PARTITIONS {store.name}").collect():
+            p = int(r[0].split("=", 1)[1])
+            if p >= 1:
+                spark.sql(
+                    f"ALTER TABLE {store.name} "
+                    f"DROP IF EXISTS PARTITION (batch={p})"
+                )
+                store._fs_delete(os.path.join(store.path, f"batch={p}"))
+        spark.catalog.refreshTable(store.name)
+
         row = {
             "shards": n_shards,
             "store_grams": n_grams,
@@ -235,6 +298,15 @@ def main():
             "old_probe_s": round(min(old_times), 2),
             "new_probe_s": round(min(probe_times), 2),
             "new_ingest_s": round(min(new_times), 2),
+            "serial_onboard_s": round(min(serial_times), 2),
+            "wave_onboard_s": round(min(wave_times), 2),
+            "wave_phase1_s": round(min(phase1_times), 2),
+            # reconcile share of the BEST wave attempt's wall
+            "wave_reconcile_s": round(
+                wave_times[phase1_times.index(min(phase1_times))]
+                - min(phase1_times),
+                2,
+            ),
             **built,
         }
         if "--compact" in sys.argv:
@@ -269,6 +341,15 @@ def main():
     )
     results["new_decade_ratio"] = round(
         r10["new_ingest_s"] / r1["new_ingest_s"], 2
+    )
+    results["serial_onboard_decade_ratio"] = round(
+        r10["serial_onboard_s"] / r1["serial_onboard_s"], 2
+    )
+    results["wave_onboard_decade_ratio"] = round(
+        r10["wave_onboard_s"] / r1["wave_onboard_s"], 2
+    )
+    results["wave_vs_serial_x10"] = round(
+        r10["wave_onboard_s"] / r10["serial_onboard_s"], 2
     )
     assert r1["sum_removed"] == r10["sum_removed"], "removal invariant broke"
     with open(os.path.join(BASE, "ingest_decade.json"), "w") as f:
