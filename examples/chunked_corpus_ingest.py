@@ -22,9 +22,16 @@ The loop (tx38's machinery, operators/gram_store.py):
               (dynamic overwrite ⇒ replay-idempotent)
 
   maintenance window (between chunks / drains):
-      store.purge(doc_ids)   — tombstone, cheap
-      store.compact()        — physical delete + file-count bound
-      fold_outputs(...)      — sized parquet over per-batch output dirs
+      store.purge(doc_ids)     — tombstone, cheap
+      store.needs_compact()    — tombstone backlog past the broadcast
+                                 ceiling? (reads already degraded to the
+                                 shuffle fallback ⇒ compact NOW)
+      store.compact()          — physical delete + file-count bound;
+                                 single-writer enforced by a lease file
+                                 (a racing ingest/purge refuses loudly)
+      fold_outputs(...)        — sized parquet over per-batch output
+                                 dirs, all IO through the path's own
+                                 Hadoop FileSystem (object-store safe)
 
 Chunk boundaries do NOT affect the result: keep-priority is MIN(doc_id),
 and id-ordered chunks make "earlier chunk" ⊆ "smaller doc_id" — the

@@ -106,6 +106,43 @@ def _batch_docs(spark):
     return copies.unionByName(fresh)
 
 
+def _onboard_docs(spark):
+    """The onboarding-arm corpus: like ``_batch_docs`` but CHAIN-FREE, so
+    serial and wave onboarding must agree EXACTLY (the fuzz-pinned
+    contract). ``_batch_docs``' fresh docs share the source corpus's
+    natural vocabulary — odd docs DO duplicate each other's grams, so a
+    chunked onboarding's removals depend on chunk layout (measured live:
+    1-batch 169056 / 6-chunk serial 166668 / wave 168525 removed). Here
+    every fresh doc gets a doc-UNIQUE suffix, so the only duplication is
+    copies-vs-store: every copy is removed in full through the store
+    probe no matter the chunking, making sum_removed a closed-form
+    invariant (total copy tokens)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(SRC).select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + F.lit(BATCH_ID_BASE)).alias("doc_id"), "text"
+    )
+    fresh = docs.where(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") + F.lit(BATCH_ID_BASE)).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.split("text", " "),
+                lambda w: F.concat(
+                    w, F.lit("^f"), F.col("doc_id").cast("string")
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    expected_removed = (
+        copies.select(
+            F.sum(F.size(F.split("text", " "))).alias("s")
+        ).collect()[0]["s"]
+    )
+    return copies.unionByName(fresh), int(expected_removed)
+
+
 def _agg(df):
     from pyspark.sql import functions as F
 
@@ -227,13 +264,14 @@ def main():
         )
         removed, kept = next(iter(old_sums))
 
-        # ---- onboarding arm (round-14 verdict #5): the SAME corpus split
-        # into chunks and onboarded INTO the existing store, serial
-        # (tx38's BatchChunker loop) vs wave-parallel (tx40's
-        # ConcurrentChunker + reconcile). This corpus is CHAIN-FREE (the
-        # copies' sources live in the STORE, not the batch), so the two
-        # compositions must agree exactly — and match the single-batch
-        # invariant above. Claims land in partitions >= 1; probes read
+        # ---- onboarding arm (round-14 verdict #5): a CHAIN-FREE corpus
+        # (see _onboard_docs — the probe corpus above is NOT chain-free:
+        # its fresh docs share natural vocabulary) split into chunks and
+        # onboarded INTO the existing store, serial (tx38's BatchChunker
+        # loop) vs wave-parallel (tx40's ConcurrentChunker + reconcile).
+        # Chain-free ⇒ the compositions must agree EXACTLY (the
+        # fuzz-pinned contract) and sum_removed is closed-form (total
+        # copy tokens). Claims land in partitions >= 1; probes read
         # batch < bid (serial) / < 1 (wave), so interleaved attempts
         # cannot contaminate each other, and the partitions are dropped
         # afterwards to restore the cached store. Wave phase 1 is eager
@@ -245,18 +283,20 @@ def main():
         )
 
         ONBOARD_CHUNKS = 6
+        ob_docs, ob_expected_removed = _onboard_docs(spark)
+        ob_docs = ob_docs.localCheckpoint(eager=True)
 
         def run_serial_onboard():
             return _agg(
                 onboard_corpus_serial(
-                    batch, store, target_chunks=ONBOARD_CHUNKS
+                    ob_docs, store, target_chunks=ONBOARD_CHUNKS
                 )
             ), None
 
         def run_wave_onboard():
             t0 = time.monotonic()
             out = onboard_corpus_wave(
-                batch, store, target_chunks=ONBOARD_CHUNKS, max_in_flight=4
+                ob_docs, store, target_chunks=ONBOARD_CHUNKS, max_in_flight=4
             )
             phase1_s = time.monotonic() - t0
             return _agg(out), phase1_s
@@ -274,9 +314,14 @@ def main():
                 sums.add(s)
                 if phase1_s is not None:
                     phase1_times.append(phase1_s)
-        assert serial_sums == wave_sums == old_sums, (
+        assert serial_sums == wave_sums, (
             f"onboard semantics drift at {tag}: serial={serial_sums} "
-            f"wave={wave_sums} single-batch={old_sums}"
+            f"wave={wave_sums}"
+        )
+        ob_removed = next(iter(serial_sums))[0]
+        assert ob_removed == ob_expected_removed, (
+            f"onboard removal invariant broke at {tag}: "
+            f"{ob_removed} != {ob_expected_removed}"
         )
         # restore the cached store: drop every onboarded partition
         for r in spark.sql(f"SHOW PARTITIONS {store.name}").collect():
