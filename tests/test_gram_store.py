@@ -344,6 +344,33 @@ def test_compact_lease_refuses_second_writer(spark, docs):
         cleanup_store(store)
 
 
+def test_store_lifecycle_through_filesystem_api_uri(spark, docs, tmp_path):
+    """The store's scheme-agnostic claim, actually driven: the FULL
+    lifecycle (create → ingest → purge → needs_compact → compact → stats
+    → re-register) on an EXPLICIT file:// URI, the path shape every
+    hdfs:///s3a:// deployment presents. Any maintenance step that fell
+    back to driver-local IO (os.listdir/open/shutil) would throw here."""
+    path = f"file://{tmp_path}/postings"
+    store = GramPostingsStore(spark, "gs_uri_t", path).create()
+    try:
+        store.add_postings(docs.where("doc_id % 5 != 4"), bid=0)
+        store.purge(docs.where("doc_id % 20 == 0").select("doc_id"))
+        assert not store.needs_compact()  # FS metadata via the URI
+        n_live = store.live_postings().count()
+        store.compact()
+        assert store._tombstones() is None
+        assert store.postings().count() == n_live
+        row = store.stats().collect()[0]  # bounded: one accounting row
+        assert row.n_postings_live == n_live
+        re_store = GramPostingsStore(spark, "gs_uri_t_re", path).register()
+        assert re_store.live_postings().count() == n_live
+        re_store.drop()
+        inc = store.ingest_batch(docs.where("doc_id % 5 = 4"), bid=1)
+        assert inc.where("n_removed > 0").count() > 0
+    finally:
+        store.drop()
+
+
 GRAM_N = 4
 
 
@@ -493,8 +520,31 @@ def test_randomized_lifecycle_matches_model(spark, seed):
     next_doc, next_bid = 0, 0
     try:
         for _step in range(10):
-            op = rng.choice(["add", "add", "purge", "compact", "reregister"])
-            if op == "add":
+            op = rng.choice(
+                ["add", "add", "purge", "compact", "reregister", "locked"]
+            )
+            if op == "locked":
+                # interleaved-compact refusal (round-14 verdict #8): a
+                # foreign writer's lease blocks EVERY mutation loudly and
+                # changes nothing; break_lease restores service
+                from dbix_batchchunker_spark.operators.gram_store import (
+                    StoreMaintenanceLockError,
+                )
+
+                holder = GramPostingsStore(
+                    spark, store.name + "_h", store.path, store.n_buckets
+                )
+                holder._acquire_lease()
+                one = spark.createDataFrame([(0, "aa bb cc dd")],
+                                            "doc_id long, text string")
+                with pytest.raises(StoreMaintenanceLockError):
+                    store.add_postings(one, bid=next_bid)
+                with pytest.raises(StoreMaintenanceLockError):
+                    store.purge(one.select("doc_id"))
+                with pytest.raises(StoreMaintenanceLockError):
+                    store.compact()
+                store.break_lease()
+            elif op == "add":
                 rows, grams = [], {}
                 for _ in range(rng.randint(0, 6)):
                     toks = [
