@@ -842,25 +842,50 @@ def tx38_chunked_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpora; order-independence (max_in_flight-invariant results) always;  #
 # divergence confined to docs of derivation depth >= 2. Corpora with     #
 # removal chains that must match the serial semantics exactly should     #
-# run onboard_corpus_serial.                                             #
+# run onboard_corpus_serial; corpora that want a STABLE wave semantics   #
+# of their own can pass reconcile="fixpoint" (iterate the pass until no  #
+# span cuts — no surviving doc then duplicates a lower-id survivor's     #
+# kept gram; removals ⊇ the once pass's, fuzz-pinned).                   #
 # --------------------------------------------------------------------------- #
+def _reconcile_pass(kept: DataFrame, n: int) -> DataFrame:
+    """One tx35-style cross-doc pass over (doc_id, text): cut every span
+    whose gram a LOWER-id doc's text also contains (MIN keep-priority)."""
+    pos = _positional_grams(kept, n)
+    firsts = pos.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    hits = (
+        pos.join(firsts, "gram")
+        .where(F.col("doc_id") > F.col("first_doc"))
+        .select("doc_id", "nt", "p")
+    )
+    return _apply_span_removal(kept, hits, n)
+
+
 def onboard_corpus_wave(
     docs: DataFrame,
     store: GramPostingsStore,
     target_chunks: int = 5,
     n: int = _SSD_N,
     max_in_flight: int = 4,
+    reconcile: str = "once",
 ) -> DataFrame:
     """The WAVE-PARALLEL corpus-onboarding composition (tx40's machinery
     as a reusable operator): ConcurrentChunker runs every chunk's
     ``ingest_batch`` against the SAME pre-wave store snapshot
     (``probe_before=1``) with claims landing in disjoint per-chunk
-    partitions, then ONE tx35-style cross-chunk reconcile pass over the
-    phase-1 survivors' kept text. ``docs`` must already be materialized.
-    Semantics vs the serial loop: equal on chain-free corpora; on removal
-    chains the compositions DIVERGE per-span in either direction — pinned
-    by tests/test_gram_store.py's wave-vs-serial fuzz net; see the tx40
-    block comment for the full contract."""
+    partitions, then a tx35-style cross-chunk reconcile over the phase-1
+    survivors' kept text. ``docs`` must already be materialized.
+
+    ``reconcile="once"`` (tx40's adjudicated form) runs ONE pass —
+    exactly equal to the serial loop on chain-free corpora, divergent in
+    BOTH directions on removal chains (fuzz-pinned; see the tx40 block
+    comment). ``reconcile="fixpoint"`` iterates the pass until no span
+    is cut, giving chained corpora a STABLE standalone contract: no
+    surviving doc contains a span duplicating a lower-id survivor's kept
+    gram. Monotone (each iteration only removes), terminating (total
+    kept tokens strictly decreases), ≤ chain-depth iterations in
+    practice, each corpus-sized (store-age-invariant — the measured
+    reconcile share, SCALING.md). Fixpoint removals ⊇ once removals;
+    equality with serial still holds on chain-free corpora."""
     from functools import reduce
 
     from ..chunker import BatchChunker, ConcurrentChunker
@@ -927,25 +952,54 @@ def onboard_corpus_wave(
         kept = phase1.where(F.col("n_kept") > 0).select(
             "doc_id", F.col("kept_text").alias("text")
         )
-        pos = _positional_grams(kept, n)
-        firsts = pos.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-        hits = (
-            pos.join(firsts, "gram")
-            .where(F.col("doc_id") > F.col("first_doc"))
-            .select("doc_id", "nt", "p")
-        )
-        rec = _apply_span_removal(kept, hits, n).select(
-            "doc_id",
-            F.col("n_removed").alias("rec_removed"),
-            F.col("n_kept").alias("rec_kept"),
-            F.col("kept_text").alias("rec_text"),
-        )
+        if reconcile == "once":
+            rec = _reconcile_pass(kept, n).select(
+                "doc_id",
+                F.col("n_kept").alias("rec_kept"),
+                F.col("kept_text").alias("rec_text"),
+            )
+        elif reconcile == "fixpoint":
+            cur, dead_parts, final = kept, [], None
+            for _ in range(100):  # >= any real chain depth; fail loud below
+                res = _reconcile_pass(cur, n).localCheckpoint(eager=True)
+                # bounded: one row per surviving corpus doc + a 1-row agg
+                cut = res.agg(F.sum("n_removed")).collect()[0][0]
+                if not cut:
+                    final = res
+                    break
+                dead_parts.append(
+                    res.where(F.col("n_kept") == 0).select("doc_id")
+                )
+                cur = res.where(F.col("n_kept") > 0).select(
+                    "doc_id", F.col("kept_text").alias("text")
+                )
+            if final is None:
+                raise RuntimeError(
+                    "reconcile fixpoint did not converge in 100 passes"
+                )
+            rec = final.select(
+                "doc_id",
+                F.col("n_kept").alias("rec_kept"),
+                F.col("kept_text").alias("rec_text"),
+            )
+            for d in dead_parts:
+                rec = rec.unionByName(
+                    d.select(
+                        "doc_id",
+                        F.lit(0).alias("rec_kept"),
+                        F.lit("").alias("rec_text"),
+                    )
+                )
+        else:
+            raise ValueError(f"unknown reconcile mode: {reconcile!r}")
+        # n_removed = n_tokens - final kept count, valid for every path
+        # (phase1's own invariant is n_removed + n_kept == n_tokens)
         return phase1.join(rec, "doc_id", "left").select(
             "doc_id",
             "n_tokens",
             (
-                F.col("n_removed")
-                + F.coalesce(F.col("rec_removed"), F.lit(0))
+                F.col("n_tokens")
+                - F.coalesce(F.col("rec_kept"), F.col("n_kept"))
             )
             .cast("int")
             .alias("n_removed"),

@@ -469,30 +469,47 @@ def test_wave_vs_serial_onboarding_contract(spark, seed):
         derivation depth >= 2 — depth-0/1 docs (bases, direct copies and
         direct partials of bases) match serial row-for-row;
     (d) either composition's rows are structurally sound
-        (n_removed + n_kept == n_tokens, same doc set)."""
+        (n_removed + n_kept == n_tokens, same doc set);
+    (e) reconcile="fixpoint" (the stable chained-corpus contract): equal
+        to once/serial on chain-free corpora; on chains its removals are
+        a SUPERSET of the once pass's per doc (kept text a subsequence)."""
     import random as _random
 
     rng = _random.Random(seed)
 
-    # (a) chain-free: exact equality
+    # (a) chain-free: exact equality (fixpoint included — a second pass
+    # finds nothing to cut when no chain exists)
     docs, _ = _gen_onboard_corpus(rng, 30, allow_chains=False)
     s = _onboard(spark, docs, "serial", f"a{seed}s")
     w = _onboard(spark, docs, "wave", f"a{seed}w")
-    assert s == w
+    wf = _onboard(spark, docs, "wave", f"a{seed}wf", reconcile="fixpoint")
+    assert s == w == wf
 
-    # (b)(c)(d) chained
+    # (b)(c)(d)(e) chained
     docs, depth = _gen_onboard_corpus(rng, 35, allow_chains=True)
     s = _onboard(spark, docs, "serial", f"c{seed}s")
     w = _onboard(spark, docs, "wave", f"c{seed}w")
     w1 = _onboard(spark, docs, "wave", f"c{seed}w1", max_in_flight=1)
+    wf = _onboard(spark, docs, "wave", f"c{seed}wf", reconcile="fixpoint")
     assert w == w1  # (b) order independence
-    assert set(s) == set(w) == set(docs)  # (d) same doc set
+    assert set(s) == set(w) == set(wf) == set(docs)  # (d) same doc set
+
+    def _subseq(a, b):
+        it = iter(b)
+        return all(x in it for x in a)
+
     for i in docs:
-        assert s[i][0] == w[i][0] == len(docs[i])
-        assert s[i][1] + s[i][2] == s[i][0]
-        assert w[i][1] + w[i][2] == w[i][0]
+        assert s[i][0] == w[i][0] == wf[i][0] == len(docs[i])
+        for r in (s[i], w[i], wf[i]):
+            assert r[1] + r[2] == r[0]
         if depth[i] <= 1:
             assert s[i] == w[i], (seed, i, depth[i])  # (c)
+        # (e) fixpoint only ever removes MORE than the once pass
+        assert wf[i][1] >= w[i][1], (seed, i)
+        assert _subseq(
+            wf[i][3].split() if wf[i][3] else [],
+            w[i][3].split() if w[i][3] else [],
+        ), (seed, i)
 
 
 @pytest.mark.parametrize("seed", [13, 47, 88, 101, 222])
