@@ -132,22 +132,26 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     (mm02, mm03, sim06, sim07, sim09, st01…) through dd06 —
 #:     dd08/mm01/sim01/sim03 head the queue for round 15.
 #:   round 15: CORRECTNESS_r14 = 50/50 green, so the full r14 cohort (its
-#:     6 debuts included) rotates out. In: the round-15 oracle debut (q61,
-#:     store accounting at the lifecycle edges — fresh-store zeros and
+#:     6 debuts included) rotates out. In: the round-15 oracle debuts —
+#:     q61 (store accounting at the lifecycle edges: fresh-store zeros and
 #:     overlapping double purges, the round-14 advisor's findings made a
-#:     driver row) plus the recorded queue head (dd08/mm01/sim01/sim03,
-#:     which ceded their r14 seats to mid-round debuts) and the first 41
-#:     of the round-12 demotion cohort (st08…q35). q37/q39/q41/q43/q45
-#:     head the queue for round 16.
+#:     driver row) and the mid-round tx41 (the FIXPOINT wave composition
+#:     on a planted CHAINED corpus via the seam-gram device — q35 ceded
+#:     its seat back to the queue head, the tx35/tx36/st12 precedent) —
+#:     plus the recorded queue head (dd08/mm01/sim01/sim03, which ceded
+#:     their r14 seats to mid-round debuts) and the first 40 of the
+#:     round-12 demotion cohort (st08…q34). q35/q37/q39/q41/q43/q45 head
+#:     the queue for round 16.
 #: Every rotated-out query stays oracle-pinned in the local gate replica
 #: (tests/test_queries_oracle.py parametrizes over every oracle —
-#: 147 after the round-15 addition: q61).
+#: 148 after the round-15 additions: q61, tx41).
 ADJUDICATED_PREFIX = (
     # chunker flagships: permanent slots
     "q20_chunked_delete_survivors", "q21_chunked_groupby_combine",
     "q22_chunked_update_overlay", "q23_chunked_update_join",
-    # round-15 oracle debut: first driver row in its debut round
-    "q61_store_purge_accounting",
+    # round-15 oracle debuts: first driver rows in their debut round
+    # (tx41 added mid-round: fixpoint wave onboarding on a chained corpus)
+    "q61_store_purge_accounting", "tx41_fixpoint_wave_ingest",
     # oldest demotions re-adjudicated (head of the queue): the four that
     # ceded their round-14 seats to mid-round debuts…
     "dd08_ngram_jaccard_pairs", "mm01_binary_stats",
@@ -169,7 +173,7 @@ ADJUDICATED_PREFIX = (
     "tx10_decontaminate", "tx11_group_sample", "tx14_vocab",
     "tx15_dup_windows", "tx17_contamination_severity", "tx26_token_rarity",
     "sp01_mixture_sample", "sp07_mixture_waterfill", "sp08_epoch_plan",
-    "q34_grouping_sets", "q35_event_gaps",
+    "q34_grouping_sets",
 )
 
 #: Former slot-holders, first in line for re-adjudication when the
@@ -177,9 +181,10 @@ ADJUDICATED_PREFIX = (
 #: so the head is always first in line when slots free up (or if the
 #: driver cap were raised).
 DEMOTED_FROM_PREFIX = (
-    # Last driver-green round 12 (the 5 remaining entries of that cohort —
-    # the 41 ahead were re-seated for round 15).
-    "q37_topk_per_group",
+    # Last driver-green round 12 (the remaining entries of that cohort —
+    # the 40 ahead were re-seated for round 15; q35 ceded its seat to the
+    # mid-round tx41 debut and returns to the queue head).
+    "q35_event_gaps", "q37_topk_per_group",
     "q39_spend_deciles", "q41_sketch_rollup", "q43_salted_hot_join",
     "q45_unpivot_status_counts",
     # Last driver-green round 13 (all 46 r13 greens except the permanent

@@ -1036,6 +1036,111 @@ def tx40_concurrent_corpus_ingest(
 
 
 # --------------------------------------------------------------------------- #
+# tx41: the FIXPOINT wave composition adjudicated on a planted CHAINED       #
+# corpus — the case tx40's chain-free oracle cannot reach, made closed-form  #
+# by a SEAM-GRAM device. Per source doc d (tokens family-suffixed '#d'),     #
+# three docs: A (id 3d) = the suffixed source; B (id 3d+1) = P + A + Q with  #
+# P/Q two family-unique tokens each; C (id 3d+2) = P + Q — four tokens, ONE  #
+# width-4 gram that does NOT occur in any ORIGINAL text (P and Q are not     #
+# adjacent in B) but IS exactly B's kept text after B's A-span is cut. So a  #
+# single reconcile pass (claims from pre-cut texts) cannot cut C; the        #
+# fixpoint's second pass (B now P+Q, B < C) must. The result is             #
+# CHUNK-INVARIANT (any phase-1 layout converges to the same stable state:    #
+# A kept, B = P+Q, C empty — with the sub-width CASEs stated in the oracle), #
+# unlike the serial loop or the once pass, whose chained results depend on   #
+# where the chunk boundaries fall. What a green row adjudicates: the         #
+# fixpoint iteration itself (a once pass keeps C fully — n_removed flips     #
+# 4 -> 0), its termination bookkeeping (dead docs folded back with zero      #
+# kept), and the wave machinery under a corpus with real removal chains.     #
+# --------------------------------------------------------------------------- #
+def _tx41_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import _tokens_spark
+
+    base = t(spark, sf_dir, "documents").select(
+        "doc_id", _tokens_spark("text").alias("w")
+    )
+    did = F.col("doc_id").cast("string")
+    sfx = base.select(
+        "doc_id",
+        F.transform(
+            "w", lambda x: F.concat(x, F.lit("#"), did)
+        ).alias("aw"),
+        F.array(
+            F.concat(F.lit("~~p0#"), did), F.concat(F.lit("~~p1#"), did)
+        ).alias("p"),
+        F.array(
+            F.concat(F.lit("~~q0#"), did), F.concat(F.lit("~~q1#"), did)
+        ).alias("q"),
+    )
+    a = sfx.select(
+        (F.col("doc_id") * 3).alias("doc_id"),
+        F.array_join("aw", " ").alias("text"),
+    )
+    b = sfx.select(
+        (F.col("doc_id") * 3 + 1).alias("doc_id"),
+        F.array_join(F.concat("p", "aw", "q"), " ").alias("text"),
+    )
+    c = sfx.select(
+        (F.col("doc_id") * 3 + 2).alias("doc_id"),
+        F.array_join(F.concat("p", "q"), " ").alias("text"),
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+@query(
+    "tx41_fixpoint_wave_ingest",
+    oracle=f"""
+    WITH d0 AS (
+        SELECT doc_id AS d, {_tokens_sql()} AS w FROM documents
+    ),
+    f AS (
+        SELECT d, len(w) AS lw,
+               array_to_string(list_transform(
+                   w, t -> t || '#' || CAST(d AS VARCHAR)), ' ') AS atext,
+               '~~p0#' || d || ' ' || '~~p1#' || d AS ptext,
+               '~~q0#' || d || ' ' || '~~q1#' || d AS qtext
+        FROM d0
+    )
+    SELECT doc_id, n_tokens, n_removed, n_kept, kept_text FROM (
+        SELECT 3 * d AS doc_id, CAST(lw AS INT) AS n_tokens,
+               0 AS n_removed, CAST(lw AS INT) AS n_kept,
+               atext AS kept_text
+        FROM f
+        UNION ALL
+        SELECT 3 * d + 1, CAST(lw + 4 AS INT),
+               CAST(CASE WHEN lw >= {_SSD_N} THEN lw ELSE 0 END AS INT),
+               CAST(CASE WHEN lw >= {_SSD_N} THEN 4 ELSE lw + 4 END AS INT),
+               CASE WHEN lw >= {_SSD_N} OR lw = 0
+                    THEN ptext || ' ' || qtext
+                    ELSE ptext || ' ' || atext || ' ' || qtext END
+        FROM f
+        UNION ALL
+        SELECT 3 * d + 2, CAST(4 AS INT),
+               CAST(CASE WHEN lw >= {_SSD_N} OR lw = 0 THEN 4 ELSE 0
+                    END AS INT),
+               CAST(CASE WHEN lw >= {_SSD_N} OR lw = 0 THEN 0 ELSE 4
+                    END AS INT),
+               CASE WHEN lw >= {_SSD_N} OR lw = 0 THEN ''
+                    ELSE ptext || ' ' || qtext END
+        FROM f
+    )
+    ORDER BY doc_id
+    """,
+)
+def tx41_fixpoint_wave_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    planted = _tx41_planted(spark, sf_dir).localCheckpoint(eager=True)
+    store = temp_store(spark, "gs_tx41_")
+    try:
+        # derives only from checkpointed phase-1 parts and checkpointed
+        # fixpoint iterations — valid after the store cleanup
+        return onboard_corpus_wave(
+            planted, store, reconcile="fixpoint"
+        ).orderBy("doc_id")
+    finally:
+        cleanup_store(store)
+
+
+# --------------------------------------------------------------------------- #
 # q60: store accounting — the observability surface a production operator    #
 # alerts on (tombstone backlog => schedule a compact; live/total posting     #
 # ratio => reclaimable space). The store ingests the corpus slice            #
