@@ -1081,3 +1081,41 @@ def test_compensating_overwrite_rejects_misaligned_chunks(spark, tmp_path):
         df.where(F.col("id") >= 10), path, "10-24", "id",
         bucket_width=10, id_range=(10, 24), is_tail=True,
     ) == "committed"
+
+
+def test_embedding_store_delete_shuffle_fallback(spark, monkeypatch):
+    """Round-14 verdict #3, similarity half: compact_embedding_store's
+    anti-joins broadcast the purge list below DELETE_BROADCAST_MAX_IDS
+    and must degrade to SHUFFLE_HASH joins past it — a mass takedown
+    costs one extra shuffle per store half, never a driver OOM — with
+    identical survivors through either plan."""
+    from dbix_batchchunker_spark.operators import similarity as sim_mod
+    from dbix_batchchunker_spark.operators.similarity import (
+        compact_embedding_store,
+    )
+
+    entries = spark.range(0, 200).select(
+        F.col("id").alias("vec_id"), (F.col("id") % 7).alias("centroid_id")
+    )
+    vectors = spark.range(0, 200).select(
+        F.col("id").alias("vec_id"), (F.col("id") % 3).alias("label")
+    )
+    deleted = spark.range(0, 200, 5).select(F.col("id").alias("vec_id"))
+
+    def _plan(df):
+        df.write.format("noop").mode("overwrite").save()
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    e1, v1 = compact_embedding_store(entries, vectors, deleted)
+    keep_e = sorted(r.vec_id for r in e1.collect())  # bounded: 160 rows
+    keep_v = sorted(r.vec_id for r in v1.collect())  # bounded: 160 rows
+    assert "BroadcastHashJoin" in _plan(e1) and "LeftAnti" in _plan(e1)
+
+    monkeypatch.setattr(sim_mod, "DELETE_BROADCAST_MAX_IDS", 1)
+    e2, v2 = compact_embedding_store(entries, vectors, deleted)
+    for half in (e2, v2):
+        plan = _plan(half)
+        assert "ShuffledHashJoin" in plan and "LeftAnti" in plan
+        assert "BroadcastHashJoin" not in plan
+    assert sorted(r.vec_id for r in e2.collect()) == keep_e  # bounded
+    assert sorted(r.vec_id for r in v2.collect()) == keep_v  # bounded
