@@ -344,6 +344,32 @@ def test_compact_lease_refuses_second_writer(spark, docs):
         cleanup_store(store)
 
 
+def test_reingest_purged_doc_after_compact(spark):
+    """The purge contract's positive half: re-ingesting a purged doc_id
+    is unsupported only UNTIL compact() clears the tombstone — afterwards
+    the id claims grams again (the docstring states this boundary; the
+    lifecycle fuzz never reuses ids, so nothing executed it)."""
+    store = temp_store(spark, "gs_t12_")
+    one = spark.createDataFrame(
+        [(7, "aa bb cc dd ee")], "doc_id long, text string"
+    )
+    try:
+        store.add_postings(one, bid=0)
+        store.purge(one.select("doc_id"))
+        # before compact: tombstone suppresses even NEW claims under id 7
+        store.add_postings(one, bid=1)
+        assert store.live_grams().count() == 0
+        store.compact()  # physical delete, tombstones cleared
+        assert store.live_grams().count() == 0
+        store.add_postings(one, bid=2)  # id 7 reingested post-compact
+        got = sorted(r.gram for r in store.live_grams().collect())  # bounded
+        assert got == ["aa bb cc dd", "bb cc dd ee"]
+        row = store.stats().collect()[0]  # bounded: one row
+        assert row.n_docs_live == 1 and row.n_docs_tombstoned == 0
+    finally:
+        cleanup_store(store)
+
+
 def test_store_lifecycle_through_filesystem_api_uri(spark, docs, tmp_path):
     """The store's scheme-agnostic claim, actually driven: the FULL
     lifecycle (create → ingest → purge → needs_compact → compact → stats
