@@ -1056,8 +1056,13 @@ def tx40_concurrent_corpus_ingest(
 def _tx41_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import _tokens_spark
 
-    base = t(spark, sf_dir, "documents").select(
-        "doc_id", _tokens_spark("text").alias("w")
+    # every second source doc: the device is per-family, so half the
+    # families adjudicate identically (hundreds at gate scale) at half
+    # the chunk-loop cost — tx41 is a loop-floor query like tx38/st13
+    base = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 2 == 0)
+        .select("doc_id", _tokens_spark("text").alias("w"))
     )
     did = F.col("doc_id").cast("string")
     sfx = base.select(
@@ -1092,6 +1097,7 @@ def _tx41_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH d0 AS (
         SELECT doc_id AS d, {_tokens_sql()} AS w FROM documents
+        WHERE doc_id % 2 = 0
     ),
     f AS (
         SELECT d, len(w) AS lw,
