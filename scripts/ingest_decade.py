@@ -301,12 +301,27 @@ def main():
             phase1_s = time.monotonic() - t0
             return _agg(out), phase1_s
 
-        serial_times, wave_times, phase1_times = [], [], []
-        serial_sums, wave_sums = set(), set()
+        def run_wave_fixpoint():
+            # chain-free corpus: fixpoint == once, so the delta vs the
+            # wave row is the pure cost of the convergence machinery
+            # (one extra cut-nothing verification pass + its bookkeeping)
+            return _agg(
+                onboard_corpus_wave(
+                    ob_docs,
+                    store,
+                    target_chunks=ONBOARD_CHUNKS,
+                    max_in_flight=4,
+                    reconcile="fixpoint",
+                )
+            ), None
+
+        serial_times, wave_times, fix_times, phase1_times = [], [], [], []
+        serial_sums, wave_sums, fix_sums = set(), set(), set()
         for _ in range(ATTEMPTS):
             for times, sums, fn in (
                 (serial_times, serial_sums, run_serial_onboard),
                 (wave_times, wave_sums, run_wave_onboard),
+                (fix_times, fix_sums, run_wave_fixpoint),
             ):
                 t0 = time.monotonic()
                 s, phase1_s = fn()
@@ -314,9 +329,9 @@ def main():
                 sums.add(s)
                 if phase1_s is not None:
                     phase1_times.append(phase1_s)
-        assert serial_sums == wave_sums, (
+        assert serial_sums == wave_sums == fix_sums, (
             f"onboard semantics drift at {tag}: serial={serial_sums} "
-            f"wave={wave_sums}"
+            f"wave={wave_sums} fixpoint={fix_sums}"
         )
         ob_removed = next(iter(serial_sums))[0]
         assert ob_removed == ob_expected_removed, (
@@ -345,6 +360,7 @@ def main():
             "new_ingest_s": round(min(new_times), 2),
             "serial_onboard_s": round(min(serial_times), 2),
             "wave_onboard_s": round(min(wave_times), 2),
+            "wave_fixpoint_s": round(min(fix_times), 2),
             "wave_phase1_s": round(min(phase1_times), 2),
             # reconcile share of the BEST wave attempt's wall
             "wave_reconcile_s": round(
@@ -395,6 +411,9 @@ def main():
     )
     results["wave_vs_serial_x10"] = round(
         r10["wave_onboard_s"] / r10["serial_onboard_s"], 2
+    )
+    results["wave_fixpoint_decade_ratio"] = round(
+        r10["wave_fixpoint_s"] / r1["wave_fixpoint_s"], 2
     )
     assert r1["sum_removed"] == r10["sum_removed"], "removal invariant broke"
     with open(os.path.join(BASE, "ingest_decade.json"), "w") as f:
