@@ -1603,6 +1603,7 @@ def compact_embedding_store(
     store_entries: DataFrame,
     store_vectors: DataFrame,
     deleted_ids: DataFrame,
+    n_deleted: "int | None" = None,
 ) -> "tuple[DataFrame, DataFrame]":
     """Embedding-store deletion (round-13 verdict #7): drop purged vectors
     from BOTH store halves — posting entries and the vector table — with
@@ -1612,16 +1613,26 @@ def compact_embedding_store(
     state, not membership state). ``deleted_ids``' first column is the
     vec id. The anti-joins broadcast below DELETE_BROADCAST_MAX_IDS and
     fall back to shuffle hash joins above it — a mass purge degrades to
-    one extra shuffle per store half, never a driver OOM."""
+    one extra shuffle per store half, never a driver OOM. Callers that
+    already know the purge-list size pass ``n_deleted`` to skip the size
+    probe entirely."""
     d = deleted_ids.select(
         F.col(deleted_ids.columns[0]).alias("vec_id")
     ).distinct()
-    # bounded size probe: one job that stops at the threshold — cheap when
-    # the purge list is small (the common case), capped when it is not
-    huge = (
-        d.limit(DELETE_BROADCAST_MAX_IDS + 1).count()
-        > DELETE_BROADCAST_MAX_IDS
-    )
+    if n_deleted is not None:
+        huge = n_deleted > DELETE_BROADCAST_MAX_IDS
+    else:
+        # materialize BEFORE the size probe: both anti-joins reuse d, so
+        # the checkpoint pays for itself, and a nondeterministic
+        # deleted_ids lineage can no longer make the broadcast/shuffle
+        # decision diverge from the ids actually joined (round-15 advisor)
+        d = d.localCheckpoint(eager=True)
+        # bounded size probe: one job that stops at the threshold — cheap
+        # when the purge list is small (the common case), capped when not
+        huge = (
+            d.limit(DELETE_BROADCAST_MAX_IDS + 1).count()
+            > DELETE_BROADCAST_MAX_IDS
+        )
     side = d.hint("shuffle_hash") if huge else F.broadcast(d)
     return (
         store_entries.join(side, "vec_id", "left_anti"),

@@ -657,3 +657,259 @@ def test_randomized_lifecycle_matches_model(spark, seed):
             assert row.asDict() == want_stats, (seed, _step, op)
     finally:
         cleanup_store(store)
+
+
+def test_compact_refuses_in_flight_writer_marker(spark, docs):
+    """Round-15 advisor (medium): the lease only stops writers that START
+    after it lands — an ingest/purge whose Spark write is already in
+    flight when compact() acquires the lease was still silently
+    folded-then-dropped. The two-sided handshake closes it: writers drop
+    an in-progress marker before their lease check, compact refuses on a
+    live marker at start AND again between its fold and its partition
+    drops (the point of no return)."""
+    from dbix_batchchunker_spark.operators.gram_store import (
+        StoreMaintenanceLockError,
+    )
+
+    store = temp_store(spark, "gs_wm_")
+    try:
+        store.add_postings(docs.where("doc_id % 5 != 4"), bid=0)
+        store.purge(docs.where("doc_id % 20 == 0").select("doc_id"))
+        grams_before = set(
+            r.gram for r in store.live_grams().collect()  # bounded corpus
+        )
+        # writers clean up after themselves: no marker survives a write
+        assert store._writer_markers() == []
+        # a FOREIGN writer's in-flight marker (exactly what its _writing
+        # context holds mid-write): compact refuses at start
+        fs, jdir = store._fs(store.writers_path)
+        fs.mkdirs(jdir)
+        jm = spark._jvm.org.apache.hadoop.fs.Path(
+            store.writers_path + "/inflight_test"
+        )
+        fs.createNewFile(jm)
+        with pytest.raises(StoreMaintenanceLockError):
+            store.compact()
+        # the refusal released the lease — writers are not locked out
+        lfs, jl = store._fs(store.lease_path)
+        assert not lfs.exists(jl)
+        fs.delete(jm, False)
+
+        # the PRE-DROP re-check: a writer that passed its lease check just
+        # before the lease landed has a live marker by the time compact
+        # reaches its partition drops — simulate by planting the marker
+        # right after compact's own fold insert
+        orig_insert = store._insert
+
+        def insert_then_marker(postings):
+            orig_insert(postings)
+            fs.createNewFile(jm)
+
+        store._insert = insert_then_marker
+        with pytest.raises(StoreMaintenanceLockError):
+            store.compact()
+        store._insert = orig_insert
+        # aborted BEFORE anything was dropped: tombstones intact, live
+        # gram view unchanged (the fold's duplicate postings are the
+        # documented harmless residue a re-run's distinct heals)
+        assert store._tombstones() is not None
+        assert (
+            set(r.gram for r in store.live_grams().collect())  # bounded
+            == grams_before
+        )
+        # crash repair: force clears stale markers and completes
+        store.compact(force=True)
+        assert store._writer_markers() == []
+        assert store._tombstones() is None
+        assert (
+            set(r.gram for r in store.live_grams().collect())  # bounded
+            == grams_before
+        )
+        # post-repair the store is physically deduped again
+        assert store.postings().count() == store.live_postings().count()
+    finally:
+        cleanup_store(store)
+
+
+def _two_drop(spark, docs1: dict, docs2: dict, modes, tag: str,
+              compact_between: bool = False):
+    """Onboard two corpus drops into ONE store (the round-15 verdict-#1
+    production scenario), returning (merged results, integrity stats)."""
+    from dbix_batchchunker_spark.operators.gram_store import (
+        onboard_corpus_serial,
+        onboard_corpus_wave,
+    )
+
+    fns = {
+        "serial": onboard_corpus_serial,
+        "wave": onboard_corpus_wave,
+    }
+    store = temp_store(spark, f"gs_2d{tag}_", n_buckets=4)
+    out = {}
+    try:
+        for docs, mode in ((docs1, modes[0]), (docs2, modes[1])):
+            df = spark.createDataFrame(
+                sorted((i, " ".join(t)) for i, t in docs.items()),
+                "doc_id long, text string",
+            ).localCheckpoint(eager=True)
+            res = fns[mode](df, store, target_chunks=3, n=GRAM_N)
+            out.update(
+                {
+                    r.doc_id: (r.n_tokens, r.n_removed, r.n_kept, r.kept_text)
+                    for r in res.collect()  # bounded: fuzz corpus
+                }
+            )
+            if compact_between and docs is docs1:
+                store.compact()
+        row = store.stats().collect()[0]  # bounded: one accounting row
+        return out, row
+    finally:
+        cleanup_store(store)
+
+
+@pytest.mark.parametrize("seed", [5, 21])
+def test_second_drop_onboarding_extends_store(spark, seed):
+    """Round-15 verdict #1: a SECOND corpus drop onboarded into
+    yesterday's store — the natural production call — must EXTEND the
+    store, not silently overwrite its batch partitions and probe past its
+    uncompacted claims. Pinned contract on chain-free corpora (where
+    results are chunk-layout-invariant, contract (a) of the wave test):
+
+    * two-drop results == one continuous onboarding of the union corpus,
+      for serial+serial, wave+wave, and serial+wave — with NO compact
+      between the drops (the formerly-lossy case);
+    * compacting between the drops changes nothing;
+    * store integrity: after both drops, every surviving doc across BOTH
+      drops still holds a live claim (n_docs_live >= survivors, exact for
+      serial+serial; wave modes legitimately retain the documented
+      redundant phase-1 claims of reconcile-cut docs) — a drop-1 claim
+      partition overwritten by drop 2 would drop below the floor."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    docs, _ = _gen_onboard_corpus(rng, 40, allow_chains=False)
+    ids = sorted(docs)
+    mid = ids[len(ids) // 2]
+    docs1 = {i: t for i, t in docs.items() if i < mid}
+    docs2 = {i: t for i, t in docs.items() if i >= mid}
+    assert docs1 and docs2
+
+    combined = _onboard(spark, docs, "serial", f"2d{seed}ref")
+    n_survivors = sum(1 for v in combined.values() if v[2] > 0)
+
+    for modes in (("serial", "serial"), ("wave", "wave"),
+                  ("serial", "wave")):
+        got, row = _two_drop(
+            spark, docs1, docs2, modes, f"{seed}{modes[0][0]}{modes[1][0]}"
+        )
+        assert got == combined, (seed, modes)
+        assert row.n_docs_live >= n_survivors, (seed, modes)
+        if modes == ("serial", "serial"):
+            assert row.n_docs_live == n_survivors, seed
+
+    # compact between the drops: the already-legal order, same results
+    got, row = _two_drop(
+        spark, docs1, docs2, ("serial", "wave"), f"{seed}cb",
+        compact_between=True,
+    )
+    assert got == combined, seed
+    assert row.n_docs_live >= n_survivors, seed
+
+
+def test_probe_before_stale_snapshot_contract(spark):
+    """Round-15 verdict #7: ``probe_before`` is the wave's snapshot
+    device, and a STALE value replays the under-removal mechanism the
+    wave fuzz found. The stated contract, executed: the probe sees
+    exactly the live claims in batches < probe_before — a mid-sequence
+    batch probing an older snapshot deterministically MISSES claims from
+    batches in [probe_before, bid) and dedups everything else
+    identically. Fixed scenario plus a seeded net over copy-corpora where
+    full-keep/full-removal is closed-form."""
+    import random as _random
+
+    # fixed scenario: batch 3 probes snapshot 1 — blind to batch 2 only
+    store = temp_store(spark, "gs_pb_", n_buckets=4)
+    try:
+        b1 = spark.createDataFrame(
+            [(1, "a1 a2 a3 a4 a5")], "doc_id long, text string"
+        )
+        b2 = spark.createDataFrame(
+            [(2, "b1 b2 b3 b4 b5")], "doc_id long, text string"
+        )
+        b3 = spark.createDataFrame(
+            [(3, "a1 a2 a3 a4 a5"), (4, "b1 b2 b3 b4 b5")],
+            "doc_id long, text string",
+        )
+        store.ingest_batch(b1, bid=1, n=GRAM_N)
+        store.ingest_batch(b2, bid=2, n=GRAM_N)
+        res = {
+            r.doc_id: r.n_removed
+            for r in store.ingest_batch(
+                b3, bid=3, n=GRAM_N, probe_before=2
+            ).collect()  # bounded: 2 rows
+        }
+        # doc 3 duplicates batch-1 claims (visible): removed in full;
+        # doc 4 duplicates batch-2 claims (the blind window): SURVIVES
+        assert res == {3: 5, 4: 0}
+    finally:
+        cleanup_store(store)
+
+    # seeded net: unique-or-exact-copy corpora (closed-form removal),
+    # each batch probing a randomly stale snapshot. Model: docs form
+    # FAMILIES (an underived unique-vocab doc and its exact copies; no
+    # chains, so a family's gram set is constant). A family CLAIMS at
+    # every batch where one of its members was kept. A copy in batch b
+    # probing with probe_before=pb is removed iff the family has a claim
+    # in some batch < pb (the visible-store rule), or an earlier member
+    # of the same family shares its batch (the within-batch MIN rule —
+    # which fires off the raw batch positions, so even a store-removed
+    # earlier member triggers it). Everything else survives — and a
+    # surviving copy itself claims, so a LATER batch's visibility depends
+    # on claims, not on where the original source lives.
+    for seed in (7, 19):
+        rng = _random.Random(seed)
+        store = temp_store(spark, f"gs_pbn{seed}_", n_buckets=4)
+        try:
+            next_id = 0
+            # family id -> (tokens, set of batches holding a live claim)
+            families: dict[int, tuple[list, set]] = {}
+            for bid in range(1, 5):
+                probe_before = rng.randint(1, bid)  # stale when < bid
+                rows, expect, kept_members = [], {}, []
+                batch_family: dict[int, int] = {}  # doc -> family
+                for _ in range(rng.randint(1, 4)):
+                    pool = [f for f, (t, _c) in families.items() if t]
+                    if rng.random() < 0.55 or not pool:
+                        toks = [
+                            f"w{k}u{next_id}"
+                            for k in range(rng.randint(1, 7))
+                        ]
+                        fam = next_id
+                        families[fam] = (toks, set())
+                        removed = False  # unique vocab: never removed
+                    else:
+                        fam = rng.choice(pool)
+                        toks, claims = families[fam]
+                        removed = any(
+                            cb < probe_before for cb in claims
+                        ) or fam in batch_family.values()
+                    rows.append((next_id, " ".join(toks)))
+                    expect[next_id] = len(toks) if removed else 0
+                    if not removed:
+                        kept_members.append(fam)
+                    batch_family[next_id] = fam
+                    next_id += 1
+                df = spark.createDataFrame(
+                    rows, "doc_id long, text string"
+                )
+                got = {
+                    r.doc_id: r.n_removed
+                    for r in store.ingest_batch(
+                        df, bid=bid, n=GRAM_N, probe_before=probe_before
+                    ).collect()  # bounded: fuzz batch
+                }
+                assert got == expect, (seed, bid, probe_before)
+                for fam in kept_members:
+                    families[fam][1].add(bid)
+        finally:
+            cleanup_store(store)
