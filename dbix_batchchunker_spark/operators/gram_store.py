@@ -1318,6 +1318,133 @@ def tx41_fixpoint_wave_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# tx42: TWO corpus drops onboarded into ONE store — the round-15 verdict's   #
+# top ask made an oracle. The natural production call (a second drop into    #
+# yesterday's UNCOMPACTED store) used to silently overwrite partitions       #
+# batch=1..k and probe batch<1, past every prior claim; the fix offsets      #
+# bids past max_real_batch() and probes the true pre-run snapshot. The       #
+# planted device makes the two-drop result closed-form: drop 1 is the        #
+# corpus with per-doc-unique suffixed vocab (every doc kept in full —       #
+# nothing collides), drop 2 under NEW ids (keyset discipline) is half       #
+# EXACT COPIES of drop-1 docs (removed in full whenever any gram exists —   #
+# sub-width docs emit one truncated gram identical to the source's, and a   #
+# zero-token copy coincides with the kept branch: 0 removed, 0 kept, '')    #
+# and half fresh unique-vocab docs (kept in full). NO compact between the   #
+# drops, and drop 2 runs the WAVE composition: a green row adjudicates      #
+# exactly the formerly-lossy path — bids offset past drop 1's live          #
+# partitions (an overwrite would lose drop-1 claims and with them nothing   #
+# visible here, but the probe half would already flip), and probe_before    #
+# pinned to the true pre-wave snapshot (the old probe_before=1 saw NOTHING  #
+# of drop 1's uncompacted claims, flipping every copy's n_removed to 0).    #
+# Halved corpus (doc_id % 2 == 0) — tx41's loop-floor economy: the device   #
+# is per-doc, so half the corpus adjudicates identically at half the two-   #
+# loop cost.                                                                 #
+# --------------------------------------------------------------------------- #
+_TX42_OFFSET = 1_000_000_000
+
+
+def _tx42_drops(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[DataFrame, DataFrame]":
+    from .text import _tokens_spark
+
+    base = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 2 == 0)
+        .select("doc_id", _tokens_spark("text").alias("w"))
+    )
+    d1 = base.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                "w",
+                lambda x: F.concat(
+                    x, F.lit("#"), F.col("doc_id").cast("string")
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    new_id = F.col("doc_id") + F.lit(_TX42_OFFSET)
+    copies = d1.where(F.col("doc_id") % 4 == 0).select(
+        new_id.alias("doc_id"), "text"
+    )
+    # suffix text BEFORE renaming the id: F.col("doc_id") inside the
+    # transform must resolve to the SOURCE id, not the shifted alias
+    fresh = (
+        base.where(F.col("doc_id") % 4 == 2)
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    "w",
+                    lambda x: F.concat(
+                        x,
+                        F.lit("#"),
+                        (
+                            F.col("doc_id") + F.lit(_TX42_OFFSET)
+                        ).cast("string"),
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .select(new_id.alias("doc_id"), "text")
+    )
+    return d1, copies.unionByName(fresh)
+
+
+@query(
+    "tx42_second_drop_onboarding",
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id, {_tokens_sql()} AS w FROM documents
+        WHERE doc_id % 2 = 0
+    )
+    SELECT doc_id, n_tokens, n_removed, n_kept, kept_text FROM (
+        -- drop 1: per-doc-unique vocab, every doc kept in full
+        SELECT doc_id, CAST(len(w) AS INT) AS n_tokens, 0 AS n_removed,
+               CAST(len(w) AS INT) AS n_kept,
+               COALESCE(array_to_string(list_transform(
+                   w, t -> t || '#' || CAST(doc_id AS VARCHAR)), ' '),
+                   '') AS kept_text
+        FROM r
+        UNION ALL
+        -- drop 2, exact copies of drop-1 docs: removed in full whenever
+        -- any gram exists (len 0 coincides: 0 removed, 0 kept, '')
+        SELECT doc_id + {_TX42_OFFSET}, CAST(len(w) AS INT),
+               CAST(len(w) AS INT), 0, ''
+        FROM r WHERE doc_id % 4 = 0
+        UNION ALL
+        -- drop 2, fresh unique vocab under the NEW id: kept in full
+        SELECT doc_id + {_TX42_OFFSET}, CAST(len(w) AS INT), 0,
+               CAST(len(w) AS INT),
+               COALESCE(array_to_string(list_transform(
+                   w, t -> t || '#' ||
+                       CAST(doc_id + {_TX42_OFFSET} AS VARCHAR)), ' '), '')
+        FROM r WHERE doc_id % 4 = 2
+    )
+    ORDER BY doc_id
+    """,
+)
+def tx42_second_drop_onboarding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d1, d2 = _tx42_drops(spark, sf_dir)
+    d1 = d1.localCheckpoint(eager=True)
+    d2 = d2.localCheckpoint(eager=True)
+    store = temp_store(spark, "gs_tx42_")
+    try:
+        r1 = onboard_corpus_serial(d1, store)
+        # drop 2: wave, NO compact between — the formerly-lossy call
+        r2 = onboard_corpus_wave(d2, store)
+        # both results derive from checkpointed parts — valid post-cleanup
+        return r1.unionByName(r2).orderBy("doc_id")
+    finally:
+        cleanup_store(store)
+
+
+# --------------------------------------------------------------------------- #
 # q60: store accounting — the observability surface a production operator    #
 # alerts on (tombstone backlog => schedule a compact; live/total posting     #
 # ratio => reclaimable space). The store ingests the corpus slice            #

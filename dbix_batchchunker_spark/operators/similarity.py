@@ -575,7 +575,72 @@ def _store_fs(spark: SparkSession, path: str):
     return fs, jpath
 
 
-def save_ivf_index(index: IvfIndex, path: str) -> None:
+class EmbeddingStoreLease:
+    """Maintenance lease for a PERSISTED embedding/IVF store directory
+    (round-15 verdict #2 — the gram store's precedent,
+    gram_store.py:_acquire_lease, extended to the second persisted
+    store): the swap of ``<path>/centroids`` / ``supers`` / ``meta.json``
+    and any caller-managed ``entries`` / ``vectors`` halves was
+    single-writer by DISCIPLINE only — a :func:`compact_embedding_store`
+    rewrite racing an incremental :func:`save_ivf_index` corrupted
+    silently. The lease file is created via ``FileSystem.createNewFile``
+    with the gram store's exact per-scheme guarantee (atomic on hdfs://,
+    single-host-safe on file://, best-effort on s3a:// — object-store
+    deployments compacting from multiple jobs should add an external
+    lock). Usage::
+
+        with EmbeddingStoreLease(spark, path) as lease:
+            entries, vectors = compact_embedding_store(...)
+            ...write entries/vectors...
+            save_ivf_index(index, path, lease=lease)  # reentrant
+
+    A bare ``save_ivf_index(index, path)`` acquires and releases its own
+    lease. A lease left by a crashed maintainer is cleared with
+    :meth:`break_lease` once the operator confirms the holder is dead."""
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+        self.lease_path = path.rstrip("/") + "__maintenance_lease"
+        self._held = False
+
+    def acquire(self) -> "EmbeddingStoreLease":
+        from .gram_store import StoreMaintenanceLockError
+
+        fs, _ = _store_fs(self.spark, self.lease_path)
+        jp = self.spark._jvm.org.apache.hadoop.fs.Path(self.lease_path)
+        if not fs.createNewFile(jp):
+            raise StoreMaintenanceLockError(
+                f"maintenance lease already held for embedding store "
+                f"{self.path} ({self.lease_path}); a save/compact is in "
+                "flight or crashed — break_lease() after confirming no "
+                "maintainer is live"
+            )
+        self._held = True
+        return self
+
+    def release(self) -> None:
+        self._held = False
+        fs, _ = _store_fs(self.spark, self.lease_path)
+        jp = self.spark._jvm.org.apache.hadoop.fs.Path(self.lease_path)
+        if fs.exists(jp):
+            fs.delete(jp, False)
+
+    def break_lease(self) -> None:
+        """Crash repair: drop a lease left by a dead maintainer (operator
+        confirms the holder is gone — the gram store's flow)."""
+        self.release()
+
+    def __enter__(self) -> "EmbeddingStoreLease":
+        return self.acquire()
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
+
+def save_ivf_index(
+    index: IvfIndex, path: str, lease: "EmbeddingStoreLease | None" = None
+) -> None:
     """Persist the full routing state — centroids, and for two-level
     indexes the super centroids + children-per-super — so
     :func:`load_ivf_index` probes EXACTLY like the in-process build.
@@ -584,20 +649,42 @@ def save_ivf_index(index: IvfIndex, path: str) -> None:
     k-row small at any corpus size (√n·8 rows at the default cell
     population), so this is a cheap driver-coordinated write. All three
     pieces go through the Hadoop FileSystem of ``path``'s scheme, so a
-    remote store (hdfs://, s3a://) round-trips like a local one."""
+    remote store (hdfs://, s3a://) round-trips like a local one.
+
+    Single-writer is enforced by :class:`EmbeddingStoreLease` (round-15
+    verdict #2): with no ``lease`` argument the write acquires and
+    releases its own; a caller already inside a
+    ``with EmbeddingStoreLease(...)`` block passes its held lease to run
+    reentrantly (the whole save+swap then sits under ONE lease)."""
     import json
 
+    from .gram_store import StoreMaintenanceLockError
+
     spark = index.centroids.sparkSession
-    index.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
-    if index.supers is not None:
-        index.supers.write.mode("overwrite").parquet(f"{path}/supers")
-    fs, _ = _store_fs(spark, path)
-    meta = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/meta.json")
-    out = fs.create(meta, True)
+    own = None
+    if lease is None:
+        own = EmbeddingStoreLease(spark, path).acquire()
+    elif not lease._held:
+        raise StoreMaintenanceLockError(
+            f"save_ivf_index given a lease for {lease.path} that is not "
+            "held — acquire() it (or use the context manager) first"
+        )
     try:
-        out.write(bytearray(json.dumps({"k_child": index.k_child}).encode()))
+        index.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+        if index.supers is not None:
+            index.supers.write.mode("overwrite").parquet(f"{path}/supers")
+        fs, _ = _store_fs(spark, path)
+        meta = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/meta.json")
+        out = fs.create(meta, True)
+        try:
+            out.write(
+                bytearray(json.dumps({"k_child": index.k_child}).encode())
+            )
+        finally:
+            out.close()
     finally:
-        out.close()
+        if own is not None:
+            own.release()
 
 
 def load_ivf_index(spark: SparkSession, path: str) -> IvfIndex:

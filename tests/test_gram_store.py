@@ -913,3 +913,64 @@ def test_probe_before_stale_snapshot_contract(spark):
                     families[fam][1].add(bid)
         finally:
             cleanup_store(store)
+
+
+def test_embedding_store_lease_refuses_second_writer(spark, tmp_path):
+    """Round-15 verdict #2: the persisted embedding/IVF store's
+    save/compact swap was single-writer by DISCIPLINE — extend the gram
+    store's lease to it (beside test_compact_lease_refuses_second_writer,
+    as asked). A second maintainer's save refuses loudly while the lease
+    is held; break_lease() is the crash repair; a caller-held lease runs
+    save_ivf_index reentrantly; the round-trip stays intact throughout."""
+    import numpy as np
+
+    from dbix_batchchunker_spark.operators.gram_store import (
+        StoreMaintenanceLockError,
+    )
+    from dbix_batchchunker_spark.operators.similarity import (
+        EMBED_DIM,
+        EmbeddingStoreLease,
+        build_ivf_index,
+        load_ivf_index,
+        norm,
+        save_ivf_index,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(300, EMBED_DIM))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, i % 3, [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id long, label long, embedding array<float>",
+    ).withColumn("nrm", norm(F.col("embedding")))
+    index = build_ivf_index(emb)
+    path = str(tmp_path / "emb_store")
+
+    # a FOREIGN maintainer (another job in production) holds the lease
+    other = EmbeddingStoreLease(spark, path).acquire()
+    with pytest.raises(StoreMaintenanceLockError):
+        save_ivf_index(index, path)
+    # and a second lease on the same store also refuses
+    with pytest.raises(StoreMaintenanceLockError):
+        EmbeddingStoreLease(spark, path).acquire()
+
+    # crash repair: break, then save normally (own-lease path)
+    other.break_lease()
+    save_ivf_index(index, path)
+    assert load_ivf_index(spark, path).centroids.count() > 0
+
+    # reentrant path: one caller-held lease spans the whole save+swap
+    with EmbeddingStoreLease(spark, path) as lease:
+        save_ivf_index(index, path, lease=lease)
+        # while held, a rival still refuses
+        with pytest.raises(StoreMaintenanceLockError):
+            save_ivf_index(index, path)
+    # released on exit: the next maintainer proceeds
+    save_ivf_index(index, path)
+
+    # an UNHELD lease object is not a bypass token
+    with pytest.raises(StoreMaintenanceLockError):
+        save_ivf_index(index, path, lease=EmbeddingStoreLease(spark, path))
+
+    loaded = load_ivf_index(spark, path)
+    assert loaded.centroids.count() == index.centroids.count()

@@ -1119,3 +1119,13 @@ def test_embedding_store_delete_shuffle_fallback(spark, monkeypatch):
         assert "BroadcastHashJoin" not in plan
     assert sorted(r.vec_id for r in e2.collect()) == keep_e  # bounded
     assert sorted(r.vec_id for r in v2.collect()) == keep_v  # bounded
+
+    # caller-supplied size hint (round-15 advisor): skips the size probe
+    # entirely and picks the plan from the hint — same survivors
+    e3, v3 = compact_embedding_store(entries, vectors, deleted, n_deleted=40)
+    assert "ShuffledHashJoin" in _plan(e3)  # 40 > patched ceiling of 1
+    assert sorted(r.vec_id for r in e3.collect()) == keep_e  # bounded
+    monkeypatch.setattr(sim_mod, "DELETE_BROADCAST_MAX_IDS", 2_000_000)
+    e4, _ = compact_embedding_store(entries, vectors, deleted, n_deleted=40)
+    assert "BroadcastHashJoin" in _plan(e4)
+    assert sorted(r.vec_id for r in e4.collect()) == keep_e  # bounded
