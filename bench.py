@@ -131,6 +131,31 @@ def _sentinel_seconds(spark) -> float:
     return round(best, 3)
 
 
+def _burst_suspects(
+    timings: dict, prior: dict, contended: bool
+) -> "list[str]":
+    """Names whose FINAL published min still regresses its prior by
+    >1.5× AND >0.3 s absolute in an otherwise-QUIET artifact — the
+    post-hoc case the in-loop stall rescue cannot catch (round-15
+    verdict #4 / SCALING.md "single-query burst"): suite-bracketing
+    sentinels miss a co-tenant burst confined to one query's window
+    (tx40 read 12.88 s in the r15 artifact, 6.25 s on immediate solo
+    re-run). These get ONE automatic standalone re-measure each, with
+    BOTH numbers recorded in the artifact's ``re_measured`` field —
+    the discipline that used to be manual. A contended artifact skips
+    this: the whole run is already stamped unreliable, and re-measures
+    under the same load would just launder noise."""
+    if contended:
+        return []
+    return sorted(
+        n
+        for n, v in timings.items()
+        if n in prior
+        and prior[n] > 0
+        and v > max(1.5 * prior[n], prior[n] + 0.3)
+    )
+
+
 #: Module-name prefixes swapped between A/B variants — everything this
 #: repo owns; pyspark/py4j and the JVM stay shared (that is the point:
 #: one JVM, one scheduler, interleaved runs).
@@ -511,6 +536,32 @@ def main() -> None:
         > SENTINEL_CONTENDED_RATIO * SENTINEL_IDLE_S
     )
 
+    # Automated single-query burst re-measure (round-15 verdict #4): any
+    # query whose published min still regresses its prior past the
+    # stall-rescue threshold in a quiet artifact gets one standalone
+    # re-run — the manual SPARK_GRAFT_BENCH_ONLY discipline, mechanized.
+    # Both numbers are recorded; the published timing takes the min (the
+    # burst was load, not code — the same reasoning as the in-loop
+    # rescue, just after the fact).
+    re_measured: dict[str, dict] = {}
+    for name in _burst_suspects(timings, prior, contended):
+        try:
+            t0 = time.monotonic()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            solo = round(time.monotonic() - t0, 3)
+            _clear_caches(spark)
+        except Exception:  # noqa: BLE001 — keep the banked suite number
+            continue
+        re_measured[name] = {"suite_s": timings[name], "solo_s": solo}
+        timings[name] = min(timings[name], solo)
+        print(
+            f"# {name}: burst re-measure {re_measured[name]['suite_s']:.3f}s"
+            f" suite -> {solo:.3f}s solo",
+            file=sys.stderr,
+        )
+
     total = round(sum(timings.values()), 3)
     # The driver records only THE FINAL stdout line (plus a bounded tail), so
     # that line must stay compact: three rounds of BENCH_r{N}.json came back
@@ -527,6 +578,7 @@ def main() -> None:
         "timing": (
             f"min_of_{runs}_plus_one_when_prior_gt_3s"
             "_plus_stall_rescue_at_1p5x_prior"
+            "_plus_solo_remeasure_of_final_bursts"
         ),
         "warmup": f"each query once at {warm_dir} before timing",
         "sentinel": {
@@ -538,6 +590,8 @@ def main() -> None:
     }
     if errors:
         detail["errors"] = errors
+    if re_measured:
+        detail["re_measured"] = re_measured
     if chunker_stats:
         detail["chunker"] = chunker_stats
     if prior:
