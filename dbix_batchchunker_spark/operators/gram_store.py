@@ -876,11 +876,22 @@ _PLANTED_INGEST_ORACLE = f"""
     """
 
 
+def _sink_chunk(result: DataFrame, sink_dir: str, bid: int) -> None:
+    """Sink one chunk's per-doc result as the overwrite dir
+    ``sink_dir/b{bid}`` (the st13 fold_outputs layout): replay-idempotent,
+    and the union of a 10k-chunk onboarding becomes ONE parquet read
+    instead of a 10k-ary driver plan (round-15 verdict #5)."""
+    result.write.mode("overwrite").parquet(
+        os.path.join(sink_dir, f"b{bid}")
+    )
+
+
 def onboard_corpus_serial(
     docs: DataFrame,
     store: GramPostingsStore,
     target_chunks: int = 5,
     n: int = _SSD_N,
+    sink_dir: "str | None" = None,
 ) -> DataFrame:
     """The SERIAL corpus-onboarding composition (tx38's machinery as a
     reusable operator): BatchChunker keyset-chunks ``docs`` by doc_id
@@ -896,22 +907,39 @@ def onboard_corpus_serial(
     committed claim (compacted base AND uncompacted batch partitions)
     plus this run's earlier chunks, and never overwrites a prior drop's
     partitions. The keyset discipline still applies: doc_ids must be new
-    (never reused — BatchChunker.pm's cursor monotonicity)."""
+    (never reused — BatchChunker.pm's cursor monotonicity).
+
+    ``sink_dir`` is the PRODUCTION result path (round-15 verdict #5):
+    each chunk's per-doc result lands as the overwrite dir
+    ``sink_dir/b{bid}`` (the st13 ingest-sink layout — replay-idempotent,
+    foldable between maintenance windows via ``fold_outputs``) and the
+    return value READS the sink (``read_outputs``), so a 10k-chunk
+    onboarding is one parquet scan, not a 10k-ary driver union plan.
+    Keep ``sink_dir`` alive while consuming the returned frame. Default
+    (None) keeps the in-memory union — identical results, pinned by
+    test_onboarding_sink_path_equals_union — which is fine at rehearsal
+    chunk counts and requires no storage beyond the checkpoints."""
     from functools import reduce
 
     from ..chunker import BatchChunker
     from .chunked import _span_chunks
+    from .stream import read_outputs
 
     base_bid = store.max_real_batch()
     parts: "list[DataFrame]" = []
+    n_chunks = [0]
 
     def ingest_chunk(bc: BatchChunker, chunk_df: DataFrame) -> None:
         # bid = base offset + 1-based chunk ordinal: ingest_batch probes
         # batch < bid, i.e. every prior drop's claims plus exactly the
         # chunks this loop already committed
-        parts.append(
-            store.ingest_batch(chunk_df, bid=base_bid + len(parts) + 1, n=n)
-        )
+        bid = base_bid + n_chunks[0] + 1
+        n_chunks[0] += 1
+        result = store.ingest_batch(chunk_df, bid=bid, n=n)
+        if sink_dir is not None:
+            _sink_chunk(result, sink_dir, bid)
+        else:
+            parts.append(result)
 
     chunk_size, mn, mx = _span_chunks(
         docs, "doc_id", target_chunks=target_chunks, floor=1
@@ -928,6 +956,8 @@ def onboard_corpus_serial(
         sleep=0,
         verbose=False,
     ).execute()
+    if sink_dir is not None:
+        return read_outputs(docs.sparkSession, sink_dir)
     # parts are localCheckpoint'ed by ingest_batch (bounded: one row per
     # corpus doc), so the union survives a store cleanup after the return
     return reduce(DataFrame.unionByName, parts)
@@ -1006,6 +1036,7 @@ def onboard_corpus_wave(
     n: int = _SSD_N,
     max_in_flight: int = 4,
     reconcile: str = "once",
+    sink_dir: "str | None" = None,
 ) -> DataFrame:
     """The WAVE-PARALLEL corpus-onboarding composition (tx40's machinery
     as a reusable operator): ConcurrentChunker runs every chunk's
@@ -1029,11 +1060,18 @@ def onboard_corpus_wave(
     kept tokens strictly decreases), ≤ chain-depth iterations in
     practice, each corpus-sized (store-age-invariant — the measured
     reconcile share, SCALING.md). Fixpoint removals ⊇ once removals;
-    equality with serial still holds on chain-free corpora."""
+    equality with serial still holds on chain-free corpora.
+
+    ``sink_dir`` — the production result path, same contract as
+    :func:`onboard_corpus_serial`: per-chunk results land as
+    ``sink_dir/b{bid}`` overwrite dirs (disjoint bids ⇒ concurrent-safe,
+    replay-idempotent) and phase 2 reads them back as ONE parquet scan
+    instead of a per-chunk driver union plan (round-15 verdict #5)."""
     from functools import reduce
 
     from ..chunker import BatchChunker, ConcurrentChunker
     from .chunked import _span_chunks
+    from .stream import read_outputs
 
     spark = docs.sparkSession
     parts: "list[DataFrame]" = []
@@ -1083,11 +1121,15 @@ def onboard_corpus_wave(
                     f"stride={stride} != wave chunk_size={chunk_size}"
                 )
             bid = base_bid + 1 + (int(start) - mn) // chunk_size
-            parts.append(
-                store.ingest_batch(
-                    chunk_df, bid=bid, probe_before=base_bid + 1, n=n
-                )
+            result = store.ingest_batch(
+                chunk_df, bid=bid, probe_before=base_bid + 1, n=n
             )
+            if sink_dir is not None:
+                # disjoint bids make concurrent sinks safe (each worker
+                # owns its own overwrite dir)
+                _sink_chunk(result, sink_dir, bid)
+            else:
+                parts.append(result)
 
         ConcurrentChunker(
             BatchChunker(
@@ -1104,7 +1146,10 @@ def onboard_corpus_wave(
             ),
             max_in_flight=max_in_flight,
         ).execute()
-        phase1 = reduce(DataFrame.unionByName, parts)
+        if sink_dir is not None:
+            phase1 = read_outputs(spark, sink_dir)
+        else:
+            phase1 = reduce(DataFrame.unionByName, parts)
         # phase 2: cross-chunk reconcile over the survivors' kept text
         kept = phase1.where(F.col("n_kept") > 0).select(
             "doc_id", F.col("kept_text").alias("text")

@@ -974,3 +974,38 @@ def test_embedding_store_lease_refuses_second_writer(spark, tmp_path):
 
     loaded = load_ivf_index(spark, path)
     assert loaded.centroids.count() == index.centroids.count()
+
+
+def test_onboarding_sink_path_equals_union(spark):
+    """Round-15 verdict #5: the production result path — per-chunk sinks
+    + read_outputs (the st13 layout) instead of a per-chunk driver union
+    plan — must be result-identical to the in-memory union for every
+    composition, and must lay down one b{bid} dir per non-empty chunk so
+    fold_outputs can manage it between maintenance windows."""
+    import random as _random
+    import shutil
+    import tempfile
+
+    rng = _random.Random(17)
+    docs, _ = _gen_onboard_corpus(rng, 35, allow_chains=True)
+
+    for mode, kw in (
+        ("serial", {}),
+        ("wave", {}),
+        ("wave", {"reconcile": "fixpoint"}),
+    ):
+        tag = f"sk{mode[0]}{len(kw)}"
+        base = _onboard(spark, docs, mode, tag + "u", **kw)
+        sink_root = tempfile.mkdtemp(prefix=f"gs_sink_{tag}_")
+        try:
+            out = os.path.join(sink_root, "out")
+            sunk = _onboard(spark, docs, mode, tag + "s", sink_dir=out, **kw)
+            assert sunk == base, (mode, kw)
+            bdirs = [
+                d for d in os.listdir(out) if d.startswith("b")
+            ]
+            # one per-chunk dir per non-empty chunk (target_chunks=4 in
+            # the helper; id gaps can make a chunk empty)
+            assert 1 <= len(bdirs) <= 5, bdirs
+        finally:
+            shutil.rmtree(sink_root, ignore_errors=True)
