@@ -142,53 +142,31 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     their r14 seats to mid-round debuts) and the first 40 of the
 #:     round-12 demotion cohort (st08…q34). q35/q37/q39/q41/q43/q45 head
 #:     the queue for round 16.
+#:   round 16: CORRECTNESS_r15 = 50/50 green, so the full r15 cohort (its
+#:     2 debuts included) rotates out. In: the round-16 oracle debut —
+#:     tx42 (TWO corpus drops onboarded into one UNCOMPACTED store: the
+#:     round-15 verdict's top ask adjudicated — bids offset past
+#:     max_real_batch(), probes pinned to the true pre-run snapshot) —
+#:     plus the recorded queue head (q35/q37/q39/q41/q43/q45, the
+#:     round-12 cohort's tail) and the first 39 of the round-13 demotion
+#:     cohort (sim11…q02). q04/q05/q06/q10/q11/dd14/dd15 head the queue
+#:     for round 17.
 #: Every rotated-out query stays oracle-pinned in the local gate replica
 #: (tests/test_queries_oracle.py parametrizes over every oracle —
-#: 148 after the round-15 additions: q61, tx41).
+#: 149 after the round-16 addition: tx42).
 ADJUDICATED_PREFIX = (
     # chunker flagships: permanent slots
     "q20_chunked_delete_survivors", "q21_chunked_groupby_combine",
     "q22_chunked_update_overlay", "q23_chunked_update_join",
-    # round-15 oracle debuts: first driver rows in their debut round
-    # (tx41 added mid-round: fixpoint wave onboarding on a chained corpus)
-    "q61_store_purge_accounting", "tx41_fixpoint_wave_ingest",
-    # oldest demotions re-adjudicated (head of the queue): the four that
-    # ceded their round-14 seats to mid-round debuts…
-    "dd08_ngram_jaccard_pairs", "mm01_binary_stats",
-    "sim01_topk_bruteforce", "sim03_embedding_near_dup",
-    # …then the round-12 cohort (last driver-green round 12), oldest
-    # first: its 5 round-12 debuts, then the re-adjudication block
-    "st08_stream_sized_sink", "mm05_wav_clip_stats",
-    "mm06_png_header_metadata", "tx33_sliding_windows",
-    "tx34_span_decontaminate", "tx01_token_stats", "tx04_fingerprint",
-    "tx05_json_extract", "tx08_rolling_hash", "tx09_det_split",
-    "tx12_repetition", "q16_semi_join", "q17_scalar_functions",
-    "q18_percentiles", "q33_interval_overlap_join", "q36_pivot_event_matrix",
-    "q38_composite_keyset", "q40_null_aware_anti",
-    "q42_trailing_week_revenue", "q44_full_outer_reconcile",
-    "dd10_jaccard_components", "dd11_containment_pairs",
-    "sim08_quantized_topk", "tx16_bloom_decontaminate",
-    "tx18_bpe_merge_pairs", "sp04_sequence_packing", "tx02_quality_score",
-    "tx03_langid", "tx06_pipeline_quality_dedup", "tx07_bpe_token_count",
-    "tx10_decontaminate", "tx11_group_sample", "tx14_vocab",
-    "tx15_dup_windows", "tx17_contamination_severity", "tx26_token_rarity",
-    "sp01_mixture_sample", "sp07_mixture_waterfill", "sp08_epoch_plan",
-    "q34_grouping_sets",
-)
-
-#: Former slot-holders, first in line for re-adjudication when the
-#: rotation swings back — the queue is ordered OLDEST driver-green first,
-#: so the head is always first in line when slots free up (or if the
-#: driver cap were raised).
-DEMOTED_FROM_PREFIX = (
-    # Last driver-green round 12 (the remaining entries of that cohort —
-    # the 40 ahead were re-seated for round 15; q35 ceded its seat to the
-    # mid-round tx41 debut and returns to the queue head).
-    "q35_event_gaps", "q37_topk_per_group",
-    "q39_spend_deciles", "q41_sketch_rollup", "q43_salted_hot_join",
+    # round-16 oracle debut: first driver row in its debut round
+    "tx42_second_drop_onboarding",
+    # recorded queue head: the round-12 cohort's tail (q35 ceded its r15
+    # seat to the mid-round tx41 debut)
+    "q35_event_gaps", "q37_topk_per_group", "q39_spend_deciles",
+    "q41_sketch_rollup", "q43_salted_hot_join",
     "q45_unpivot_status_counts",
-    # Last driver-green round 13 (all 46 r13 greens except the permanent
-    # chunker flagships; round-13 debuts first).
+    # …then the round-13 cohort (last driver-green round 13), oldest
+    # first: its debuts, then the re-adjudication block
     "sim11_incremental_store_pairs", "tx13v_pii_redact_portable",
     "tx35_substring_dedup", "tx36_incremental_substring_dedup",
     "st12_stream_gram_store_ingest", "q46_lateral_topn_per_customer",
@@ -205,6 +183,15 @@ DEMOTED_FROM_PREFIX = (
     "st05_stream_enrich", "st06_stream_stream_join",
     "st09_stream_hourly_counts", "st10_stream_user_counts",
     "st11_stream_session_counts", "q02_filter_predicates",
+)
+
+#: Former slot-holders, first in line for re-adjudication when the
+#: rotation swings back — the queue is ordered OLDEST driver-green first,
+#: so the head is always first in line when slots free up (or if the
+#: driver cap were raised).
+DEMOTED_FROM_PREFIX = (
+    # Last driver-green round 13 (the remaining entries of that cohort —
+    # the 39 ahead were re-seated for round 16).
     "q04_minmax_count", "q05_groupby_having", "q06_view_orders_1995",
     "q10_set_ops", "q11_hourly_event_rollup",
     "dd14_sql_simhash_pairs", "dd15_sql_minhash_components",
@@ -229,6 +216,27 @@ DEMOTED_FROM_PREFIX = (
     "q52_dense_hourly_fill", "q53_null_aware_anti_shuffle",
     "q54_session_paths", "dd01_exact", "dd02_jaccard_pairs",
     "dd05_mllib_minhash", "dd06_lsh_jaccard_pairs",
+    # Last driver-green round 15 (demoted this round — all 46 r15 greens
+    # except the permanent chunker flagships; round-15 debuts first).
+    "q61_store_purge_accounting", "tx41_fixpoint_wave_ingest",
+    "dd08_ngram_jaccard_pairs", "mm01_binary_stats",
+    "sim01_topk_bruteforce", "sim03_embedding_near_dup",
+    "st08_stream_sized_sink", "mm05_wav_clip_stats",
+    "mm06_png_header_metadata", "tx33_sliding_windows",
+    "tx34_span_decontaminate", "tx01_token_stats", "tx04_fingerprint",
+    "tx05_json_extract", "tx08_rolling_hash", "tx09_det_split",
+    "tx12_repetition", "q16_semi_join", "q17_scalar_functions",
+    "q18_percentiles", "q33_interval_overlap_join", "q36_pivot_event_matrix",
+    "q38_composite_keyset", "q40_null_aware_anti",
+    "q42_trailing_week_revenue", "q44_full_outer_reconcile",
+    "dd10_jaccard_components", "dd11_containment_pairs",
+    "sim08_quantized_topk", "tx16_bloom_decontaminate",
+    "tx18_bpe_merge_pairs", "sp04_sequence_packing", "tx02_quality_score",
+    "tx03_langid", "tx06_pipeline_quality_dedup", "tx07_bpe_token_count",
+    "tx10_decontaminate", "tx11_group_sample", "tx14_vocab",
+    "tx15_dup_windows", "tx17_contamination_severity", "tx26_token_rarity",
+    "sp01_mixture_sample", "sp07_mixture_waterfill", "sp08_epoch_plan",
+    "q34_grouping_sets",
 )
 
 
