@@ -222,6 +222,7 @@ class GramPostingsStore:
         claim partitions and probe past its uncompacted claims). One
         SHOW PARTITIONS — bounded driver materialization, one row per
         partition."""
+        # one row per partition — bounded driver materialization
         parts = [
             int(r[0].split("=", 1)[1])
             for r in self.spark.sql(
