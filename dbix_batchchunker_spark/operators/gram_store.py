@@ -132,6 +132,7 @@ class GramPostingsStore:
         self.staging_path = path + "__compact_staging"
         self.lease_path = path + "__maintenance_lease"
         self.writers_path = path + "__writers"
+        self.hwm_path = path + "__bid_hwm"
         # reentrancy marker: compact() holds the lease while calling
         # _insert for its own fold — only FOREIGN writers must refuse
         self._lease_held = False
@@ -214,14 +215,22 @@ class GramPostingsStore:
         return self._tombstone_bytes() >= TOMBSTONE_BROADCAST_MAX_BYTES
 
     def max_real_batch(self) -> int:
-        """Largest REAL (non-base) batch partition id, 0 when only the
-        compacted base — or nothing — exists. This is the bid offset a
-        corpus onboarding must start past (round-15 verdict #1: the
-        natural production call is a SECOND corpus drop into yesterday's
-        store — bids that restart at 1 dynamic-overwrite the prior drop's
-        claim partitions and probe past its uncompacted claims). One
-        SHOW PARTITIONS — bounded driver materialization, one row per
-        partition."""
+        """Largest batch id EVER committed: max of the live real (non-
+        base) partitions and the high-water mark ``compact()`` records
+        before folding them away. This is the bid offset a corpus
+        onboarding must start past (round-15 verdict #1: the natural
+        production call is a SECOND corpus drop into yesterday's store —
+        bids that restart at 1 dynamic-overwrite the prior drop's claim
+        partitions and probe past its uncompacted claims). Monotonicity
+        over the store's LIFETIME — not just between compactions — is
+        load-bearing for the sink composition: a compact() that silently
+        recycled bids would send the next drop's ``sink_dir/b{bid}`` dirs
+        below the fold mark (invisible to ``read_outputs``) or into a
+        collision with unfolded dirs (found live by
+        examples/multi_drop_onboarding.py; pinned in the shared-sink
+        test). The reference's posture exactly: cursor ids are monotone,
+        never recycled (BatchChunker.pm). One SHOW PARTITIONS + one FS
+        metadata read — bounded driver materialization."""
         # one row per partition — bounded driver materialization
         parts = [
             int(r[0].split("=", 1)[1])
@@ -229,7 +238,55 @@ class GramPostingsStore:
                 f"SHOW PARTITIONS {self.name}"
             ).collect()
         ]
-        return max((p for p in parts if p != COMPACT_PARTITION), default=0)
+        live = max((p for p in parts if p != COMPACT_PARTITION), default=0)
+        return max(live, self._read_hwm())
+
+    def _read_hwm(self) -> int:
+        """The bid high-water mark compact() persisted (0 if never)."""
+        fs, jp = self._fs(self.hwm_path)
+        if not fs.exists(jp):
+            return 0
+        stm = fs.open(jp)
+        try:
+            raw = bytes(
+                self.spark._jvm.org.apache.commons.io.IOUtils.toByteArray(
+                    stm
+                )
+            )
+        finally:
+            stm.close()
+        try:
+            return int(raw.decode().strip() or 0)
+        except ValueError:
+            return 0
+
+    def _write_hwm(self, hwm: int) -> None:
+        fs, jp = self._fs(self.hwm_path)
+        out = fs.create(jp, True)
+        try:
+            out.write(bytearray(str(int(hwm)).encode()))
+        finally:
+            out.close()
+
+    def drop_batches_above(self, bid: int) -> None:
+        """Drop every real batch partition with id > ``bid`` — the crash
+        repair for an onboarding run that died mid-way: its claims sit in
+        partitions above the pre-run ``max_real_batch()``, and a naive
+        re-run would fold them into its base offset and probe them (the
+        run's own docs would then dedup against THEMSELVES — everything
+        cut). Record ``max_real_batch()`` before the run; after a crash,
+        ``drop_batches_above(that)`` then re-run. Metadata + FS deletes,
+        no Spark job over data."""
+        # one row per partition — bounded driver materialization
+        for r in self.spark.sql(f"SHOW PARTITIONS {self.name}").collect():
+            p = int(r[0].split("=", 1)[1])
+            if p != COMPACT_PARTITION and p > bid:
+                self.spark.sql(
+                    f"ALTER TABLE {self.name} "
+                    f"DROP IF EXISTS PARTITION (batch={p})"
+                )
+                self._fs_delete(os.path.join(self.path, f"batch={p}"))
+        self.spark.catalog.refreshTable(self.name)
 
     def _sized_tombstone_join(
         self, df: DataFrame, tomb: DataFrame, how: str
@@ -545,6 +602,17 @@ class GramPostingsStore:
             int(r[0].split("=", 1)[1])
             for r in self.spark.sql(f"SHOW PARTITIONS {self.name}").collect()
         ]
+        # persist the bid high-water mark BEFORE dropping the partitions
+        # that witness it: batch ids stay monotone across compactions
+        # (max_real_batch's contract — a recycled bid would collide the
+        # next onboarding's sink dirs and probe snapshot)
+        hwm = max(
+            [p for p in parts if p != COMPACT_PARTITION]
+            + [self._read_hwm()],
+            default=0,
+        )
+        if hwm > 0:
+            self._write_hwm(hwm)
         for p in sorted(parts):
             if p == COMPACT_PARTITION:
                 continue
@@ -936,20 +1004,23 @@ def onboard_corpus_serial(
     each chunk's per-doc result lands as the overwrite dir
     ``sink_dir/b{bid}`` (the st13 ingest-sink layout — replay-idempotent,
     foldable between maintenance windows via ``fold_outputs``) and the
-    return value READS the sink (``read_outputs``), so a 10k-chunk
-    onboarding is one parquet scan, not a 10k-ary driver union plan.
-    Keep ``sink_dir`` alive while consuming the returned frame. Default
-    (None) keeps the in-memory union — identical results, pinned by
-    test_onboarding_sink_path_equals_union — which is fine at rehearsal
-    chunk counts and requires no storage beyond the checkpoints."""
+    return value reads back exactly THIS RUN's dirs in one parquet scan
+    — not a 10k-ary driver union plan, and not other runs' rows either:
+    a ``sink_dir`` shared across drops stays one growing table
+    (``read_outputs`` reads the whole of it; fold between drops, not
+    while consuming a run's return value), while each run's return is
+    its own docs only. Default (None) keeps the in-memory union —
+    identical results, pinned by test_onboarding_sink_path_equals_union
+    — which is fine at rehearsal chunk counts and requires no storage
+    beyond the checkpoints."""
     from functools import reduce
 
     from ..chunker import BatchChunker
     from .chunked import _span_chunks
-    from .stream import read_outputs
 
     base_bid = store.max_real_batch()
     parts: "list[DataFrame]" = []
+    sunk_bids: "list[int]" = []
     n_chunks = [0]
 
     def ingest_chunk(bc: BatchChunker, chunk_df: DataFrame) -> None:
@@ -961,6 +1032,7 @@ def onboard_corpus_serial(
         result = store.ingest_batch(chunk_df, bid=bid, n=n)
         if sink_dir is not None:
             _sink_chunk(result, sink_dir, bid)
+            sunk_bids.append(bid)
         else:
             parts.append(result)
 
@@ -980,7 +1052,12 @@ def onboard_corpus_serial(
         verbose=False,
     ).execute()
     if sink_dir is not None:
-        return read_outputs(docs.sparkSession, sink_dir)
+        # exactly THIS run's dirs — one multi-path parquet relation (one
+        # scan node, not a per-chunk union plan); a shared sink_dir's
+        # other drops are not this run's result
+        return docs.sparkSession.read.parquet(
+            *(os.path.join(sink_dir, f"b{b}") for b in sunk_bids)
+        )
     # parts are localCheckpoint'ed by ingest_batch (bounded: one row per
     # corpus doc), so the union survives a store cleanup after the return
     return reduce(DataFrame.unionByName, parts)
@@ -1073,6 +1150,14 @@ def onboard_corpus_wave(
     instead of overwriting its partitions and probing past its claims;
     doc_ids must still be new (keyset discipline).
 
+    Crash recovery (a consequence of the bid offset): a run that died
+    mid-way left claims in partitions above the pre-run
+    ``max_real_batch()`` — a naive re-run would treat them as a prior
+    drop and the docs would dedup against their own crashed claims.
+    Record ``max_real_batch()`` before the run; after a crash,
+    ``store.drop_batches_above(that)`` then re-run (per-chunk sink dirs
+    are overwrite-idempotent, so the sink needs no repair).
+
     ``reconcile="once"`` (tx40's adjudicated form) runs ONE pass —
     exactly equal to the serial loop on chain-free corpora, divergent in
     BOTH directions on removal chains (fuzz-pinned; see the tx40 block
@@ -1088,16 +1173,20 @@ def onboard_corpus_wave(
     ``sink_dir`` — the production result path, same contract as
     :func:`onboard_corpus_serial`: per-chunk results land as
     ``sink_dir/b{bid}`` overwrite dirs (disjoint bids ⇒ concurrent-safe,
-    replay-idempotent) and phase 2 reads them back as ONE parquet scan
-    instead of a per-chunk driver union plan (round-15 verdict #5)."""
+    replay-idempotent) and phase 2 reads back exactly THIS RUN's dirs as
+    ONE parquet scan instead of a per-chunk driver union plan (round-15
+    verdict #5). Reading only this run's bids matters beyond plan size:
+    a ``sink_dir`` shared across drops must not feed PRIOR drops' rows
+    into this wave's reconcile (they are already settled results — a
+    cross-drop reconcile would rewrite them and return foreign docs)."""
     from functools import reduce
 
     from ..chunker import BatchChunker, ConcurrentChunker
     from .chunked import _span_chunks
-    from .stream import read_outputs
 
     spark = docs.sparkSession
     parts: "list[DataFrame]" = []
+    sunk_bids: "list[int]" = []
     chunk_size, mn, mx = _span_chunks(
         docs, "doc_id", target_chunks=target_chunks, floor=1
     )
@@ -1149,8 +1238,10 @@ def onboard_corpus_wave(
             )
             if sink_dir is not None:
                 # disjoint bids make concurrent sinks safe (each worker
-                # owns its own overwrite dir)
+                # owns its own overwrite dir); the list append is
+                # GIL-atomic across the wave workers
                 _sink_chunk(result, sink_dir, bid)
+                sunk_bids.append(bid)
             else:
                 parts.append(result)
 
@@ -1170,7 +1261,14 @@ def onboard_corpus_wave(
             max_in_flight=max_in_flight,
         ).execute()
         if sink_dir is not None:
-            phase1 = read_outputs(spark, sink_dir)
+            # exactly this wave's dirs (sorted for plan determinism) —
+            # one multi-path parquet relation
+            phase1 = spark.read.parquet(
+                *(
+                    os.path.join(sink_dir, f"b{b}")
+                    for b in sorted(sunk_bids)
+                )
+            )
         else:
             phase1 = reduce(DataFrame.unionByName, parts)
         # phase 2: cross-chunk reconcile over the survivors' kept text
@@ -1234,7 +1332,7 @@ def onboard_corpus_wave(
             raise ValueError(f"unknown reconcile mode: {reconcile!r}")
         # n_removed = n_tokens - final kept count, valid for every path
         # (phase1's own invariant is n_removed + n_kept == n_tokens)
-        return phase1.join(rec, "doc_id", "left").select(
+        final = phase1.join(rec, "doc_id", "left").select(
             "doc_id",
             "n_tokens",
             (
@@ -1249,6 +1347,54 @@ def onboard_corpus_wave(
             F.coalesce(F.col("rec_text"), F.col("kept_text")).alias(
                 "kept_text"
             ),
+        )
+        if sink_dir is None:
+            return final
+        # PUBLISH the post-reconcile rows back into this run's per-chunk
+        # dirs: the sink table must read FINAL rows (the per-chunk dirs
+        # held phase-1 results — the wave's replay units, correct during
+        # the drain but pre-reconcile; caught by the shared-sink contract
+        # test before this path ever shipped with phase-1 rows visible to
+        # read_outputs). One partitioned staging write (the single
+        # materialization of `final`, still reading phase-1 dirs) + one
+        # FS rename per chunk dir — no per-chunk Spark jobs. A doc's bid
+        # is arithmetic (chunks are contiguous id ranges), so no bid
+        # column needs threading through the reconcile.
+        staging = os.path.join(sink_dir, f"__publish_{base_bid + 1}")
+        (
+            final.withColumn(
+                "__bid",
+                (
+                    F.lit(base_bid + 1)
+                    + ((F.col("doc_id") - F.lit(mn)) / F.lit(chunk_size))
+                    .cast("long")
+                ).cast("long"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("__bid")
+            .parquet(staging)
+        )
+        jPath = spark._jvm.org.apache.hadoop.fs.Path
+        fs = jPath(sink_dir).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        for b in sorted(sunk_bids):
+            src = jPath(os.path.join(staging, f"__bid={b}"))
+            if not fs.exists(src):
+                # unreachable (final retains every phase-1 doc, and a
+                # sunk bid had docs) — guarded so a future invariant
+                # change fails toward keeping phase-1 rows, not losing
+                continue
+            dst = jPath(os.path.join(sink_dir, f"b{b}"))
+            if fs.exists(dst):
+                fs.delete(dst, True)
+            fs.rename(src, dst)
+        fs.delete(jPath(staging), True)
+        # the published dirs ARE the final rows — read them back rather
+        # than returning the lazy join (whose phase-1 sources the renames
+        # just replaced underneath)
+        return spark.read.parquet(
+            *(os.path.join(sink_dir, f"b{b}") for b in sorted(sunk_bids))
         )
     finally:
         # restore-or-UNSET (round-14 advisor): prev is None when the conf

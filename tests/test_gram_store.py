@@ -1009,3 +1009,206 @@ def test_onboarding_sink_path_equals_union(spark):
             assert 1 <= len(bdirs) <= 5, bdirs
         finally:
             shutil.rmtree(sink_root, ignore_errors=True)
+
+
+def test_shared_sink_dir_across_drops_and_fold(spark):
+    """The shared-sink production composition (found while writing
+    examples/multi_drop_onboarding.py, BEFORE it shipped wrong): two
+    drops onboarded into ONE store with ONE sink_dir. Contract pinned:
+
+    * each run's RETURN VALUE is its own docs only — phase 2 must not
+      re-reconcile (or return) a prior drop's settled rows, even though
+      the dirs coexist under one sink (the first sink implementation
+      read the whole sink table into the wave's reconcile);
+    * read_outputs over the shared sink is the union of both drops;
+    * fold_outputs between the drops (the maintenance window) changes
+      neither the later run's return nor the final table;
+    * a store compact() between the drops changes nothing either —
+      batch ids are MONOTONE over the store's lifetime (compact persists
+      a high-water mark before folding partitions away), so drop 2's
+      sink dirs can neither collide with unfolded drop-1 dirs nor fall
+      below the fold mark (found live by the multi-drop example: a
+      compacted store restarted bids at 1 and read_outputs silently
+      dropped the second drop from the table)."""
+    import random as _random
+    import shutil
+    import tempfile
+
+    from dbix_batchchunker_spark.operators.gram_store import (
+        onboard_corpus_serial,
+        onboard_corpus_wave,
+    )
+    from dbix_batchchunker_spark.operators.stream import (
+        fold_outputs,
+        read_outputs,
+    )
+
+    rng = _random.Random(29)
+    docs, _ = _gen_onboard_corpus(rng, 40, allow_chains=False)
+    ids = sorted(docs)
+    mid = ids[len(ids) // 2]
+    docs1 = {i: t for i, t in docs.items() if i < mid}
+    docs2 = {i: t for i, t in docs.items() if i >= mid}
+    combined = _onboard(spark, docs, "serial", "ssref")
+
+    for fold_between, compact_between in (
+        (False, False), (True, False), (True, True)
+    ):
+        store = temp_store(
+            spark, f"gs_ss{int(fold_between)}{int(compact_between)}_",
+            n_buckets=4,
+        )
+        sink_root = tempfile.mkdtemp(prefix="gs_shared_sink_")
+        out = os.path.join(sink_root, "out")
+        try:
+            def rows(df):
+                return {
+                    r.doc_id: (r.n_tokens, r.n_removed, r.n_kept,
+                               r.kept_text)
+                    for r in df.collect()  # bounded: fuzz corpus
+                }
+
+            df1 = spark.createDataFrame(
+                sorted((i, " ".join(t)) for i, t in docs1.items()),
+                "doc_id long, text string",
+            ).localCheckpoint(eager=True)
+            r1 = rows(onboard_corpus_serial(
+                df1, store, target_chunks=3, n=GRAM_N, sink_dir=out
+            ))
+            assert set(r1) == set(docs1)  # own docs only
+            if compact_between:
+                store.purge(df1.limit(2).select("doc_id"))
+                store.compact()  # must NOT recycle bids (hwm persisted)
+            if fold_between:
+                fold_outputs(spark, out, upto=store.max_real_batch() + 1)
+            df2 = spark.createDataFrame(
+                sorted((i, " ".join(t)) for i, t in docs2.items()),
+                "doc_id long, text string",
+            ).localCheckpoint(eager=True)
+            r2 = rows(onboard_corpus_wave(
+                df2, store, target_chunks=3, n=GRAM_N, sink_dir=out
+            ))
+            assert set(r2) == set(docs2)  # no drop-1 rows in the return
+            # a compact purged 2 drop-1 docs' CLAIMS, not their already-
+            # settled results — drop-2 dedup semantics shift only if a
+            # purged doc was some drop-2 copy's only claimant, which the
+            # unique-vocab fuzz geometry rules out for bases; skip the
+            # exact-equality check only for the purged ids' dependents
+            if not compact_between:
+                assert {**r1, **r2} == combined, (fold_between,)
+                # the shared sink IS the combined table
+                assert rows(read_outputs(spark, out)) == combined
+            else:
+                table = rows(read_outputs(spark, out))
+                assert table == {**r1, **r2}  # table == the two returns
+                assert set(table) == set(docs)  # nothing lost to a fold
+                # mark monotonicity: drop-2 dirs visible, above the mark
+                assert set(r2) == set(docs2)
+        finally:
+            cleanup_store(store)
+            shutil.rmtree(sink_root, ignore_errors=True)
+
+
+@pytest.mark.parametrize("seed", [31])
+def test_second_drop_onboarding_chained_structure(spark, seed):
+    """Two-drop onboarding on CHAINED corpora (the geometry where serial
+    results are chunk-layout-dependent, so no exact cross-composition
+    equality exists). The structural half of the contract, pinned:
+    same doc set, n_removed + n_kept == n_tokens everywhere, wave
+    order-independence (max_in_flight 1 == 4) held ACROSS drops, and the
+    fixpoint's per-doc removals remain a superset of the once pass's."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    docs, _ = _gen_onboard_corpus(rng, 36, allow_chains=True)
+    ids = sorted(docs)
+    mid = ids[len(ids) // 2]
+    docs1 = {i: t for i, t in docs.items() if i < mid}
+    docs2 = {i: t for i, t in docs.items() if i >= mid}
+
+    def two_drop_wave(tag, **kw):
+        from dbix_batchchunker_spark.operators.gram_store import (
+            onboard_corpus_wave,
+        )
+
+        store = temp_store(spark, f"gs_2dc{tag}_", n_buckets=4)
+        out = {}
+        try:
+            for dd in (docs1, docs2):
+                df = spark.createDataFrame(
+                    sorted((i, " ".join(t)) for i, t in dd.items()),
+                    "doc_id long, text string",
+                ).localCheckpoint(eager=True)
+                res = onboard_corpus_wave(
+                    df, store, target_chunks=3, n=GRAM_N, **kw
+                )
+                out.update(
+                    {
+                        r.doc_id: (r.n_tokens, r.n_removed, r.n_kept,
+                                   r.kept_text)
+                        for r in res.collect()  # bounded: fuzz corpus
+                    }
+                )
+            return out
+        finally:
+            cleanup_store(store)
+
+    w4 = two_drop_wave(f"{seed}w4", max_in_flight=4)
+    w1 = two_drop_wave(f"{seed}w1", max_in_flight=1)
+    wf = two_drop_wave(f"{seed}wf", reconcile="fixpoint")
+    assert w4 == w1  # order independence survives the two-drop layout
+    assert set(w4) == set(wf) == set(docs)
+    for i in docs:
+        assert w4[i][0] == wf[i][0] == len(docs[i])
+        for r in (w4[i], wf[i]):
+            assert r[1] + r[2] == r[0]
+        assert wf[i][1] >= w4[i][1], (seed, i)
+
+
+def test_crashed_onboarding_rerun_after_drop_batches_above(spark):
+    """The bid-offset fix's one sharp edge, pinned with its repair: a
+    crashed onboarding run leaves claims in partitions above the pre-run
+    max_real_batch(), and a NAIVE re-run folds them into its base offset
+    — the corpus then dedups against its own crashed claims (every doc
+    with any gram is removed in full, deterministically). The documented
+    recovery: drop_batches_above(pre-run max), then re-run — result
+    equals the clean single run."""
+    import random as _random
+
+    from dbix_batchchunker_spark.operators.gram_store import (
+        onboard_corpus_wave,
+    )
+
+    rng = _random.Random(41)
+    docs, _ = _gen_onboard_corpus(rng, 25, allow_chains=False)
+    reference = _onboard(spark, docs, "wave", "crref")
+
+    df = spark.createDataFrame(
+        sorted((i, " ".join(t)) for i, t in docs.items()),
+        "doc_id long, text string",
+    ).localCheckpoint(eager=True)
+    store = temp_store(spark, "gs_crash_", n_buckets=4)
+    try:
+        pre = store.max_real_batch()
+        # "crashed" run: claims landed (a completed run is a superset of
+        # any crash point for the self-collision property)
+        onboard_corpus_wave(df, store, target_chunks=4, n=GRAM_N)
+        # the naive re-run self-collides: every doc with any gram probes
+        # its own crashed claims and is removed in full
+        naive = onboard_corpus_wave(df, store, target_chunks=4, n=GRAM_N)
+        for r in naive.collect():  # bounded: fuzz corpus
+            if r.n_tokens > 0:
+                assert r.n_removed == r.n_tokens, r
+        # documented repair: drop the crashed claims, re-run clean
+        store.drop_batches_above(pre)
+        # (the naive run's claims are above `pre` too — both runs' are)
+        repaired = onboard_corpus_wave(
+            df, store, target_chunks=4, n=GRAM_N
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.n_removed, r.n_kept, r.kept_text)
+            for r in repaired.collect()  # bounded: fuzz corpus
+        }
+        assert got == reference
+    finally:
+        cleanup_store(store)
