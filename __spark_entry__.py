@@ -149,17 +149,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     max_real_batch(), probes pinned to the true pre-run snapshot) —
 #:     plus the recorded queue head (q35/q37/q39/q41/q43/q45, the
 #:     round-12 cohort's tail) and the first 39 of the round-13 demotion
-#:     cohort (sim11…q02). q04/q05/q06/q10/q11/dd14/dd15 head the queue
-#:     for round 17.
+#:     cohort (sim11…q02). Mid-round: tx43 debuted (purge+compact between
+#:     two drops through the public onboarding API — the maintenance-
+#:     window lifecycle cell tx37/tx42 left open) and q02 ceded its seat
+#:     back to the queue head, the tx35/tx36/st12/tx41 precedent.
+#:     q02/q04/q05/q06/q10/q11/dd14/dd15 head the queue for round 17.
 #: Every rotated-out query stays oracle-pinned in the local gate replica
 #: (tests/test_queries_oracle.py parametrizes over every oracle —
-#: 149 after the round-16 addition: tx42).
+#: 150 after the round-16 additions: tx42, tx43).
 ADJUDICATED_PREFIX = (
     # chunker flagships: permanent slots
     "q20_chunked_delete_survivors", "q21_chunked_groupby_combine",
     "q22_chunked_update_overlay", "q23_chunked_update_join",
-    # round-16 oracle debut: first driver row in its debut round
-    "tx42_second_drop_onboarding",
+    # round-16 oracle debuts: first driver rows in their debut round
+    # (tx43 added mid-round: purge+compact between two onboarding drops)
+    "tx42_second_drop_onboarding", "tx43_purged_store_second_drop",
     # recorded queue head: the round-12 cohort's tail (q35 ceded its r15
     # seat to the mid-round tx41 debut)
     "q35_event_gaps", "q37_topk_per_group", "q39_spend_deciles",
@@ -182,7 +186,7 @@ ADJUDICATED_PREFIX = (
     "sp06_epoch_shuffle", "sp09_stratified_split", "st03_stream_dedup",
     "st05_stream_enrich", "st06_stream_stream_join",
     "st09_stream_hourly_counts", "st10_stream_user_counts",
-    "st11_stream_session_counts", "q02_filter_predicates",
+    "st11_stream_session_counts",
 )
 
 #: Former slot-holders, first in line for re-adjudication when the
@@ -191,8 +195,9 @@ ADJUDICATED_PREFIX = (
 #: driver cap were raised).
 DEMOTED_FROM_PREFIX = (
     # Last driver-green round 13 (the remaining entries of that cohort —
-    # the 39 ahead were re-seated for round 16).
-    "q04_minmax_count", "q05_groupby_having", "q06_view_orders_1995",
+    # the 38 ahead were re-seated for round 16; q02 ceded its seat to the
+    # mid-round tx43 debut and returns to the queue head).
+    "q02_filter_predicates", "q04_minmax_count", "q05_groupby_having", "q06_view_orders_1995",
     "q10_set_ops", "q11_hourly_event_rollup",
     "dd14_sql_simhash_pairs", "dd15_sql_minhash_components",
     # Last driver-green round 14 (demoted this round — all 46 r14 greens

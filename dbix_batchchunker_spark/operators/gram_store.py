@@ -1664,6 +1664,138 @@ def tx42_second_drop_onboarding(
 
 
 # --------------------------------------------------------------------------- #
+# tx43: PURGE + COMPACT between two corpus drops — the maintenance-window     #
+# lifecycle through the PUBLIC onboarding API. tx37 adjudicates purge→       #
+# compact→probe for a raw ingest_batch; tx42 adjudicates the UNCOMPACTED     #
+# second drop; this closes the remaining cell: drop 1 onboarded, a           #
+# deterministic slice of its docs PURGED and the store COMPACTED (claims     #
+# physically deleted, bids folded away — the monotone-bid high-water mark    #
+# is what keeps the second drop's offsets sane), then drop 2 onboarded       #
+# through the serial loop against the compacted base. Closed form by the     #
+# per-doc-unique-vocab device: a drop-2 copy of a PURGED doc now SURVIVES    #
+# in full (its source's grams were un-claimed and nobody else claims them    #
+# — the un-claim semantics through the onboarding composition), a copy of a  #
+# LIVE doc is removed in full, fresh docs are kept. A compact that dropped   #
+# live claims (copies of live docs kept), retained purged ones (copies of   #
+# purged docs removed), or a bid offset that mis-probed the folded base      #
+# flips rows and breaks the hash.                                            #
+# --------------------------------------------------------------------------- #
+_TX43_PURGE_MOD = 24  # purged drop-1 docs: doc_id % 24 == 0 (of the % 8 == 0 family)
+
+
+@query(
+    "tx43_purged_store_second_drop",
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id, {_tokens_sql()} AS w FROM documents
+        WHERE doc_id % 8 = 0
+    )
+    SELECT doc_id, n_tokens, n_removed, n_kept, kept_text FROM (
+        -- drop 1: per-doc-unique vocab, every doc kept in full (the
+        -- later purge erases CLAIMS, not already-returned results)
+        SELECT doc_id, CAST(len(w) AS INT) AS n_tokens, 0 AS n_removed,
+               CAST(len(w) AS INT) AS n_kept,
+               COALESCE(array_to_string(list_transform(
+                   w, t -> t || '#' || CAST(doc_id AS VARCHAR)), ' '),
+                   '') AS kept_text
+        FROM r
+        UNION ALL
+        -- drop 2, copies of drop-1 docs (source id % 16 == 0): removed in
+        -- full iff the source is LIVE; a PURGED source's grams were
+        -- un-claimed by the compact, so its copy survives in full
+        SELECT doc_id + {_TX42_OFFSET}, CAST(len(w) AS INT),
+               CAST(CASE WHEN doc_id % {_TX43_PURGE_MOD} = 0
+                    THEN 0 ELSE len(w) END AS INT),
+               CAST(CASE WHEN doc_id % {_TX43_PURGE_MOD} = 0
+                    THEN len(w) ELSE 0 END AS INT),
+               CASE WHEN doc_id % {_TX43_PURGE_MOD} = 0
+                    THEN COALESCE(array_to_string(list_transform(
+                        w, t -> t || '#' || CAST(doc_id AS VARCHAR)), ' '),
+                        '')
+                    ELSE '' END
+        FROM r WHERE doc_id % 16 = 0
+        UNION ALL
+        -- drop 2, fresh unique vocab under the NEW id: kept in full
+        SELECT doc_id + {_TX42_OFFSET}, CAST(len(w) AS INT), 0,
+               CAST(len(w) AS INT),
+               COALESCE(array_to_string(list_transform(
+                   w, t -> t || '#' ||
+                       CAST(doc_id + {_TX42_OFFSET} AS VARCHAR)), ' '), '')
+        FROM r WHERE doc_id % 16 = 8
+    )
+    ORDER BY doc_id
+    """,
+)
+def tx43_purged_store_second_drop(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .text import _tokens_spark
+
+    base = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 8 == 0)
+        .select("doc_id", _tokens_spark("text").alias("w"))
+    )
+    d1 = base.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                "w",
+                lambda x: F.concat(
+                    x, F.lit("#"), F.col("doc_id").cast("string")
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    ).localCheckpoint(eager=True)
+    new_id = F.col("doc_id") + F.lit(_TX42_OFFSET)
+    copies = d1.where(F.col("doc_id") % 16 == 0).select(
+        new_id.alias("doc_id"), "text"
+    )
+    fresh = (
+        base.where(F.col("doc_id") % 16 == 8)
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    "w",
+                    lambda x: F.concat(
+                        x,
+                        F.lit("#"),
+                        (
+                            F.col("doc_id") + F.lit(_TX42_OFFSET)
+                        ).cast("string"),
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .select(new_id.alias("doc_id"), "text")
+    )
+    d2 = copies.unionByName(fresh).localCheckpoint(eager=True)
+    store = temp_store(spark, "gs_tx43_")
+    try:
+        # target_chunks=2 per drop (the tx41/tx42 loop-floor economy):
+        # the chunk loop + the compact dominate the wall; 2+2 chunks
+        # adjudicate multi-chunk multi-drop just as 3+3 would
+        r1 = onboard_corpus_serial(d1, store, target_chunks=2)
+        # the maintenance window between drops: purge a deterministic
+        # slice of drop 1, compact (physical delete; bids fold away, the
+        # high-water mark keeps drop 2's offsets monotone)
+        store.purge(
+            d1.where(F.col("doc_id") % _TX43_PURGE_MOD == 0).select(
+                "doc_id"
+            )
+        )
+        store.compact()
+        r2 = onboard_corpus_serial(d2, store, target_chunks=2)
+        # both results derive from checkpointed parts — valid post-cleanup
+        return r1.unionByName(r2).orderBy("doc_id")
+    finally:
+        cleanup_store(store)
+
+
+# --------------------------------------------------------------------------- #
 # q60: store accounting — the observability surface a production operator    #
 # alerts on (tombstone backlog => schedule a compact; live/total posting     #
 # ratio => reclaimable space). The store ingests the corpus slice            #
