@@ -561,6 +561,7 @@ def test_randomized_lifecycle_matches_model(spark, seed):
     dead: dict[int, set] = {}  # tombstoned docs whose postings still stored
     purged: set = set()  # tombstoned ids: suppress ALL claims til compact
     next_doc, next_bid = 0, 0
+    max_committed_bid = 0  # max bid of any NON-EMPTY batch ever written
     try:
         for _step in range(10):
             op = rng.choice(
@@ -606,6 +607,9 @@ def test_randomized_lifecycle_matches_model(spark, seed):
                 if not rows:
                     df = df.where("doc_id is not null")
                 store.add_postings(df, bid=next_bid)
+                if grams:  # a batch with zero POSTINGS (no rows, or all
+                    # docs token-less) writes no partition dir at all
+                    max_committed_bid = max(max_committed_bid, next_bid)
                 # purge contract: an outstanding tombstone suppresses even
                 # later-ingested claims under that id until compact() —
                 # the postings are STORED (dead) either way
@@ -655,6 +659,15 @@ def test_randomized_lifecycle_matches_model(spark, seed):
                 "n_docs_tombstoned": len(dead),
             }
             assert row.asDict() == want_stats, (seed, _step, op)
+            # round-16 contract: batch ids are MONOTONE over the store's
+            # LIFETIME — compact() persists a high-water mark before
+            # folding partitions away, so max_real_batch() never moves
+            # backwards through any compact/re-register interleaving
+            # (bid recycling would collide a later onboarding's sink
+            # dirs and probe snapshot)
+            assert store.max_real_batch() == max_committed_bid, (
+                seed, _step, op,
+            )
     finally:
         cleanup_store(store)
 
