@@ -393,6 +393,15 @@ def test_store_lifecycle_through_filesystem_api_uri(spark, docs, tmp_path):
         re_store.drop()
         inc = store.ingest_batch(docs.where("doc_id % 5 = 4"), bid=1)
         assert inc.where("n_removed > 0").count() > 0
+        # round-16: the bid high-water mark round-trips through the URI's
+        # own FileSystem too — compact folds batch=1 away but
+        # max_real_batch() must not move backwards (monotone bids)
+        assert store.max_real_batch() == 1
+        store.compact()
+        assert store.max_real_batch() == 1
+        re2 = GramPostingsStore(spark, "gs_uri_t_re2", path).register()
+        assert re2.max_real_batch() == 1  # hwm survives re-registration
+        re2.drop()
     finally:
         store.drop()
 
