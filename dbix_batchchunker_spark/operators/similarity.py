@@ -687,6 +687,127 @@ def save_ivf_index(
             own.release()
 
 
+def save_embedding_store(
+    path: str,
+    index: IvfIndex,
+    entries: DataFrame,
+    vectors: DataFrame,
+    lease: "EmbeddingStoreLease | None" = None,
+) -> None:
+    """Persist the COMPLETE embedding store — routing index plus both
+    data halves — under ONE maintenance lease (round-15 verdict #2's
+    'caller's swap' made API: the example used to hand-write un-leased
+    ``entries``/``vectors`` parquet next to the leased index). Layout:
+    ``<path>/index`` (save_ivf_index's three pieces), ``<path>/entries``
+    (vec_id, centroid_id; partitioned by centroid_id so a probe prunes
+    to its cells), ``<path>/vectors`` (vec_id, label, embedding, nrm)."""
+    spark = vectors.sparkSession
+    own = None
+    if lease is None:
+        own = EmbeddingStoreLease(spark, path).acquire()
+    try:
+        save_ivf_index(index, f"{path}/index", lease=lease or own)
+        entries.select("vec_id", "centroid_id").write.mode(
+            "overwrite"
+        ).partitionBy("centroid_id").parquet(f"{path}/entries")
+        vectors.select(
+            "vec_id", "label", "embedding", "nrm"
+        ).write.mode("overwrite").parquet(f"{path}/vectors")
+    finally:
+        if own is not None:
+            own.release()
+
+
+def append_embedding_store(
+    path: str,
+    entries: DataFrame,
+    vectors: DataFrame,
+    lease: "EmbeddingStoreLease | None" = None,
+) -> None:
+    """The incremental close-the-loop write (sim11's final step, leased):
+    append a survivor batch's probe entries + vectors to the persisted
+    halves. The routing index is NOT touched — centroids are trained
+    routing state, valid for appends (the IVF contract)."""
+    spark = vectors.sparkSession
+    own = None
+    if lease is None:
+        own = EmbeddingStoreLease(spark, path).acquire()
+    try:
+        entries.select("vec_id", "centroid_id").write.mode(
+            "append"
+        ).partitionBy("centroid_id").parquet(f"{path}/entries")
+        vectors.select(
+            "vec_id", "label", "embedding", "nrm"
+        ).write.mode("append").parquet(f"{path}/vectors")
+    finally:
+        if own is not None:
+            own.release()
+
+
+def load_embedding_store(
+    spark: SparkSession, path: str
+) -> "tuple[IvfIndex, DataFrame, DataFrame]":
+    """(index, entries, vectors) of a persisted store — the round-trip of
+    :func:`save_embedding_store` (+ any appends/compactions since)."""
+    return (
+        load_ivf_index(spark, f"{path}/index"),
+        spark.read.parquet(f"{path}/entries").select(
+            "vec_id", "centroid_id"
+        ),
+        spark.read.parquet(f"{path}/vectors"),
+    )
+
+
+def compact_persisted_embedding_store(
+    spark: SparkSession,
+    path: str,
+    deleted_ids: DataFrame,
+    n_deleted: "int | None" = None,
+) -> None:
+    """PHYSICAL deletion on the persisted store: read both halves,
+    anti-join the purge list (:func:`compact_embedding_store` — the same
+    sized broadcast/shuffle valve), write the survivors ASIDE, then swap
+    under the maintenance lease. The gram store's compact discipline,
+    ported to the second persisted store.
+
+    Safe orderings only: both ``__next`` halves are FULLY WRITTEN before
+    any live dir moves, so a crash before the swap leaves the live store
+    untouched (stale ``__next`` dirs are overwritten by the re-run). The
+    swap itself is two per-half renames; a crash BETWEEN the halves
+    leaves a mixed window (entries compacted, vectors not) in which pair
+    listings are already correct — ``store_near_dup_pairs`` joins
+    entries→vectors, so a vector absent from entries never pairs — and
+    which the re-run converges. Writers are locked out for the whole
+    window by the lease; the per-scheme guarantee is the lease's own
+    (SCALING.md)."""
+    with EmbeddingStoreLease(spark, path):
+        entries = spark.read.parquet(f"{path}/entries").select(
+            "vec_id", "centroid_id"
+        )
+        vectors = spark.read.parquet(f"{path}/vectors")
+        e_live, v_live = compact_embedding_store(
+            entries, vectors, deleted_ids, n_deleted=n_deleted
+        )
+        # write aside BEFORE touching anything live
+        e_live.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            f"{path}/entries__next"
+        )
+        v_live.write.mode("overwrite").parquet(f"{path}/vectors__next")
+        fs, _ = _store_fs(spark, path)
+        jp = spark._jvm.org.apache.hadoop.fs.Path
+        for half in ("entries", "vectors"):
+            live, nxt, old = (
+                jp(f"{path}/{half}"),
+                jp(f"{path}/{half}__next"),
+                jp(f"{path}/{half}__old"),
+            )
+            if fs.exists(old):
+                fs.delete(old, True)
+            fs.rename(live, old)
+            fs.rename(nxt, live)
+            fs.delete(old, True)
+
+
 def load_ivf_index(spark: SparkSession, path: str) -> IvfIndex:
     """Round-trip of :func:`save_ivf_index`: a reloaded two-level index
     routes two-level, a reloaded flat index routes flat — batch and

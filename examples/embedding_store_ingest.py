@@ -15,6 +15,9 @@ the same geometry. The handle round-trip keeps them symmetric.
   store on disk        <store>/index/{centroids,supers,meta.json} +
                        (vec_id, centroid_id) multi-probe posting list +
                        (vec_id, label, embedding, nrm) vectors
+                       — written/appended/compacted through the
+                       save/append/compact_persisted_embedding_store
+                       API, every mutation under the maintenance lease
   per increment        1. probe the increment against the LOADED index
                        2. pairs WITHIN the increment via shared cells
                        3. pairs ACROSS via the stored posting lists
@@ -36,11 +39,13 @@ from dbix_batchchunker_spark.operators.registry import t
 from dbix_batchchunker_spark.operators.similarity import (
     SIM06_NPROBE,
     _probe_entries,
+    append_embedding_store,
     build_ivf_index,
+    compact_persisted_embedding_store,
     incremental_embedding_near_dups,
-    load_ivf_index,
+    load_embedding_store,
     norm,
-    save_ivf_index,
+    save_embedding_store,
 )
 from dbix_batchchunker_spark.session import get_spark
 
@@ -62,24 +67,19 @@ def main() -> None:
     increment = emb.where(F.col("vec_id") > cut)
 
     # ---- build + persist the store (yesterday's job) -------------------
+    # one composite save, one maintenance lease (round 16): index +
+    # entries (partitioned by cell, so an increment's probe prunes the
+    # read to touched cells only) + vectors
     index = build_ivf_index(corpus)
-    save_ivf_index(index, os.path.join(store_dir, "index"))
     entries = _probe_entries(corpus, index, SIM06_NPROBE).select(
         F.col("doc_id").alias("vec_id"), F.col("bucket").alias("centroid_id")
     )
-    # posting list partitioned by cell: an increment's probe prunes the
-    # read to touched cells only
-    entries.write.mode("overwrite").partitionBy("centroid_id").parquet(
-        os.path.join(store_dir, "entries")
-    )
-    corpus.select("vec_id", "label", "embedding", "nrm").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(store_dir, "vectors"))
+    save_embedding_store(store_dir, index, entries, corpus)
 
     # ---- ingest (today's job: fresh session in production) -------------
-    loaded = load_ivf_index(spark, os.path.join(store_dir, "index"))
-    store_entries = spark.read.parquet(os.path.join(store_dir, "entries"))
-    store_vectors = spark.read.parquet(os.path.join(store_dir, "vectors"))
+    loaded, store_entries, store_vectors = load_embedding_store(
+        spark, store_dir
+    )
     pairs = incremental_embedding_near_dups(
         increment, loaded, store_entries, store_vectors
     )
@@ -92,15 +92,23 @@ def main() -> None:
         f"(two_level={loaded.two_level}) store={store_dir}"
     )
 
-    # close the loop: append survivors' entries + vectors to the store
-    _probe_entries(survivors, loaded, SIM06_NPROBE).select(
-        F.col("doc_id").alias("vec_id"), F.col("bucket").alias("centroid_id")
-    ).write.mode("append").partitionBy("centroid_id").parquet(
-        os.path.join(store_dir, "entries")
+    # close the loop: append survivors' entries + vectors — leased, so a
+    # compact landing mid-append refuses instead of corrupting
+    append_embedding_store(
+        store_dir,
+        _probe_entries(survivors, loaded, SIM06_NPROBE).select(
+            F.col("doc_id").alias("vec_id"),
+            F.col("bucket").alias("centroid_id"),
+        ),
+        survivors,
     )
-    survivors.select("vec_id", "label", "embedding", "nrm").write.mode(
-        "append"
-    ).parquet(os.path.join(store_dir, "vectors"))
+
+    # maintenance window: physically delete a takedown slice from both
+    # halves — write-aside + swap under the same lease
+    takedown = corpus.limit(3).select("vec_id")
+    compact_persisted_embedding_store(spark, store_dir, takedown)
+    _, _, live_vectors = load_embedding_store(spark, store_dir)
+    print(f"post-takedown store vectors={live_vectors.count()}")
 
 
 if __name__ == "__main__":

@@ -1234,3 +1234,107 @@ def test_crashed_onboarding_rerun_after_drop_batches_above(spark):
         assert got == reference
     finally:
         cleanup_store(store)
+
+
+def test_persisted_embedding_store_compact_and_roundtrip(spark, tmp_path):
+    """The persisted embedding store's full lifecycle as API (round-15
+    verdict #2's 'caller's swap' completed): composite save (index +
+    entries + vectors under ONE lease) → load round-trip → leased append
+    → PHYSICAL compact (write-aside + swap under the lease) → purged ids
+    gone from BOTH halves, survivors intact, stale __next residue from a
+    simulated crash overwritten by the re-run, and a rival writer
+    refused for the whole window."""
+    import numpy as np
+
+    from dbix_batchchunker_spark.operators.gram_store import (
+        StoreMaintenanceLockError,
+    )
+    from dbix_batchchunker_spark.operators.similarity import (
+        EMBED_DIM,
+        SIM06_NPROBE,
+        EmbeddingStoreLease,
+        _probe_entries,
+        build_ivf_index,
+        compact_persisted_embedding_store,
+        load_embedding_store,
+        norm,
+        save_embedding_store,
+        append_embedding_store,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(400, EMBED_DIM))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, i % 3, [float(x) for x in vecs[i]]) for i in range(400)],
+        "vec_id long, label long, embedding array<float>",
+    ).withColumn("nrm", norm(F.col("embedding")))
+    index = build_ivf_index(emb)
+    entries = _probe_entries(emb, index, SIM06_NPROBE).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("bucket").alias("centroid_id"),
+    )
+    path = str(tmp_path / "store")
+
+    save_embedding_store(path, index, entries, emb)
+    idx2, e2, v2 = load_embedding_store(spark, path)
+    assert v2.count() == 400
+    assert e2.count() == entries.count()
+    assert idx2.centroids.count() == index.centroids.count()
+
+    # leased append: a survivor batch under NEW ids
+    inc = emb.where("vec_id < 20").select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        "label",
+        "embedding",
+        "nrm",
+    )
+    inc_entries = _probe_entries(inc, idx2, SIM06_NPROBE).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("bucket").alias("centroid_id"),
+    )
+    append_embedding_store(path, inc_entries, inc)
+    _, e3, v3 = load_embedding_store(spark, path)
+    assert v3.count() == 420
+
+    # stale crash residue: a half-written __next must be overwritten,
+    # not trusted, by the compacting re-run
+    spark.range(1).selectExpr("id as junk").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/vectors__next")
+
+    purged = spark.range(0, 400, 5).select(F.col("id").alias("vec_id"))
+    compact_persisted_embedding_store(spark, path, purged)
+    _, e4, v4 = load_embedding_store(spark, path)
+    kept_v = sorted(r.vec_id for r in v4.select("vec_id").collect())
+    # bounded: 420-vector fixture store
+    assert len(kept_v) == 420 - 80
+    assert not any(v % 5 == 0 and v < 400 for v in kept_v)
+    assert all(v >= 1000 or v % 5 != 0 for v in kept_v)
+    kept_e = {r.vec_id for r in e4.select("vec_id").collect()}  # bounded
+    assert not any(v % 5 == 0 and v < 400 for v in kept_e)
+    # no swap residue left behind
+    fs, _ = __import__(
+        "dbix_batchchunker_spark.operators.similarity",
+        fromlist=["_store_fs"],
+    )._store_fs(spark, path)
+    jp = spark._jvm.org.apache.hadoop.fs.Path
+    for residue in ("entries__next", "vectors__next", "entries__old",
+                    "vectors__old"):
+        assert not fs.exists(jp(f"{path}/{residue}")), residue
+
+    # idempotent: re-running the compact converges (purge list reapplied
+    # to an already-clean store changes nothing)
+    compact_persisted_embedding_store(spark, path, purged)
+    _, _, v5 = load_embedding_store(spark, path)
+    assert v5.count() == 340
+
+    # two-writer refusal spans every mutation of the persisted store
+    holder = EmbeddingStoreLease(spark, path).acquire()
+    with pytest.raises(StoreMaintenanceLockError):
+        save_embedding_store(path, index, entries, emb)
+    with pytest.raises(StoreMaintenanceLockError):
+        append_embedding_store(path, inc_entries, inc)
+    with pytest.raises(StoreMaintenanceLockError):
+        compact_persisted_embedding_store(spark, path, purged)
+    holder.release()
