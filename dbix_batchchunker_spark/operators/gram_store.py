@@ -63,6 +63,7 @@ from __future__ import annotations
 import os
 import tempfile
 import uuid
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -261,12 +262,36 @@ class GramPostingsStore:
             return 0
 
     def _write_hwm(self, hwm: int) -> None:
+        """Persist the bid high-water mark via write-aside + rename
+        (round-16 advisor): the old in-place ``fs.create(jp, True)``
+        truncated FIRST, so a crash mid-write during a later compact —
+        after a prior compact had already folded away the partitions
+        witnessing the mark — regressed ``max_real_batch()`` to 0,
+        exactly the bid-recycling hazard the mark exists to prevent.
+        The no-advance rewrite is SKIPPED entirely (that is the only
+        case where the file is the sole witness of the mark: when hwm
+        strictly advances, the live partitions witnessing the new value
+        are still present until compact's later drops, so the brief
+        delete→rename absence window cannot regress max_real_batch)."""
+        if int(hwm) == self._read_hwm():
+            return
         fs, jp = self._fs(self.hwm_path)
-        out = fs.create(jp, True)
+        tmp = self.spark._jvm.org.apache.hadoop.fs.Path(
+            self.hwm_path + "__tmp"
+        )
+        out = fs.create(tmp, True)
         try:
             out.write(bytearray(str(int(hwm)).encode()))
         finally:
             out.close()
+        if fs.exists(jp):
+            fs.delete(jp, False)
+        if not fs.rename(tmp, jp):
+            raise RuntimeError(
+                f"hwm rename failed: {self.hwm_path}__tmp -> "
+                f"{self.hwm_path}; high-water mark not updated — "
+                "re-run compact before dropping partitions"
+            )
 
     def drop_batches_above(self, bid: int) -> None:
         """Drop every real batch partition with id > ``bid`` — the crash
@@ -1383,12 +1408,30 @@ def onboard_corpus_wave(
             if not fs.exists(src):
                 # unreachable (final retains every phase-1 doc, and a
                 # sunk bid had docs) — guarded so a future invariant
-                # change fails toward keeping phase-1 rows, not losing
+                # change fails toward keeping phase-1 rows, not losing;
+                # WARN so an invariant break surfaces in rehearsal logs
+                # instead of shipping phase-1 rows silently (round-16
+                # verdict #7)
+                warnings.warn(
+                    f"wave publish: staging dir for bid {b} missing — "
+                    "keeping that chunk's phase-1 sink rows (publish "
+                    "invariant 'final retains every sunk bid' broke)",
+                    stacklevel=2,
+                )
                 continue
             dst = jPath(os.path.join(sink_dir, f"b{b}"))
             if fs.exists(dst):
                 fs.delete(dst, True)
-            fs.rename(src, dst)
+            if not fs.rename(src, dst):
+                # the dst was just deleted, so a failed rename here has
+                # the final rows ONLY in staging — raising before the
+                # staging delete keeps that recoverable copy (round-16
+                # advisor)
+                raise RuntimeError(
+                    f"wave publish rename failed for bid {b}: {src} -> "
+                    f"{dst}; staging dir {staging} kept — it holds the "
+                    "post-reconcile rows for recovery"
+                )
         fs.delete(jPath(staging), True)
         # the published dirs ARE the final rows — read them back rather
         # than returning the lazy join (whose phase-1 sources the renames
