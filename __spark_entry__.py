@@ -154,54 +154,32 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     window lifecycle cell tx37/tx42 left open) and q02 ceded its seat
 #:     back to the queue head, the tx35/tx36/st12/tx41 precedent.
 #:     q02/q04/q05/q06/q10/q11/dd14/dd15 head the queue for round 17.
+#:   round 17: CORRECTNESS_r16 = 50/50 green, so the full r16 cohort (its
+#:     2 debuts included) rotates out. In: the round-17 oracle debut —
+#:     sim13 (the persisted embedding store's full lifecycle through the
+#:     round-16 API: save → leased append → purge →
+#:     compact_persisted_embedding_store → pair listing from the reloaded
+#:     posting lists, on sim12's planted device — round-16 verdict #4) —
+#:     plus the recorded queue head (q02/q04/q05/q06/q10/q11, dd14/dd15)
+#:     and the first 37 of the round-14 demotion cohort (tx37…q49,
+#:     round-14 debuts first). q50/q51/q52/q53/q54/dd01/dd02/dd05/dd06
+#:     head the queue for round 18.
 #: Every rotated-out query stays oracle-pinned in the local gate replica
 #: (tests/test_queries_oracle.py parametrizes over every oracle —
-#: 150 after the round-16 additions: tx42, tx43).
+#: 151 after the round-17 addition: sim13).
 ADJUDICATED_PREFIX = (
     # chunker flagships: permanent slots
     "q20_chunked_delete_survivors", "q21_chunked_groupby_combine",
     "q22_chunked_update_overlay", "q23_chunked_update_join",
-    # round-16 oracle debuts: first driver rows in their debut round
-    # (tx43 added mid-round: purge+compact between two onboarding drops)
-    "tx42_second_drop_onboarding", "tx43_purged_store_second_drop",
-    # recorded queue head: the round-12 cohort's tail (q35 ceded its r15
-    # seat to the mid-round tx41 debut)
-    "q35_event_gaps", "q37_topk_per_group", "q39_spend_deciles",
-    "q41_sketch_rollup", "q43_salted_hot_join",
-    "q45_unpivot_status_counts",
-    # …then the round-13 cohort (last driver-green round 13), oldest
-    # first: its debuts, then the re-adjudication block
-    "sim11_incremental_store_pairs", "tx13v_pii_redact_portable",
-    "tx35_substring_dedup", "tx36_incremental_substring_dedup",
-    "st12_stream_gram_store_ingest", "q46_lateral_topn_per_customer",
-    "q47_recursive_hierarchy_rollup", "q55_snapshot_diff",
-    "q56_relational_division", "q57_id_islands", "q58_revenue_share",
-    "q59_segment_listagg", "tx19_classifier_score", "tx20_split_leakage",
-    "tx21_variant_extract", "tx22_zipf_fit", "tx23_pii_scan",
-    "tx27_bpe_fixed_encode", "tx28_gopher_quality_rules",
-    "tx29_ngram_novelty", "tx30_langid_confusion", "tx31_bpe_trainer_oracle",
-    "mm07_png_header_oracle", "mm08_wav_header_oracle",
-    "dd12_star_components", "dd13_sql_minhash_bands", "sim02_ann_lsh",
-    "sp02_weighted_sample", "sp03_temperature_sample", "sp05_pack_segments",
-    "sp06_epoch_shuffle", "sp09_stratified_split", "st03_stream_dedup",
-    "st05_stream_enrich", "st06_stream_stream_join",
-    "st09_stream_hourly_counts", "st10_stream_user_counts",
-    "st11_stream_session_counts",
-)
-
-#: Former slot-holders, first in line for re-adjudication when the
-#: rotation swings back — the queue is ordered OLDEST driver-green first,
-#: so the head is always first in line when slots free up (or if the
-#: driver cap were raised).
-DEMOTED_FROM_PREFIX = (
-    # Last driver-green round 13 (the remaining entries of that cohort —
-    # the 38 ahead were re-seated for round 16; q02 ceded its seat to the
-    # mid-round tx43 debut and returns to the queue head).
-    "q02_filter_predicates", "q04_minmax_count", "q05_groupby_having", "q06_view_orders_1995",
-    "q10_set_ops", "q11_hourly_event_rollup",
+    # round-17 oracle debut: first driver row in its debut round
+    "sim13_persisted_store_lifecycle",
+    # recorded queue head: the round-13 cohort's tail (q02 ceded its r16
+    # seat to the mid-round tx43 debut) + the dd pair queued since r13
+    "q02_filter_predicates", "q04_minmax_count", "q05_groupby_having",
+    "q06_view_orders_1995", "q10_set_ops", "q11_hourly_event_rollup",
     "dd14_sql_simhash_pairs", "dd15_sql_minhash_components",
-    # Last driver-green round 14 (demoted this round — all 46 r14 greens
-    # except the permanent chunker flagships; round-14 debuts first).
+    # …then the round-14 cohort (last driver-green round 14), oldest
+    # first: its debuts, then the re-adjudication block
     "tx37_purged_store_dedup", "st13_stream_purged_store_ingest",
     "sim12_purged_store_pairs", "tx38_chunked_corpus_ingest",
     "q60_store_accounting", "tx40_concurrent_corpus_ingest",
@@ -217,12 +195,21 @@ DEMOTED_FROM_PREFIX = (
     "q26_returned_items", "q27_above_avg_spenders", "q28_cube_counts",
     "q29_fuzzy_part_names", "q30_sessionize", "q31_running_revenue",
     "q32_banded_range_join", "q48_scd2_merge", "q49_zorder_key",
+)
+
+#: Former slot-holders, first in line for re-adjudication when the
+#: rotation swings back — the queue is ordered OLDEST driver-green first,
+#: so the head is always first in line when slots free up (or if the
+#: driver cap were raised).
+DEMOTED_FROM_PREFIX = (
+    # Last driver-green round 14 (the remaining entries of that cohort —
+    # the 37 ahead were re-seated for round 17).
     "q50_histogram_quantile_rollup", "q51_event_funnel",
     "q52_dense_hourly_fill", "q53_null_aware_anti_shuffle",
     "q54_session_paths", "dd01_exact", "dd02_jaccard_pairs",
     "dd05_mllib_minhash", "dd06_lsh_jaccard_pairs",
-    # Last driver-green round 15 (demoted this round — all 46 r15 greens
-    # except the permanent chunker flagships; round-15 debuts first).
+    # Last driver-green round 15 (all 46 r15 greens except the permanent
+    # chunker flagships; round-15 debuts first).
     "q61_store_purge_accounting", "tx41_fixpoint_wave_ingest",
     "dd08_ngram_jaccard_pairs", "mm01_binary_stats",
     "sim01_topk_bruteforce", "sim03_embedding_near_dup",
@@ -242,6 +229,27 @@ DEMOTED_FROM_PREFIX = (
     "tx15_dup_windows", "tx17_contamination_severity", "tx26_token_rarity",
     "sp01_mixture_sample", "sp07_mixture_waterfill", "sp08_epoch_plan",
     "q34_grouping_sets",
+    # Last driver-green round 16 (demoted this round — all 46 r16 greens
+    # except the permanent chunker flagships; round-16 debuts first).
+    "tx42_second_drop_onboarding", "tx43_purged_store_second_drop",
+    "q35_event_gaps", "q37_topk_per_group", "q39_spend_deciles",
+    "q41_sketch_rollup", "q43_salted_hot_join",
+    "q45_unpivot_status_counts", "sim11_incremental_store_pairs",
+    "tx13v_pii_redact_portable", "tx35_substring_dedup",
+    "tx36_incremental_substring_dedup", "st12_stream_gram_store_ingest",
+    "q46_lateral_topn_per_customer", "q47_recursive_hierarchy_rollup",
+    "q55_snapshot_diff", "q56_relational_division", "q57_id_islands",
+    "q58_revenue_share", "q59_segment_listagg", "tx19_classifier_score",
+    "tx20_split_leakage", "tx21_variant_extract", "tx22_zipf_fit",
+    "tx23_pii_scan", "tx27_bpe_fixed_encode", "tx28_gopher_quality_rules",
+    "tx29_ngram_novelty", "tx30_langid_confusion",
+    "tx31_bpe_trainer_oracle", "mm07_png_header_oracle",
+    "mm08_wav_header_oracle", "dd12_star_components",
+    "dd13_sql_minhash_bands", "sim02_ann_lsh", "sp02_weighted_sample",
+    "sp03_temperature_sample", "sp05_pack_segments", "sp06_epoch_shuffle",
+    "sp09_stratified_split", "st03_stream_dedup", "st05_stream_enrich",
+    "st06_stream_stream_join", "st09_stream_hourly_counts",
+    "st10_stream_user_counts", "st11_stream_session_counts",
 )
 
 

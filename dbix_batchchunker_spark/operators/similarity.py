@@ -2249,6 +2249,95 @@ def sim12_purged_store_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# sim13: the PERSISTED embedding store's FULL LIFECYCLE, adjudicated —        #
+# round-16 verdict #4. sim12 adjudicates the purge/compact SEMANTICS on      #
+# in-memory frames; sim13 drives the same planted device through the         #
+# round-16 PERSISTED API end to end: save_embedding_store (fresh store,     #
+# watermark established) → LEASED append_embedding_store of the copy        #
+# increment (ids +1e9, past the watermark) → compact_persisted_             #
+# embedding_store purging the slice originals (write-aside, checked per-    #
+# half swap, repair-first) → load_embedding_store → pair listing from the   #
+# reloaded posting lists alone. The live set is sim12's exactly, so the     #
+# oracle is sim12's exact SQL — but the adjudicated relation now ALSO       #
+# witnesses every disk round-trip: a save that drops entries, an append     #
+# that lands in the wrong half, a compact whose swap loses a partition,     #
+# or a load that repairs wrongly each breaks the hash.                      #
+# --------------------------------------------------------------------------- #
+@query(
+    "sim13_persisted_store_lifecycle",
+    oracle=f"""
+    WITH live AS (
+        SELECT vec_id, label, embedding FROM embeddings
+        WHERE vec_id % {SIM11_INC_MOD} != {SIM11_INC_RES}
+        UNION ALL
+        SELECT vec_id + {SIM11_INC_OFFSET} AS vec_id, label, embedding
+        FROM embeddings WHERE vec_id % {SIM11_INC_MOD} = {SIM11_INC_RES}
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])),
+                 6) AS cos_sim
+    FROM live a JOIN live b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])),
+                6) >= {SIM06_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """,
+)
+def sim13_persisted_store_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
+    index = build_ivf_index(emb)
+    is_slice = F.col("vec_id") % SIM11_INC_MOD == SIM11_INC_RES
+    entries = _probe_entries(emb, index, SIM06_NPROBE).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("bucket").alias("centroid_id"),
+    )
+    store_dir = tempfile.mkdtemp(prefix="sim13_store_")
+    store_path = f"{store_dir}/store"
+    try:
+        # yesterday's job: fresh store (one lease spans index + halves)
+        save_embedding_store(store_path, index, entries, emb)
+        # today's job: the copy increment, leased append past the
+        # watermark (copies probe exactly their sources' cells through
+        # the RELOADED routing state — sim11's recovery argument)
+        loaded = load_ivf_index(spark, f"{store_path}/index")
+        copies = emb.where(is_slice).select(
+            (F.col("vec_id") + SIM11_INC_OFFSET).alias("vec_id"),
+            "label",
+            "embedding",
+            "nrm",
+        )
+        copy_entries = _probe_entries(copies, loaded, SIM06_NPROBE).select(
+            F.col("doc_id").alias("vec_id"),
+            F.col("bucket").alias("centroid_id"),
+        )
+        append_embedding_store(store_path, copy_entries, copies)
+        # maintenance window: purge the slice ORIGINALS physically
+        compact_persisted_embedding_store(
+            spark, store_path, emb.where(is_slice).select("vec_id")
+        )
+        _, entries_live, vectors_live = load_embedding_store(
+            spark, store_path
+        )
+        result = store_near_dup_pairs(entries_live, vectors_live).orderBy(
+            "vec_a", "vec_b"
+        )
+        # the result reads the mkdtemp store lazily — materialize the
+        # threshold-bounded pair set BEFORE removing it (sim11 precedent;
+        # without the rmtree every run leaks a store into /tmp)
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------- #
 # sim08: int8-QUANTIZED brute-force top-k — the memory-bandwidth path.        #
 #                                                                             #
 # Scalar quantization (the SQ in FAISS's IVF-SQ, Jégou et al., "Product      #

@@ -1589,3 +1589,182 @@ def test_bid_hwm_write_is_atomic_and_skips_no_advance(spark, docs):
         assert not fs.exists(tmp)
     finally:
         cleanup_store(store)
+
+
+@pytest.mark.parametrize("seed", [13, 48])
+def test_handshake_interleaving_fuzz(spark, docs, seed):
+    """Round-16 verdict #6: the two-sided maintenance handshake was
+    tested at its deterministic points (writer-entry refusal, pre-drop
+    refusal); this seeded fuzz injects the OTHER side's visible
+    artifacts — a foreign writer's marker + committed write, or a
+    foreign compact's lease — at randomized points between the real
+    protocol stages (via wrapped ``_refuse_*`` hooks, the stages'
+    actual check sites) and asserts, after every interleaving, that
+    (a) exactly one side refused, (b) no committed postings were lost,
+    and (c) the live set equals a from-scratch model of
+    committed-batches-minus-purges."""
+    import random
+
+    from dbix_batchchunker_spark.operators.gram_store import (
+        StoreMaintenanceLockError,
+    )
+
+    rng = random.Random(seed)
+    corpus = docs.where("doc_id < 64").localCheckpoint(eager=True)
+    store = temp_store(spark, f"gs_ilv{seed}_", n_buckets=4)
+    # the FOREIGN writer: a second handle over the same path (its lease
+    # and marker files are shared — path-derived), as a concurrent job
+    # in production would hold
+    writer = GramPostingsStore(
+        spark, store.name + "_w", store.path, store.n_buckets
+    ).register()
+
+    committed: list = []  # (bid, residue) — batch = doc_id % 8 == residue
+    purged: set = set()
+
+    def batch_docs(residue):
+        return corpus.where(f"doc_id % 8 = {residue}")
+
+    def sync():
+        # a partition added through the FOREIGN handle's table entry is
+        # invisible to this handle until recovery — exactly what a
+        # cross-session reader does via register() (its documented flow)
+        spark.catalog.recoverPartitions(store.name)
+        spark.catalog.refreshTable(store.name)
+
+    def expected_live():
+        """Model: distinct (gram, doc_id) over committed batches minus
+        purged docs."""
+        out = set()
+        for _, residue in committed:
+            g = _positional_grams(batch_docs(residue), 4)
+            for r in g.select("gram", "doc_id").distinct().collect():
+                if r.doc_id not in purged:
+                    out.add((r.gram, r.doc_id))
+        return out
+
+    def live_set():
+        # bounded: 64-doc fuzz corpus
+        return {
+            (r.gram, r.doc_id)
+            for r in store.live_postings().select("gram", "doc_id").collect()
+        }
+
+    def fresh_bid():
+        return store.max_real_batch() + 1
+
+    try:
+        # seed state: one committed batch so every scenario has stakes
+        bid = fresh_bid()
+        writer.add_postings(batch_docs(0), bid=bid)
+        sync()
+        committed.append((bid, 0))
+
+        last_hwm = store.max_real_batch()
+        for step in range(6):
+            op = rng.choice(
+                ["write", "purge", "compact",
+                 "writer_mid_compact", "compact_mid_write"]
+            )
+            residue = rng.randrange(1, 8)
+            if op == "write":
+                bid = fresh_bid()
+                writer.add_postings(batch_docs(residue), bid=bid)
+                sync()
+                committed.append((bid, residue))
+            elif op == "purge":
+                ids = [
+                    r.doc_id
+                    for r in batch_docs(rng.randrange(8))
+                    .select("doc_id").collect()  # bounded fuzz corpus
+                ][: rng.randrange(1, 4)]
+                if ids:
+                    store.purge(
+                        spark.createDataFrame(
+                            [(i,) for i in ids], "doc_id long"
+                        )
+                    )
+                    purged.update(ids)
+            elif op == "compact":
+                store.compact()
+            elif op == "writer_mid_compact":
+                # a writer whose lease check passed just before the
+                # lease landed: marker live + write committing, visible
+                # at a RANDOM compact stage (start or pre-drop)
+                stage = rng.choice(["start", "pre-drop"])
+                bid = fresh_bid()
+                jm = spark._jvm.org.apache.hadoop.fs.Path(
+                    store.writers_path + f"/ilv_{step}"
+                )
+                fs, jdir = store._fs(store.writers_path)
+                orig_refuse = store._refuse_if_writers
+                orig_lease_check = writer._refuse_if_maintenance
+
+                def inject(st):
+                    if st == stage:
+                        if not fs.exists(jdir):
+                            fs.mkdirs(jdir)
+                        fs.createNewFile(jm)
+                        # its lease check already passed (pre-lease):
+                        # suppress it and land the write for real
+                        writer._refuse_if_maintenance = lambda op: None
+                        try:
+                            writer.add_postings(batch_docs(residue), bid=bid)
+                        finally:
+                            writer._refuse_if_maintenance = orig_lease_check
+                    orig_refuse(st)
+
+                store._refuse_if_writers = inject
+                try:
+                    with pytest.raises(StoreMaintenanceLockError):
+                        store.compact()
+                finally:
+                    store._refuse_if_writers = orig_refuse
+                sync()
+                committed.append((bid, residue))
+                # the refused compact released its lease; writer finishes
+                lfs, jl = store._fs(store.lease_path)
+                assert not lfs.exists(jl)
+                fs.delete(jm, False)
+                # nothing lost: the in-flight batch survived the abort
+                assert {
+                    (r.gram, r.doc_id)
+                    for r in _positional_grams(batch_docs(residue), 4)
+                    .select("gram", "doc_id").distinct().collect()
+                    if r.doc_id not in purged
+                } <= live_set()
+            elif op == "compact_mid_write":
+                # a compact's lease lands between the writer's marker
+                # and its lease check: the WRITER refuses, cleans its
+                # marker, and the store is untouched
+                lfs, jl = store._fs(store.lease_path)
+                lfs.createNewFile(jl)
+                before = live_set()
+                orig_lease_check = writer._refuse_if_maintenance
+                bid = fresh_bid()
+                try:
+                    with pytest.raises(StoreMaintenanceLockError):
+                        writer.add_postings(batch_docs(residue), bid=bid)
+                finally:
+                    writer._refuse_if_maintenance = orig_lease_check
+                assert store._writer_markers() == []
+                assert live_set() == before
+                lfs.delete(jl, False)
+                # lease cleared: the retry lands
+                writer.add_postings(batch_docs(residue), bid=bid)
+                sync()
+                committed.append((bid, residue))
+
+            # invariants after EVERY interleaving
+            assert live_set() == expected_live(), f"step {step} op {op}"
+            hwm = store.max_real_batch()
+            assert hwm >= last_hwm, f"hwm regressed at step {step}"
+            last_hwm = hwm
+
+        # convergence: a clean compact folds everything, model holds
+        store.compact()
+        assert live_set() == expected_live()
+        assert store._writer_markers() == []
+    finally:
+        writer.drop()
+        cleanup_store(store)
