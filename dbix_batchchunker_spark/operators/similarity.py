@@ -633,6 +633,25 @@ def _repair_store_swaps(spark: SparkSession, path: str) -> None:
         _repair_half_swap(spark, fs, path, half)
 
 
+def _write_entries(entries: DataFrame, path: str, mode: str) -> None:
+    """Entries-half write with per-cell file discipline (the gram
+    store's one-file-per-bucket rule, found live by the round-17 decade
+    rehearsal): a bare ``partitionBy("centroid_id")`` write fans out to
+    one file per (task x touched cell) — up to tasks x cells small files
+    per append, which made a FIXED 2k-vector append scale 6.4x across a
+    x10 store (23.5 s vs 3.7 s) on FS metadata alone. Repartitioning by
+    centroid_id first gives each cell's rows to one task: one file per
+    touched cell per write, and the append cost tracks the increment,
+    not the store's cell count times the writer's parallelism."""
+    (
+        entries.select("vec_id", "centroid_id")
+        .repartition(F.col("centroid_id"))
+        .write.mode(mode)
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+
+
 def _read_vec_hwm(spark: SparkSession, path: str) -> "int | None":
     """The vec_id high-water mark the store persisted (None if the store
     predates the watermark — a legacy save)."""
@@ -870,9 +889,7 @@ def save_embedding_store(
         own = EmbeddingStoreLease(spark, path).acquire()
     try:
         save_ivf_index(index, f"{path}/index", lease=lease or own)
-        entries.select("vec_id", "centroid_id").write.mode(
-            "overwrite"
-        ).partitionBy("centroid_id").parquet(f"{path}/entries")
+        _write_entries(entries, f"{path}/entries", "overwrite")
         vectors.select(
             "vec_id", "label", "embedding", "nrm"
         ).write.mode("overwrite").parquet(f"{path}/vectors")
@@ -928,9 +945,7 @@ def append_embedding_store(
                 "append, verify_embedding_store_watermark + purge the "
                 "residue first)."
             )
-        entries.select("vec_id", "centroid_id").write.mode(
-            "append"
-        ).partitionBy("centroid_id").parquet(f"{path}/entries")
+        _write_entries(entries, f"{path}/entries", "append")
         vectors.select(
             "vec_id", "label", "embedding", "nrm"
         ).write.mode("append").parquet(f"{path}/vectors")
@@ -1005,10 +1020,9 @@ def compact_persisted_embedding_store(
         e_live, v_live = compact_embedding_store(
             entries, vectors, deleted_ids, n_deleted=n_deleted
         )
-        # write aside BEFORE touching anything live
-        e_live.write.mode("overwrite").partitionBy("centroid_id").parquet(
-            f"{path}/entries__next"
-        )
+        # write aside BEFORE touching anything live (per-cell file
+        # discipline — see _write_entries)
+        _write_entries(e_live, f"{path}/entries__next", "overwrite")
         v_live.write.mode("overwrite").parquet(f"{path}/vectors__next")
         fs, _ = _store_fs(spark, path)
         jp = spark._jvm.org.apache.hadoop.fs.Path

@@ -104,11 +104,35 @@ def main() -> None:
     )
 
     # maintenance window: physically delete a takedown slice from both
-    # halves — write-aside + swap under the same lease
+    # halves — write-aside + checked swap under the same lease; every
+    # crash point (including mid-swap, round 17) converges by re-running
     takedown = corpus.limit(3).select("vec_id")
     compact_persisted_embedding_store(spark, store_dir, takedown)
     _, _, live_vectors = load_embedding_store(spark, store_dir)
     print(f"post-takedown store vectors={live_vectors.count()}")
+
+    # keyset discipline (round 17): vec_ids are never reused — the store
+    # persists a watermark and a reusing append refuses loudly, so a
+    # batch keyed below yesterday's ids can't silently duplicate rows
+    from dbix_batchchunker_spark.operators.similarity import (
+        verify_embedding_store_watermark,
+    )
+
+    probe = verify_embedding_store_watermark(spark, store_dir)
+    print(f"watermark={probe['watermark']} residue={probe['residue']}")
+    reused = survivors.limit(2)
+    try:
+        append_embedding_store(
+            store_dir,
+            _probe_entries(reused, loaded, SIM06_NPROBE).select(
+                F.col("doc_id").alias("vec_id"),
+                F.col("bucket").alias("centroid_id"),
+            ),
+            reused,
+        )
+        raise AssertionError("reused-id append must refuse")
+    except ValueError as e:
+        print(f"reused-id append refused as designed: {str(e)[:72]}…")
 
 
 if __name__ == "__main__":

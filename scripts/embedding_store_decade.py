@@ -236,13 +236,16 @@ def main():
         index, store_entries, store_vectors = load_embedding_store(
             spark, store_path
         )
-        t0 = time.monotonic()
-        n_pairs_post = _force_pairs(
-            incremental_embedding_near_dups(
-                inc, index, store_entries, store_vectors
+        post_probes = []
+        for _ in range(ATTEMPTS):
+            t0 = time.monotonic()
+            n_pairs_post = _force_pairs(
+                incremental_embedding_near_dups(
+                    inc, index, store_entries, store_vectors
+                )
             )
-        )
-        row["post_compact_probe_s"] = round(time.monotonic() - t0, 2)
+            post_probes.append(time.monotonic() - t0)
+        row["post_compact_probe_s"] = round(min(post_probes), 2)
         row["post_compact_probe_pairs"] = n_pairs_post
         t0 = time.monotonic()
         row["pairs_audit_n"] = _force_pairs(
