@@ -634,20 +634,28 @@ def _repair_store_swaps(spark: SparkSession, path: str) -> None:
 
 
 def _write_entries(entries: DataFrame, path: str, mode: str) -> None:
-    """Entries-half write with per-cell file discipline (the gram
-    store's one-file-per-bucket rule, found live by the round-17 decade
-    rehearsal): a bare ``partitionBy("centroid_id")`` write fans out to
-    one file per (task x touched cell) — up to tasks x cells small files
-    per append, which made a FIXED 2k-vector append scale 6.4x across a
-    x10 store (23.5 s vs 3.7 s) on FS metadata alone. Repartitioning by
-    centroid_id first gives each cell's rows to one task: one file per
-    touched cell per write, and the append cost tracks the increment,
-    not the store's cell count times the writer's parallelism."""
+    """Entries-half write CLUSTERED by cell, not directory-partitioned
+    (found live by the round-17 decade rehearsal, in two steps): a bare
+    ``partitionBy("centroid_id")`` write fans out to one file per
+    (task x touched cell) — up to tasks x cells small files per append
+    (measured: a FIXED 2k-vector append scaling 6.4x across a x10 store,
+    23.5 s vs 3.7 s, on FS metadata alone); repartitioning first still
+    leaves one file AND one directory per touched cell, which grows with
+    the store's CELL COUNT (adaptive: ~n/125) until it hits the
+    increment's touched-cell bound — 5.6x/decade measured. Clustering is
+    the parquet-native answer: repartition + sortWithinPartitions on
+    centroid_id packs each cell contiguously into O(writer tasks) files
+    whose row-group min/max stats on centroid_id give readers the same
+    cell skipping directory pruning did, while an append's file count is
+    the writer's parallelism — independent of store size. A pre-round-17
+    directory-partitioned store migrates by running
+    ``compact_persisted_embedding_store`` once (the compact reads either
+    layout and writes this one)."""
     (
         entries.select("vec_id", "centroid_id")
         .repartition(F.col("centroid_id"))
+        .sortWithinPartitions("centroid_id")
         .write.mode(mode)
-        .partitionBy("centroid_id")
         .parquet(path)
     )
 
@@ -878,8 +886,10 @@ def save_embedding_store(
     'caller's swap' made API: the example used to hand-write un-leased
     ``entries``/``vectors`` parquet next to the leased index). Layout:
     ``<path>/index`` (save_ivf_index's three pieces), ``<path>/entries``
-    (vec_id, centroid_id; partitioned by centroid_id so a probe prunes
-    to its cells), ``<path>/vectors`` (vec_id, label, embedding, nrm),
+    (vec_id, centroid_id; CLUSTERED by centroid_id — repartition + sort,
+    so row-group min/max stats prune a probe to its cells while appends
+    write O(writer tasks) files, see ``_write_entries``),
+    ``<path>/vectors`` (vec_id, label, embedding, nrm),
     ``<path>/vec_id_hwm`` (the id-keyset watermark — see
     :func:`append_embedding_store`; a save is fresh-store creation, so
     it ESTABLISHES the watermark at the saved batch's max id)."""

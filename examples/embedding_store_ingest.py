@@ -120,7 +120,10 @@ def main() -> None:
 
     probe = verify_embedding_store_watermark(spark, store_dir)
     print(f"watermark={probe['watermark']} residue={probe['residue']}")
-    reused = survivors.limit(2)
+    # derive the reused batch from the POST-compact reload: frames loaded
+    # before a compact must not be re-read after it (the compact
+    # physically replaced their files — the mixed-window caveat)
+    reused = live_vectors.limit(2).localCheckpoint(eager=True)
     try:
         append_embedding_store(
             store_dir,
