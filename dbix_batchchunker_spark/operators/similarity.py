@@ -660,6 +660,33 @@ def _write_entries(entries: DataFrame, path: str, mode: str) -> None:
     )
 
 
+def _refuse_legacy_entries_layout(
+    spark: SparkSession, path: str, op: str
+) -> None:
+    """An APPEND onto a pre-round-17 directory-partitioned entries half
+    would drop clustered files at the dir ROOT beside the legacy
+    ``centroid_id=`` subdirs — a mixed layout Spark's partition
+    discovery refuses to read, i.e. the append would brick the store's
+    read path. Refuse UP FRONT with the migration step instead (one
+    ``compact_persisted_embedding_store`` reads the legacy layout and
+    writes the clustered one). One listStatus — O(metadata)."""
+    fs, _ = _store_fs(spark, path)
+    jp = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/entries")
+    if not fs.exists(jp):
+        return
+    for st in fs.listStatus(jp):
+        if st.getPath().getName().startswith("centroid_id="):
+            raise RuntimeError(
+                f"{op} refused: {path}/entries uses the pre-round-17 "
+                "directory-partitioned layout; appending clustered files "
+                "beside it would make the half unreadable (mixed "
+                "layouts). Migrate first: run "
+                "compact_persisted_embedding_store once (it reads the "
+                "legacy layout and writes the clustered one), then "
+                "retry."
+            )
+
+
 def _read_vec_hwm(spark: SparkSession, path: str) -> "int | None":
     """The vec_id high-water mark the store persisted (None if the store
     predates the watermark — a legacy save)."""
@@ -938,6 +965,7 @@ def append_embedding_store(
     if lease is None:
         own = EmbeddingStoreLease(spark, path).acquire()
     try:
+        _refuse_legacy_entries_layout(spark, path, "append")
         hwm = _read_vec_hwm(spark, path)
         if hwm is None:
             hwm = _live_vec_max(spark, path)

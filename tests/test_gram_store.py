@@ -1768,3 +1768,49 @@ def test_handshake_interleaving_fuzz(spark, docs, seed):
     finally:
         writer.drop()
         cleanup_store(store)
+
+
+def test_append_refuses_legacy_dir_partitioned_entries(spark, tmp_path):
+    """Round-17 migration guard: an append onto a pre-round-17
+    directory-partitioned entries half would mix layouts (clustered
+    files at the root beside centroid_id= subdirs) and brick the read
+    path — it must refuse UP FRONT with the migration step, and one
+    compact must migrate the store so the retry lands."""
+    from dbix_batchchunker_spark.operators.similarity import (
+        SIM06_NPROBE,
+        _probe_entries,
+        append_embedding_store,
+        compact_persisted_embedding_store,
+        load_embedding_store,
+        load_ivf_index,
+    )
+
+    path, index, entries, emb = _mk_embedding_store(spark, tmp_path)
+    # rewrite the entries half in the LEGACY layout (what a round-16
+    # save produced)
+    entries.select("vec_id", "centroid_id").write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(f"{path}/entries")
+
+    idx = load_ivf_index(spark, f"{path}/index")
+    batch = emb.where("vec_id < 10").select(
+        (F.col("vec_id") + 5000).alias("vec_id"),
+        "label", "embedding", "nrm",
+    )
+    b_entries = _probe_entries(batch, idx, SIM06_NPROBE).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("bucket").alias("centroid_id"),
+    )
+    with pytest.raises(RuntimeError, match="pre-round-17"):
+        append_embedding_store(path, b_entries, batch)
+
+    # the documented migration: one compact reads the legacy layout and
+    # writes the clustered one (empty purge list = pure rewrite)
+    compact_persisted_embedding_store(
+        spark, path,
+        spark.createDataFrame([], "vec_id long"), n_deleted=0,
+    )
+    append_embedding_store(path, b_entries, batch)
+    _, e_live, v_live = load_embedding_store(spark, path)
+    assert v_live.count() == 310
+    assert e_live.where("vec_id >= 5000").count() == b_entries.count()
