@@ -1814,3 +1814,51 @@ def test_append_refuses_legacy_dir_partitioned_entries(spark, tmp_path):
     _, e_live, v_live = load_embedding_store(spark, path)
     assert v_live.count() == 310
     assert e_live.where("vec_id >= 5000").count() == b_entries.count()
+
+
+def test_checked_rename_raises_and_load_repair_respects_lease(
+    spark, tmp_path
+):
+    """Two documented-but-otherwise-unexecuted edges of the round-17
+    repair path: (a) a failed FileSystem.rename (boolean False, e.g.
+    missing source) raises instead of silently no-oping the swap step;
+    (b) load_embedding_store's crash repair REFUSES while the store
+    lease is held — a mid-swap absence then belongs to the live
+    maintainer, not to crash residue."""
+    from dbix_batchchunker_spark.operators.gram_store import (
+        StoreMaintenanceLockError,
+    )
+    from dbix_batchchunker_spark.operators.similarity import (
+        EmbeddingStoreLease,
+        _checked_rename,
+        _store_fs,
+        load_embedding_store,
+    )
+
+    path, index, entries, emb = _mk_embedding_store(spark, tmp_path)
+    fs, _ = _store_fs(spark, path)
+    jp = spark._jvm.org.apache.hadoop.fs.Path
+
+    # the false-returning mode is FS-dependent (LocalFS throws on a
+    # missing source; HDFS/S3A return false on an existing destination),
+    # so pin the contract itself with a stub filesystem
+    class _FalseFs:
+        def rename(self, src, dst):
+            return False
+
+    with pytest.raises(RuntimeError, match="rename failed"):
+        _checked_rename(_FalseFs(), "src_path", "dst_path")
+
+    # plant a mid-swap absence, then hold the lease as a live compact
+    # would: the load must refuse rather than repair under the
+    # maintainer's feet
+    assert fs.rename(jp(f"{path}/vectors"), jp(f"{path}/vectors__old"))
+    holder = EmbeddingStoreLease(spark, path).acquire()
+    try:
+        with pytest.raises(StoreMaintenanceLockError):
+            load_embedding_store(spark, path)
+    finally:
+        holder.release()
+    # lease released (maintainer done/dead): the repair proceeds
+    _, _, v = load_embedding_store(spark, path)
+    assert v.count() == 300
