@@ -813,6 +813,12 @@ class EmbeddingStoreLease:
         return self
 
     def release(self) -> None:
+        """No-op unless held: ``release()`` is public API, so calling it
+        on a lease object that never acquired must NOT delete a FOREIGN
+        maintainer's live lease file (that deliberate override is
+        :meth:`break_lease`)."""
+        if not self._held:
+            return
         self._held = False
         fs, _ = _store_fs(self.spark, self.lease_path)
         jp = self.spark._jvm.org.apache.hadoop.fs.Path(self.lease_path)
@@ -820,9 +826,15 @@ class EmbeddingStoreLease:
             fs.delete(jp, False)
 
     def break_lease(self) -> None:
-        """Crash repair: drop a lease left by a dead maintainer (operator
-        confirms the holder is gone — the gram store's flow)."""
-        self.release()
+        """Crash repair: drop a lease left by a dead maintainer —
+        deletes the lease file REGARDLESS of who created it, so the
+        operator's responsibility is confirming the holder is gone
+        (the gram store's flow)."""
+        self._held = False
+        fs, _ = _store_fs(self.spark, self.lease_path)
+        jp = self.spark._jvm.org.apache.hadoop.fs.Path(self.lease_path)
+        if fs.exists(jp):
+            fs.delete(jp, False)
 
     def __enter__(self) -> "EmbeddingStoreLease":
         return self.acquire()

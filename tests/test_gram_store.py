@@ -1428,6 +1428,109 @@ def test_persisted_store_mid_swap_crash_converges(spark, tmp_path):
         assert not fs.exists(jp(f"{path}/{residue}")), residue
 
 
+def test_persisted_store_between_halves_window_pairs_correct(
+    spark, tmp_path
+):
+    """The compact swap's BETWEEN-halves crash window — entries already
+    swapped to the compacted half, vectors still pre-compact with
+    ``vectors__next`` written aside — was ARGUED correct in
+    compact_persisted_embedding_store's docstring (pair listings join
+    entries->vectors, so a vector purged from entries never pairs) but
+    never pinned. Plant that exact window and assert (a) the mixed-window
+    pair listing EQUALS the fully-compacted listing and (b) the
+    compacting re-run converges the store with no residue."""
+    from dbix_batchchunker_spark.operators.similarity import (
+        _store_fs,
+        _write_entries,
+        compact_embedding_store,
+        compact_persisted_embedding_store,
+        load_embedding_store,
+        store_near_dup_pairs,
+    )
+
+    path, index, entries, emb = _mk_embedding_store(spark, tmp_path)
+    fs, _ = _store_fs(spark, path)
+    jp = spark._jvm.org.apache.hadoop.fs.Path
+
+    purged = spark.range(0, 300, 5).select(F.col("id").alias("vec_id"))
+    e_live, v_live = compact_embedding_store(entries, emb, purged)
+    expected = {
+        (r.vec_a, r.vec_b)
+        for r in store_near_dup_pairs(e_live, v_live).collect()
+    }
+
+    # plant the window exactly as the swap reaches it: both __next halves
+    # fully written, the ENTRIES swap complete (old deleted), the vectors
+    # swap not started.
+    _write_entries(e_live, f"{path}/entries__next", "overwrite")
+    v_live.select("vec_id", "label", "embedding", "nrm").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/vectors__next")
+    assert fs.rename(jp(f"{path}/entries"), jp(f"{path}/entries__old"))
+    assert fs.rename(jp(f"{path}/entries__next"), jp(f"{path}/entries"))
+    assert fs.delete(jp(f"{path}/entries__old"), True)
+
+    # (a) a reader in the window sees the compacted listing already:
+    # candidates come from entries alone, so the 60 purged ids still
+    # present in the pre-compact vectors half can never pair.
+    _, e_mix, v_mix = load_embedding_store(spark, path)
+    assert v_mix.count() == 300  # the window is real: vectors pre-compact
+    mixed = {
+        (r.vec_a, r.vec_b)
+        for r in store_near_dup_pairs(e_mix, v_mix).collect()
+    }
+    assert mixed == expected
+
+    # (b) the re-run converges: fresh write-asides, both halves swapped,
+    # residue cleared.
+    compact_persisted_embedding_store(spark, path, purged)
+    _, e_c, v_c = load_embedding_store(spark, path)
+    assert v_c.count() == 240
+    final = {
+        (r.vec_a, r.vec_b)
+        for r in store_near_dup_pairs(e_c, v_c).collect()
+    }
+    assert final == expected
+    for residue in (
+        "entries__next",
+        "entries__old",
+        "vectors__next",
+        "vectors__old",
+    ):
+        assert not fs.exists(jp(f"{path}/{residue}")), residue
+
+
+def test_embedding_store_lease_release_is_noop_unless_held(
+    spark, tmp_path
+):
+    """release() is public API: calling it on a lease object that never
+    acquired must NOT delete a foreign maintainer's live lease file —
+    that deliberate override is break_lease()."""
+    from dbix_batchchunker_spark.operators.gram_store import (
+        StoreMaintenanceLockError,
+    )
+    from dbix_batchchunker_spark.operators.similarity import (
+        EmbeddingStoreLease,
+        _store_fs,
+    )
+
+    path = str(tmp_path / "store")
+    holder = EmbeddingStoreLease(spark, path).acquire()
+    fs, _ = _store_fs(spark, path)
+    jp = spark._jvm.org.apache.hadoop.fs.Path(holder.lease_path)
+
+    bystander = EmbeddingStoreLease(spark, path)
+    bystander.release()  # never acquired — must not touch the file
+    assert fs.exists(jp)
+    with pytest.raises(StoreMaintenanceLockError):
+        bystander.acquire()
+
+    bystander.break_lease()  # the explicit crash-repair override
+    assert not fs.exists(jp)
+    holder.release()  # holder's release after a break is a clean no-op
+    assert not fs.exists(jp)
+
+
 def test_append_embedding_store_refuses_reused_vec_ids(spark, tmp_path):
     """Round-16 verdict #2: vec_ids are never reused — a reusing append
     refuses LOUDLY against the persisted watermark (the gram store's
