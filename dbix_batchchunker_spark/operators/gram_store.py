@@ -61,6 +61,7 @@ needs it.
 from __future__ import annotations
 
 import os
+import sys
 import tempfile
 import uuid
 import warnings
@@ -300,8 +301,14 @@ class GramPostingsStore:
         re-run would fold them into its base offset and probe them (the
         run's own docs would then dedup against THEMSELVES — everything
         cut). Record ``max_real_batch()`` before the run; after a crash,
-        ``drop_batches_above(that)`` then re-run. Metadata + FS deletes,
-        no Spark job over data."""
+        ``drop_batches_above(that)`` — plus
+        ``drop_sink_batches_above(spark, sink_dir, that)`` if the run
+        sank results — then ``break_lease()`` and re-run (the crashed
+        run's run_guard marker keeps compact() refused until then, so
+        an intervening compact can never fold the crashed claims into
+        the base partition and advance the hwm past repair; the full
+        ordering lives in ``run_guard``'s docstring). Metadata + FS
+        deletes, no Spark job over data."""
         # one row per partition — bounded driver materialization
         for r in self.spark.sql(f"SHOW PARTITIONS {self.name}").collect():
             p = int(r[0].split("=", 1)[1])
@@ -508,6 +515,63 @@ class GramPostingsStore:
             finally:
                 if fs.exists(jm):
                     fs.delete(jm, False)
+
+        return _cm()
+
+    def run_guard(self, op: str = "run"):
+        """RUN-level writer marker (context manager): hold one in-progress
+        marker across a whole multi-chunk composition, not just each
+        chunk's Spark write. The per-write markers ``_writing`` drops
+        leave a GAP between chunks — a scheduled ``compact()`` landing in
+        that gap would fold the run's earlier claims mid-run, and one
+        landing after a CRASH (which leaves no per-write marker unless
+        the crash hit a write) would fold the crashed claims into the
+        base partition and advance the bid high-water mark, silently
+        invalidating the documented ``drop_batches_above`` repair (the
+        folded claims become undroppable and the re-run's bids no longer
+        overwrite the crashed run's ``sink_dir/b{bid}`` dirs). Under the
+        run guard a compact REFUSES for the run's whole lifetime — and,
+        because a crashed run leaves its marker behind, keeps refusing
+        until the operator runs the repair:
+
+        1. confirm the run is dead;
+        2. ``store.drop_batches_above(pre_run_max)``;
+        3. ``drop_sink_batches_above(spark, sink_dir, pre_run_max)``
+           if the run sank results;
+        4. ``store.break_lease()`` (clears the dead run's marker);
+        5. re-run.
+
+        Steps 2-3 run while the marker still blocks compaction — that
+        ordering is the point. Cost: two FS metadata RPCs per RUN.
+
+        Marker lifetime is FAIL-SAFE: only a CLEAN exit removes it. A
+        run that raised mid-way has committed chunks that need the same
+        repair a process death does, so its marker stays and compaction
+        keeps refusing (loudly, naming break_lease) until the operator
+        repairs — the deliberate trade: a spurious block after a
+        before-first-chunk failure costs one break_lease(), a compact
+        over unrepaired claims costs the store."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _cm():
+            marker = self.writers_path + "/" + uuid.uuid4().hex
+            fs, jdir = self._fs(self.writers_path)
+            if not fs.exists(jdir):
+                fs.mkdirs(jdir)
+            jm = self.spark._jvm.org.apache.hadoop.fs.Path(marker)
+            fs.createNewFile(jm)
+            try:
+                self._refuse_if_maintenance(op)
+            except BaseException:
+                # refused to START: nothing committed, nothing to repair
+                if fs.exists(jm):
+                    fs.delete(jm, False)
+                raise
+            yield
+            # clean exit ONLY — an exception skips this delete by design
+            if fs.exists(jm):
+                fs.delete(jm, False)
 
         return _cm()
 
@@ -1002,6 +1066,39 @@ def _sink_chunk(result: DataFrame, sink_dir: str, bid: int) -> None:
     _free_local_checkpoint(result)
 
 
+def drop_sink_batches_above(
+    spark: SparkSession, sink_dir: str, bid: int
+) -> None:
+    """The SINK half of the crashed-onboarding repair —
+    ``drop_batches_above``'s pair (run BOTH, in that order, before the
+    re-run; the full sequence lives in ``run_guard``'s docstring): a
+    crashed ``sink_dir`` run left ``b{bid}`` dirs above the pre-run
+    ``max_real_batch()``, and while a re-run with the SAME chunk
+    geometry overwrites them bid-for-bid, a re-run that chunks
+    differently (other ``target_chunks``, an edited corpus) writes fewer
+    or different bids — the leftovers then feed a shared sink table
+    STALE rows (phase-1 rows from a wave, or another geometry's docs
+    duplicated) that ``read_outputs`` cannot distinguish from committed
+    results. Deletes every ``b{i}`` with i > ``bid`` and every
+    ``__publish_*`` staging residue. FS metadata + deletes only — no
+    Spark job."""
+    jp = spark._jvm.org.apache.hadoop.fs.Path
+    root = jp(sink_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("__publish_"):
+            fs.delete(st.getPath(), True)
+        elif (
+            name.startswith("b")
+            and name[1:].isdigit()
+            and int(name[1:]) > bid
+        ):
+            fs.delete(st.getPath(), True)
+
+
 def onboard_corpus_serial(
     docs: DataFrame,
     store: GramPostingsStore,
@@ -1064,18 +1161,22 @@ def onboard_corpus_serial(
     chunk_size, mn, mx = _span_chunks(
         docs, "doc_id", target_chunks=target_chunks, floor=1
     )
-    BatchChunker(
-        df=docs,
-        id_name="doc_id",
-        coderef=ingest_chunk,
-        chunk_size=chunk_size,
-        min_id=mn,
-        max_id=mx,
-        target_time=0,
-        min_chunk_percent=0,
-        sleep=0,
-        verbose=False,
-    ).execute()
+    # run-level marker: a compact() cannot land in a between-chunk gap,
+    # and a CRASHED run keeps blocking it until the documented repair
+    # (see run_guard — the crash-repair ordering lives there)
+    with store.run_guard("onboard_serial"):
+        BatchChunker(
+            df=docs,
+            id_name="doc_id",
+            coderef=ingest_chunk,
+            chunk_size=chunk_size,
+            min_id=mn,
+            max_id=mx,
+            target_time=0,
+            min_chunk_percent=0,
+            sleep=0,
+            verbose=False,
+        ).execute()
     if sink_dir is not None:
         # exactly THIS run's dirs — one multi-path parquet relation (one
         # scan node, not a per-chunk union plan); a shared sink_dir's
@@ -1225,6 +1326,11 @@ def onboard_corpus_wave(
     # set ONCE for the whole wave: _insert's per-call set/restore is not
     # atomic across max_in_flight workers (T2's set can race T1's restore)
     spark.conf.set(conf, "dynamic")
+    # run-level marker across phase 1 + reconcile + publish: a compact()
+    # cannot land between chunk writes or mid-publish, and a CRASHED wave
+    # keeps blocking it until the documented repair (see run_guard)
+    _run_guard = store.run_guard("onboard_wave")
+    _run_guard.__enter__()  # exited in the finally below
     try:
 
         def ingest_chunk(bc: BatchChunker, chunk_df: DataFrame) -> None:
@@ -1440,6 +1546,11 @@ def onboard_corpus_wave(
             *(os.path.join(sink_dir, f"b{b}") for b in sorted(sunk_bids))
         )
     finally:
+        # clean-exit-only guard release: a failed run's marker STAYS so
+        # compact() keeps refusing until the documented repair (the
+        # fail-safe lifetime stated in run_guard's docstring)
+        if sys.exc_info()[0] is None:
+            _run_guard.__exit__(None, None, None)
         # restore-or-UNSET (round-14 advisor): prev is None when the conf
         # was never set — leaving dynamic mode active would leak it to
         # every later overwrite in the session

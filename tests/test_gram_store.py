@@ -1187,6 +1187,195 @@ def test_second_drop_onboarding_chained_structure(spark, seed):
         assert wf[i][1] >= w4[i][1], (seed, i)
 
 
+def test_onboarding_run_guard_blocks_compact_and_retains_on_failure(
+    spark, monkeypatch
+):
+    """The run-level writer marker closes the maintenance handshake's
+    between-chunk gap: per-write markers vanish between chunk writes, so
+    a scheduled compact() could land mid-run (folding the run's earlier
+    claims) or after a crash (folding the crashed claims into base and
+    advancing the hwm — silently invalidating the drop_batches_above
+    repair). Pin: (a) compact refuses BETWEEN chunk writes for the whole
+    run; (b) a run that RAISES mid-way keeps its marker, so compact
+    keeps refusing until the documented repair; (c) the repair sequence
+    converges to the clean single-run result."""
+    import random as _random
+
+    from dbix_batchchunker_spark.operators.gram_store import (
+        StoreMaintenanceLockError,
+        onboard_corpus_serial,
+    )
+
+    rng = _random.Random(59)
+    docs, _ = _gen_onboard_corpus(rng, 20, allow_chains=False)
+    reference = _onboard(spark, docs, "serial", "rgref")
+
+    # CONTROL for part (c): two clean drops of the same corpus into one
+    # fresh store — what a repaired store must reproduce exactly
+    ctl_df = spark.createDataFrame(
+        sorted((i, " ".join(t)) for i, t in docs.items()),
+        "doc_id long, text string",
+    ).localCheckpoint(eager=True)
+    from dbix_batchchunker_spark.operators.gram_store import (
+        onboard_corpus_serial as _serial,
+    )
+
+    ctl_store = temp_store(spark, "gs_rgctl_", n_buckets=4)
+    try:
+        _serial(ctl_df, ctl_store, target_chunks=3, n=GRAM_N)
+        ctl_store.compact()
+        control = {
+            r.doc_id: (r.n_tokens, r.n_removed, r.n_kept, r.kept_text)
+            for r in _serial(
+                ctl_df, ctl_store, target_chunks=3, n=GRAM_N
+            ).collect()  # bounded: fuzz corpus
+        }
+    finally:
+        cleanup_store(ctl_store)
+
+    df = spark.createDataFrame(
+        sorted((i, " ".join(t)) for i, t in docs.items()),
+        "doc_id long, text string",
+    ).localCheckpoint(eager=True)
+    store = temp_store(spark, "gs_rg_", n_buckets=4)
+    orig = GramPostingsStore.ingest_batch
+    between_checks = []
+
+    def spy(self, chunk_df, *a, **kw):
+        r = orig(self, chunk_df, *a, **kw)
+        # we are now BETWEEN chunk writes: no per-write marker is live,
+        # only the run marker — compact must still refuse
+        with pytest.raises(StoreMaintenanceLockError):
+            self.compact()
+        between_checks.append(kw.get("bid"))
+        return r
+
+    try:
+        pre = store.max_real_batch()
+        monkeypatch.setattr(GramPostingsStore, "ingest_batch", spy)
+        got = {
+            r.doc_id: (r.n_tokens, r.n_removed, r.n_kept, r.kept_text)
+            for r in onboard_corpus_serial(
+                df, store, target_chunks=3, n=GRAM_N
+            ).collect()  # bounded: fuzz corpus
+        }
+        assert got == reference
+        assert len(between_checks) >= 2
+        monkeypatch.setattr(GramPostingsStore, "ingest_batch", orig)
+        # clean exit removed the run marker: maintenance is allowed again
+        store.compact()
+
+        # (b) a FAILED run retains its marker (fail-safe lifetime)
+        boom = [0]
+
+        def failing(self, chunk_df, *a, **kw):
+            boom[0] += 1
+            if boom[0] == 2:
+                raise RuntimeError("simulated mid-run failure")
+            return orig(self, chunk_df, *a, **kw)
+
+        pre_fail = store.max_real_batch()
+        monkeypatch.setattr(GramPostingsStore, "ingest_batch", failing)
+        with pytest.raises(RuntimeError, match="simulated"):
+            onboard_corpus_serial(df, store, target_chunks=3, n=GRAM_N)
+        monkeypatch.setattr(GramPostingsStore, "ingest_batch", orig)
+        with pytest.raises(StoreMaintenanceLockError):
+            store.compact()  # the failed run's claims are unrepaired
+        # (c) documented repair: drop claims, clear the marker, re-run
+        store.drop_batches_above(pre_fail)
+        store.break_lease()
+        got2 = {
+            r.doc_id: (r.n_tokens, r.n_removed, r.n_kept, r.kept_text)
+            for r in onboard_corpus_serial(
+                df, store, target_chunks=3, n=GRAM_N
+            ).collect()  # bounded: fuzz corpus
+        }
+        # the repaired store must reproduce the CONTROL exactly: a second
+        # drop of the same corpus onto a store holding only the first
+        # clean drop — proving the repair left drop 1 intact and made
+        # the failed drop invisible (not full removal: a partially-cut
+        # doc's kept remainder can be shorter than the gram width, claim
+        # nothing in drop 1, and legitimately survive drop 2)
+        assert got2 == control
+    finally:
+        cleanup_store(store)
+
+
+def test_crashed_sink_onboarding_full_repair(spark, tmp_path):
+    """The crashed-run repair's SINK half (drop_sink_batches_above): a
+    crashed wave left b{bid} dirs + publish staging in a shared sink,
+    and a re-run with DIFFERENT chunk geometry writes fewer bids — the
+    leftovers would feed the shared sink table stale rows. Pin the full
+    repair sequence: drop store claims, drop sink dirs, break the dead
+    run's marker, re-run at a different geometry — the run's return AND
+    the shared sink table both equal the clean single run."""
+    import random as _random
+
+    from dbix_batchchunker_spark.operators.gram_store import (
+        StoreMaintenanceLockError,
+        drop_sink_batches_above,
+        onboard_corpus_wave,
+    )
+    from dbix_batchchunker_spark.operators.stream import read_outputs
+
+    rng = _random.Random(23)
+    docs, _ = _gen_onboard_corpus(rng, 25, allow_chains=False)
+    reference = _onboard(spark, docs, "wave", "skref")
+
+    df = spark.createDataFrame(
+        sorted((i, " ".join(t)) for i, t in docs.items()),
+        "doc_id long, text string",
+    ).localCheckpoint(eager=True)
+    store = temp_store(spark, "gs_skrep_", n_buckets=4)
+    sink = str(tmp_path / "sink")
+    try:
+        pre = store.max_real_batch()
+        # "crashed" run at 4 chunks (a completed run is a superset of any
+        # crash point for the leftover-dirs property): b1..b4 in the sink
+        onboard_corpus_wave(
+            df, store, target_chunks=4, n=GRAM_N, sink_dir=sink
+        )
+        # the dead run's retained run_guard marker (a real crash skips
+        # the clean-exit delete; plant what it leaves)
+        fs, jdir = store._fs(store.writers_path)
+        if not fs.exists(jdir):
+            fs.mkdirs(jdir)
+        fs.createNewFile(
+            spark._jvm.org.apache.hadoop.fs.Path(
+                store.writers_path + "/deadrun"
+            )
+        )
+        # the trap the marker closes: an intervening scheduled compact
+        # would fold the crashed claims into base (undroppable) and
+        # advance the hwm past the repair — it must refuse
+        with pytest.raises(StoreMaintenanceLockError):
+            store.compact()
+        # documented repair, in run_guard's stated order
+        store.drop_batches_above(pre)
+        drop_sink_batches_above(spark, sink, pre)
+        store.break_lease()
+        out = onboard_corpus_wave(
+            df, store, target_chunks=2, n=GRAM_N, sink_dir=sink
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.n_removed, r.n_kept, r.kept_text)
+            for r in out.collect()  # bounded: fuzz corpus
+        }
+        assert got == reference
+        # the shared sink table reads EXACTLY the clean run — one final
+        # row per doc, no orphan b3/b4 phase-1 rows from the dead run
+        table = {
+            r.doc_id: (r.n_tokens, r.n_removed, r.n_kept, r.kept_text)
+            for r in read_outputs(spark, sink)
+            .select("doc_id", "n_tokens", "n_removed", "n_kept", "kept_text")
+            .collect()  # bounded: fuzz corpus
+        }
+        assert table == reference
+        assert read_outputs(spark, sink).count() == len(docs)
+    finally:
+        cleanup_store(store)
+
+
 def test_crashed_onboarding_rerun_after_drop_batches_above(spark):
     """The bid-offset fix's one sharp edge, pinned with its repair: a
     crashed onboarding run leaves claims in partitions above the pre-run
