@@ -776,9 +776,12 @@ class EmbeddingStoreLease:
     and any caller-managed ``entries`` / ``vectors`` halves was
     single-writer by DISCIPLINE only — a :func:`compact_embedding_store`
     rewrite racing an incremental :func:`save_ivf_index` corrupted
-    silently. The lease file is created via ``FileSystem.createNewFile``
-    with the gram store's exact per-scheme guarantee (atomic on hdfs://,
-    single-host-safe on file://, best-effort on s3a:// — object-store
+    silently. The lease file is created via the gram store's
+    ``_atomic_create_if_absent`` with its exact per-scheme guarantee:
+    atomic on hdfs://, single-host-safe on file://, ATOMIC on object
+    stores declaring ``fs.capability.conditional.create`` (s3a on
+    Hadoop 3.4.1+ — the acquire routes through a conditional PUT), and
+    best-effort on object stores without the capability (those
     deployments compacting from multiple jobs should add an external
     lock). Usage::
 
@@ -798,11 +801,14 @@ class EmbeddingStoreLease:
         self._held = False
 
     def acquire(self) -> "EmbeddingStoreLease":
-        from .gram_store import StoreMaintenanceLockError
+        from .gram_store import (
+            StoreMaintenanceLockError,
+            _atomic_create_if_absent,
+        )
 
         fs, _ = _store_fs(self.spark, self.lease_path)
         jp = self.spark._jvm.org.apache.hadoop.fs.Path(self.lease_path)
-        if not fs.createNewFile(jp):
+        if not _atomic_create_if_absent(fs, jp):
             raise StoreMaintenanceLockError(
                 f"maintenance lease already held for embedding store "
                 f"{self.path} ({self.lease_path}); a save/compact is in "

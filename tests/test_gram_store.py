@@ -1689,6 +1689,68 @@ def test_persisted_store_between_halves_window_pairs_correct(
         assert not fs.exists(jp(f"{path}/{residue}")), residue
 
 
+class _CondCreateFS:
+    """Python proxy over the real local FileSystem that DECLARES the
+    conditional-create capability — drives _atomic_create_if_absent's
+    conditional branch against real builder create semantics (the local
+    builder's overwrite(False) refuses an existing file exactly like
+    s3a's conditional PUT surfaces FileAlreadyExists)."""
+
+    def __init__(self, fs):
+        self._fs = fs
+
+    def hasPathCapability(self, jp, cap):
+        from dbix_batchchunker_spark.operators.gram_store import (
+            CONDITIONAL_CREATE_CAPABILITY,
+        )
+
+        return cap == CONDITIONAL_CREATE_CAPABILITY
+
+    def createFile(self, jp):
+        return self._fs.createFile(jp)
+
+    def createNewFile(self, jp):  # pragma: no cover - guards the routing
+        raise AssertionError(
+            "fallback createNewFile taken despite declared capability"
+        )
+
+
+def test_atomic_create_if_absent_routes_by_capability(spark, tmp_path):
+    """The lease acquire's create-if-absent routes through the strongest
+    primitive the FileSystem declares: conditional builder create when
+    the capability is up (exactly one of two racing maintainers wins),
+    createNewFile otherwise, and a NON-exists IO failure re-raises
+    instead of reading as 'lease held'."""
+    from dbix_batchchunker_spark.operators.gram_store import (
+        _atomic_create_if_absent,
+    )
+
+    jp = spark._jvm.org.apache.hadoop.fs.Path
+    real = jp(str(tmp_path)).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+
+    # conditional branch: winner creates, rival refuses
+    cond = _CondCreateFS(real)
+    lease = jp(str(tmp_path / "lease"))
+    assert _atomic_create_if_absent(cond, lease) is True
+    assert real.exists(lease)
+    assert _atomic_create_if_absent(cond, lease) is False
+
+    # fallback branch on the raw local FS (capability not declared)
+    lease2 = jp(str(tmp_path / "lease2"))
+    assert _atomic_create_if_absent(real, lease2) is True
+    assert _atomic_create_if_absent(real, lease2) is False
+
+    # an unrelated failure re-raises — never masquerades as 'held'
+    class _BrokenFS(_CondCreateFS):
+        def createFile(self, jp_):
+            raise RuntimeError("simulated network failure")
+
+    with pytest.raises(RuntimeError, match="network"):
+        _atomic_create_if_absent(_BrokenFS(real), jp(str(tmp_path / "x")))
+
+
 def test_embedding_store_lease_release_is_noop_unless_held(
     spark, tmp_path
 ):
