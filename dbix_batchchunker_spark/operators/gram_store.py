@@ -1379,16 +1379,18 @@ def onboard_corpus_wave(
     # wave (round-15 verdict #1 — a fresh store gives base_bid = 0, the
     # original behavior)
     base_bid = store.max_real_batch()
+    # run-level marker across phase 1 + reconcile + publish: a compact()
+    # cannot land between chunk writes or mid-publish, and a CRASHED wave
+    # keeps blocking it until the documented repair (see run_guard).
+    # Entered BEFORE the conf set: a refusal here (maintenance in flight)
+    # must not leak dynamic overwrite mode session-wide.
+    _run_guard = store.run_guard("onboard_wave")
+    _run_guard.__enter__()  # exited in the finally below
     conf = "spark.sql.sources.partitionOverwriteMode"
     prev = spark.conf.get(conf, None)
     # set ONCE for the whole wave: _insert's per-call set/restore is not
     # atomic across max_in_flight workers (T2's set can race T1's restore)
     spark.conf.set(conf, "dynamic")
-    # run-level marker across phase 1 + reconcile + publish: a compact()
-    # cannot land between chunk writes or mid-publish, and a CRASHED wave
-    # keeps blocking it until the documented repair (see run_guard)
-    _run_guard = store.run_guard("onboard_wave")
-    _run_guard.__enter__()  # exited in the finally below
     try:
 
         def ingest_chunk(bc: BatchChunker, chunk_df: DataFrame) -> None:

@@ -1301,6 +1301,43 @@ def test_onboarding_run_guard_blocks_compact_and_retains_on_failure(
         cleanup_store(store)
 
 
+def test_wave_refusal_leaks_no_conf_or_marker(spark):
+    """A wave refused at START (maintenance lease in flight) must leave
+    the session exactly as it found it: no partitionOverwriteMode leak
+    (the guard is entered BEFORE the conf set) and no retained run
+    marker (refusing to start is not a failed run — nothing committed,
+    nothing to repair)."""
+    from dbix_batchchunker_spark.operators.gram_store import (
+        StoreMaintenanceLockError,
+        onboard_corpus_wave,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g h i j")], "doc_id long, text string"
+    ).localCheckpoint(eager=True)
+    store = temp_store(spark, "gs_leak_", n_buckets=4)
+    conf = "spark.sql.sources.partitionOverwriteMode"
+    prior = spark.conf.get(conf, None)
+    # a FOREIGN maintainer's lease (another process's compact): the file,
+    # not _acquire_lease on this instance — _lease_held would pass the
+    # in-process compactor short-circuit and defeat the refusal
+    fs, jp = store._fs(store.lease_path)
+    try:
+        fs.createNewFile(jp)
+        if prior is not None:
+            spark.conf.unset(conf)
+        with pytest.raises(StoreMaintenanceLockError):
+            onboard_corpus_wave(df, store, target_chunks=2, n=GRAM_N)
+        assert spark.conf.get(conf, None) is None  # no dynamic-mode leak
+        assert store._writer_markers() == []  # no retained marker
+    finally:
+        if fs.exists(jp):
+            fs.delete(jp, False)
+        if prior is not None:
+            spark.conf.set(conf, prior)
+        cleanup_store(store)
+
+
 def test_crashed_sink_onboarding_full_repair(spark, tmp_path):
     """The crashed-run repair's SINK half (drop_sink_batches_above): a
     crashed wave left b{bid} dirs + publish staging in a shared sink,
