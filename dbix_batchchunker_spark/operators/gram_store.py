@@ -599,8 +599,10 @@ class GramPostingsStore:
         4. ``store.break_lease()`` (clears the dead run's marker);
         5. re-run.
 
-        Steps 2-3 run while the marker still blocks compaction — that
-        ordering is the point. Cost: two FS metadata RPCs per RUN.
+        Steps 2-4 are ``repair_crashed_onboarding`` — one call in the
+        one safe order; steps 2-3 run while the marker still blocks
+        compaction, which is the point. Cost: two FS metadata RPCs per
+        RUN.
 
         Marker lifetime is FAIL-SAFE: only a CLEAN exit removes it. A
         run that raised mid-way has committed chunks that need the same
@@ -1155,6 +1157,26 @@ def drop_sink_batches_above(
             and int(name[1:]) > bid
         ):
             fs.delete(st.getPath(), True)
+
+
+def repair_crashed_onboarding(
+    store: "GramPostingsStore",
+    pre_run_max: int,
+    sink_dir: "str | None" = None,
+) -> None:
+    """The documented crashed-onboarding repair as ONE call, in the one
+    safe order (``run_guard``'s steps 2-4): drop the crashed run's claim
+    partitions above the pre-run ``max_real_batch()``, drop its sink
+    residue (``b{bid}`` dirs above the mark + ``__publish_*`` staging)
+    when the run sank results, then clear the dead run's retained marker
+    so maintenance is allowed again. The caller owns step 1 (confirm the
+    run is actually dead — this call cannot know) and step 5 (re-run the
+    drop). Until this runs, the retained marker keeps ``compact()``
+    refusing — which is what makes the repair safe to run late."""
+    store.drop_batches_above(pre_run_max)
+    if sink_dir is not None:
+        drop_sink_batches_above(store.spark, sink_dir, pre_run_max)
+    store.break_lease()
 
 
 def onboard_corpus_serial(

@@ -1350,8 +1350,8 @@ def test_crashed_sink_onboarding_full_repair(spark, tmp_path):
 
     from dbix_batchchunker_spark.operators.gram_store import (
         StoreMaintenanceLockError,
-        drop_sink_batches_above,
         onboard_corpus_wave,
+        repair_crashed_onboarding,
     )
     from dbix_batchchunker_spark.operators.stream import read_outputs
 
@@ -1387,10 +1387,9 @@ def test_crashed_sink_onboarding_full_repair(spark, tmp_path):
         # advance the hwm past the repair — it must refuse
         with pytest.raises(StoreMaintenanceLockError):
             store.compact()
-        # documented repair, in run_guard's stated order
-        store.drop_batches_above(pre)
-        drop_sink_batches_above(spark, sink, pre)
-        store.break_lease()
+        # documented repair, in run_guard's stated order — as the one
+        # call that encodes it
+        repair_crashed_onboarding(store, pre, sink_dir=sink)
         out = onboard_corpus_wave(
             df, store, target_chunks=2, n=GRAM_N, sink_dir=sink
         )
