@@ -757,7 +757,8 @@ def verify_embedding_store_watermark(
     duplicate the committed half. Run this probe after a crashed append:
     if ``residue`` is True, purge the ids above the watermark
     (``compact_persisted_embedding_store`` with
-    ``vec_id > watermark`` as the purge list) and re-run the append.
+    ``vec_id > watermark`` as the purge list) and re-run the append —
+    or call :func:`repair_crashed_append`, which encodes exactly that.
     Returns {'watermark': int|None, 'live_max': int, 'residue': bool}."""
     hwm = _read_vec_hwm(spark, path)
     live = _live_vec_max(spark, path)
@@ -975,9 +976,10 @@ def append_embedding_store(
     scan in the hot path); a legacy store missing the file derives it
     once from the live vectors. The watermark is written after the data
     halves commit, so it never claims ids the store doesn't hold; after
-    a CRASHED append, run :func:`verify_embedding_store_watermark`
-    before re-running (a committed-half residue above the watermark
-    would otherwise be duplicated by the blind re-run)."""
+    a CRASHED append, run :func:`repair_crashed_append` (or the manual
+    :func:`verify_embedding_store_watermark` probe) before re-running —
+    a committed-half residue above the watermark would otherwise be
+    duplicated by the blind re-run."""
     spark = vectors.sparkSession
     own = None
     if lease is None:
@@ -1010,6 +1012,37 @@ def append_embedding_store(
     finally:
         if own is not None:
             own.release()
+
+
+def repair_crashed_append(spark: SparkSession, path: str) -> dict:
+    """One-call recovery for a CRASHED :func:`append_embedding_store`
+    (the manual flow :func:`verify_embedding_store_watermark` documents,
+    encoded — the gram store's ``repair_crashed_onboarding`` precedent):
+    a crashed append may have committed ONE half (each half's Spark
+    append is all-or-nothing) before the watermark advanced, leaving ids
+    above the watermark that a blind re-run would duplicate. Probe; if
+    residue exists, build the purge list FROM the live halves (ids above
+    the watermark — exactly the crashed batch's committed rows, which
+    the caller cannot easily enumerate) and physically purge it via
+    :func:`compact_persisted_embedding_store`, restoring the store to
+    its pre-append state; then re-run the append. Returns the probe
+    dict — ``residue`` True means a purge ran."""
+    probe = verify_embedding_store_watermark(spark, path)
+    if probe["residue"]:
+        hwm = int(probe["watermark"])
+        resid = (
+            spark.read.parquet(f"{path}/entries")
+            .where(F.col("vec_id") > hwm)
+            .select("vec_id")
+            .unionByName(
+                spark.read.parquet(f"{path}/vectors")
+                .where(F.col("vec_id") > hwm)
+                .select("vec_id")
+            )
+            .distinct()
+        )
+        compact_persisted_embedding_store(spark, path, resid)
+    return probe
 
 
 def load_embedding_store(

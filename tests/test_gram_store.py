@@ -1818,6 +1818,86 @@ def test_embedding_store_lease_release_is_noop_unless_held(
     assert not fs.exists(jp)
 
 
+def test_repair_crashed_append_restores_then_rerun_succeeds(
+    spark, tmp_path
+):
+    """A crashed append_embedding_store that committed ONE half before
+    the watermark advanced leaves ids above the watermark a blind re-run
+    would duplicate. repair_crashed_append encodes the documented flow:
+    probe, purge exactly the committed residue from the LIVE halves,
+    re-run — store equal to a clean single append."""
+    from dbix_batchchunker_spark.operators.similarity import (
+        SIM06_NPROBE,
+        _probe_entries,
+        _write_entries,
+        append_embedding_store,
+        load_embedding_store,
+        load_ivf_index,
+        repair_crashed_append,
+        store_near_dup_pairs,
+        verify_embedding_store_watermark,
+    )
+
+    path, index, entries, emb = _mk_embedding_store(spark, tmp_path)
+    idx = load_ivf_index(spark, f"{path}/index")
+
+    # the incoming batch: copies of vec_id % 9 == 2, shifted past the hwm
+    src = emb.where(F.col("vec_id") % 9 == 2)
+    batch_v = src.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        "label",
+        "embedding",
+        "nrm",
+    ).localCheckpoint(eager=True)
+    batch_e = _probe_entries(batch_v, idx, SIM06_NPROBE).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("bucket").alias("centroid_id"),
+    ).localCheckpoint(eager=True)
+
+    # CLEAN control: the store after one successful append
+    ctl = str(tmp_path / "ctl")
+    import shutil
+
+    shutil.copytree(path, ctl)
+    append_embedding_store(ctl, batch_e, batch_v)
+    _, ce, cv = load_embedding_store(spark, ctl)
+    expected = (
+        ce.count(),
+        cv.count(),
+        {
+            (r.vec_a, r.vec_b)
+            for r in store_near_dup_pairs(ce, cv).collect()
+        },
+    )
+
+    # CRASHED append: the entries half committed, vectors + watermark not
+    _write_entries(batch_e, f"{path}/entries", "append")
+    probe = verify_embedding_store_watermark(spark, path)
+    assert probe["residue"] is True and probe["watermark"] == 299
+
+    repaired = repair_crashed_append(spark, path)
+    assert repaired["residue"] is True
+    after = verify_embedding_store_watermark(spark, path)
+    assert after["residue"] is False  # store back to pre-append state
+    _, e0, v0 = load_embedding_store(spark, path)
+    assert e0.where(F.col("vec_id") > 299).count() == 0
+
+    # the re-run (step the flow prescribes) — equals the clean control
+    append_embedding_store(path, batch_e, batch_v)
+    _, e1, v1 = load_embedding_store(spark, path)
+    got = (
+        e1.count(),
+        v1.count(),
+        {
+            (r.vec_a, r.vec_b)
+            for r in store_near_dup_pairs(e1, v1).collect()
+        },
+    )
+    assert got == expected
+    # idempotent: repairing a healthy store is a no-op probe
+    assert repair_crashed_append(spark, path)["residue"] is False
+
+
 def test_append_embedding_store_refuses_reused_vec_ids(spark, tmp_path):
     """Round-16 verdict #2: vec_ids are never reused — a reusing append
     refuses LOUDLY against the persisted watermark (the gram store's
