@@ -1014,6 +1014,53 @@ def append_embedding_store(
             own.release()
 
 
+def retrain_embedding_store(
+    spark: SparkSession, src_path: str, dst_path: str
+) -> None:
+    """Rebuild an append-grown store's ROUTING state into a fresh store
+    at ``dst_path`` — the maintenance op for cell overpopulation.
+    Appends route new vectors through the centroids the store was
+    TRAINED with (the IVF contract: :func:`append_embedding_store` never
+    touches the index), so cells fatten as the store grows by appends —
+    per-probe candidate lists, and with them probe cost, grow linearly
+    in the appended fraction, eroding the trained sqrt(n) geometry the
+    decade flatness rows assume (those were measured on stores BUILT at
+    each scale). Retraining rebuilds centroids from the live vectors and
+    re-probes every vector into fresh entries; run it from a maintenance
+    window once appends have materially outgrown the trained corpus.
+
+    Deliberately NOT in place: the index and the entries half must
+    change TOGETHER (entries carry centroid ids), and an in-place
+    two-dir swap has a crash window between them in which probes route
+    through the NEW centroids against OLD entry ids — silently wrong
+    pairs, the one failure mode this store never accepts (every other
+    crash window here fails loud or converges). A fresh store at
+    ``dst_path`` is crash-safe by construction — a torn dst is re-run
+    wholesale — and the cutover is the caller's atomic pointer or
+    directory swap, after which the src store is dropped. Refuses
+    ``dst_path == src_path``. Both stores are leased: src for the whole
+    read (no concurrent append/compact shifts the vectors mid-retrain),
+    dst via :func:`save_embedding_store`'s own acquire."""
+    if dst_path.rstrip("/") == src_path.rstrip("/"):
+        raise ValueError(
+            "retrain_embedding_store refuses an in-place retrain: the "
+            "index/entries crash window between two live-dir swaps would "
+            "pair silently wrong — retrain to a fresh dst_path and cut "
+            "over with a directory or pointer swap"
+        )
+    with EmbeddingStoreLease(spark, src_path):
+        _repair_store_swaps(spark, src_path)
+        vectors = spark.read.parquet(f"{src_path}/vectors").select(
+            "vec_id", "label", "embedding", "nrm"
+        )
+        index = build_ivf_index(vectors)
+        entries = _probe_entries(vectors, index, SIM06_NPROBE).select(
+            F.col("doc_id").alias("vec_id"),
+            F.col("bucket").alias("centroid_id"),
+        )
+        save_embedding_store(dst_path, index, entries, vectors)
+
+
 def repair_crashed_append(spark: SparkSession, path: str) -> dict:
     """One-call recovery for a CRASHED :func:`append_embedding_store`
     (the manual flow :func:`verify_embedding_store_watermark` documents,

@@ -1818,6 +1818,72 @@ def test_embedding_store_lease_release_is_noop_unless_held(
     assert not fs.exists(jp)
 
 
+def test_retrain_embedding_store_fresh_geometry_same_pairs(
+    spark, tmp_path
+):
+    """Retrain rebuilds an append-grown store's routing state into a
+    fresh store: the index is retrained on the LIVE vectors (appends
+    included — the original index never saw them), the watermark carries
+    over from the live max, and the pair listing is preserved — planted
+    copies share every cell with their source under ANY centroid set
+    (identical embeddings → identical distances), so the copy pairs must
+    survive the retrain exactly. In-place retrain refuses."""
+    from dbix_batchchunker_spark.operators.similarity import (
+        SIM06_NPROBE,
+        _probe_entries,
+        _read_vec_hwm,
+        append_embedding_store,
+        load_embedding_store,
+        load_ivf_index,
+        retrain_embedding_store,
+        store_near_dup_pairs,
+    )
+
+    path, index, entries, emb = _mk_embedding_store(spark, tmp_path)
+    idx = load_ivf_index(spark, f"{path}/index")
+
+    # grow the store by APPENDING copies (ids shifted, same vectors):
+    # the persisted index never saw them — the retrain premise
+    src = emb.where(F.col("vec_id") % 10 == 1)
+    copies = src.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        "label",
+        "embedding",
+        "nrm",
+    ).localCheckpoint(eager=True)
+    cp_entries = _probe_entries(copies, idx, SIM06_NPROBE).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("bucket").alias("centroid_id"),
+    ).localCheckpoint(eager=True)
+    append_embedding_store(path, cp_entries, copies)
+
+    _, e0, v0 = load_embedding_store(spark, path)
+    pre = {
+        (r.vec_a, r.vec_b)
+        for r in store_near_dup_pairs(e0, v0).collect()
+    }
+    # every copy pairs with its source (cos 1.0, same label)
+    assert len(pre) >= copies.count()
+
+    dst = str(tmp_path / "retrained")
+    retrain_embedding_store(spark, path, dst)
+    ix1, e1, v1 = load_embedding_store(spark, dst)
+    assert v1.count() == v0.count()
+    post = {
+        (r.vec_a, r.vec_b)
+        for r in store_near_dup_pairs(e1, v1).collect()
+    }
+    assert post == pre
+    # the keyset discipline carries over: the fresh watermark equals the
+    # live max, so an id-reusing append refuses on the retrained store
+    assert _read_vec_hwm(spark, dst) == 1291
+    with pytest.raises(ValueError, match="reuses vec_ids"):
+        append_embedding_store(dst, cp_entries, copies)
+    # and the in-place form refuses up front
+    with pytest.raises(ValueError, match="in-place"):
+        retrain_embedding_store(spark, path, path + "/")
+
+
 def test_repair_crashed_append_restores_then_rerun_succeeds(
     spark, tmp_path
 ):
