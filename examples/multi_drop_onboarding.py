@@ -23,7 +23,13 @@ BatchChunker.pm:913-929):
 
 Flow below: drop 1 (serial) → maintenance window (purge + compact +
 fold) → drop 2 (wave, against the COMPACTED store — but the uncompacted
-order is equally correct, tx42 adjudicates exactly that) → one table.
+order is equally correct, tx42 adjudicates exactly that) → a CRASHED
+drop 3 repaired with ``repair_crashed_onboarding`` and re-run → one
+table. The crash repair is the part operators meet at 3am: a dead run's
+retained ``run_guard`` marker keeps ``compact()`` refusing (so nothing
+folds the crashed claims), and the repair is one call — drop the
+crashed claim partitions, drop the crashed sink dirs, clear the marker
+— then re-run the drop.
 
 Run: python examples/multi_drop_onboarding.py [sf_dir]
 """
@@ -39,8 +45,10 @@ from pyspark.sql import functions as F
 
 from dbix_batchchunker_spark.operators.gram_store import (
     GramPostingsStore,
+    StoreMaintenanceLockError,
     onboard_corpus_serial,
     onboard_corpus_wave,
+    repair_crashed_onboarding,
 )
 from dbix_batchchunker_spark.operators.registry import t
 from dbix_batchchunker_spark.operators.stream import fold_outputs, read_outputs
@@ -83,6 +91,34 @@ def main() -> None:
     )
     n2 = r2.count()
 
+    # ---- drop 3 CRASHES mid-run; the 3am repair, then the re-run -------
+    drop3 = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .select((F.col("doc_id") + 2 * DROP2_OFFSET).alias("doc_id"), "text")
+        .localCheckpoint(eager=True)
+    )
+    pre = store.max_real_batch()  # record BEFORE the run — the repair key
+    # simulate the crash: a completed run is a superset of any crash
+    # point, and a real crash skips run_guard's clean-exit delete, so
+    # plant the marker the dead run would leave
+    onboard_corpus_wave(drop3, store, target_chunks=4, sink_dir=out)
+    fs, jdir = store._fs(store.writers_path)
+    if not fs.exists(jdir):
+        fs.mkdirs(jdir)
+    fs.createNewFile(
+        spark._jvm.org.apache.hadoop.fs.Path(store.writers_path + "/dead")
+    )
+    try:
+        store.compact()
+        raise AssertionError("compact must refuse over a dead run")
+    except StoreMaintenanceLockError:
+        print("compact refused while the crashed drop is unrepaired — good")
+    repair_crashed_onboarding(store, pre, sink_dir=out)  # one call, safe order
+    r3 = onboard_corpus_wave(  # the re-run, any geometry
+        drop3, store, target_chunks=2, max_in_flight=4, sink_dir=out
+    )
+    n3 = r3.count()
+
     table = read_outputs(spark, out)
     stats = table.agg(
         F.count("*").alias("docs"),
@@ -91,12 +127,12 @@ def main() -> None:
     ).first()
     row = store.stats().first()
     print(
-        f"drop1={n1} drop2={n2} table_docs={stats['docs']} "
+        f"drop1={n1} drop2={n2} drop3={n3} table_docs={stats['docs']} "
         f"removed={stats['removed_tokens']} kept={stats['kept_tokens']} "
         f"store_live_docs={row['n_docs_live']} "
         f"store_live_grams={row['n_grams_live']}"
     )
-    assert stats["docs"] == n1 + n2
+    assert stats["docs"] == n1 + n2 + n3
 
     store.drop()
     shutil.rmtree(base, ignore_errors=True)
