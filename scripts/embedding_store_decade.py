@@ -253,6 +253,35 @@ def main():
         )
         row["pairs_s"] = round(time.monotonic() - t0, 2)
         row["live_vectors"] = store_vectors.count()
+
+        # --- RETRAIN (round 17: append-grown routing state rebuilt into a
+        # fresh store). A full re-index + re-probe BY DESIGN, so the honest
+        # wall metric is THROUGHPUT (rows/s, expected ~flat like save); the
+        # post-retrain fixed-increment probe states that the fresh geometry
+        # probes like a store BUILT at this size -------------------------
+        from dbix_batchchunker_spark.operators.similarity import (
+            retrain_embedding_store,
+        )
+
+        rt_path = store_path + "_rt"
+        shutil.rmtree(rt_path, ignore_errors=True)
+        t0 = time.monotonic()
+        retrain_embedding_store(spark, store_path, rt_path)
+        row["retrain_s"] = round(time.monotonic() - t0, 2)
+        row["retrain_rows_per_s"] = round(
+            row["live_vectors"] / row["retrain_s"]
+        )
+        ix_rt, e_rt, v_rt = load_embedding_store(spark, rt_path)
+        rt_probes = []
+        for _ in range(ATTEMPTS):
+            t0 = time.monotonic()
+            n_rt = _force_pairs(
+                incremental_embedding_near_dups(inc, ix_rt, e_rt, v_rt)
+            )
+            rt_probes.append(time.monotonic() - t0)
+        row["post_retrain_probe_s"] = round(min(rt_probes), 2)
+        row["post_retrain_probe_pairs"] = n_rt
+        shutil.rmtree(rt_path, ignore_errors=True)
         inc.unpersist()
 
         results["scales"][tag] = row
@@ -268,6 +297,12 @@ def main():
         "pairs_audit_decade": round(x10["pairs_s"] / x1["pairs_s"], 2),
         "compact_throughput_decade": round(
             x10["compact_rows_per_s"] / x1["compact_rows_per_s"], 2
+        ),
+        "retrain_throughput_decade": round(
+            x10["retrain_rows_per_s"] / x1["retrain_rows_per_s"], 2
+        ),
+        "post_retrain_probe_decade": round(
+            x10["post_retrain_probe_s"] / x1["post_retrain_probe_s"], 2
         ),
     }
     if "save_rows_per_s" in x1 and "save_rows_per_s" in x10:
