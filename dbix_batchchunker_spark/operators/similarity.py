@@ -2488,6 +2488,100 @@ def sim13_persisted_store_lifecycle(
 
 
 # --------------------------------------------------------------------------- #
+# sim14: RETRAIN of the append-grown persisted store, adjudicated — the       #
+# round-17 maintenance op (retrain_embedding_store) oracle-gated from        #
+# birth, the tx41/tx43 mid-round-debut precedent. The device is sim11's      #
+# (exact copies of the vec_id % 17 == 3 slice, ids +1e9) WITHOUT the         #
+# purge: save a fresh store on the corpus, leased-append the copy            #
+# increment through the RELOADED routing state (cells fatten — the           #
+# overpopulation retrain exists for), then retrain_embedding_store to a     #
+# fresh dst (new centroids from the live vectors, every vector re-probed    #
+# into fresh entries, src leased for the whole read). The adjudicated       #
+# output is the RETRAINED store's full pair listing from its posting lists  #
+# alone. Recall through the NEW centroids: copies are exact duplicates, so  #
+# retraining on corpus ∪ copies sees the same planted cluster geometry     #
+# (positions unchanged, only weights), the retrain probes ALL live vectors  #
+# in one pass against the retrained index, identical embeddings probe       #
+# identical cells, and same-label vectors share nearest cells exactly as    #
+# in sim06's measured recall-1.0 operating point. The oracle states the     #
+# full live pair set — including the cos=1.0 copy↔source pairs sim12/13    #
+# purge away — in exact SQL; a retrain that loses a vector, re-probes      #
+# against stale centroids, or mismatches entries to the new index breaks    #
+# the hash.                                                                 #
+# --------------------------------------------------------------------------- #
+@query(
+    "sim14_retrained_store_pairs",
+    oracle=f"""
+    WITH live AS (
+        SELECT vec_id, label, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + {SIM11_INC_OFFSET} AS vec_id, label, embedding
+        FROM embeddings WHERE vec_id % {SIM11_INC_MOD} = {SIM11_INC_RES}
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])),
+                 6) AS cos_sim
+    FROM live a JOIN live b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])),
+                6) >= {SIM06_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """,
+)
+def sim14_retrained_store_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
+    index = build_ivf_index(emb)
+    is_slice = F.col("vec_id") % SIM11_INC_MOD == SIM11_INC_RES
+    entries = _probe_entries(emb, index, SIM06_NPROBE).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("bucket").alias("centroid_id"),
+    )
+    base_dir = tempfile.mkdtemp(prefix="sim14_store_")
+    src_path = f"{base_dir}/store"
+    dst_path = f"{base_dir}/retrained"
+    try:
+        # yesterday's job: fresh store, watermark established
+        save_embedding_store(src_path, index, entries, emb)
+        # append-growth: the copy increment probes through the RELOADED
+        # routing state (the append contract: the index is NOT retrained,
+        # cells fatten — the state retrain_embedding_store exists for)
+        loaded = load_ivf_index(spark, f"{src_path}/index")
+        copies = emb.where(is_slice).select(
+            (F.col("vec_id") + SIM11_INC_OFFSET).alias("vec_id"),
+            "label",
+            "embedding",
+            "nrm",
+        )
+        copy_entries = _probe_entries(copies, loaded, SIM06_NPROBE).select(
+            F.col("doc_id").alias("vec_id"),
+            F.col("bucket").alias("centroid_id"),
+        )
+        append_embedding_store(src_path, copy_entries, copies)
+        # maintenance window: rebuild routing state into a fresh store
+        retrain_embedding_store(spark, src_path, dst_path)
+        _, entries_live, vectors_live = load_embedding_store(
+            spark, dst_path
+        )
+        result = store_near_dup_pairs(entries_live, vectors_live).orderBy(
+            "vec_a", "vec_b"
+        )
+        # the result reads the mkdtemp stores lazily — materialize the
+        # threshold-bounded pair set BEFORE removing them (sim11/sim13
+        # precedent)
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------- #
 # sim08: int8-QUANTIZED brute-force top-k — the memory-bandwidth path.        #
 #                                                                             #
 # Scalar quantization (the SQ in FAISS's IVF-SQ, Jégou et al., "Product      #
