@@ -1725,6 +1725,69 @@ def test_persisted_store_between_halves_window_pairs_correct(
         assert not fs.exists(jp(f"{path}/{residue}")), residue
 
 
+@pytest.mark.parametrize("crash_at", [1, 2, 3, 4])
+def test_persisted_store_compact_crash_sweep_converges(
+    spark, tmp_path, monkeypatch, crash_at
+):
+    """EVERY-crash-point sweep, mechanized: the hand-planted mid-swap
+    tests pin points A/B by reconstructing the layout; this sweep drives
+    the REAL compact and kills it at each of its four swap renames
+    (entries live→old, entries next→live, vectors live→old, vectors
+    next→live) via an injected _checked_rename failure. After every
+    crash point: (a) a plain load succeeds (repairing as needed), and
+    (b) an unpatched compacting re-run converges to the clean result —
+    survivor count, full pair listing, zero swap residue. The aside
+    writes are upstream of every injection, so the sweep also witnesses
+    the ordering invariant (live untouched until both __next halves are
+    complete)."""
+    from dbix_batchchunker_spark.operators import similarity as sim
+
+    path, index, entries, emb = _mk_embedding_store(spark, tmp_path)
+    purged = spark.range(0, 300, 5).select(F.col("id").alias("vec_id"))
+
+    # the clean expectation, computed on in-memory frames
+    e_clean, v_clean = sim.compact_embedding_store(entries, emb, purged)
+    expected = {
+        (r.vec_a, r.vec_b)
+        for r in sim.store_near_dup_pairs(e_clean, v_clean).collect()
+    }
+
+    real_rename = sim._checked_rename
+    calls = {"n": 0}
+
+    def dying_rename(fs, src, dst):
+        calls["n"] += 1
+        if calls["n"] == crash_at:
+            raise RuntimeError(f"injected crash at swap rename {crash_at}")
+        real_rename(fs, src, dst)
+
+    monkeypatch.setattr(sim, "_checked_rename", dying_rename)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sim.compact_persisted_embedding_store(spark, path, purged)
+    monkeypatch.setattr(sim, "_checked_rename", real_rename)
+
+    # (a) the store is readable at every crash point (load repairs a
+    # half whose live dir is absent)
+    _, e_l, v_l = sim.load_embedding_store(spark, path)
+    assert e_l.count() > 0 and v_l.count() > 0
+
+    # (b) the re-run converges to the clean result with no residue
+    sim.compact_persisted_embedding_store(spark, path, purged)
+    _, e_c, v_c = sim.load_embedding_store(spark, path)
+    assert v_c.count() == 240
+    final = {
+        (r.vec_a, r.vec_b)
+        for r in sim.store_near_dup_pairs(e_c, v_c).collect()
+    }
+    assert final == expected
+    fs, _ = sim._store_fs(spark, path)
+    jp = spark._jvm.org.apache.hadoop.fs.Path
+    for residue in (
+        "entries__next", "entries__old", "vectors__next", "vectors__old"
+    ):
+        assert not fs.exists(jp(f"{path}/{residue}")), residue
+
+
 class _CondCreateFS:
     """Python proxy over the real local FileSystem that DECLARES the
     conditional-create capability — drives _atomic_create_if_absent's
