@@ -2509,14 +2509,22 @@ def sim13_persisted_store_lifecycle(
 # against stale centroids, or mismatches entries to the new index breaks    #
 # the hash.                                                                 #
 # --------------------------------------------------------------------------- #
+SIM14_FAM_MOD = 4
+SIM14_FAM_RES = 1
+
+
 @query(
     "sim14_retrained_store_pairs",
     oracle=f"""
-    WITH live AS (
+    WITH fam AS (
         SELECT vec_id, label, embedding FROM embeddings
+        WHERE vec_id % {SIM14_FAM_MOD} = {SIM14_FAM_RES}
+    ),
+    live AS (
+        SELECT vec_id, label, embedding FROM fam
         UNION ALL
         SELECT vec_id + {SIM11_INC_OFFSET} AS vec_id, label, embedding
-        FROM embeddings WHERE vec_id % {SIM11_INC_MOD} = {SIM11_INC_RES}
+        FROM fam WHERE vec_id % {SIM11_INC_MOD} = {SIM11_INC_RES}
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -2535,8 +2543,14 @@ def sim14_retrained_store_pairs(
     import shutil
     import tempfile
 
-    emb = t(spark, sf_dir, "embeddings").withColumn(
-        "nrm", norm(F.col("embedding"))
+    # deterministic quarter family: the adjudication content (two
+    # trainings, three probe passes, save/append/retrain/reload) is
+    # corpus-size-independent, so the record runs at its loop floor —
+    # the tx43 corpus-trim precedent (9.2 s → the committed floor)
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % SIM14_FAM_MOD == SIM14_FAM_RES)
+        .withColumn("nrm", norm(F.col("embedding")))
     )
     index = build_ivf_index(emb)
     is_slice = F.col("vec_id") % SIM11_INC_MOD == SIM11_INC_RES
