@@ -137,6 +137,37 @@ def main() -> None:
     except ValueError as e:
         print(f"reused-id append refused as designed: {str(e)[:72]}…")
 
+    # append-growth endgame (round 17): appends route through the TRAINED
+    # centroids — the index is never touched — so cells fatten as the
+    # store grows and probe cost erodes the trained sqrt(n) geometry.
+    # ivf_drift_stats/ivf_needs_retrain watch the decay (pure driver
+    # arithmetic, loggable); retrain_embedding_store rebuilds centroids
+    # from the live vectors into a FRESH store — never in place, because
+    # an index+entries two-dir swap has a crash window that pairs
+    # silently wrong — and the cutover is the caller's pointer swap.
+    from dbix_batchchunker_spark.operators.similarity import (
+        ivf_drift_stats,
+        ivf_needs_retrain,
+        retrain_embedding_store,
+        store_near_dup_pairs,
+    )
+
+    idx_now, e_now, v_now = load_embedding_store(spark, store_dir)
+    baseline = ivf_drift_stats(idx_now.centroids, v_now.limit(20))
+    current = ivf_drift_stats(idx_now.centroids, v_now)
+    fire = ivf_needs_retrain(baseline, current)
+    print(
+        f"drift: mean_top_cos={current['mean_top_cos']:.3f} "
+        f"skew={current['occupancy_skew']:.2f} needs_retrain={fire}"
+    )
+    retrained_dir = store_dir.rstrip("/") + "__retrained"
+    retrain_embedding_store(spark, store_dir, retrained_dir)
+    _, e_r, v_r = load_embedding_store(spark, retrained_dir)
+    before = store_near_dup_pairs(e_now, v_now).count()
+    after = store_near_dup_pairs(e_r, v_r).count()
+    print(f"retrain: pair listing before={before} after={after}")
+    assert after == before, "retrain must preserve the pair listing"
+
 
 if __name__ == "__main__":
     main()
