@@ -1041,12 +1041,21 @@ def retrain_embedding_store(
     ``dst_path == src_path``. Both stores are leased: src for the whole
     read (no concurrent append/compact shifts the vectors mid-retrain),
     dst via :func:`save_embedding_store`'s own acquire."""
-    if dst_path.rstrip("/") == src_path.rstrip("/"):
+    src_n, dst_n = src_path.rstrip("/"), dst_path.rstrip("/")
+    if dst_n == src_n:
         raise ValueError(
             "retrain_embedding_store refuses an in-place retrain: the "
             "index/entries crash window between two live-dir swaps would "
             "pair silently wrong — retrain to a fresh dst_path and cut "
             "over with a directory or pointer swap"
+        )
+    if dst_n.startswith(src_n + "/") or src_n.startswith(dst_n + "/"):
+        raise ValueError(
+            "retrain_embedding_store refuses a nested dst_path: a store "
+            f"under {src_n!r} would sit inside the leased store's own "
+            "layout (and a src under dst would be clobbered by the dst "
+            "save) — retrain to a sibling path and cut over with a "
+            "directory or pointer swap"
         )
     with EmbeddingStoreLease(spark, src_path):
         _repair_store_swaps(spark, src_path)

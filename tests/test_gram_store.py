@@ -1945,6 +1945,13 @@ def test_retrain_embedding_store_fresh_geometry_same_pairs(
     # and the in-place form refuses up front
     with pytest.raises(ValueError, match="in-place"):
         retrain_embedding_store(spark, path, path + "/")
+    # nesting refuses both directions: a dst inside the leased store
+    # would write a store into the store's own layout, and a src inside
+    # dst would be clobbered by the dst save
+    with pytest.raises(ValueError, match="nested"):
+        retrain_embedding_store(spark, path, f"{path}/retrained")
+    with pytest.raises(ValueError, match="nested"):
+        retrain_embedding_store(spark, f"{path}/vectors", path)
 
 
 def test_repair_crashed_append_restores_then_rerun_succeeds(
