@@ -166,19 +166,25 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     append-grown persisted embedding store — the round-17 maintenance
 #:     op retrain_embedding_store, oracle-gated from birth on sim11's
 #:     device without the purge) and q49 ceded its seat back to the
-#:     queue head, the tx41/tx43 precedent.
-#:     q49/q50/q51/q52/q53/q54/dd01/dd02/dd05 head the queue for
+#:     queue head, the tx41/tx43 precedent. Then st14 debuted (the
+#:     persisted embedding store's STREAMING arm: st13's ingest loop
+#:     re-seated on the second store via the planted one-hot vecfeed —
+#:     bootstrap save, dedup-on-arrival leased appends, purge+compact
+#:     mid-stream) and q48 ceded likewise.
+#:     q48/q49/q50/q51/q52/q53/q54/dd01/dd02 head the queue for
 #:     round 18.
 #: Every rotated-out query stays oracle-pinned in the local gate replica
 #: (tests/test_queries_oracle.py parametrizes over every oracle —
-#: 152 after the round-17 additions: sim13, sim14).
+#: 153 after the round-17 additions: sim13, sim14, st14).
 ADJUDICATED_PREFIX = (
     # chunker flagships: permanent slots
     "q20_chunked_delete_survivors", "q21_chunked_groupby_combine",
     "q22_chunked_update_overlay", "q23_chunked_update_join",
     # round-17 oracle debuts: first driver rows in their debut round
-    # (sim14 added mid-round: retrain of the append-grown persisted store)
+    # (mid-round: sim14 = retrain of the append-grown persisted store,
+    # st14 = the persisted embedding store's streaming ingest arm)
     "sim13_persisted_store_lifecycle", "sim14_retrained_store_pairs",
+    "st14_stream_embedding_store_ingest",
     # recorded queue head: the round-13 cohort's tail (q02 ceded its r16
     # seat to the mid-round tx43 debut) + the dd pair queued since r13
     "q02_filter_predicates", "q04_minmax_count", "q05_groupby_having",
@@ -200,7 +206,7 @@ ADJUDICATED_PREFIX = (
     "q15_asof_join", "q24_keyset_page", "q25_shipping_priority",
     "q26_returned_items", "q27_above_avg_spenders", "q28_cube_counts",
     "q29_fuzzy_part_names", "q30_sessionize", "q31_running_revenue",
-    "q32_banded_range_join", "q48_scd2_merge",
+    "q32_banded_range_join",
 )
 
 #: Former slot-holders, first in line for re-adjudication when the

@@ -1285,3 +1285,165 @@ def st13_stream_purged_store_ingest(
     store.drop()
     shutil.rmtree(base, ignore_errors=True)
     return result.orderBy("doc_id")
+
+
+ST14_DIMS = 16
+ST14_BATCH_ROWS = 48  # must be a multiple of ST14_DIMS (see the oracle)
+
+
+# ORACLE-gated from birth (round 17): st13's streaming ingest loop
+# re-seated on the SECOND persisted store — the embedding/IVF store gets
+# its streaming arm, completing the streaming × store matrix cell the
+# gram store closed in round 14. The vecfeed plants one-hot residue
+# vectors (same residue = exact duplicate, cos 1.0; cross-residue
+# orthogonal, cos 0.0 — both labels and cosines are pure id arithmetic),
+# so every dedup-on-arrival outcome is closed-form:
+#   drain 1 (ids 0..R-1): the first arrival of each residue survives —
+#     ids 0..D-1 — and BOOTSTRAPS the store (train on survivors, save
+#     under the lease, watermark established);
+#   maintenance window: the EVEN-residue survivors are physically purged
+#     (compact_persisted_embedding_store: write-aside, checked swap);
+#   drain 2 (ids R..2R-1, R ≡ 0 mod D): odd-residue arrivals are dups of
+#     the live store (dropped — compaction RETAINED the odd half), while
+#     even residues are un-claimed, so the first batch-2 arrival R + r
+#     survives and is appended THROUGH the reloaded routing state past
+#     the watermark.
+# The adjudicated relation is the live vectors half after the second
+# drain — a purge that missed a row, an append that lost one, a stream
+# cursor that replayed batch 1, or a load that repaired wrongly each
+# changes the 2·D-row id set. Recall is exact on this geometry: identical
+# vectors probe identical cells through any trained centroids.
+@query(
+    "st14_stream_embedding_store_ingest",
+    oracle=f"""
+    SELECT CAST(CASE WHEN r.i % 2 = 1 THEN r.i
+                ELSE {ST14_BATCH_ROWS} + r.i END AS BIGINT) AS vec_id,
+           CAST(r.i AS BIGINT) AS label
+    FROM range({ST14_DIMS}) r(i)
+    ORDER BY vec_id
+    """,
+)
+def st14_stream_embedding_store_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TWO availableNow drains of the planted one-hot vector feed through
+    the PERSISTED embedding store's ingest loop — bootstrap save on the
+    first batch, leased dedup-on-arrival appends after — with the full
+    maintenance window between them: physically purge the even-residue
+    survivors and compact the store. (sf_dir unused: the feed generates
+    the vectors.) Per-batch cost is O(increment + touched cells); the
+    production continuation of this loop is ivf_drift_stats /
+    ivf_needs_retrain feeding retrain_embedding_store once appends
+    outgrow the trained geometry."""
+    from ..sources.pydatasource import register_vecfeed
+    from ..streaming.incremental import process_available
+    from .similarity import (
+        EMBED_DIM,
+        SIM06_NPROBE,
+        IvfIndex,
+        _probe_entries,
+        _store_fs,
+        append_embedding_store,
+        build_ivf_index,
+        compact_persisted_embedding_store,
+        incremental_embedding_near_dups,
+        load_embedding_store,
+        norm,
+        save_embedding_store,
+    )
+
+    register_vecfeed(spark)
+    base = tempfile.mkdtemp(prefix="st14_")
+    store_path = os.path.join(base, "store")
+    ck = os.path.join(base, "ck")
+    jp = spark._jvm.org.apache.hadoop.fs.Path
+
+    def ingest(batch_df: DataFrame, bid: int) -> None:
+        emb = batch_df.withColumn("nrm", norm(F.col("embedding")))
+        fs, _ = _store_fs(spark, store_path)
+        if not fs.exists(jp(f"{store_path}/vectors")):
+            # bootstrap: dedup WITHIN the first batch (empty store side),
+            # save the survivors — one lease spans the store. ONE
+            # training, reused for the saved routing state: candidacy is
+            # by identical vectors probing identical cells, which holds
+            # through ANY trained centroids, so retraining on the
+            # survivor subset buys nothing here (floor trim: the batch
+            # size is known, so clusters is passed and the sizing
+            # count() job skipped).
+            trained = build_ivf_index(emb, clusters=16)
+            # materialize the trained centroids once: every downstream
+            # action (probe, verify join, both half writes) would
+            # otherwise re-run the kmeans DAG (bounded: 16 rows)
+            index = IvfIndex(
+                trained.centroids.localCheckpoint(eager=True),
+                trained.supers,
+                trained.k_child,
+            )
+            empty_e = spark.createDataFrame(
+                [], "vec_id long, centroid_id long"
+            )
+            empty_v = spark.createDataFrame(
+                [],
+                "vec_id long, label long, embedding array<float>, "
+                "nrm double",
+            )
+            pairs = incremental_embedding_near_dups(
+                emb, index, empty_e, empty_v
+            )
+            dup = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+            # materialize the survivors once: the save's two half writes
+            # + watermark agg would each re-run the dedup join pipeline
+            # (bounded: <= one batch of rows)
+            surv = emb.join(dup, "vec_id", "left_anti").localCheckpoint(
+                eager=True
+            )
+            entries = _probe_entries(surv, index, SIM06_NPROBE).select(
+                F.col("doc_id").alias("vec_id"),
+                F.col("bucket").alias("centroid_id"),
+            )
+            save_embedding_store(store_path, index, entries, surv)
+            return
+        loaded, e_store, v_store = load_embedding_store(spark, store_path)
+        pairs = incremental_embedding_near_dups(
+            emb, loaded, e_store, v_store
+        )
+        dup = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+        # same one-materialization rule for the append path (bounded)
+        surv = emb.join(dup, "vec_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        append_embedding_store(
+            store_path,
+            _probe_entries(surv, loaded, SIM06_NPROBE).select(
+                F.col("doc_id").alias("vec_id"),
+                F.col("bucket").alias("centroid_id"),
+            ),
+            surv,
+        )
+
+    def drain() -> None:
+        feed = (
+            spark.readStream.format("vecfeed")
+            .option("batchrows", ST14_BATCH_ROWS)
+            .option("dims", EMBED_DIM)  # index build is EMBED_DIM-wide
+            .option("classes", ST14_DIMS)
+            .load()
+        )
+        process_available(feed, ingest, ck)
+
+    drain()
+    # -- maintenance window: physical purge of the even-residue
+    # survivors + compact (write-aside, checked swap, under the lease) --
+    compact_persisted_embedding_store(
+        spark,
+        store_path,
+        spark.range(0, ST14_DIMS, 2).select(F.col("id").alias("vec_id")),
+        n_deleted=ST14_DIMS // 2,  # known by construction: skip the sizing scan
+    )
+    drain()
+    _, _, v_live = load_embedding_store(spark, store_path)
+    result = v_live.select("vec_id", "label").orderBy("vec_id")
+    # Materialize before the tempdir goes (bounded: 2·D = 32 rows)
+    result = result.localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return result

@@ -172,13 +172,15 @@ def test_adjudicated_prefix_is_the_load_bearing_fifty():
     # prefix wastes an adjudication slot.
     assert all(n in o for n in prefix)
     # The round-17 rotation (round-16 verdict #3/#4): the round-17 oracle
-    # debuts (sim13, and the mid-round sim14 — the retrain maintenance
-    # op, q49 ceding) hold slots until THEIR CORRECTNESS rows come back
-    # green; the chunker flagships q20-q23 hold permanent slots.
+    # debuts (sim13, and the mid-round sim14/st14 — the retrain
+    # maintenance op and the embedding store's streaming arm, q49/q48
+    # ceding) hold slots until THEIR CORRECTNESS rows come back green;
+    # the chunker flagships q20-q23 hold permanent slots.
     for name in (
         "q20_chunked_delete_survivors", "q21_chunked_groupby_combine",
         "q22_chunked_update_overlay", "q23_chunked_update_join",
         "sim13_persisted_store_lifecycle", "sim14_retrained_store_pairs",
+        "st14_stream_embedding_store_ingest",
     ):
         assert name in prefix, f"{name} lost its driver CORRECTNESS slot"
     # The demoted trio stays oracle-pinned (this file parametrizes over all

@@ -882,6 +882,37 @@ def test_corpusfeed_rejects_nonterminating_plant_options(spark):
     _FeedStreamReader({"plantmod": "5", "plantspan": "100"})
 
 
+def test_vecfeed_rows_deterministic_and_options_guarded():
+    """vecfeed (st14's planted vector source): rows are a pure function
+    of vec_id — read() and readBetweenOffsets agree over the same span,
+    re-reads are byte-identical (LIST, not generator: the simple-reader
+    cache copies the iterator), the one-hot sits at vec_id % classes in
+    a dims-long array, and out-of-range classes refuse at construction."""
+    import pytest as _pytest
+
+    from dbix_batchchunker_spark.sources.pydatasource import (
+        _VecFeedStreamReader,
+    )
+
+    r = _VecFeedStreamReader(
+        {"batchrows": "6", "dims": "8", "classes": "4"}
+    )
+    rows, off = r.read({"pos": 0})
+    assert off == {"pos": 6}
+    assert list(rows) == list(r.readBetweenOffsets({"pos": 0}, {"pos": 6}))
+    for i, (vid, label, emb) in enumerate(rows):
+        assert vid == i and label == i % 4 and len(emb) == 8
+        assert emb[label] == 1.0 and sum(emb) == 1.0
+    # same-residue rows are exact duplicates — the device's premise
+    assert rows[0][2] == rows[4][2]
+    # classes defaults to dims; out-of-range refuses
+    assert _VecFeedStreamReader({"dims": "8"}).classes == 8
+    with _pytest.raises(ValueError, match="classes"):
+        _VecFeedStreamReader({"dims": "4", "classes": "5"})
+    with _pytest.raises(ValueError, match="dims"):
+        _VecFeedStreamReader({"dims": "0"})
+
+
 def test_fold_outputs_bounds_files_over_50_batches(spark, tmp_path):
     """Verdict #3 done-criterion: a 50-batch ingest with a fold every 10
     batches keeps the output's parquet file count BOUNDED (one compacted
