@@ -176,6 +176,7 @@ _AB_PYWORKER_STREAMING = (
     "st07_stream_incremental_packing",
     "st12_stream_gram_store_ingest",
     "st13_stream_purged_store_ingest",
+    "st14_stream_embedding_store_ingest",
 )
 
 #: COMPARISON-ONLY queries, excluded from the full-suite bench artifact
