@@ -1334,7 +1334,17 @@ def st14_stream_embedding_store_ingest(
     the vectors.) Per-batch cost is O(increment + touched cells); the
     production continuation of this loop is ivf_drift_stats /
     ivf_needs_retrain feeding retrain_embedding_store once appends
-    outgrow the trained geometry."""
+    outgrow the trained geometry.
+
+    Replay contract: a crash between the foreachBatch commit and the
+    checkpoint commit re-delivers the batch, and the loop is idempotent
+    THROUGH the dedup — every replayed arrival is a dup of its own
+    committed copy, the survivor set comes back empty, and
+    append_embedding_store no-ops an empty batch without advancing the
+    watermark (pinned in tests/test_gram_store.py). A cleared
+    checkpoint replaying PRE-PURGE ids is the one replay the store
+    refuses: purged ids are never reclaimable (the keyset discipline),
+    and the refusal is loud."""
     from ..sources.pydatasource import register_vecfeed
     from ..streaming.incremental import process_available
     from .similarity import (

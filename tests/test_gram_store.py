@@ -1954,6 +1954,78 @@ def test_retrain_embedding_store_fresh_geometry_same_pairs(
         retrain_embedding_store(spark, f"{path}/vectors", path)
 
 
+def test_streaming_append_replay_is_idempotent_through_dedup(
+    spark, tmp_path
+):
+    """st14's replay contract: a re-delivered micro-batch (crash between
+    the foreachBatch commit and the checkpoint commit) dedups ENTIRELY
+    against its own committed copy — the survivor set is empty, and
+    append_embedding_store no-ops an empty batch: no rows land in either
+    half, the watermark does not advance, and no refusal fires (the
+    empty batch has no min id to be at-or-below the mark)."""
+    from dbix_batchchunker_spark.operators.similarity import (
+        SIM06_NPROBE,
+        _probe_entries,
+        _read_vec_hwm,
+        append_embedding_store,
+        incremental_embedding_near_dups,
+        load_embedding_store,
+        load_ivf_index,
+    )
+
+    path, index, entries, emb = _mk_embedding_store(spark, tmp_path)
+    loaded = load_ivf_index(spark, f"{path}/index")
+
+    increment = emb.where(F.col("vec_id") % 10 == 1).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "label", "embedding",
+        "nrm",
+    )
+
+    def dedup_and_append():
+        _, e_s, v_s = load_embedding_store(spark, path)
+        pairs = incremental_embedding_near_dups(increment, loaded, e_s, v_s)
+        dup = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+        surv = increment.join(dup, "vec_id", "left_anti")
+        append_embedding_store(
+            path,
+            _probe_entries(surv, loaded, SIM06_NPROBE).select(
+                F.col("doc_id").alias("vec_id"),
+                F.col("bucket").alias("centroid_id"),
+            ),
+            surv,
+        )
+        return surv.count()
+
+    # first delivery: the planted copies are near-dups of their sources
+    # (dropped); any residue of the increment without a source survives —
+    # on this device every copy HAS a source, so nothing survives and we
+    # plant one genuinely-new row to make the append real
+    import numpy as np
+
+    rng = np.random.default_rng(99)
+    fresh_vec = rng.normal(size=(64,))
+    fresh_vec /= np.linalg.norm(fresh_vec)
+    fresh = spark.createDataFrame(
+        [(2000, 77, [float(x) for x in fresh_vec])],
+        "vec_id long, label long, embedding array<float>",
+    ).withColumn("nrm", F.lit(1.0))
+    increment = increment.unionByName(fresh)
+
+    n1 = dedup_and_append()
+    assert n1 >= 1  # the fresh row survived and was appended
+    hwm_after_first = _read_vec_hwm(spark, path)
+    _, e1, v1 = load_embedding_store(spark, path)
+    count_e, count_v = e1.count(), v1.count()
+
+    # replay: the SAME increment re-delivered — every row now dups
+    # against its committed copy; the append must no-op, not refuse
+    n2 = dedup_and_append()
+    assert n2 == 0
+    assert _read_vec_hwm(spark, path) == hwm_after_first
+    _, e2, v2 = load_embedding_store(spark, path)
+    assert (e2.count(), v2.count()) == (count_e, count_v)
+
+
 def test_repair_crashed_append_restores_then_rerun_succeeds(
     spark, tmp_path
 ):
