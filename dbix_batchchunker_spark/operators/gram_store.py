@@ -61,7 +61,6 @@ needs it.
 from __future__ import annotations
 
 import os
-import sys
 import tempfile
 import uuid
 import warnings
@@ -119,7 +118,12 @@ def _atomic_create_if_absent(fs, jp) -> bool:
     stores WITHOUT the capability — the external-lock guidance stands
     for those). Returns True when this caller created the file, False
     when a rival already holds it; any OTHER IO failure re-raises — a
-    network error must not masquerade as 'lease held'."""
+    network error must not masquerade as 'lease held'. The loser is
+    classified by walking the Java exception AND its causes (s3a wraps
+    FileAlreadyExists/RemoteFileChanged inside translated wrappers); a
+    transient failure AFTER the PUT materialized can still leave an
+    orphan lease the caller must ``break_lease()`` — the safe direction
+    (the acquire errors rather than reporting 'held')."""
     try:
         conditional = bool(
             fs.hasPathCapability(jp, CONDITIONAL_CREATE_CAPABILITY)
@@ -137,11 +141,17 @@ def _atomic_create_if_absent(fs, jp) -> bool:
         return True
     except Exception as e:  # noqa: BLE001 — split on the Java class below
         je = getattr(e, "java_exception", None)
-        name = je.getClass().getName() if je is not None else ""
-        if (
+        names = []
+        seen = 0
+        while je is not None and seen < 8:  # bounded cause walk
+            names.append(je.getClass().getName())
+            je = je.getCause()
+            seen += 1
+        if any(
             "FileAlreadyExistsException" in name
             or "PathExistsException" in name
             or "RemoteFileChangedException" in name
+            for name in names
         ):
             return False  # the rival's conditional create won
         raise
@@ -1141,7 +1151,13 @@ def drop_sink_batches_above(
     duplicated) that ``read_outputs`` cannot distinguish from committed
     results. Deletes every ``b{i}`` with i > ``bid`` and every
     ``__publish_*`` staging residue. FS metadata + deletes only — no
-    Spark job."""
+    Spark job.
+
+    ALL runs sharing ``sink_dir`` must be quiesced first, not just the
+    crashed one (round-17 advisor): the deletes are scoped by bid mark
+    alone, so a still-live run's ``b{i}`` dirs above the mark and its
+    ``__publish_*`` staging would be destroyed along with the crashed
+    run's residue."""
     jp = spark._jvm.org.apache.hadoop.fs.Path
     root = jp(sink_dir)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -1172,7 +1188,9 @@ def repair_crashed_onboarding(
     so maintenance is allowed again. The caller owns step 1 (confirm the
     run is actually dead — this call cannot know) and step 5 (re-run the
     drop). Until this runs, the retained marker keeps ``compact()``
-    refusing — which is what makes the repair safe to run late."""
+    refusing — which is what makes the repair safe to run late. When
+    ``sink_dir`` is shared by other runs, they must ALL be quiesced
+    before repairing (see :func:`drop_sink_batches_above`)."""
     store.drop_batches_above(pre_run_max)
     if sink_dir is not None:
         drop_sink_batches_above(store.spark, sink_dir, pre_run_max)
@@ -1409,10 +1427,23 @@ def onboard_corpus_wave(
     _run_guard = store.run_guard("onboard_wave")
     _run_guard.__enter__()  # exited in the finally below
     conf = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(conf, None)
-    # set ONCE for the whole wave: _insert's per-call set/restore is not
-    # atomic across max_in_flight workers (T2's set can race T1's restore)
-    spark.conf.set(conf, "dynamic")
+    try:
+        prev = spark.conf.get(conf, None)
+        # set ONCE for the whole wave: _insert's per-call set/restore is
+        # not atomic across max_in_flight workers (T2's set can race T1's
+        # restore)
+        spark.conf.set(conf, "dynamic")
+    except BaseException:
+        # failed before any work: nothing committed, so release the run
+        # marker (run_guard's refused-to-start path) instead of demanding
+        # a manual break_lease for a run that never started
+        _run_guard.__exit__(None, None, None)
+        raise
+    # Success is tracked with a LOCAL flag, not sys.exc_info(): the latter
+    # reports any exception being handled anywhere up the call stack, so a
+    # wave called from inside an except block (the repair-then-re-run
+    # idiom) would complete cleanly yet leak its run marker.
+    ok = False
     try:
 
         def ingest_chunk(bc: BatchChunker, chunk_df: DataFrame) -> None:
@@ -1562,6 +1593,7 @@ def onboard_corpus_wave(
             ),
         )
         if sink_dir is None:
+            ok = True
             return final
         # PUBLISH the post-reconcile rows back into this run's per-chunk
         # dirs: the sink table must read FINAL rows (the per-chunk dirs
@@ -1624,14 +1656,16 @@ def onboard_corpus_wave(
         # the published dirs ARE the final rows — read them back rather
         # than returning the lazy join (whose phase-1 sources the renames
         # just replaced underneath)
-        return spark.read.parquet(
+        out = spark.read.parquet(
             *(os.path.join(sink_dir, f"b{b}") for b in sorted(sunk_bids))
         )
+        ok = True
+        return out
     finally:
         # clean-exit-only guard release: a failed run's marker STAYS so
         # compact() keeps refusing until the documented repair (the
         # fail-safe lifetime stated in run_guard's docstring)
-        if sys.exc_info()[0] is None:
+        if ok:
             _run_guard.__exit__(None, None, None)
         # restore-or-UNSET (round-14 advisor): prev is None when the conf
         # was never set — leaving dynamic mode active would leak it to
