@@ -478,7 +478,13 @@ def q29_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_name",
         F.split(F.col("p_name"), " ")[0].alias("name_block"),
     )
-    a = part.alias("a")
+    from .registry import spread_probe_side
+
+    # the planner broadcasts the right side and streams the left, so the
+    # whole blocked Levenshtein enumeration ran in the scan's one task
+    # (round-18 profiling: two ~2.4 s single-task jobs) — spread the
+    # probe side across the cores; wide inputs pass through untouched
+    a = spread_probe_side(part).alias("a")
     b = part.alias("b")
     # Unbounded on purpose: levenshtein's threshold arg (banded O(len·k) DP,
     # -1 past the bound) measured SLOWER here — 5.2 s vs 4.4 s at sf0.1,

@@ -211,10 +211,21 @@ def _salted_sides(docs: DataFrame):
     """ONE copy of the salted self-join scaffolding (shared by the blocked
     Jaccard family and dd11): left side salted by doc_id%R, right side
     replicated R× — a block's pair space spreads across R tasks with an
-    identical result set."""
+    identical result set.
+
+    The left side is additionally SPREAD to the cluster's core count
+    (round-18 profiling): the planner builds the replicated right side
+    into a broadcast and streams the left, so with a small single-file
+    input the whole Θ(block²) enumeration ran in the scan's ONE task —
+    the salt split pairs across hash-table probes, not tasks. The
+    explicit round-robin repartition is what actually lands the pair
+    space on every core (dd02: 6.3 s single-task job → parallel);
+    already-wide inputs pass through untouched."""
+    from .registry import spread_probe_side
+
     # pmod, not %: a negative id's % salt is negative, matching NO
     # replicated right-side salt — pairs would vanish silently
-    a = docs.withColumn(
+    a = spread_probe_side(docs).withColumn(
         "salt", F.pmod(F.col("doc_id"), F.lit(_SALT_R)).cast("int")
     ).alias("a")
     b = docs.withColumn(

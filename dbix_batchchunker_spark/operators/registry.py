@@ -98,7 +98,33 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # -width Exchange lands before column pruning, carries full rows, and opts
 # the subtree out of AQE coalescing. Spark's own scan parallelism + AQE is
 # the right default; fix narrow-input hotspots at the source (file layout /
-# maxPartitionBytes), not with a blanket reshuffle.
+# maxPartitionBytes), not with a blanket reshuffle. `spread_probe_side`
+# below is NOT that helper revived — it is the targeted fix the note
+# points at, applied only where round-18 profiling showed a broadcast
+# join's STREAMED side running a whole Θ(block²) pair enumeration in one
+# scan task (dd02 6.3 s, sim03 4.6 s, q29 2×2.4 s single-task jobs on 32
+# idle cores): the exchange sits AFTER the projection (narrow rows only),
+# and the partition count is explicit precisely so AQE's byte-based
+# coalescing cannot re-serialize a CPU-bound stage whose bytes are tiny.
+
+
+def spread_probe_side(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Spread the streamed (probe) side of a CPU-bound broadcast join
+    across the cluster's cores. Blocked-EXACT pair operators (dd02/dd08/
+    dd11/sim03/q29) enumerate a block's whole pair space while *probing*
+    a broadcast build side, so their wall time is the probe side's scan
+    parallelism — which for a small single-file input is ONE task no
+    matter how many cores are idle. A round-robin repartition to
+    ``defaultParallelism * factor`` (scale-adaptive: total cores locally
+    AND on a cluster) spreads the enumeration; inputs already wider than
+    that are left alone, so a 100 TB scan keeps its own parallelism. The
+    count is explicit because AQE's advisory-size coalescing sees only
+    bytes (tiny here) and would fold the stage back to one task."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism * factor
+    if df.rdd.getNumPartitions() >= n:  # plan-time metadata, no job
+        return df
+    return df.repartition(n)
 
 
 def dec2(name: str):

@@ -261,7 +261,13 @@ def label_blocked_near_dup_pairs(
         op="label_blocked_near_dup_pairs",
         alternative="ivf_near_dup_pairs (sim06) or embedding_dedup (sim07)",
     )
-    a = emb.alias("a")
+    from .registry import spread_probe_side
+
+    # the planner broadcasts the right side and streams the left, so the
+    # whole Θ(block²) cosine enumeration ran in the scan's one task
+    # (round-18 profiling: a 4.6 s single-task job) — spread the probe
+    # side across the cores; already-wide inputs pass through untouched
+    a = spread_probe_side(emb).alias("a")
     b = emb.alias("b")
     cos = F.round(
         dot(F.col("a.embedding"), F.col("b.embedding"))
