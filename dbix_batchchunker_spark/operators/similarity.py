@@ -2105,6 +2105,7 @@ def incremental_embedding_near_dups(
     store_vectors: DataFrame,
     threshold: float = SIM06_THRESHOLD,
     nprobe: int = SIM06_NPROBE,
+    n_vecs: "int | None" = None,
 ) -> DataFrame:
     """Same-label cosine ≥ threshold pairs TOUCHING the increment:
     (new × new) via shared probed cells, (new × old) by probing the stored
@@ -2123,7 +2124,9 @@ def incremental_embedding_near_dups(
     :func:`load_ivf_index` round-trip of the stored index so a two-level
     store probes increments with the SAME routing the batch build used
     (a bare centroids frame probes flat: correct, but asymmetric against
-    slack-routed stored entries)."""
+    slack-routed stored entries). ``n_vecs`` (store + increment row
+    count, when the caller tracks it) skips the verify side's bounded
+    size probe."""
     from .dedup import _candidates_from_entries
 
     from .dedup import cross_candidates
@@ -2138,17 +2141,41 @@ def incremental_embedding_near_dups(
         ["bucket"],
     )
     side_cols = ("vec_id", "label", "embedding", "nrm")
-    # SHUFFLE_HASH: the lookup side is corpus-scale (store + increment),
-    # so neither a broadcast (outgrows executor memory past
-    # SIM06_BROADCAST_VECS) nor the default sort-merge (sorts embedding
-    # payloads — the sf10 disk-wall shape) is right; the hash build per
-    # partition is n/width vectors and the candidate stream never sorts.
-    vecs = (
-        store_vectors.select(*side_cols)
-        .unionByName(new_emb.select(*side_cols))
-        .hint("shuffle_hash")
+    # size-adaptive lookup side (round-18): broadcast while store +
+    # increment fit the sim06 gate — no exchange ever carries embedding
+    # payloads — and SHUFFLE_HASH past it (neither a broadcast nor the
+    # default sort-merge is right at corpus scale: the former outgrows
+    # executor memory, the latter sorts embedding payloads — the sf10
+    # disk-wall shape; the hash build per partition is n/width vectors
+    # and the candidate stream never sorts).
+    vecs = _verify_lookup_side(
+        store_vectors.select(*side_cols).unionByName(
+            new_emb.select(*side_cols)
+        ),
+        n_vecs,
     )
     return _verify_same_label_cos(within.unionByName(cross), vecs, threshold)
+
+
+def _verify_lookup_side(
+    vecs: DataFrame, n_vecs: "int | None" = None
+) -> DataFrame:
+    """Size-adaptive strategy for the verify LOOKUP side (round-18
+    profiling): below :data:`SIM06_BROADCAST_VECS` the (vec_id, label,
+    embedding, nrm) side broadcasts — the candidate stream then never
+    crosses an exchange, where the unconditional SHUFFLE_HASH plan
+    re-shuffled the first join's output WITH side-a's embedding payload
+    aboard (sim13: 110 MB shuffled across three jobs for a 111-row
+    listing). Past the gate the side keeps the round-13 SHUFFLE_HASH
+    rule: a corpus-scale lookup outgrows executor memory as a broadcast,
+    and the default sort-merge would sort embedding payloads (the sf10
+    disk-wall shape). ``n_vecs`` skips the size probe when the caller
+    already knows it; the probe itself is bounded (stops at the gate)."""
+    if n_vecs is None:
+        n_vecs = vecs.limit(SIM06_BROADCAST_VECS + 1).count()
+    if n_vecs <= SIM06_BROADCAST_VECS:
+        return F.broadcast(vecs)
+    return vecs.hint("shuffle_hash")
 
 
 def _verify_same_label_cos(
@@ -2157,8 +2184,8 @@ def _verify_same_label_cos(
     """Cosine-verify (doc_a, doc_b) candidates against a (vec_id, label,
     embedding, nrm) lookup side — the precision-exact tail shared by the
     incremental probe and the persisted-store pair listing. Callers pick
-    the lookup join strategy by hinting ``vecs`` (SHUFFLE_HASH for
-    corpus-scale sides — the round-13 embedding-payload SMJ rule)."""
+    the lookup join strategy by hinting ``vecs`` (or route through
+    :func:`_verify_lookup_side` for the size-adaptive choice)."""
     a, b = vecs.alias("a"), vecs.alias("b")
     cos = F.round(
         dot(F.col("a.embedding"), F.col("b.embedding"))
@@ -2234,6 +2261,7 @@ def store_near_dup_pairs(
     store_entries: DataFrame,
     store_vectors: DataFrame,
     threshold: float = SIM06_THRESHOLD,
+    n_vecs: "int | None" = None,
 ) -> DataFrame:
     """Full same-label near-dup pair listing of a PERSISTED store from its
     posting lists alone — no re-index, no re-probe: vectors sharing any
@@ -2242,7 +2270,9 @@ def store_near_dup_pairs(
     batch flow's query→cell candidates — recall ≥ the sim06 operating
     point the entries were written at), then cosine-verified. This is the
     post-compaction audit pass: run it after compact_embedding_store to
-    state what the live store now pairs."""
+    state what the live store now pairs. ``n_vecs`` (live vector count,
+    when the caller tracks it) skips the verify side's bounded size
+    probe."""
     from .dedup import _candidates_from_entries
 
     cand = _candidates_from_entries(
@@ -2252,9 +2282,9 @@ def store_near_dup_pairs(
             F.col("centroid_id").alias("bucket"),
         )
     )
-    vecs = store_vectors.select(
-        "vec_id", "label", "embedding", "nrm"
-    ).hint("shuffle_hash")
+    vecs = _verify_lookup_side(
+        store_vectors.select("vec_id", "label", "embedding", "nrm"), n_vecs
+    )
     return _verify_same_label_cos(cand, vecs, threshold)
 
 
