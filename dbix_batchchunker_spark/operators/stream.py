@@ -1369,7 +1369,37 @@ def st14_stream_embedding_store_ingest(
     jp = spark._jvm.org.apache.hadoop.fs.Path
 
     def ingest(batch_df: DataFrame, bid: int) -> None:
-        emb = batch_df.withColumn("nrm", norm(F.col("embedding")))
+        from .gram_store import _free_local_checkpoint
+
+        # ONE Python-source scan per micro-batch (r18, guide §4): the
+        # vecfeed batch is re-planned per ACTION otherwise, and this loop
+        # runs many — the bootstrap's kmeans passes, the dedup probe, the
+        # verify join, the survivor anti-join, both half writes. Each
+        # re-plan is a fresh BatchEvalPython scan through the Python
+        # worker. Bounded: one micro-batch of rows; freed on exit.
+        # Partitioning is made batch-size-proportional (the simple stream
+        # reader hands the batch over at cluster default parallelism — 32
+        # near-empty partitions for a 48-row batch, so every downstream
+        # job paid 32x its per-task fixed cost): ~16 vectors per task,
+        # capped at the cluster's parallelism for production batch sizes.
+        nparts = max(
+            1,
+            min(
+                spark.sparkContext.defaultParallelism,
+                ST14_BATCH_ROWS // 16,
+            ),
+        )
+        emb = (
+            batch_df.coalesce(nparts)
+            .withColumn("nrm", norm(F.col("embedding")))
+            .localCheckpoint(eager=True)
+        )
+        try:
+            _ingest_checkpointed(emb)
+        finally:
+            _free_local_checkpoint(emb)
+
+    def _ingest_checkpointed(emb: DataFrame) -> None:
         fs, _ = _store_fs(spark, store_path)
         if not fs.exists(jp(f"{store_path}/vectors")):
             # bootstrap: dedup WITHIN the first batch (empty store side),
