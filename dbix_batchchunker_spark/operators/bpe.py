@@ -87,8 +87,16 @@ def bpe_train(
     and ``final_state`` the (word, freq, syms) table encoded under them.
 
     Each iteration's driver traffic is ONE (pair, count) row — the argmax
-    — never the vocabulary."""
-    state = _word_symbols(docs, text_col).localCheckpoint(eager=True)
+    — never the vocabulary.
+
+    Checkpoints are LAZY (eager=False): each round's re-encoded state
+    materializes inside the NEXT round's argmax job (TakeOrdered scans
+    every partition, so the whole state persists as a side effect) —
+    one job per merge instead of two, and the final round's state never
+    materializes at all unless the caller consumes it. Lineage is still
+    truncated round-by-round: truncation happens at materialization,
+    which is never more than one round behind."""
+    state = _word_symbols(docs, text_col).localCheckpoint(eager=False)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         top = (
@@ -131,7 +139,7 @@ def bpe_train(
 
         state = state.mapInPandas(
             apply_merge, schema="word string, freq long, syms array<string>"
-        ).localCheckpoint(eager=True)  # truncate lineage per round
+        ).localCheckpoint(eager=False)  # truncated at next round's argmax
     return merges, state
 
 

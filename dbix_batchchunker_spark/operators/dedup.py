@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .registry import query, t
@@ -801,10 +801,12 @@ def bucket_graph_labels(ids: DataFrame, entries: DataFrame) -> DataFrame:
     # Measured 4.4 s → 2.9 s at sf0.1, identical labels (pinned by the
     # recursive-CTE oracle + the dd09 equality test). Past the ceiling the
     # bipartite propagation below runs unchanged.
+    # window-min, not groupBy+self-join (r18): one exchange and one pass
+    # over the persisted entries instead of two of each — identical rows
+    # (each entry row meets its bucket's minimum either way).
     star = (
-        entries.join(
-            entries.groupBy("band", "bucket").agg(F.min("doc_id").alias("bmin")),
-            ["band", "bucket"],
+        entries.withColumn(
+            "bmin", F.min("doc_id").over(Window.partitionBy("band", "bucket"))
         )
         .where(F.col("doc_id") != F.col("bmin"))
         .select(F.col("bmin").alias("src"), F.col("doc_id").alias("dst"))
@@ -1077,6 +1079,18 @@ def components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Both per-neighborhood minima come from partition WINDOWS, not
+    # groupBy+join (r18, guide §2/§3): min(w) over (partition by u) carries
+    # the neighborhood minimum onto every edge row in ONE exchange where
+    # the agg+self-join form paid an exchange for the agg, another to
+    # co-partition the join probe, and a third for an intermediate
+    # distinct — 6 exchanges and 2 joins per round down to 3 and 0. The
+    # edge SET each round is unchanged: the window sees the same rows the
+    # agg grouped, and the trailing distinct folds the duplicates the
+    # dropped intermediate distinct used to (min is duplicate-blind, so
+    # nothing upstream of the fold can differ).
+    w_u = Window.partitionBy("u")
+    w_c = Window.partitionBy("child")
     prev_sig = None
     for rnd in range(max_rounds):
         # LARGE-STAR: for each u, connect every strictly-greater neighbor to
@@ -1085,24 +1099,45 @@ def components_star(
         sym = E.select(
             F.col("child").alias("u"), F.col("parent").alias("w")
         ).union(E.select(F.col("parent").alias("u"), F.col("child").alias("w")))
-        m_l = sym.groupBy("u").agg(F.min("w").alias("mn"))
-        m_l = m_l.select("u", F.least("mn", "u").alias("m"))
         large = (
-            sym.where(F.col("w") > F.col("u"))
-            .join(m_l, "u")
+            sym.withColumn("m", F.least(F.min("w").over(w_u), F.col("u")))
+            .where(F.col("w") > F.col("u"))
             .select(F.col("w").alias("child"), F.col("m").alias("parent"))
-            .distinct()
         )
         # SMALL-STAR: for each node, re-point all its parents (and itself)
-        # at its minimum parent.
-        m_s = large.groupBy("child").agg(F.min("parent").alias("m"))
+        # at its minimum parent. Emitted as ONE explode pass (child→m
+        # always; parent→m when parent ≠ m) instead of a two-arm union —
+        # a union would plan the whole sym→window chain once per arm.
+        with_m = large.withColumn("m", F.min("parent").over(w_c))
         small = (
-            large.join(m_s, "child")
-            .where(F.col("parent") != F.col("m"))
-            .select(F.col("parent").alias("child"), F.col("m").alias("parent"))
-            .union(m_s.select(F.col("child"), F.col("m").alias("parent")))
+            with_m.select(
+                F.explode(
+                    F.when(
+                        F.col("parent") != F.col("m"),
+                        F.array(
+                            F.struct(
+                                F.col("child").alias("child"),
+                                F.col("m").alias("parent"),
+                            ),
+                            F.struct(
+                                F.col("parent").alias("child"),
+                                F.col("m").alias("parent"),
+                            ),
+                        ),
+                    ).otherwise(
+                        F.array(
+                            F.struct(
+                                F.col("child").alias("child"),
+                                F.col("m").alias("parent"),
+                            )
+                        )
+                    )
+                ).alias("e")
+            )
+            .select("e.child", "e.parent")
             .distinct()
-            .localCheckpoint(eager=True)
+            # materialized by the signature agg below — one job per round
+            .localCheckpoint(eager=False)
         )
         E = small
         # fixed point ⟺ the edge multiset is unchanged across one full
@@ -1143,11 +1178,12 @@ def dd09_components_star_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in tests/test_components_oracle.py.
     docs = _spread(t(spark, sf_dir, "documents"), "doc_id", "text")
     entries = _band_entries(minhash_signatures(docs)).persist()
-    bucket_min = entries.groupBy("band", "bucket").agg(
-        F.min("doc_id").alias("bmin")
-    )
+    # window-min star edges (r18): same rewrite as bucket_graph_labels —
+    # one exchange/one cache pass instead of a groupBy+self-join.
     edges = (
-        entries.join(bucket_min, ["band", "bucket"])
+        entries.withColumn(
+            "bmin", F.min("doc_id").over(Window.partitionBy("band", "bucket"))
+        )
         .where(F.col("doc_id") != F.col("bmin"))
         .select(F.col("bmin").alias("src"), F.col("doc_id").alias("dst"))
         .distinct()
