@@ -27,6 +27,8 @@ where sp04's sequence packing lives.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -36,6 +38,36 @@ from pyspark.sql import functions as F
 #: cleanup path: :func:`release_cumsum_caches`. bench.py calls it between
 #: queries; long-lived sessions should call it after materializing results.
 _LIVE_CACHES: list[DataFrame] = []
+
+
+#: Above this partition count the per-partition offsets ride the
+#: broadcast-join fallback: the literal array serializes into every task
+#: binary (~12 bytes/partition) and a multi-MB plan constant helps nobody.
+#: 16384 covers any sane range-partition count by orders of magnitude.
+_OFFSETS_LITERAL_MAX_PARTS = 16384
+
+
+def _dense_offset_col(bases: list, base_type: str):
+    """Per-partition base offsets as ONE constant-folded array literal,
+    indexed O(1) by ``__pid`` (dense 0..n-1 by construction of
+    ``spark_partition_id``). The createDataFrame + broadcast-join
+    spelling of the same lookup costs a defaultParallelism-task job per
+    consuming action — parallelizing the tiny Python list slices it
+    across the whole cluster default, and EVERY slice's task spins a
+    Python worker just to re-emit rows that already sit on the driver
+    (measured: ~350 ms/task × 32 near-empty tasks per broadcast build,
+    optimization guide §4). split(lit).cast is foldable, so the
+    optimizer collapses it to a plain array literal at plan time: zero
+    jobs, zero Python workers, no exchange. repr() round-trips binary64
+    exactly; callers guard non-finite values into the fallback."""
+    csv = ",".join(
+        repr(float(b)) if base_type == "double" else str(int(b))
+        for b in bases
+    )
+    return F.element_at(
+        F.split(F.lit(csv), ",").cast(f"array<{base_type}>"),
+        F.col("__pid") + 1,
+    )
 
 
 def register_cache(df: DataFrame) -> DataFrame:
@@ -118,16 +150,32 @@ def with_global_rank(
             f"with_global_rank requires a total order; duplicate "
             f"{unique_cols!r} tuples found in partitions {bad[:5]}"
         )
-    rows, acc = [], 0
-    for pid, cnt, _ in sorted((r["__pid"], r["__cnt"], 0) for r in stats):
-        rows.append((pid, acc))
-        acc += cnt
-    offsets = spark.createDataFrame(rows, "__pid int, __base long")
-    out = (
-        local.join(F.broadcast(offsets), "__pid")
-        .withColumn(out_col, F.col("__base") + F.col("__local_rank"))
-        .drop("__pid", "__local_rank", "__base")
-    )
+    # dense 0..max_pid base array (partitions with no rows keep the
+    # running count — they contribute no output rows, the slot only
+    # aligns later indices)
+    by_pid = {r["__pid"]: r["__cnt"] for r in stats}
+    max_pid = max(by_pid, default=-1)
+    bases, acc = [], 0
+    for pid in range(max_pid + 1):
+        bases.append(acc)
+        acc += by_pid.get(pid, 0)
+    if max_pid < _OFFSETS_LITERAL_MAX_PARTS:
+        out = (
+            local.withColumn(
+                out_col,
+                _dense_offset_col(bases, "long") + F.col("__local_rank"),
+            )
+            .drop("__pid", "__local_rank")
+        )
+    else:
+        offsets = spark.createDataFrame(
+            list(enumerate(bases)), "__pid int, __base long"
+        )
+        out = (
+            local.join(F.broadcast(offsets), "__pid")
+            .withColumn(out_col, F.col("__base") + F.col("__local_rank"))
+            .drop("__pid", "__local_rank", "__base")
+        )
     out.cumsum_cache = ranged
     out.cumsum_total = acc
     return out
@@ -209,20 +257,36 @@ def with_global_cumsum(
             f"with_global_cumsum requires a unique, non-NULL {order_col!r} "
             f"(a total order); duplicates or NULLs found in partitions {bad[:5]}"
         )
-    totals = sorted((r["__pid"], r["__tot"]) for r in stats)
-    rows, acc = [], (0.0 if base_type == "double" else 0)
-    for pid, tot in totals:
-        rows.append((pid, acc))
-        acc += tot or 0  # all-NULL partition sums to NULL → contributes 0
-    # broadcast-join the (pid, offset) table back: stays a hash lookup at
-    # ANY partition count, where a create_map of 2·n literals would blow
-    # past codegen limits around 10^4 partitions
-    offsets = spark.createDataFrame(rows, f"__pid int, __base {base_type}")
-    out = (
-        local.join(F.broadcast(offsets), "__pid")
-        .withColumn(out_col, F.col("__local_cum") + F.col("__base"))
-        .drop("__pid", "__local_cum", "__base")
+    # dense 0..max_pid base array (empty partitions contribute 0 and no
+    # rows; their slot only aligns later indices)
+    by_pid = {r["__pid"]: r["__tot"] for r in stats}
+    max_pid = max(by_pid, default=-1)
+    bases, acc = [], (0.0 if base_type == "double" else 0)
+    for pid in range(max_pid + 1):
+        bases.append(acc)
+        acc += by_pid.get(pid, 0) or 0  # all-NULL partition sum → 0
+    literal_ok = max_pid < _OFFSETS_LITERAL_MAX_PARTS and (
+        base_type != "double" or all(math.isfinite(b) for b in bases)
     )
+    if literal_ok:
+        out = (
+            local.withColumn(
+                out_col,
+                F.col("__local_cum") + _dense_offset_col(bases, base_type),
+            )
+            .drop("__pid", "__local_cum")
+        )
+    else:
+        # broadcast-join fallback: stays a hash lookup at ANY partition
+        # count (and carries non-finite doubles exactly)
+        offsets = spark.createDataFrame(
+            list(enumerate(bases)), f"__pid int, __base {base_type}"
+        )
+        out = (
+            local.join(F.broadcast(offsets), "__pid")
+            .withColumn(out_col, F.col("__local_cum") + F.col("__base"))
+            .drop("__pid", "__local_cum", "__base")
+        )
     # expose the cache handle so callers can scope cleanup to THIS call
     # instead of a session-global clearCache, and the grand total (already
     # on the driver from the offsets pass) so callers never launch a

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.driver_rows import driver_rows_df
 from .registry import query, t
 
 
@@ -152,7 +153,8 @@ def tx24_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     BPE — including tie-breaks — is pinned in tests/test_extensions.py."""
     docs = t(spark, sf_dir, "documents")
     merges, _state = bpe_train(docs, n_merges=6)
-    return spark.createDataFrame(
+    return driver_rows_df(
+        spark,
         [(i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)],
         "rank int, left string, right string, merged string",
     )
@@ -413,12 +415,14 @@ def tx31_bpe_trainer_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     crafted one for the closed-form answer to exist (the trainer under
     test is scale-independent; its corpus-scale half — the word count —
     is adjudicated by tx14's vocab oracle)."""
-    docs = spark.createDataFrame(
+    docs = driver_rows_df(
+        spark,
         [(i, ((a + b) * 2 + " ") * f) for i, (a, b, f) in enumerate(TX31_PLANT)],
         "doc_id long, text string",
     )
     merges, _state = bpe_train(docs, n_merges=len(TX31_PLANT))
-    return spark.createDataFrame(
+    return driver_rows_df(
+        spark,
         [(i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)],
         "rank long, lhs string, rhs string, merged string",
     )
@@ -474,7 +478,8 @@ def tx32_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Closes the tokenizer family end to end: tx31 (trainer alone) + tx27
     (encode alone) + tx32 (the composition) put every arrow of
     train → table → corpus-apply under driver adjudication."""
-    plant_docs = spark.createDataFrame(
+    plant_docs = driver_rows_df(
+        spark,
         [(i, ((a + b) * 2 + " ") * f) for i, (a, b, f) in enumerate(TX31_PLANT)],
         "doc_id long, text string",
     )

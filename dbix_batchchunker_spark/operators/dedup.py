@@ -19,6 +19,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.driver_rows import driver_rows_df
 from .registry import query, t
 
 _WS = r"\s+"
@@ -913,7 +914,7 @@ def _labels_join(ids: DataFrame, labels: list[tuple[int, int]]) -> DataFrame:
     representative. Pure plan — no action, no persisted state."""
     spark = ids.sparkSession
     if labels:
-        mdf = spark.createDataFrame(labels, "id long, rep long")
+        mdf = driver_rows_df(spark, labels, "id long, rep long")
         out = ids.select("id").join(F.broadcast(mdf), "id", "left")
     else:
         out = ids.select("id", F.lit(None).cast("long").alias("rep"))

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.driver_rows import driver_rows_df
 from .registry import query, t
 
 # Per-language keep-rates; 16-bit hex thresholds give 1/65536 resolution.
@@ -225,6 +226,7 @@ def token_pack_spans(
     budget: int = _PACK_BUDGET,
     order_col: str = "doc_id",
     start_offset: int = 0,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """ONE copy of the pack-layout arithmetic for sp04, sp05, the pipeline
     example, AND the incremental streaming form (hand-synchronized copies
@@ -236,12 +238,19 @@ def token_pack_spans(
 
     The result carries ``cumsum_cache`` (unpersist when done) and
     ``cumsum_total`` (this batch's token total, already driver-side — no
-    extra job) through from :func:`with_global_cumsum`."""
+    extra job) through from :func:`with_global_cumsum`.
+    ``num_partitions`` forwards to the prefix sum's range repartition —
+    callers with a small bounded input (a micro-batch) size it to the
+    input instead of the cluster default; the cumsum is partition-count
+    independent by construction, so the layout cannot change."""
     from ..functions.prefix import with_global_cumsum
 
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
-    cum = with_global_cumsum(counts, order_col, "n_tokens", out_col="cum")
+    cum = with_global_cumsum(
+        counts, order_col, "n_tokens", out_col="cum",
+        num_partitions=num_partitions,
+    )
     out = (
         cum.where(F.col("n_tokens") > 0)
         .select(
@@ -517,7 +526,8 @@ def mixture_waterfill(
     t_scale = min(r["__avail"] * 10000 // r["__bp"] for r in rows)
     from pyspark.sql import types as T
 
-    budgets = docs.sparkSession.createDataFrame(
+    budgets = driver_rows_df(
+        docs.sparkSession,
         [(r[0], r["__bp"] * t_scale // 10000) for r in rows],
         # domain keeps the CALLER's column type (review: a hardcoded
         # string schema broke non-string domain columns)

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine, dot, norm
 from .dedup import MAX_BLOCK_SIZE, _require_bounded_blocks
+from ..functions.driver_rows import driver_rows_df
 from .registry import query, t
 
 N_QUERY_VECS = 5
@@ -3007,7 +3008,9 @@ def sim10_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             [books[s] @ q[s * d : (s + 1) * d] for s in range(m)]
         )
         rows.append((int(r["vec_id"]), [float(v) for v in tab]))
-    tables = spark.createDataFrame(rows, "query_id long, tables array<double>")
+    tables = driver_rows_df(
+        spark, rows, "query_id long, tables array<double>"
+    )
 
     # corpus sweep: pure JVM — codes array + broadcast tables, no vectors
     approx = (

@@ -38,6 +38,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.driver_rows import driver_rows_df
 from ..streaming.incremental import windowed_counts
 from .registry import normalize_event_ts, query
 
@@ -120,8 +121,10 @@ def _drain_memory_sink(
         result = finalize(spark.table(sink))
         # bounded: memory-sink results are aggregate/window cardinality by
         # each drain's construction (see per-drain docstrings)
-        data = result.toPandas() if arrow else result.collect()
-        return spark.createDataFrame(data, result.schema)
+        if arrow:
+            # pandas + Arrow slices by record batch already
+            return spark.createDataFrame(result.toPandas(), result.schema)
+        return driver_rows_df(spark, result.collect(), result.schema)
     finally:
         spark.catalog.dropTempView(sink)
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -280,8 +283,8 @@ def user_totals_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     rows = [(u, n, v) for u, (n, v) in sorted(latest.items())]
-    return spark.createDataFrame(
-        rows, "user_id long, n_events long, total_value double"
+    return driver_rows_df(
+        spark, rows, "user_id long, n_events long, total_value double"
     ).orderBy("user_id")
 
 
@@ -346,8 +349,8 @@ def st02_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     rows = [(u, n, c) for u, (n, c) in sorted(latest.items())]
-    return spark.createDataFrame(
-        rows, "user_id long, n_events long, total_value_cents long"
+    return driver_rows_df(
+        spark, rows, "user_id long, n_events long, total_value_cents long"
     ).orderBy("user_id")
 
 
@@ -704,7 +707,21 @@ def st07_stream_incremental_packing(spark: SparkSession, sf_dir: str) -> DataFra
             .load()
             .select("doc_id", F.size(_tokens_spark("text")).alias("n_tokens"))
         )
-        incremental_pack_assign(feed, out, state, ck, budget=ST07_BUDGET)
+        # batch geometry is known (the feed's batchrows), so the sink
+        # computes each batch at a size-proportional partition count and
+        # scans the Python source ONCE per batch (r18, guide §4) — the
+        # count rows are two numerics, so thousands per task; capped at
+        # cluster parallelism for production batch sizes.
+        incremental_pack_assign(
+            feed, out, state, ck, budget=ST07_BUDGET,
+            batch_partitions=max(
+                1,
+                min(
+                    spark.sparkContext.defaultParallelism,
+                    ST07_BATCH_ROWS // 4096,
+                ),
+            ),
+        )
 
     drain()
     drain()
@@ -776,7 +793,20 @@ def st08_stream_sized_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .load()
             .select("doc_id", "text")
         )
-        sized_parquet_sink(feed, out, ck, target_mb=0.002)
+        # known batch geometry → one Python-source scan per batch at a
+        # size-proportional partition count (r18, guide §4); ~256 docs
+        # per task keeps the short text rows vectorized, capped at
+        # cluster parallelism for production batch sizes.
+        sized_parquet_sink(
+            feed, out, ck, target_mb=0.002,
+            batch_partitions=max(
+                1,
+                min(
+                    spark.sparkContext.defaultParallelism,
+                    ST08_BATCH_ROWS // 256,
+                ),
+            ),
+        )
 
     drain()
     drain()
@@ -1019,7 +1049,7 @@ def st12_stream_gram_store_ingest(
     store = os.path.join(base, "grams")
     ck = os.path.join(base, "ck")
     # seed an empty store so the first batch's semi join has a table
-    spark.createDataFrame([], "gram string").write.parquet(
+    driver_rows_df(spark, [], "gram string").write.parquet(
         os.path.join(store, "seed")
     )
 
@@ -1419,10 +1449,11 @@ def st14_stream_embedding_store_ingest(
                 trained.supers,
                 trained.k_child,
             )
-            empty_e = spark.createDataFrame(
-                [], "vec_id long, centroid_id long"
+            empty_e = driver_rows_df(
+                spark, [], "vec_id long, centroid_id long"
             )
-            empty_v = spark.createDataFrame(
+            empty_v = driver_rows_df(
+                spark,
                 [],
                 "vec_id long, label long, embedding array<float>, "
                 "nrm double",

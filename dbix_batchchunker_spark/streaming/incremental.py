@@ -311,6 +311,7 @@ def incremental_pack_assign(
     state_path: str,
     checkpoint_dir: str,
     budget: int = 2048,
+    batch_partitions: int | None = None,
 ) -> None:
     """INCREMENTAL sequence packing — the streaming form of sp04: each new
     corpus drop appends its documents to the global token stream exactly
@@ -327,12 +328,24 @@ def incremental_pack_assign(
     the demo-sized cursor store (entries bounded by #batches); a
     deployment puts the (batch_id, start_offset) map in a transactional
     table exactly like the chunker's resume cursor.
+
+    ``batch_partitions``: a caller that knows the micro-batch geometry
+    (e.g. the feed's batchrows option) passes the partition count the
+    batch should compute at; the counts projection is then coalesced and
+    localCheckpoint'ed ONCE so every downstream job of the batch — the
+    range-boundary sample, the prefix-sum materialization, the span write
+    — reads the checkpointed rows instead of re-planning the source (a
+    Python Data Source feed otherwise re-runs a worker scan per action,
+    and a SimpleDataSourceStreamReader hands even a tiny batch over at
+    cluster default parallelism — near-empty tasks each paying the fixed
+    Python-eval cost). None keeps the incoming partitioning untouched.
     """
     import json
     import os
 
     # the ONE copy of the pack arithmetic (review contract), shifted by
     # the persisted stream offset
+    from ..operators.gram_store import _free_local_checkpoint
     from ..operators.sampling import token_pack_spans
 
     def sink(batch_df, batch_id: int) -> None:
@@ -349,7 +362,21 @@ def incremental_pack_assign(
                 (b["end"] for b in batches.values()), default=0
             )
         counts = batch_df.select("doc_id", "n_tokens")
-        spans = token_pack_spans(counts, budget=budget, start_offset=start)
+        ckpt = None
+        if batch_partitions is not None:
+            # ONE source scan per micro-batch (optimization guide §4):
+            # bounded by the batch's (doc_id, n_tokens) projection — two
+            # numeric columns; freed after the span write lands.
+            ckpt = counts.coalesce(max(1, batch_partitions)).localCheckpoint(
+                eager=True
+            )
+            counts = ckpt
+        spans = token_pack_spans(
+            counts,
+            budget=budget,
+            start_offset=start,
+            num_partitions=batch_partitions,
+        )
         try:
             # idempotent: the batch's own directory, overwritten on replay
             spans.write.mode("overwrite").parquet(
@@ -360,6 +387,8 @@ def incremental_pack_assign(
             total = int(spans.cumsum_total)
         finally:
             spans.cumsum_cache.unpersist()
+            if ckpt is not None:
+                _free_local_checkpoint(ckpt)
         batches[bid] = {"start": start, "end": start + total}
         tmp = state_path + ".tmp"
         with open(tmp, "w") as fh:

@@ -95,6 +95,7 @@ def sized_parquet_sink(
     checkpoint_dir: str,
     target_mb: float = 128.0,
     bytes_per_row: float | None = None,
+    batch_partitions: int | None = None,
 ):
     """Stream → parquet with the small-files problem handled AT THE SINK.
 
@@ -119,28 +120,51 @@ def sized_parquet_sink(
     REUSED for every later batch (schema is fixed; re-sampling each
     micro-batch would add a driver round-trip per batch for no new
     information).
+
+    ``batch_partitions``: a caller that knows the micro-batch geometry
+    passes the partition count the batch should compute at; the batch is
+    then coalesced and localCheckpoint'ed ONCE so the sizing count, the
+    first-batch sample and the repartition+write all read checkpointed
+    rows instead of re-planning the source per action (a Python Data
+    Source feed re-runs a worker scan each time, at cluster default
+    parallelism even for a tiny batch). Bounded by one micro-batch;
+    freed before the sink returns. None keeps the incoming plan — the
+    sink then pays one source scan per action, which is still correct.
     """
     import os
 
+    from ..operators.gram_store import _free_local_checkpoint
     from ..sources.maintenance import write_sized_parquet
 
     measured: dict = {"bpr": bytes_per_row}
 
     def sink(batch_df, batch_id: int) -> None:
-        n = batch_df.count()
-        if n == 0:
-            return
-        if measured["bpr"] is None:
-            from ..sources.maintenance import estimate_parquet_bytes_per_row
+        ckpt = None
+        if batch_partitions is not None:
+            ckpt = batch_df.coalesce(
+                max(1, batch_partitions)
+            ).localCheckpoint(eager=True)
+            batch_df = ckpt
+        try:
+            n = batch_df.count()
+            if n == 0:
+                return
+            if measured["bpr"] is None:
+                from ..sources.maintenance import (
+                    estimate_parquet_bytes_per_row,
+                )
 
-            measured["bpr"] = estimate_parquet_bytes_per_row(batch_df)
-        write_sized_parquet(
-            batch_df,
-            os.path.join(out_dir, f"batch={batch_id}"),
-            target_mb=target_mb,
-            n_rows=n,
-            bytes_per_row=measured["bpr"],
-        )
+                measured["bpr"] = estimate_parquet_bytes_per_row(batch_df)
+            write_sized_parquet(
+                batch_df,
+                os.path.join(out_dir, f"batch={batch_id}"),
+                target_mb=target_mb,
+                n_rows=n,
+                bytes_per_row=measured["bpr"],
+            )
+        finally:
+            if ckpt is not None:
+                _free_local_checkpoint(ckpt)
 
     q = (
         stream_df.writeStream.foreachBatch(sink)
