@@ -927,6 +927,28 @@ def save_ivf_index(
             own.release()
 
 
+def _parallel_half_writes(*thunks) -> None:
+    """Run the store's INDEPENDENT half-writes as concurrent jobs
+    (optimization guide §2.6: actions are only sequential because the
+    driver calls them sequentially; submitting independent writes from a
+    small pool lets one write's task tail back-fill cores the other
+    frees). Only for writes whose mutual order carries no crash
+    semantics: the append contract already converges a one-half-committed
+    crash (:func:`repair_crashed_append`), a fresh save's torn target is
+    re-run wholesale, and the compact's aside-writes both complete
+    before any live rename (the barrier is here, at ``result()``). All
+    submitted work is joined before return — success or failure — so no
+    write ever races past the enclosing lease."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        # result() re-raises the first failure; the with-block joins the
+        # rest before the lease can release
+        for f in futures:
+            f.result()
+
+
 def save_embedding_store(
     path: str,
     index: IvfIndex,
@@ -952,10 +974,14 @@ def save_embedding_store(
         own = EmbeddingStoreLease(spark, path).acquire()
     try:
         save_ivf_index(index, f"{path}/index", lease=lease or own)
-        _write_entries(entries, f"{path}/entries", "overwrite")
-        vectors.select(
-            "vec_id", "label", "embedding", "nrm"
-        ).write.mode("overwrite").parquet(f"{path}/vectors")
+        # the two data halves are independent writes — overlap them
+        # (guide §2.6; a torn fresh save is re-run wholesale either way)
+        _parallel_half_writes(
+            lambda: _write_entries(entries, f"{path}/entries", "overwrite"),
+            lambda: vectors.select(
+                "vec_id", "label", "embedding", "nrm"
+            ).write.mode("overwrite").parquet(f"{path}/vectors"),
+        )
         _write_vec_hwm(spark, path, _live_vec_max(spark, path))
     finally:
         if own is not None:
@@ -1010,10 +1036,18 @@ def append_embedding_store(
                 "append, verify_embedding_store_watermark + purge the "
                 "residue first)."
             )
-        _write_entries(entries, f"{path}/entries", "append")
-        vectors.select(
-            "vec_id", "label", "embedding", "nrm"
-        ).write.mode("append").parquet(f"{path}/vectors")
+        # independent appends, overlapped (guide §2.6): each half's
+        # append is all-or-nothing under Spark's committer, and the
+        # crashed-append contract already converges a one-half-committed
+        # state in EITHER half (repair_crashed_append) — order never
+        # carried crash semantics here. The watermark still advances
+        # only after BOTH halves land (the pool joins first).
+        _parallel_half_writes(
+            lambda: _write_entries(entries, f"{path}/entries", "append"),
+            lambda: vectors.select(
+                "vec_id", "label", "embedding", "nrm"
+            ).write.mode("append").parquet(f"{path}/vectors"),
+        )
         if stats.mx is not None:
             _write_vec_hwm(spark, path, int(stats.mx))
     finally:
@@ -1173,9 +1207,17 @@ def compact_persisted_embedding_store(
             entries, vectors, deleted_ids, n_deleted=n_deleted
         )
         # write aside BEFORE touching anything live (per-cell file
-        # discipline — see _write_entries)
-        _write_entries(e_live, f"{path}/entries__next", "overwrite")
-        v_live.write.mode("overwrite").parquet(f"{path}/vectors__next")
+        # discipline — see _write_entries); the two aside-writes are
+        # independent and overlapped (guide §2.6) — the pool join IS the
+        # both-halves-fully-written barrier the swap below requires
+        _parallel_half_writes(
+            lambda: _write_entries(
+                e_live, f"{path}/entries__next", "overwrite"
+            ),
+            lambda: v_live.write.mode("overwrite").parquet(
+                f"{path}/vectors__next"
+            ),
+        )
         fs, _ = _store_fs(spark, path)
         jp = spark._jvm.org.apache.hadoop.fs.Path
         for half in ("entries", "vectors"):
