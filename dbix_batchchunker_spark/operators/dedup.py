@@ -65,10 +65,16 @@ def _spread(df: DataFrame, *cols: str | Column) -> DataFrame:
     NOT the measured-bad blanket repartition in registry.py — that one
     exchanged full rows before pruning; this one ships only what the
     downstream expression needs. At real scale (many splits) the Exchange
-    is still near-free relative to the compute it parallelizes.
+    is still near-free relative to the compute it parallelizes — and an
+    input ALREADY at least width-wide passes through untouched (r18:
+    repartition(width) would otherwise CONTRACT a many-split corpus scan
+    to the local shuffle width; plan-time metadata check, no job).
     """
     width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    return df.select(*cols).repartition(width)
+    out = df.select(*cols)
+    if out.rdd.getNumPartitions() >= width:
+        return out
+    return out.repartition(width)
 
 
 def _shingles(n: int = 3) -> Column:

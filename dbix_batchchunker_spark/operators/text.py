@@ -109,6 +109,8 @@ _EN_LIST_SQL = ", ".join(f"'{w}'" for w in _EN_WORDS)
     """,
 )
 def tx02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spread A/B-measured at +0.27 s here (r18): the regexp-count map is
+    # cheaper than the exchange at this row weight — left on the scan
     docs = t(spark, sf_dir, "documents")
     toks = _tokens_spark()
     n_chars = F.length("text")
@@ -158,6 +160,7 @@ def _langid_case_sql() -> str:
     """,
 )
 def tx03_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spread A/B-measured flat here (r18) — left on the scan
     docs = t(spark, sf_dir, "documents")
     toks = _tokens_spark()
     hits = {lang: _hits_spark(toks, words) for lang, words in LANG_STOPWORDS}
@@ -320,7 +323,10 @@ _HASH_MOD = 1_000_000_007
     """,
 )
 def tx08_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    from .dedup import _spread
+
+    # per-char fold over every document — CPU-bound one-split scan (r18)
+    docs = _spread(t(spark, sf_dir, "documents"), "doc_id", "text")
     codes = F.expr(r"transform(regexp_extract_all(text, '[\\s\\S]', 0), c -> CAST(ascii(c) AS BIGINT))")
     rolled = F.aggregate(
         codes,
@@ -418,8 +424,15 @@ def _decon_grams(docs: DataFrame) -> DataFrame:
     referencing the split() directly would re-split the whole text for
     every element_at — measured 16.8s → 1.4s at sf0.1 for this change.
     """
+    from .dedup import _spread
+
     n = _DECON_N
-    with_toks = docs.select("doc_id", _tokens_spark().alias("toks"))
+    # the tokenize+shingle below is the expensive thing and the corpus
+    # arrives as one split at test scale — spread the slim projection so
+    # it runs cluster-wide (r18, guide §2.5; no-op on many-split scans)
+    with_toks = _spread(docs, "doc_id", "text").select(
+        "doc_id", _tokens_spark().alias("toks")
+    )
     toks = F.col("toks")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     shingles = F.array_distinct(
@@ -502,7 +515,12 @@ _SAMPLE_K = 5
     """,
 )
 def tx12_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    from .dedup import _spread
+
+    # CPU-bound per-row HOF map on a one-split scan ran single-task
+    # (2.3 s on one core of 32, r18 profile) — spread the slim projection
+    # first (guide §2.5; pass-through on many-split scans)
+    docs = _spread(t(spark, sf_dir, "documents"), "doc_id", "text")
     # Chained selects: each higher-order function consumes a MATERIALIZED
     # column (Catalyst does no common-subexpression elimination inside HOF
     # lambdas, and CollapseProject will not re-inline multi-referenced
@@ -611,7 +629,11 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def tx13_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # word-boundary parity guarantees); planted-PII semantics are pinned in
     # tests/test_extensions.py instead.
-    docs = t(spark, sf_dir, "documents")
+    from .dedup import _spread
+
+    # the sequential regexp chain is CPU-bound and ran single-task on the
+    # one-split scan (r18 profile) — spread the slim projection first
+    docs = _spread(t(spark, sf_dir, "documents"), "doc_id", "text")
     return redact_pii(docs).select(
         "doc_id",
         "n_email",
@@ -997,6 +1019,7 @@ _TX19_THRESHOLD = 0.0  # keep iff logit > 0 (= sigmoid > 0.5)
     """,
 )
 def tx19_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spread A/B-measured at +0.09 s here (r18) — left on the scan
     docs = t(spark, sf_dir, "documents")
     toks = _tokens_spark()
     n_chars = F.greatest(F.length("text"), F.lit(1))
@@ -1284,7 +1307,11 @@ def redact_pii_portable(df: DataFrame, text_col: str = "text",
     """,
 )
 def tx23_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents").select("source", "text")
+    from .dedup import _spread
+
+    # the portable-regex scan chain is the cost — spread the one-split
+    # scan before it (r18); the groupBy(source) agg shuffles 4 rows/task
+    docs = _spread(t(spark, sf_dir, "documents"), "source", "text")
     scanned = redact_pii_portable(scan_pii(docs))
     fams = list(PII_PATTERNS_PORTABLE)
     any_pii = sum(F.col(f"n_{f}") for f in fams) > 0
@@ -1388,7 +1415,10 @@ def _plant_spark():
     """,
 )
 def tx13v_pii_redact_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents").select(
+    from .dedup import _spread
+
+    # same single-task regexp-chain cliff as tx13 (r18 profile)
+    docs = _spread(t(spark, sf_dir, "documents"), "doc_id", "text").select(
         "doc_id", _plant_spark().alias("ptext")
     )
     scanned = redact_pii_portable(
@@ -1542,7 +1572,10 @@ def _tx28_sql() -> str:
 
 @query("tx28_gopher_quality_rules", oracle=_tx28_sql())
 def tx28_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    from .dedup import _spread
+
+    # token + line HOF battery per row — one-split scan (r18)
+    docs = _spread(t(spark, sf_dir, "documents"), "doc_id", "text")
     base = docs.select(
         "doc_id",
         "text",
@@ -1903,7 +1936,11 @@ def tx33_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tx34_span_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    from .dedup import _spread
+
+    # positional-gram explosion + span surgery are CPU-bound and ran
+    # single-task on the one-split scan (r18 profile) — spread first
+    docs = _spread(t(spark, sf_dir, "documents"), "doc_id", "text")
     n = _DECON_N
     with_toks = docs.select("doc_id", _tokens_spark().alias("toks"))
     # positional grams: (doc_id, p, gram) — the POSITION is what tx10's
