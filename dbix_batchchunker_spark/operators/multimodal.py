@@ -616,6 +616,10 @@ def phash_near_dup_pairs(
 )
 def mm04_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # planted-payload semantics additionally pinned in tests/test_extensions.py
+    # scan spread tried and REVERTED on measurement (r18 A/B: +0.42 s —
+    # the fused Arrow phash pass amortizes its per-worker init best on
+    # the unspread scan, and the payload exchange costs more than the
+    # parallelism buys at this row weight)
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )

@@ -213,6 +213,8 @@ def q33_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     would truncate)."""
     events = t(spark, sf_dir, "events")
     s = epoch_us(events)
+    # scan spread tried and REVERTED on measurement (r18 A/B: flat — the
+    # bucket-join reduce dominates, not the explode map)
     e = events.select(
         "event_id",
         s.alias("s_us"),

@@ -2751,8 +2751,12 @@ def sim08_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qvec").alias("q_qvec"),
         F.col("qnrm").alias("q_qnrm"),
     )
+    from .registry import spread_probe_side
+
+    # CPU-bound broadcast pair enumeration on a one-split scan (the
+    # sim03/dd02 cliff — r18 profile: one 0.7 s task on 32 cores)
     scored = (
-        emb.crossJoin(F.broadcast(q))
+        spread_probe_side(emb).crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
