@@ -450,12 +450,18 @@ def _signatures_from_shingles(shingled: DataFrame, n_hashes: int) -> DataFrame:
     column may be any hashable type — hashing an already-xxhashed long token
     with a fresh seed is just as valid a minhash family as hashing the
     string, and lets callers tokenize ONCE for signature and verify stages."""
+    # parsed expressions (one py4j round-trip each) — the 64-agg block
+    # built through the Column API cost ~0.5 s of driver time per build
     aggs = [
-        F.min(F.xxhash64("shingle", F.lit(h))).alias(f"h{h}") for h in range(n_hashes)
+        F.expr(f"min(xxhash64(shingle, {h})) AS h{h}")
+        for h in range(n_hashes)
     ]
     sig = shingled.groupBy("doc_id").agg(*aggs)
     return sig.select(
-        "doc_id", F.array(*[F.col(f"h{h}") for h in range(n_hashes)]).alias("sig")
+        "doc_id",
+        F.expr(
+            "array(" + ",".join(f"h{h}" for h in range(n_hashes)) + ") AS sig"
+        ),
     )
 
 
@@ -514,21 +520,15 @@ def _candidates_from_entries(band_entries: DataFrame) -> DataFrame:
 
 def _band_entries(sig: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> DataFrame:
     """doc_id → (band, bucket) rows: one hashed band key per band."""
+    parts = ",".join(
+        f"struct({b} AS band, xxhash64("
+        + ",".join(f"element_at(sig, {b * rows + r + 1})" for r in range(rows))
+        + ") AS bucket)"
+        for b in range(bands)
+    )
+    # one parsed explode expression (py4j round-trip economy, see simhash)
     return sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        "doc_id", F.expr(f"explode(array({parts}))").alias("bk")
     ).select("doc_id", "bk.band", "bk.bucket")
 
 
@@ -1228,20 +1228,21 @@ def simhash(docs: DataFrame) -> DataFrame:
         "doc_id", F.explode(_tokens()).alias("token")
     )
     hashed = tok.withColumn("h", F.xxhash64("token"))
+    # F.expr strings, not per-bit Column algebra: the 64-vote block built
+    # through the Column API cost ~1.5 s of driver time PER BUILD in py4j
+    # round-trips alone (r18 measurement: dd04 build 1.52 s, plan 0.06 s);
+    # one parsed expression per vote is one round-trip, same operator tree
     votes = [
-        F.sum(
-            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
+        F.expr(f"sum(IF((shiftright(h, {b}) & 1) = 1, 1, -1)) AS b{b}")
         for b in range(64)
     ]
     bits = hashed.groupBy("doc_id").agg(*votes)
-    sim = reduce(
-        Column.bitwiseOR,
-        [
-            F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b))
-            .otherwise(F.lit(0).cast("long"))
+    sim = F.expr(
+        " | ".join(
+            f"IF(b{b} > 0, shiftleft(CAST(1 AS BIGINT), {b}), "
+            "CAST(0 AS BIGINT))"
             for b in range(64)
-        ],
+        )
     )
     return bits.select("doc_id", sim.alias("simhash"))
 
@@ -1300,22 +1301,15 @@ def _banded_hamming_pairs(
     DuckDB oracle adjudicates). ``sh`` should be persisted by the caller:
     the self-join scans it from both sides."""
     mask = (1 << band_bits) - 1
+    parts = ",".join(
+        f"struct({b} AS band, "
+        f"shiftrightunsigned(simhash, {b * band_bits}) & {mask} AS bucket)"
+        for b in range(bands)
+    )
     entries = sh.select(
         "doc_id",
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned("simhash", b * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        F.expr(f"explode(array({parts}))").alias("bk"),
     ).select("doc_id", "simhash", "bk.band", "bk.bucket")
     a, b = entries.alias("a"), entries.alias("b")
     return (
@@ -1919,26 +1913,24 @@ def sql_simhash(docs: DataFrame) -> DataFrame:
     # summing the sliced bit directly (plus one shared count) drops 60
     # conditionals from the aggregate while the oracle's ±1 statement stays
     # equivalent integer-for-integer.
+    # parsed expressions, not per-bit Column algebra (the dd04 r18
+    # rationale: one py4j round-trip per vote instead of ~6)
     votes = [
-        F.sum(
-            F.shiftright(
-                F.col(f"g{b // _SQLSH_SLICE_BITS}"), b % _SQLSH_SLICE_BITS
-            ).bitwiseAND(F.lit(1))
-        ).alias(f"v{b}")
+        F.expr(
+            f"sum(shiftright(g{b // _SQLSH_SLICE_BITS}, "
+            f"{b % _SQLSH_SLICE_BITS}) & 1) AS v{b}"
+        )
         for b in range(_SQLSH_BITS)
     ]
     bits = rehashed.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"), *votes
     )
-    sig = reduce(
-        Column.bitwiseOR,
-        [
-            F.when(
-                F.col(f"v{b}") * 2 > F.col("n"),
-                F.shiftleft(F.lit(1).cast("long"), b),
-            ).otherwise(F.lit(0).cast("long"))
+    sig = F.expr(
+        " | ".join(
+            f"IF(v{b} * 2 > n, shiftleft(CAST(1 AS BIGINT), {b}), "
+            "CAST(0 AS BIGINT))"
             for b in range(_SQLSH_BITS)
-        ],
+        )
     )
     return bits.select("doc_id", sig.alias("simhash"))
 

@@ -2092,7 +2092,12 @@ def _positional_grams(docs: DataFrame, n: int) -> DataFrame:
     as ONE transform expression and exploded once. Zero-token docs are
     excluded — their padded gram is '' in Spark (concat_ws skips NULLs)
     but NULL in the oracle's slice dialect (the tx34 rule). Shared by
-    tx35's batch form and tx36's incremental form."""
+    tx35's batch form, tx36's incremental form, and the gram store's
+    ingest/claim paths. A _spread of the input was tried and REVERTED on
+    measurement (r18 A/B: net flat-to-negative across the family — the
+    consumers are chunk/batch loops whose per-chunk extra exchange costs
+    what the parallelized tokenize saves, and the downstream
+    repartition(n_buckets, gram) already spreads the heavy join work)."""
     with_toks = docs.select("doc_id", _tokens_spark().alias("toks"))
     toks = F.col("toks")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
