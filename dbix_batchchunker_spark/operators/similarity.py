@@ -391,16 +391,19 @@ def _lloyd_step(assigned: DataFrame, *group_cols: str) -> DataFrame:
     runs (partial-agg combine order), and un-rounded means make boundary
     assignments, and thus the whole index, nondeterministic run-to-run."""
     dim = EMBED_DIM
+    # one parsed expression, not dim x 4 py4j round-trips (the dd04 r18
+    # rationale); array element aliases were cosmetic - array() erases them
+    mean_vec = F.expr(
+        "array("
+        + ",".join(
+            f"round(avg(element_at(embedding, {i + 1})), 6)"
+            for i in range(dim)
+        )
+        + ") AS cvec"
+    )
     return (
         assigned.groupBy(*group_cols)
-        .agg(
-            F.array(
-                *[
-                    F.round(F.avg(F.element_at("embedding", i + 1)), 6).alias(f"c{i}")
-                    for i in range(dim)
-                ]
-            ).alias("cvec")
-        )
+        .agg(mean_vec)
         .withColumn("cnrm", norm(F.col("cvec")))
     )
 
@@ -1264,7 +1267,14 @@ def load_ivf_index(spark: SparkSession, path: str) -> IvfIndex:
 def sim04_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = t(spark, sf_dir, "embeddings").withColumn("nrm", norm(F.col("embedding")))
+    from .registry import spread_probe_side
+
+    # the n.k assign/probe passes stream the corpus against broadcast
+    # centroids at the scan's parallelism - one split at test scale (r18
+    # profile: 0.4 s single-task jobs per pass); no-op on wide scans
+    emb = spread_probe_side(t(spark, sf_dir, "embeddings")).withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
     assigned, centroids = _ivf_index(emb)
 
     queries_df = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
@@ -1923,7 +1933,12 @@ def verified_pairs_from_index(
     oracle=_exact_label_pairs_oracle(SIM06_THRESHOLD),
 )
 def sim06_ivf_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings").withColumn("nrm", norm(F.col("embedding")))
+    from .registry import spread_probe_side
+
+    # same single-split assign/probe cliff as sim04 (r18)
+    emb = spread_probe_side(t(spark, sf_dir, "embeddings")).withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
     return ivf_near_dup_pairs(emb)
 
 
@@ -2007,6 +2022,9 @@ def embedding_dedup(
     """,
 )
 def sim07_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # scan spread tried and REVERTED on measurement (r18 A/B: +0.52 s —
+    # unlike sim04/sim06, the dedup composition's wall is its component
+    # pass, and the extra exchange feeds every downstream consumer)
     emb = t(spark, sf_dir, "embeddings").withColumn("nrm", norm(F.col("embedding")))
     return embedding_dedup(emb)
 
