@@ -103,10 +103,16 @@ def lsh_bucket(vec_col, planes: list[list[float]]):
     """Sign-bit bucket id for an array<float> column (pure JVM expr)."""
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
+        # one foldable split(lit).cast literal per plane, not dim F.lit
+        # round-trips (16 planes x 64 lits was ~1k py4j calls per build;
+        # repr round-trips binary64 exactly, r18 - validated in-session)
+        parr = F.split(
+            F.lit(",".join(repr(x) for x in plane)), ","
+        ).cast("array<double>")
         proj = F.aggregate(
             F.zip_with(
                 vec_col,
-                F.array(*[F.lit(x) for x in plane]),
+                parr,
                 lambda v, p: v.cast("double") * p,
             ),
             F.lit(0.0),
