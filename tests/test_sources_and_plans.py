@@ -361,13 +361,20 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
 
 def test_repetition_signals_plan_is_shuffle_free(spark):
     """tx12 computes per-doc bigram repetition with array HOFs precisely so
-    the plan is a pure map over the scan — no Exchange may appear, or the
-    operator stops scaling linearly."""
+    the plan stays a pure map — no DATA-KEYED exchange (hash/range) may
+    appear, or the operator stops scaling linearly. The one allowed
+    exchange is the explicit round-robin spread off the scan (r18 §10:
+    parallelizes the CPU-heavy map on narrow single-split inputs and
+    passes already-wide scans through untouched) — it carries no key, so
+    it can never become a skewed or quadratic-block shuffle."""
     from dbix_batchchunker_spark.operators.text import tx12_repetition
     from dbix_batchchunker_spark.plans.explain import formatted_plan
 
     plan = formatted_plan(tx12_repetition(spark, SF_DIR))
-    assert "Exchange" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    spreads = plan.count("RoundRobinPartitioning")
+    assert spreads <= 1, plan
 
 
 def test_banded_range_join_is_equi_not_nested_loop(spark):
