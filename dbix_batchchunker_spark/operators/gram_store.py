@@ -866,51 +866,35 @@ class GramPostingsStore:
         postings write so the claim derives from the same computation the
         caller persists — and so a caller's later re-read cannot race the
         store append."""
-        # ONE shuffle of the batch's grams, at the bucket count, feeds the
-        # whole decision (r18: was FOUR independent re-runs of the explode
-        # lineage — the probe's repartition+distinct side, the probe's
-        # broadcast consumer, the firsts agg, and the firsts join):
-        #   - the firsts agg consumes hashpartitioning(gram, n_buckets)
-        #     in place, and its keyset IS the batch's distinct grams, so
-        #     the store probe's build side needs no separate
-        #     repartition+distinct subtree (probe_hits' discipline kept:
-        #     the store is only ever STREAMED against a batch-bounded
-        #     build, zero store-side Exchange);
-        #   - store-dup and within-batch-dup collapse into one broadcast
-        #     lookup (gram → first_doc, in_store) applied in one filter —
-        #     _apply_span_removal dedupes hit positions, so the merged
-        #     row set is exactly the old union's.
-        # (An eager localCheckpoint of pos — explosion exactly once — was
-        # A/B-measured at +1.3 s across the family: the per-batch job it
-        # adds costs more than the recomputes it saves at bench batch
-        # sizes, and exchange reuse cannot collapse them because the
-        # transform() lambdas defeat canonical plan equality.)
-        pos_by_gram = _positional_grams(docs, n).repartition(
-            self.n_buckets, F.col("gram")
-        )
-        firsts = pos_by_gram.groupBy("gram").agg(
-            F.min("doc_id").alias("first_doc")
-        )
-        present = (
-            self.live_postings(
-                bid if probe_before is None else probe_before
-            )
-            .select("gram")
-            .join(firsts.select("gram").hint("shuffle_hash"), "gram", "left_semi")
-            .distinct()
-        )
-        gram_info = firsts.join(
-            present.withColumn("in_store", F.lit(True)), "gram", "left"
-        )
-        hits = (
-            pos_by_gram.join(F.broadcast(gram_info), "gram")
-            .where(
-                F.coalesce(F.col("in_store"), F.lit(False))
-                | (F.col("doc_id") > F.col("first_doc"))
-            )
+        # Kept as SEPARATE subtrees on purpose (r18 measured-and-reverted):
+        # a "one gram shuffle feeds the whole decision" rewrite — firsts
+        # agg consuming repartition(n_buckets, gram) in place, its keyset
+        # doubling as the store probe's build side, store-dup and
+        # batch-dup merged into one broadcast (gram → first_doc,
+        # in_store) lookup — did NOT survive physical planning: the
+        # merged lookup's tree plans as a CHAIN of broadcast exchanges
+        # whose builds each re-execute the positional-gram explode+
+        # shuffle (event logs showed three concurrent ~1 MB copies of the
+        # exchange per chunk), roughly DOUBLING per-chunk task CPU on the
+        # multi-drop compositions (tx42 59.5 s → 134.8 s total task time;
+        # interleaved A/B vs the split shape: tx40 +0.9 s, tx41 +1.3 s,
+        # tx42 +1.8 s). The split shape pays the explode per consumer but
+        # each subtree is column-pruned to what its consumer needs, and
+        # nothing rides inside a broadcast build more than once.
+        pos = _positional_grams(docs, n)
+        store_hits = self.probe_hits(
+            pos,
+            before_batch=bid if probe_before is None else probe_before,
+        ).select("doc_id", "nt", "p")
+        firsts = pos.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+        batch_hits = (
+            pos.join(firsts, "gram")
+            .where(F.col("doc_id") > F.col("first_doc"))
             .select("doc_id", "nt", "p")
         )
-        result = _apply_span_removal(docs, hits, n)
+        result = _apply_span_removal(
+            docs, store_hits.unionByName(batch_hits), n
+        )
         # bounded: one row per batch doc — the batch is the bounded unit
         result = result.localCheckpoint(eager=True)
         kept = result.where(F.col("n_kept") > 0).select(
