@@ -617,7 +617,27 @@ def main() -> None:
         "warmup": detail["warmup"],
         "detail": "BENCH_DETAIL.json",
     }
-    print(json.dumps(summary))
+    # Per-query seconds for the driver's adjudication (round-18 PERF came
+    # back with an EMPTY per_query block): the driver keeps only a ~2000-
+    # char tail of stdout and parses the final line from it, so the full
+    # per-query dict (~4.6 KB at 163 queries even 2-decimal-compact) can
+    # never ride the final line — three earlier rounds' >2 KB final lines
+    # came back "parsed": null. Emit the LARGEST queries that fit a fixed
+    # byte budget instead: regressions worth adjudicating live in the
+    # expensive tail of the distribution, and the full dict still goes to
+    # the earlier detail line + committed BENCH_DETAIL.json. Additions-
+    # only vs the round-18 summary (which carried no queries at all).
+    _budget = 1900 - len(json.dumps(summary, separators=(",", ":")))
+    top: dict = {}
+    for name in sorted(timings, key=lambda n: -timings[n]):
+        entry_len = len(json.dumps({name: round(timings[name], 2)})) + 1
+        if _budget - entry_len < 40:  # leave room for queries_omitted
+            break
+        _budget -= entry_len
+        top[name] = round(timings[name], 2)
+    summary["queries"] = top
+    summary["queries_omitted"] = len(timings) - len(top)
+    print(json.dumps(summary, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .registry import dec2, epoch_us, query, t
+from .registry import dec2, epoch_us, ordered_small, query, t
 
 _OUT = "double"  # gate-stable final dtype (see relational.py note)
 
@@ -513,7 +513,7 @@ def q29_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.alias("edit_distance"),
         )
         .where(F.col("edit_distance") <= 3)
-        .orderBy("part_a", "part_b")
+        .transform(lambda df: ordered_small(df, "part_a", "part_b"))
     )
 
 

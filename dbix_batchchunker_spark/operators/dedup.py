@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.driver_rows import driver_rows_df
-from .registry import query, t
+from .registry import ordered_small, query, t
 
 _WS = r"\s+"
 
@@ -1335,7 +1335,7 @@ def _banded_hamming_pairs(
 def dd07_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contract (hamming ≤ 3 ⇒ found) is exercised in tests/test_extensions.py
     docs = t(spark, sf_dir, "documents")
-    return simhash_near_pairs(docs).orderBy("doc_a", "doc_b")
+    return ordered_small(simhash_near_pairs(docs), "doc_a", "doc_b")
 
 
 # --------------------------------------------------------------------------- #
@@ -1584,7 +1584,7 @@ def dd11_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_sup",
             F.round(F.col("inter") / F.col("sub_size"), 6).alias("containment"),
         )
-        .orderBy("doc_sub", "doc_sup")
+        .transform(lambda df: ordered_small(df, "doc_sub", "doc_sup"))
     )
 
 # --------------------------------------------------------------------------- #
@@ -1989,6 +1989,10 @@ def dd14_sql_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.prefix import register_cache
 
     sh = register_cache(sql_simhash(t(spark, sf_dir, "documents")).persist())
-    return _banded_hamming_pairs(
-        sh, _SQLSH_BANDS, _SQLSH_BAND_BITS, SIMHASH_MAX_HAMMING
-    ).orderBy("doc_a", "doc_b")
+    return ordered_small(
+        _banded_hamming_pairs(
+            sh, _SQLSH_BANDS, _SQLSH_BAND_BITS, SIMHASH_MAX_HAMMING
+        ),
+        "doc_a",
+        "doc_b",
+    )

@@ -1023,7 +1023,12 @@ def tx37_purged_store_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id")
         )
         store.compact()
-        return store.ingest_batch(docs.where(is_inc), bid=1)
+        # ingest_batch results are unordered now (r19: the span-removal
+        # engine dropped its per-chunk sort); the declared order re-sorts
+        # the CHECKPOINTED result — a cheap scan, not a surgery re-run
+        return store.ingest_batch(docs.where(is_inc), bid=1).orderBy(
+            "doc_id"
+        )
     finally:
         cleanup_store(store)
 

@@ -623,10 +623,14 @@ def mm04_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
-    return (
-        phash_near_dup_pairs(perceptual_hash_column(docs))
-        .withColumn("hamming", F.col("hamming").cast("long"))
-        .orderBy("doc_a", "doc_b")
+    from .registry import ordered_small
+
+    return ordered_small(
+        phash_near_dup_pairs(perceptual_hash_column(docs)).withColumn(
+            "hamming", F.col("hamming").cast("long")
+        ),
+        "doc_a",
+        "doc_b",
     )
 
 

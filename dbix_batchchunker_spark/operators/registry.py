@@ -127,6 +127,41 @@ def spread_probe_side(df: DataFrame, factor: int = 1) -> DataFrame:
     return df.repartition(n)
 
 
+def ordered_small(df: DataFrame, *cols) -> DataFrame:
+    """Total order for a BOUNDED result set without a range exchange.
+
+    A trailing ``.orderBy`` plans as Exchange rangepartitioning, and its
+    range-boundary SAMPLING job re-runs the entire reduce-side stage
+    below it before the sort job runs it again — the r19 job profile
+    showed sim13's cosine-verify stage executing twice (28 s + 22 s task
+    CPU) under a 111-row listing's sort. The guide (§2.4) names "an
+    orderBy used only to make output deterministic" as an accidental
+    shuffle; the order here is part of the declared result, so instead
+    of removing it, carry the RESULT rows once through a single-partition
+    round-robin exchange and sort within: no sampling job, one compute,
+    identical rows in identical order (one sorted partition IS the total
+    order; measured equal including order on sim12). Only for results
+    bounded at any corpus scale (pair listings, accounting rows,
+    top-k/grouped summaries); corpus-sized outputs use
+    :func:`barriered_order`."""
+    return df.repartition(1).sortWithinPartitions(*cols)
+
+
+def barriered_order(df: DataFrame, *cols) -> DataFrame:
+    """Total order for a CORPUS-SIZED result with the expensive subtree
+    materialized first: a keyless round-robin exchange at the cluster's
+    parallelism makes the computation below it its own query stage, so
+    the following ``orderBy``'s range-boundary sampling job re-reads the
+    materialized shuffle output instead of re-running the computation
+    (AQE reuses the stage). Costs one extra exchange of the result rows;
+    wins whenever the stage feeding the sort is compute-heavy (measured:
+    sim12 4.81 s → 4.03 s). Scale-adaptive: defaultParallelism, not a
+    local constant."""
+    return df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    ).orderBy(*cols)
+
+
 def dec2(name: str):
     from pyspark.sql import functions as F
 

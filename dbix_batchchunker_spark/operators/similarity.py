@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine, dot, norm
 from .dedup import MAX_BLOCK_SIZE, _require_bounded_blocks
 from ..functions.driver_rows import driver_rows_df
-from .registry import query, t
+from .registry import ordered_small, query, t
 
 N_QUERY_VECS = 5
 TOP_K = 10
@@ -2426,11 +2426,15 @@ def sim11_incremental_store_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     pairs = incremental_embedding_near_dups(
         new_emb, loaded, store_entries, emb
     )
-    result = pairs.select(
-        F.least("vec_a", "vec_b").alias("vec_a"),
-        F.greatest("vec_a", "vec_b").alias("vec_b"),
-        "cos_sim",
-    ).orderBy("vec_a", "vec_b")
+    result = ordered_small(
+        pairs.select(
+            F.least("vec_a", "vec_b").alias("vec_a"),
+            F.greatest("vec_a", "vec_b").alias("vec_b"),
+            "cos_sim",
+        ),
+        "vec_a",
+        "vec_b",
+    )
     # The loaded index reads the mkdtemp store lazily, so materialize the
     # (threshold-bounded pair set) result BEFORE removing the store —
     # round-13 advisor: without the rmtree every bench/correctness run
@@ -2505,8 +2509,8 @@ def sim12_purged_store_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     entries_live, vectors_live = compact_embedding_store(
         store_entries, store_vectors, emb.where(is_slice).select("vec_id")
     )
-    return store_near_dup_pairs(entries_live, vectors_live).orderBy(
-        "vec_a", "vec_b"
+    return ordered_small(
+        store_near_dup_pairs(entries_live, vectors_live), "vec_a", "vec_b"
     )
 
 
@@ -2588,8 +2592,10 @@ def sim13_persisted_store_lifecycle(
         _, entries_live, vectors_live = load_embedding_store(
             spark, store_path
         )
-        result = store_near_dup_pairs(entries_live, vectors_live).orderBy(
-            "vec_a", "vec_b"
+        result = ordered_small(
+            store_near_dup_pairs(entries_live, vectors_live),
+            "vec_a",
+            "vec_b",
         )
         # the result reads the mkdtemp store lazily — materialize the
         # threshold-bounded pair set BEFORE removing it (sim11 precedent;
@@ -2696,8 +2702,10 @@ def sim14_retrained_store_pairs(
         _, entries_live, vectors_live = load_embedding_store(
             spark, dst_path
         )
-        result = store_near_dup_pairs(entries_live, vectors_live).orderBy(
-            "vec_a", "vec_b"
+        result = ordered_small(
+            store_near_dup_pairs(entries_live, vectors_live),
+            "vec_a",
+            "vec_b",
         )
         # the result reads the mkdtemp stores lazily — materialize the
         # threshold-bounded pair set BEFORE removing them (sim11/sim13
@@ -2958,10 +2966,10 @@ def sim09_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return (
-        cand.groupBy("query_id")
-        .applyInPandas(rerank, schema=out_schema)
-        .orderBy("query_id", "mmr_rank")
+    return ordered_small(
+        cand.groupBy("query_id").applyInPandas(rerank, schema=out_schema),
+        "query_id",
+        "mmr_rank",
     )
 
 

@@ -2155,16 +2155,20 @@ def _apply_span_removal(docs: DataFrame, hits: DataFrame, n: int) -> DataFrame:
     kept = F.filter(
         F.col("toks"), lambda x, i: ~F.array_contains(cov, i.cast("long"))
     )
-    return (
-        with_toks.join(covered, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.size("toks").alias("n_tokens"),
-            F.size(cov).alias("n_removed"),
-            (F.size("toks") - F.size(cov)).alias("n_kept"),
-            F.concat_ws(" ", kept).alias("kept_text"),
-        )
-        .orderBy("doc_id")
+    # UNORDERED on purpose (r19): this engine runs once per ingest CHUNK
+    # in the gram-store loops (tx38/40-43, st13, tx37) whose per-chunk
+    # localCheckpoint paid the trailing sort's range-boundary sample by
+    # re-running the whole span surgery, then ran it again for the sort —
+    # and chunk results feed sinks/unions that never needed order. The
+    # query-result consumers that DO declare an order re-sort at their
+    # tail (dedup_substring_spans / tx36's helper via barriered_order,
+    # tx37/st13 over their checkpointed results).
+    return with_toks.join(covered, "doc_id", "left").select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(cov).alias("n_removed"),
+        (F.size("toks") - F.size(cov)).alias("n_kept"),
+        F.concat_ws(" ", kept).alias("kept_text"),
     )
 
 
@@ -2183,7 +2187,9 @@ def dedup_substring_spans(docs: DataFrame, n: int = _SSD_N) -> DataFrame:
         .where(F.col("doc_id") > F.col("first_doc"))
         .select("doc_id", "nt", "p")
     )
-    return _apply_span_removal(docs, hits, n)
+    from .registry import barriered_order
+
+    return barriered_order(_apply_span_removal(docs, hits, n), "doc_id")
 
 # --------------------------------------------------------------------------- #
 # tx36: INCREMENTAL substring dedup — tx35's ingest form. A live pipeline     #
@@ -2227,7 +2233,9 @@ def incremental_substring_dedup(
         .select("doc_id", "nt", "p")
     )
     hits = store_hits.select("doc_id", "nt", "p").unionByName(batch_hits)
-    return _apply_span_removal(new_docs, hits, n)
+    from .registry import barriered_order
+
+    return barriered_order(_apply_span_removal(new_docs, hits, n), "doc_id")
 
 
 @query(
