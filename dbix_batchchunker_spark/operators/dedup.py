@@ -510,8 +510,19 @@ def _candidates_from_entries(band_entries: DataFrame) -> DataFrame:
         .select("docs")
         .distinct()
     )
+    # round-robin the GROUP rows to the cluster width before the
+    # posexplode+slice (r19): the groups exchange is a few hundred KB, so
+    # AQE coalesces it to ONE task — and the slice() below EXPANDS those
+    # rows into the full O(Σk²/2) "rest" arrays (82 MB at sf0.1, a
+    # measured 1.0 s single-task job) before the post-slice repartition
+    # can spread anything. Spreading the group rows themselves costs a
+    # ~0.4 MB exchange; moving the repartition between posexplode and
+    # slice instead (so member rows carry the whole docs array) was
+    # measured-and-REJECTED: Σk² of duplicated array bytes through the
+    # exchange read dd06 +1.6 s / dd13 +0.35 s.
     halves = (
-        groups.select(F.posexplode("docs").alias("i", "doc_a"), "docs")
+        groups.repartition(width)
+        .select(F.posexplode("docs").alias("i", "doc_a"), "docs")
         .select("doc_a", F.expr("slice(docs, i + 2, size(docs))").alias("rest"))
         .repartition(width, "doc_a")
     )
@@ -575,6 +586,15 @@ def verify_jaccard_pairs(
     arrays joined only for pairs that can pass. Shared by the batch
     (``near_dup_pairs``) and incremental (``incremental_near_dup_pairs``)
     flows."""
+    # Prefilter kept as its own join stage (r19 measured-and-REJECTED
+    # fusion): joining the words arrays once and putting the size-ratio
+    # conjunct first in one WHERE read as a strict win on paper (two
+    # broadcast probes per candidate instead of four) but measured dd06
+    # +0.66 s / dd13 +0.20 s — whole-stage codegen's subexpression
+    # elimination evaluates the array_intersect EAGERLY ahead of the
+    # conjunction, so the 63% of pairs the ratio test kills paid the
+    # O(|A|+|B|) intersect anyway. The standalone prefilter keeps the
+    # intersect structurally behind the cheap join.
     candidates = _size_ratio_prefilter(
         candidates, words.select("doc_id", F.size("words").alias("n")), threshold
     )

@@ -551,17 +551,22 @@ class IvfIndex:
     through parquet so persisted stores probe exactly like the build.
     """
 
-    __slots__ = ("centroids", "supers", "k_child")
+    __slots__ = ("centroids", "supers", "k_child", "n_vecs")
 
     def __init__(
         self,
         centroids: DataFrame,
         supers: DataFrame | None = None,
         k_child: int | None = None,
+        n_vecs: int | None = None,
     ) -> None:
         self.centroids = centroids
         self.supers = supers
         self.k_child = k_child
+        #: vector count of the TRAINING corpus when the builder knows it
+        #: (r19): lets consumers size the verify lookup side without the
+        #: bounded probe job (_verify_lookup_side). None = unknown.
+        self.n_vecs = n_vecs
 
     @property
     def two_level(self) -> bool:
@@ -571,12 +576,20 @@ class IvfIndex:
 def build_ivf_index(emb: DataFrame, clusters: int | None = None) -> IvfIndex:
     """Public index builder: the :func:`_ivf_index` geometry wrapped in an
     :class:`IvfIndex` handle whose two-level routing state survives
-    select/persist/reload (unlike the internal attribute-riding frames)."""
+    select/persist/reload (unlike the internal attribute-riding frames).
+    The sizing count (already paid when ``clusters`` is None) is hoisted
+    here and recorded on the handle (r19) so downstream verify joins can
+    size their lookup side without re-probing."""
+    n_vecs = None
+    if clusters is None:
+        n_vecs = emb.count()  # bounded: one aggregate row (the sizing count)
+        clusters = ivf_cluster_count(emb, n_vecs)
     _, centroids = _ivf_index(emb, clusters)
     return IvfIndex(
         centroids,
         getattr(centroids, "ivf_super", None),
         getattr(centroids, "ivf_k_child", None),
+        n_vecs=n_vecs,
     )
 
 
@@ -649,7 +662,9 @@ def _repair_store_swaps(spark: SparkSession, path: str) -> None:
         _repair_half_swap(spark, fs, path, half)
 
 
-def _write_entries(entries: DataFrame, path: str, mode: str) -> None:
+def _write_entries(
+    entries: DataFrame, path: str, mode: str, observation=None
+) -> None:
     """Entries-half write CLUSTERED by cell, not directory-partitioned
     (found live by the round-17 decade rehearsal, in two steps): a bare
     ``partitionBy("centroid_id")`` write fans out to one file per
@@ -667,9 +682,12 @@ def _write_entries(entries: DataFrame, path: str, mode: str) -> None:
     directory-partitioned store migrates by running
     ``compact_persisted_embedding_store`` once (the compact reads either
     layout and writes this one)."""
+    df = entries.select("vec_id", "centroid_id")
+    if observation is not None:
+        # piggyback metrics on the write itself (guide §1: no extra job)
+        df = df.observe(observation, F.max("vec_id").alias("mx"))
     (
-        entries.select("vec_id", "centroid_id")
-        .repartition(F.col("centroid_id"))
+        df.repartition(F.col("centroid_id"))
         .sortWithinPartitions("centroid_id")
         .write.mode(mode)
         .parquet(path)
@@ -737,6 +755,49 @@ def _write_vec_hwm(spark: SparkSession, path: str, hwm: int) -> None:
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(str(int(hwm)).encode()))
+    finally:
+        out.close()
+    if fs.exists(final):
+        fs.delete(final, False)
+    _checked_rename(fs, tmp, final)
+
+
+def _read_n_vecs(spark: SparkSession, path: str) -> "int | None":
+    """The live vector count the store persisted (None if the store
+    predates the r19 stats file — consumers then fall back to the
+    bounded size probe). Maintained by save (observed write count),
+    append (pre-check agg count added) and compact (observed survivor
+    count); a crashed append can leave it one batch stale until
+    repair_crashed_append's compact rewrites it exactly — acceptable
+    for its only consumer, the broadcast/shuffle strategy gate."""
+    fs, _ = _store_fs(spark, path)
+    jp = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/n_vecs")
+    if not fs.exists(jp):
+        return None
+    stm = fs.open(jp)
+    try:
+        raw = bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stm)
+        )
+    finally:
+        stm.close()
+    try:
+        return int(raw.decode().strip() or 0)
+    except ValueError:
+        return None
+
+
+def _write_n_vecs(spark: SparkSession, path: str, n: int) -> None:
+    """Persist the live vector count via write-aside + rename (the
+    vec_id_hwm discipline). Strategy-gate metadata only — never
+    load-bearing for correctness, so the brief rename window needs no
+    live-derivation cover."""
+    fs, _ = _store_fs(spark, path)
+    jp = spark._jvm.org.apache.hadoop.fs.Path
+    final, tmp = jp(f"{path}/n_vecs"), jp(f"{path}/n_vecs__tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(str(int(n)).encode()))
     finally:
         out.close()
     if fs.exists(final):
@@ -982,16 +1043,46 @@ def save_embedding_store(
     if lease is None:
         own = EmbeddingStoreLease(spark, path).acquire()
     try:
+        from pyspark.sql import Observation
+
         save_ivf_index(index, f"{path}/index", lease=lease or own)
         # the two data halves are independent writes — overlap them
-        # (guide §2.6; a torn fresh save is re-run wholesale either way)
+        # (guide §2.6; a torn fresh save is re-run wholesale either way).
+        # Watermark + vector count ride the writes as observed metrics
+        # (r19, guide §1): the old post-write _live_vec_max re-READ both
+        # freshly written halves — one extra job and two parquet scans
+        # per save — to learn numbers the write stream already carries.
+        obs_e, obs_v = Observation(), Observation()
+
+        def _write_vectors() -> None:
+            (
+                vectors.select("vec_id", "label", "embedding", "nrm")
+                .observe(
+                    obs_v,
+                    F.count(F.lit(1)).alias("n"),
+                    F.max("vec_id").alias("mx"),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{path}/vectors")
+            )
+
         _parallel_half_writes(
-            lambda: _write_entries(entries, f"{path}/entries", "overwrite"),
-            lambda: vectors.select(
-                "vec_id", "label", "embedding", "nrm"
-            ).write.mode("overwrite").parquet(f"{path}/vectors"),
+            lambda: _write_entries(
+                entries, f"{path}/entries", "overwrite", observation=obs_e
+            ),
+            _write_vectors,
         )
-        _write_vec_hwm(spark, path, _live_vec_max(spark, path))
+        vals_e, vals_v = obs_e.get, obs_v.get
+        hwm = max(
+            (
+                m
+                for m in (vals_e.get("mx"), vals_v.get("mx"))
+                if m is not None
+            ),
+            default=0,
+        )
+        _write_vec_hwm(spark, path, int(hwm))
+        _write_n_vecs(spark, path, int(vals_v.get("n") or 0))
     finally:
         if own is not None:
             own.release()
@@ -1032,9 +1123,12 @@ def append_embedding_store(
         if hwm is None:
             hwm = _live_vec_max(spark, path)
             _write_vec_hwm(spark, path, hwm)
-        # one 1-row agg over the incoming batch — bounded
+        # one 1-row agg over the incoming batch — bounded (count added
+        # r19: the n_vecs stats update rides the same job)
         stats = vectors.agg(
-            F.min("vec_id").alias("mn"), F.max("vec_id").alias("mx")
+            F.min("vec_id").alias("mn"),
+            F.max("vec_id").alias("mx"),
+            F.count(F.lit(1)).alias("cnt"),
         ).collect()[0]
         if stats.mn is not None and stats.mn <= hwm:
             raise ValueError(
@@ -1059,6 +1153,10 @@ def append_embedding_store(
         )
         if stats.mx is not None:
             _write_vec_hwm(spark, path, int(stats.mx))
+        if stats.cnt:
+            n0 = _read_n_vecs(spark, path)
+            if n0 is not None:  # legacy store without the file: stay probed
+                _write_n_vecs(spark, path, n0 + int(stats.cnt))
     finally:
         if own is not None:
             own.release()
@@ -1219,14 +1317,18 @@ def compact_persisted_embedding_store(
         # discipline — see _write_entries); the two aside-writes are
         # independent and overlapped (guide §2.6) — the pool join IS the
         # both-halves-fully-written barrier the swap below requires
+        from pyspark.sql import Observation
+
+        obs_v = Observation()
         _parallel_half_writes(
             lambda: _write_entries(
                 e_live, f"{path}/entries__next", "overwrite"
             ),
-            lambda: v_live.write.mode("overwrite").parquet(
-                f"{path}/vectors__next"
-            ),
+            lambda: v_live.observe(obs_v, F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(f"{path}/vectors__next"),
         )
+        n_live = int(obs_v.get.get("n") or 0)
         fs, _ = _store_fs(spark, path)
         jp = spark._jvm.org.apache.hadoop.fs.Path
         for half in ("entries", "vectors"):
@@ -1240,6 +1342,9 @@ def compact_persisted_embedding_store(
             _checked_rename(fs, live, old)
             _checked_rename(fs, nxt, live)
             fs.delete(old, True)
+        # exact rewrite of the strategy-gate count (observed survivors) —
+        # also the self-heal for a crashed append's stale file
+        _write_n_vecs(spark, path, n_live)
 
 
 def load_ivf_index(spark: SparkSession, path: str) -> IvfIndex:
@@ -2509,8 +2614,15 @@ def sim12_purged_store_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     entries_live, vectors_live = compact_embedding_store(
         store_entries, store_vectors, emb.where(is_slice).select("vec_id")
     )
+    # |live| == |corpus| exactly (the purge removes the slice whose copies
+    # were added), and the corpus count was already paid by the index
+    # build — the verify side needs no size-probe job (r19)
     return ordered_small(
-        store_near_dup_pairs(entries_live, vectors_live), "vec_a", "vec_b"
+        store_near_dup_pairs(
+            entries_live, vectors_live, n_vecs=index.n_vecs
+        ),
+        "vec_a",
+        "vec_b",
     )
 
 
@@ -2593,7 +2705,13 @@ def sim13_persisted_store_lifecycle(
             spark, store_path
         )
         result = ordered_small(
-            store_near_dup_pairs(entries_live, vectors_live),
+            store_near_dup_pairs(
+                entries_live,
+                vectors_live,
+                # the store tracks its live count (save+append+compact
+                # maintained) — no size-probe job for the verify side (r19)
+                n_vecs=_read_n_vecs(spark, store_path),
+            ),
             "vec_a",
             "vec_b",
         )
@@ -2703,7 +2821,11 @@ def sim14_retrained_store_pairs(
             spark, dst_path
         )
         result = ordered_small(
-            store_near_dup_pairs(entries_live, vectors_live),
+            store_near_dup_pairs(
+                entries_live,
+                vectors_live,
+                n_vecs=_read_n_vecs(spark, dst_path),
+            ),
             "vec_a",
             "vec_b",
         )

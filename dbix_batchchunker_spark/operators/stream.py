@@ -1382,6 +1382,7 @@ def st14_stream_embedding_store_ingest(
         SIM06_NPROBE,
         IvfIndex,
         _probe_entries,
+        _read_n_vecs,
         _store_fs,
         append_embedding_store,
         build_ivf_index,
@@ -1475,8 +1476,18 @@ def st14_stream_embedding_store_ingest(
             save_embedding_store(store_path, index, entries, surv)
             return
         loaded, e_store, v_store = load_embedding_store(spark, store_path)
+        # store count from the maintained stats file + the feed's max
+        # batch rows: an exact-or-over bound for the verify side's
+        # broadcast gate — skips the per-batch size-probe job (r19)
+        n_store = _read_n_vecs(spark, store_path)
         pairs = incremental_embedding_near_dups(
-            emb, loaded, e_store, v_store
+            emb,
+            loaded,
+            e_store,
+            v_store,
+            n_vecs=(
+                None if n_store is None else n_store + ST14_BATCH_ROWS
+            ),
         )
         dup = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
         # same one-materialization rule for the append path (bounded)
