@@ -70,9 +70,11 @@ def _spread(df: DataFrame, *cols: str | Column) -> DataFrame:
     repartition(width) would otherwise CONTRACT a many-split corpus scan
     to the local shuffle width; plan-time metadata check, no job).
     """
+    from .registry import scan_width
+
     width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     out = df.select(*cols)
-    if out.rdd.getNumPartitions() >= width:
+    if scan_width(out) >= width:  # file metadata only (r19) — no plan build
         return out
     return out.repartition(width)
 
