@@ -1045,9 +1045,11 @@ def save_embedding_store(
     try:
         from pyspark.sql import Observation
 
-        save_ivf_index(index, f"{path}/index", lease=lease or own)
-        # the two data halves are independent writes — overlap them
-        # (guide §2.6; a torn fresh save is re-run wholesale either way).
+        # ALL THREE independent writes overlapped (guide §2.6; widened
+        # r19 from the two data halves): the index pieces, the entries
+        # half and the vectors half share no ordering semantics — a torn
+        # fresh save is re-run wholesale whichever subset landed — and
+        # they all sit under the one lease held here.
         # Watermark + vector count ride the writes as observed metrics
         # (r19, guide §1): the old post-write _live_vec_max re-READ both
         # freshly written halves — one extra job and two parquet scans
@@ -1067,6 +1069,7 @@ def save_embedding_store(
             )
 
         _parallel_half_writes(
+            lambda: save_ivf_index(index, f"{path}/index", lease=lease or own),
             lambda: _write_entries(
                 entries, f"{path}/entries", "overwrite", observation=obs_e
             ),
@@ -2611,6 +2614,13 @@ def sim12_purged_store_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("doc_id").alias("vec_id"), F.col("bucket").alias("centroid_id")
     )
+    # n_deleted deliberately NOT passed (r19 measured-and-rejected,
+    # +0.53 s): skipping it also skips compact_embedding_store's eager
+    # checkpoint of the purge list, and HERE that checkpoint is load-
+    # bearing for speed — the live halves it anti-joins feed the probe
+    # pass and the listing, so every downstream broadcast build re-ran
+    # the scan+filter without it. sim13's PERSISTED compact keeps the
+    # bound: its purge frame is consumed once and written out.
     entries_live, vectors_live = compact_embedding_store(
         store_entries, store_vectors, emb.where(is_slice).select("vec_id")
     )
@@ -2699,7 +2709,12 @@ def sim13_persisted_store_lifecycle(
         append_embedding_store(store_path, copy_entries, copies)
         # maintenance window: purge the slice ORIGINALS physically
         compact_persisted_embedding_store(
-            spark, store_path, emb.where(is_slice).select("vec_id")
+            spark,
+            store_path,
+            emb.where(is_slice).select("vec_id"),
+            # |slice| <= |corpus|: upper bound gates only the broadcast
+            # valve and skips the purge-list checkpoint+count jobs (r19)
+            n_deleted=index.n_vecs,
         )
         _, entries_live, vectors_live = load_embedding_store(
             spark, store_path
